@@ -1,0 +1,95 @@
+"""As-of join (SURVEY.md §2 J6) — the TSDB signature temporal lookup.
+
+Semantics (matching DuckDB's ``ASOF LEFT JOIN`` with ``l.ts >= r.ts``):
+for every left row, attach the right row with the greatest ``r.ts``
+satisfying ``r.ts <= l.ts`` within the same key group; equal timestamps
+match; left rows with no earlier right row get nulls.
+
+Implementation: the union-and-carry-forward pattern. Both sides are
+unioned with a side tag, sorted per key by (ts, side), and the last
+non-null right payload is carried forward with an unbounded-preceding
+window. Cost model at scale: ONE shuffle of (|L|+|R|) rows on the key
+— no range explosion, no broadcast requirement, no skew beyond what the
+key distribution already has. This beats a naive
+``join + filter + row_number`` (which materializes every candidate
+pair) by orders of magnitude when right-side history is long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_SEQ = "__asof_seq"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join of ``left`` to ``right`` on key cols ``on``.
+
+    right_cols: right payload columns to attach (default: all except
+    key/ts). Attached as ``<name><suffix>`` plus ``<right_ts><suffix>``.
+    tolerance_seconds: if set, matches older than this are nulled out
+    (same as pandas ``merge_asof(tolerance=...)``).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
+
+    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+        *[F.col(c) for c in left.columns if c not in set(on) | {left_ts}],
+        F.col(left_ts),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in set(on) | {left_ts}
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+    )
+
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal ts so equality matches.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__cf_{c}") for c in payload]
+    )
+    out = carried.filter(F.col(_SIDE) == 1)
+
+    matched_ts = F.col(f"__cf_{right_ts}{suffix}")
+    keep: list = [F.col(c) for c in on]
+    keep += [F.col(c) for c in left.columns if c not in set(on)]
+    for c in payload:
+        v = F.col(f"__cf_{c}")
+        if tolerance_seconds is not None:
+            in_tol = (
+                F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+            ) <= int(tolerance_seconds * 1_000_000)
+            v = F.when(in_tol, v)
+        keep.append(v.alias(c))
+    return out.select(*keep)

@@ -1,0 +1,415 @@
+"""Time-series queries over the `events` table (SURVEY.md §2: A6, W2–W5,
+J5, J6, O3 + the TSDB spine of S1/P3/A1/O1).
+
+Each query has a DuckDB oracle mirror built from the same deterministic
+building blocks (see docs/determinism.md): decimal-exact sums/avgs,
+integer epoch-µs arithmetic, timestamps rendered as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_time_bucket,
+    sql_ts_str,
+    time_bucket,
+    ts_str,
+)
+from ..operators import asof_join, gapfill
+from ..operators.rangejoin import range_join_count
+from ..operators.rate import rate
+from ..operators.sessionize import sessionize
+from ..operators.topk import top_k_per_group
+from . import query
+
+T0, T1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: S1 scan → P3 time filter → A6 time-bucket agg → O1 sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_bucket_agg",
+    oracle=f"""
+SELECT {sql_ts_str(sql_time_bucket('ts', 300))} AS bucket_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       {sql_davg('value')} AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '{T0}' AND ts < TIMESTAMP '{T1}'
+GROUP BY 1, 2
+""",
+    tags=("tsdb", "A6", "flagship", "bench"),
+)
+def ts_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(5-minute bucket, event_type) count/sum/min/max/avg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(T0).cast("timestamp"))
+            & (F.col("ts") < F.lit(T1).cast("timestamp"))
+        )
+        .groupBy(
+            ts_str(time_bucket("ts", 300)).alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: per-series rate/delta with counter-reset handling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rate",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(value) OVER w AS prev_v,
+           lag(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       {sql_ts_str('ts')} AS ts_s,
+       value,
+       CASE WHEN value - prev_v < 0 THEN value ELSE value - prev_v END AS delta,
+       CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0 AS dt_seconds,
+       (CASE WHEN value - prev_v < 0 THEN value ELSE value - prev_v END)
+           / (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0) AS rate_per_s
+FROM ordered
+WHERE prev_v IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 0
+""",
+    tags=("tsdb", "W4", "bench"),
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user derivative of `value` w.r.t. time, counter resets clamped."""
+    ev = load_table(spark, sf_dir, "events")
+    r = rate(ev, keys=["user_id"], ts_col="ts", value_col="value", tiebreak=["event_id"])
+    return r.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        "value",
+        "delta",
+        "dt_seconds",
+        "rate_per_s",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: OHLC candles — first/last by time via min_by/max_by
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ohlc_daily",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       user_id,
+       arg_min(value, ts) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       arg_max(value, ts) AS close_v,
+       {sql_dsum('value')} AS volume,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("tsdb", "A7", "bench"),
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user OHLC candle (open/high/low/close by event time)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(
+        F.min_by("value", "ts").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ts").alias("close_v"),
+        dsum("value").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3: top-k series per dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_topk_users",
+    oracle=f"""
+SELECT event_type, user_id, sum_value, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT event_type, user_id, sum_value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY sum_value DESC, user_id) AS rnk
+    FROM (
+        SELECT event_type, user_id, {sql_dsum('value')} AS sum_value
+        FROM events GROUP BY event_type, user_id
+    )
+)
+WHERE rnk <= 3
+""",
+    tags=("tsdb", "O3", "bench"),
+)
+def ts_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 users by total value within each event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(dsum("value").alias("sum_value"))
+    return top_k_per_group(
+        per_user,
+        group=["event_type"],
+        order=[F.col("sum_value").desc(), F.col("user_id")],
+        k=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands; ST4's batch analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_sessionize",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT *,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       {sql_ts_str('MIN(ts)')} AS session_start,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0 AS duration_s,
+       {sql_dsum('value')} AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("tsdb", "session", "bench"),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user with per-session aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, keys=["user_id"], ts_col="ts", gap_seconds=1800, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts")).alias("session_start"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: running cumulative sum per series (decimal-exact window agg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cumsum",
+    oracle=f"""
+SELECT user_id, event_id, {sql_ts_str('ts')} AS ts_s, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM events
+""",
+    tags=("tsdb", "W3"),
+)
+def ts_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of value per user in event-time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        "value",
+        F.sum(dec("value")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: gap-fill + LOCF + linear interpolation
+# ---------------------------------------------------------------------------
+
+_GF_START, _GF_END = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle=f"""
+WITH actual AS (
+    SELECT user_id, {sql_time_bucket('ts', 3600)} AS bucket_ts,
+           {sql_davg('value')} AS value
+    FROM events
+    WHERE user_id < 10
+      AND ts >= TIMESTAMP '{_GF_START}'
+      AND ts < TIMESTAMP '{_GF_END}' + INTERVAL 3600 SECOND
+    GROUP BY 1, 2
+), spine AS (
+    SELECT u.user_id, g.bucket_ts
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u
+    CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '{_GF_START}',
+                                      TIMESTAMP '{_GF_END}',
+                                      INTERVAL 1 HOUR)) AS bucket_ts
+    ) g
+), filled AS (
+    SELECT s.user_id, s.bucket_ts, a.value
+    FROM spine s LEFT JOIN actual a USING (user_id, bucket_ts)
+), win AS (
+    SELECT user_id, bucket_ts, value,
+        last_value(value IGNORE NULLS) OVER w_fwd AS value_locf,
+        last_value(CASE WHEN value IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS)
+            OVER w_fwd AS prev_t,
+        first_value(value IGNORE NULLS) OVER w_bwd AS next_v,
+        first_value(CASE WHEN value IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS)
+            OVER w_bwd AS next_t
+    FROM filled
+    WINDOW
+        w_fwd AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_bwd AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, {sql_ts_str('bucket_ts')} AS bucket_ts, value, value_locf,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN value_locf IS NOT NULL AND next_v IS NOT NULL THEN
+                value_locf + (next_v - value_locf)
+                    * (CAST(epoch_us(bucket_ts) - prev_t AS DOUBLE)
+                       / CAST(next_t - prev_t AS DOUBLE))
+       END AS value_interp
+FROM win
+""",
+    tags=("tsdb", "W5", "bench"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine per user (user_id<10) with LOCF + linear interpolation."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    gf = gapfill(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        bucket_seconds=3600,
+        start=_GF_START,
+        end=_GF_END,
+        agg="avg",
+    )
+    return gf.select(
+        "user_id",
+        ts_str("bucket_ts").alias("bucket_ts"),
+        "value",
+        "value_locf",
+        "value_interp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: as-of join (latest prior click per purchase, per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_asof_join",
+    oracle=f"""
+SELECT p.user_id, p.event_id, {sql_ts_str('p.ts')} AS ts_s, p.value,
+       c.value AS click_value, {sql_ts_str('c.ts')} AS click_ts_s
+FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("tsdb", "J6", "bench"),
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest click at-or-before it by that user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], suffix="_click",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        "value",
+        F.col("value_click").alias("click_value"),
+        ts_str("ts_click").alias("click_ts_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: bucketed range join (clicks within 10 min before each error)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_range_join_counts",
+    oracle="""
+SELECT e.event_id,
+       COUNT(CASE WHEN c.ts > e.ts - INTERVAL 600 SECOND AND c.ts <= e.ts
+                  THEN 1 END) AS n_clicks_10m
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+GROUP BY e.event_id
+""",
+    tags=("tsdb", "J5", "bench"),
+)
+def ts_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: clicks by the same user in the preceding 10 min.
+
+    Spark side uses the bucketed equi-join pattern (operators/rangejoin);
+    the oracle states the same semantics as a naive inequality join,
+    which DuckDB can afford at sf0.01.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        errors, clicks, on=["user_id"], probe_ts="ts", build_ts="ts",
+        lookback_seconds=600, probe_id="event_id", count_alias="n_clicks_10m",
+    )
