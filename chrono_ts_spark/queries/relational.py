@@ -1,1 +1,821 @@
-"""Populated in later milestones."""
+"""Relational breadth over the star schema (SURVEY.md §2: P1–P5, J1–J4,
+A1–A9, W1–W3, W6, O1–O3, U1–U2).
+
+TPC-H-flavored queries adapted to the fixture columns. Star-schema
+joins broadcast the dimension side explicitly (J1 note): at 100 TB the
+fact table never shuffles for a dim join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import davg, dec, dsum, sql_davg, sql_dsum
+from ..operators.topk import top_k_per_group
+from . import query
+
+# Decimal-exact revenue term: extendedprice * (1 - discount) -----------------
+# (a function: Columns can't be built before a SparkSession exists)
+
+
+def _rev():
+    return dec(F.col("l_extendedprice"), 12, 2) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+
+
+_SQL_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+
+# ---------------------------------------------------------------------------
+# A1/A9 + P2: TPC-H Q1 pricing summary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 12, 2)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 12, 2)} AS sum_base_price,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_SQL_REV} * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       {sql_davg('l_quantity', 12, 2)} AS avg_qty,
+       {sql_davg('l_extendedprice', 12, 2)} AS avg_price,
+       {sql_davg('l_discount', 4, 2)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "A1", "bench"),
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: grouped pricing summary with decimal-exact money math."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one_p_tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 12, 2).alias("sum_qty"),
+        dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
+        F.sum(_rev()).cast("double").alias("sum_disc_price"),
+        F.sum(_rev() * one_p_tax).cast("double").alias("sum_charge"),
+        davg("l_quantity", 12, 2).alias("avg_qty"),
+        davg("l_extendedprice", 12, 2).alias("avg_price"),
+        davg("l_discount", 4, 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + O2: TPC-H Q3-style top unshipped-revenue orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_top_revenue_orders",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("relational", "J1", "O2", "bench"),
+)
+def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: top-10 BUILDING-segment orders by pending revenue.
+
+    Dimension side (filtered customers) is broadcast: the lineitem scan
+    never shuffles for the join, which is the only viable shape when
+    lineitem is 100 TB and customers fit in memory.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 (semi): Q4-style order priority counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "J3"),
+)
+def rel_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders having any lineitem shipped after the order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# J1 ×5: Q5-style local supplier volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_nation_revenue",
+    oracle=f"""
+SELECT n_name, CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    tags=("relational", "J1", "bench"),
+)
+def rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue by nation for ASIA where supplier is co-national."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 + A1: Q6 revenue-change forecast (scan-heavy filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("relational", "P3", "bench"),
+)
+def rel_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure filter + global aggregate; filters push to parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3-lite: per-brand stats incl. distinct counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_brand_stats",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_type) AS n_types,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       {sql_davg('p_retailprice', 12, 2)} AS avg_price,
+       MIN(p_size) AS min_size,
+       MAX(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+""",
+    tags=("relational", "A2"),
+)
+def rel_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part stats: exact distinct count + min/max/avg."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        davg("p_retailprice", 12, 2).alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 (outer): Q13-style customer order histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_cust_order_histogram",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("relational", "J2"),
+)
+def rel_cust_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of orders-per-customer, zero-order customers kept."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# J3 (anti) / (semi)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("relational", "J3"),
+)
+def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "rel_big_spender_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+""",
+    tags=("relational", "J3"),
+)
+def rel_big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with at least one 400k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 (theta self-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_nation_pairs",
+    oracle="""
+SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+""",
+    tags=("relational", "J4"),
+)
+def rel_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: unordered nation pairs within a region."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_union_nationkeys",
+    oracle="""
+SELECT nationkey, COUNT(*) AS n_entities
+FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+)
+GROUP BY nationkey
+""",
+    tags=("relational", "U1"),
+)
+def rel_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of customer+supplier nation keys, counted."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+
+
+@query(
+    "rel_nations_cust_not_supp",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("relational", "U2"),
+)
+def rel_nations_cust_not_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+@query(
+    "rel_nations_cust_and_supp",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("relational", "U2"),
+)
+def rel_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+# ---------------------------------------------------------------------------
+# A5: rollup with sentinel totals (portable alternative to grouping_id)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_rollup_sales",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       {sql_dsum('l_extendedprice', 12, 2)} AS sum_base_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "A5"),
+)
+def rel_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) incl. grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "sum_base_price",
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: conditional aggregation / manual pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_pivot_status",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_p,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "A9"),
+)
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(CASE WHEN …) pivot of order totals by status."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_d = dec("o_totalprice", 12, 2)
+
+    def tot(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, price_d)).cast("double")
+
+    def cnt(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, F.lit(1)))
+
+    return orders.groupBy("o_orderpriority").agg(
+        tot("F").alias("total_f"),
+        tot("O").alias("total_o"),
+        tot("P").alias("total_p"),
+        cnt("F").alias("n_f"),
+        cnt("O").alias("n_o"),
+        cnt("P").alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: rank per group (top orders per customer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_top_orders_per_cust",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+)
+WHERE rnk <= 2
+""",
+    tags=("relational", "W1", "O3"),
+)
+def rel_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders by price per customer (row_number window pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: lag/lead deltas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_order_gap_days",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice,
+       o_totalprice - lag(o_totalprice) OVER w AS price_delta,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("relational", "W2"),
+)
+def rel_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: price delta and day gap between consecutive orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 + W6: running totals, ntile, percent_rank, cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_cust_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3
+FROM orders
+""",
+    tags=("relational", "W3"),
+)
+def rel_cust_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + 3-row moving order total per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = base.rowsBetween(-2, Window.currentRow)
+    price_d = dec("o_totalprice", 12, 2)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.sum(price_d).over(w_run).cast("double").alias("running_total"),
+        F.sum(price_d).over(w_mov).cast("double").alias("moving_3"),
+    )
+
+
+@query(
+    "rel_acctbal_distribution",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("relational", "W6"),
+)
+def rel_acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over account balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4: statistical moments + percentiles from exact sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_stats_moments",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity', 12, 2)} AS sx,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+       SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_quantity', 12, 2)} / COUNT(*))
+            / (COUNT(*) - 1)) AS stddev_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "A3"),
+)
+def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev from decimal-exact moments (order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity", 12, 2)
+    e = dec("l_extendedprice", 12, 2)
+    n = F.count(F.lit(1))
+    sx = F.sum(q).cast("double")
+    sxx = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        F.sum(q * e).cast("double").alias("sxy"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_qty"),
+    )
+
+
+@query(
+    "rel_price_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "A4"),
+)
+def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8: first/last by order date + collected arrays
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_first_last_order",
+    oracle="""
+SELECT o_custkey,
+       arg_min(o_orderkey, (epoch_us(o_orderdate) // 86400000000) * 100000000000 + o_orderkey) AS first_orderkey,
+       arg_max(o_orderkey, (epoch_us(o_orderdate) // 86400000000) * 100000000000 + o_orderkey) AS last_orderkey,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("relational", "A7"),
+)
+def rel_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: first and last order per customer.
+
+    o_orderdate has day granularity so (custkey, orderdate) ties occur;
+    both sides order by an integer-encoded composite (day, orderkey) —
+    DuckDB's arg_min can't take struct keys — so tie-breaking is total
+    and deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.expr(
+        "(unix_micros(cast(o_orderdate as timestamp)) div 86400000000) * 100000000000 + o_orderkey"
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", key).alias("first_orderkey"),
+        F.max_by("o_orderkey", key).alias("last_orderkey"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+@query(
+    "rel_collect_priorities",
+    oracle="""
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("relational", "A8"),
+)
+def rel_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array: distinct priorities per status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P4/P5 + O1: projection, predicates, CASE, distinct, sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_filter_project",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       p_retailprice,
+       p_retailprice * 0.9 AS sale_price,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_band
+FROM part
+WHERE p_type LIKE 'ECONOMY%'
+  AND p_size BETWEEN 5 AND 45
+  AND p_brand IN ('Brand#1', 'Brand#5', 'Brand#13', 'Brand#19')
+  AND p_retailprice IS NOT NULL
+ORDER BY p_partkey
+""",
+    tags=("relational", "P1", "P2", "P4"),
+)
+def rel_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter (LIKE/BETWEEN/IN/IS NULL) + computed projection + CASE."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").like("ECONOMY%")
+            & F.col("p_size").between(5, 45)
+            & F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#13", "Brand#19")
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            "p_retailprice",
+            (F.col("p_retailprice") * F.lit(0.9)).alias("sale_price"),
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large")
+            .alias("size_band"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "rel_distinct_type_brand",
+    oracle="SELECT DISTINCT p_type, p_brand FROM part",
+    tags=("relational", "P5"),
+)
+def rel_distinct_type_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projected pair."""
+    return load_table(spark, sf_dir, "part").select("p_type", "p_brand").distinct()

@@ -32,8 +32,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
             )
     return df
 
