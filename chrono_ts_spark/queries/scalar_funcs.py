@@ -1,1 +1,303 @@
-"""Populated in later milestones."""
+"""Scalar function surface (SURVEY.md §2.8) — one oracle-checked query
+per family: string, date/time, math, conditional/null, array, JSON,
+hash. All built-in Catalyst expressions (whole-stage codegen; no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import vec_double
+from . import query
+
+# ---------------------------------------------------------------------------
+# Strings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_u,
+       lower(p_brand) AS brand_l,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_name, 1, 5) AS name_5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_us,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       split_part(p_name, ' ', 2) AS second_token,
+       translate(p_brand, '#', '-') AS brand_dash,
+       reverse(p_brand) AS brand_rev,
+       repeat(p_brand, 2) AS brand_2x,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def sf_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, regexp, pad…"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_token"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_2x"),
+        F.left(F.col("p_name"), F.lit(3)).alias("name_l3"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_r3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date / time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+FROM orders
+""",
+    tags=("scalar", "datetime"),
+)
+def sf_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. DOW convention differs (Spark: 1=Sunday;
+    DuckDB: 0=Sunday) — oracle adds 1 to align."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias(
+            "epoch_s"
+        ),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000) AS abs_diff,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       sqrt(p_retailprice) AS price_sqrt,
+       round(ln(p_retailprice), 10) AS price_ln,
+       round(exp(CAST(p_size AS DOUBLE) / 10), 10) AS size_exp,
+       round(pow(CAST(p_size AS DOUBLE), 2.5), 8) AS size_pow,
+       CAST(p_size % 7 AS INTEGER) AS size_mod7,
+       greatest(p_retailprice, 1500.0) AS g,
+       least(p_retailprice, 1500.0) AS l,
+       CAST(sign(p_retailprice - 1500) AS DOUBLE) AS price_sign,
+       CAST(p_size AS DOUBLE) / 3 AS size_third,
+       round(log10(p_retailprice), 10) AS price_log10,
+       round(log2(CAST(p_size AS DOUBLE)), 10) AS size_log2
+FROM part
+""",
+    tags=("scalar", "math"),
+)
+def sf_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals (ln/exp/pow/log) are rounded to
+    8–10 decimals on both sides — JVM StrictMath and C libm may differ
+    in the last ulp; IEEE-exact ops (sqrt/abs/floor/ceil) are raw."""
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.abs(price - 1000).alias("abs_diff"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.log(price), 10).alias("price_ln"),
+        F.round(F.exp(size_d / 10), 10).alias("size_exp"),
+        F.round(F.pow(size_d, 2.5), 8).alias("size_pow"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.greatest(price, F.lit(1500.0)).alias("g"),
+        F.least(price, F.lit(1500.0)).alias("l"),
+        F.signum(price - 1500).alias("price_sign"),
+        (size_d / 3).alias("size_third"),
+        F.round(F.log10(price), 10).alias("price_log10"),
+        F.round(F.log2(size_d), 10).alias("size_log2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / null handling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_conditional_funcs",
+    oracle="""
+SELECT c_custkey,
+       coalesce(o_totalprice, 0.0) AS price_or_zero,
+       CASE WHEN o_orderkey IS NULL THEN 'none' ELSE o_orderstatus END AS status,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       CAST(o_orderkey IS NOT NULL AS INTEGER) AS has_order
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+    tags=("scalar", "conditional"),
+)
+def sf_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / CASE / boolean-to-int over an outer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.when(F.col("o_orderkey").isNull(), "none")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.col("o_orderkey").isNotNull().cast("int").alias("has_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays (higher-order functions included)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE) AS head_sum,
+       CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmax,
+       CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmin,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       list_transform(list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), x -> round(x, 5)) AS head_sorted
+FROM embeddings
+""",
+    tags=("scalar", "array"),
+)
+def sf_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, index, slice, higher-order transform/filter/
+    aggregate, sort. Elements cast to double before arithmetic so both
+    engines accumulate identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = vec_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.aggregate(
+            F.slice(emb_d, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("head_sum"),
+        F.array_max(emb_d).alias("vmax"),
+        F.array_min(emb_d).alias("vmin"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.transform(
+            F.sort_array(F.slice(emb_d, 1, 3)), lambda x: F.round(x, 5)
+        ).alias("head_sorted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON (events.props)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       CAST(json_valid(props) AS INTEGER) AS is_valid
+FROM events
+""",
+    tags=("scalar", "json"),
+)
+def sf_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the props column (get_json_object / from_json)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.from_json("props", "k INT").isNotNull().cast("int").alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash / checksum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_hash_funcs",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       CAST(length(md5(c_name)) AS INTEGER) AS md5_len
+FROM customer
+""",
+    tags=("scalar", "hash"),
+)
+def sf_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable content hashes (md5 / sha256 hex)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+    )
