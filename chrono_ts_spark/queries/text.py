@@ -1,1 +1,368 @@
-"""Populated in later milestones."""
+"""Text-analysis + deduplication queries over `documents`
+(SURVEY.md §2.10 X5/X6/X8 and the LLM-pipeline extension ops).
+
+DuckDB-mirror notes: DuckDB `regexp_replace` needs the 'g' flag to
+match Spark's replace-all; list slicing is inclusive; tokenization is
+mirrored as list_filter(string_split_regex(...)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_candidates,
+    shingles,
+    simhash,
+    tokenize,
+)
+from ..operators.textfns import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    content_md5,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ..operators.topk import top_k_per_group
+from . import query
+
+_SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_CONTENT_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+_SQL_SHINGLES = (
+    r"list_distinct(CASE WHEN len(toks) >= 5 THEN "
+    r"list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) "
+    r"ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# X8: token statistics per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT lang, source, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tok,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS INTEGER) AS n_distinct
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+       COUNT(DISTINCT source) AS n_sources
+FROM t
+GROUP BY lang
+""",
+    tags=("text", "X8", "bench"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts aggregated per language."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("total_tokens"),
+        (
+            F.sum(F.col("n_tok").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_tokens"),
+        F.sum(F.col("n_distinct").cast("bigint")).alias("total_distinct"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8: global term frequencies (top terms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_top_terms",
+    oracle=f"""
+SELECT token, n, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+    FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+        GROUP BY token
+    )
+)
+WHERE rnk <= 20
+""",
+    tags=("text", "X8"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by raw frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_k_per_group(
+        counts.withColumn("__g", F.lit(1)),
+        group=["__g"],
+        order=[F.col("n").desc(), F.col("token")],
+        k=20,
+    ).drop("__g")
+
+
+# ---------------------------------------------------------------------------
+# X5: exact dedup — per-source stats and explicit dup pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dedup_stats",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {_SQL_CONTENT_MD5}) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT {_SQL_CONTENT_MD5}) AS n_dup_docs
+FROM documents
+GROUP BY source
+""",
+    tags=("text", "X5", "bench"),
+)
+def doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per source via normalized content md5."""
+    d = load_table(spark, sf_dir, "documents")
+    h = content_md5(F.col("text")).alias("__h")
+    return d.select("source", h).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("__h")).alias("n_dup_docs"),
+    )
+
+
+@query(
+    "doc_dup_pairs",
+    oracle=f"""
+WITH h AS (SELECT doc_id, {_SQL_CONTENT_MD5} AS ch FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM h a JOIN h b ON a.ch = b.ch AND a.doc_id < b.doc_id
+""",
+    tags=("text", "X5"),
+)
+def doc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All exact-duplicate doc pairs (content-hash self-join).
+
+    Scale shape: join on the digest, never on text — the shuffle key
+    is 32 bytes/row and duplicate groups are typically tiny.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", content_md5(F.col("text")).alias("ch"))
+    a = h.select(F.col("doc_id").alias("doc_a"), "ch")
+    b = h.select(F.col("doc_id").alias("doc_b"), "ch")
+    return (
+        a.join(b, "ch")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing-style min-hash, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5(s)), 'min') AS fingerprint,
+       CAST(len({_SQL_SHINGLES}) AS INTEGER) AS n_shingles
+FROM t
+""",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-md5-shingle fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text"), 5).alias("fingerprint"),
+        F.size(shingles(tokenize(F.col("text")), 5)).alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword-overlap argmax)
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_SCORES = {
+    lang: (
+        "len(list_intersect(list_distinct("
+        + _SQL_TOKENS
+        + "), ["
+        + ", ".join(f"'{w}'" for w in words)
+        + "]))"
+    )
+    for lang, words in LANG_STOPWORDS.items()
+}
+
+
+@query(
+    "doc_lang_id_confusion",
+    oracle=f"""
+WITH scored AS (
+    SELECT lang,
+           {_SQL_LANG_SCORES['de']} AS s_de,
+           {_SQL_LANG_SCORES['en']} AS s_en,
+           {_SQL_LANG_SCORES['es']} AS s_es,
+           {_SQL_LANG_SCORES['fr']} AS s_fr,
+           {_SQL_LANG_SCORES['zh']} AS s_zh
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM pred
+GROUP BY lang, pred_lang
+""",
+    tags=("text", "langid"),
+)
+def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword-overlap language classifier."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring + sub-word-ish token counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+           CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       ((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+              WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+        + (CASE WHEN n_tok > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok ELSE 0.0 END)
+       ) / 3.0 AS quality,
+       CAST(len(list_filter(string_split_regex(
+           regexp_replace(lower(text), '([^\\w\\s])', ' \\1 ', 'g'), '\\s+'),
+           x -> x <> '')) AS INTEGER) AS bpe_tokens
+FROM t
+""",
+    tags=("text", "quality", "bench"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score + BPE-ish token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6: MinHash-LSH near-dup candidates (no SQL oracle: xxhash64 is
+# Spark-specific; verified by pytest against a pure-Python reference
+# and by the exact-jaccard re-check of every candidate)
+# ---------------------------------------------------------------------------
+
+
+@query("doc_minhash_near_dups", oracle=None, tags=("text", "X6", "no-oracle", "bench"))
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    Returns pairs with est_jaccard (signature agreement) and exact
+    jaccard, filtered to exact >= 0.5.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5
+    )
+    verified = exact_jaccard_pairs(d, cands, "doc_id", "text", shingle_k=5)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
+
+
+@query("doc_simhash", oracle=None, tags=("text", "X6", "no-oracle"))
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + groups sharing a fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    grp = s.groupBy("simhash64").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+    )
+    return grp.filter(F.col("n_docs") >= 1).select(
+        "simhash64", "n_docs", "doc_ids"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard between consecutive doc ids (oracle-checkable slice
+# of the pairwise-similarity surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_ngram_jaccard_adjacent",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+""",
+    tags=("text", "jaccard"),
+)
+def doc_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard between doc i and doc i+1."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", shingles(tokenize(F.col("text")), 5).alias("sh")
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
