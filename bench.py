@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full computation, no
+driver-side collect), timed per query after one warm-up of the session
+(JVM/codegen warm, fixture footers cached).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from chrono_ts_spark.queries import load_all  # noqa: E402
+from chrono_ts_spark.session import get_spark  # noqa: E402
+
+
+def run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    if df.isStreaming:  # streaming queries return a materialized table
+        df.count()
+    else:
+        df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+    names = sorted(n for n, spec in registry.items() if "bench" in spec.tags)
+
+    spark = get_spark("chrono-bench")
+    # Warm-up: one cheap action so JVM startup isn't billed to query 1.
+    registry["ts_topk_users"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = min(run_once(registry[name].fn, spark, sf_dir) for _ in range(2))
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "spark": spark.version,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,36 @@
-"""Populated in later milestones."""
+"""Streaming queries (SURVEY.md §2.9, rows-only in the driver gate).
+
+DuckDB can't replay a stream, so these have no oracle entries; instead
+tests/test_streaming.py asserts batch-equivalence: each replayed
+result must exactly equal the batch version of the same logic (which
+IS oracle-checked — ts_bucket_agg / ts_sessionize / exact counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    run_sessionized_stream,
+    run_stateful_dedup_stream,
+    run_tumbling_counts_stream,
+)
+from . import query
+
+
+@query("stream_bucket_counts", oracle=None, tags=("streaming", "ST2", "no-oracle"))
+def stream_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-min tumbling aggregation over the replayed stream."""
+    return run_tumbling_counts_stream(spark, sf_dir, 300)
+
+
+@query("stream_session_windows", oracle=None, tags=("streaming", "ST4", "no-oracle"))
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-min gap) over the replayed stream."""
+    return run_sessionized_stream(spark, sf_dir, 1800)
+
+
+@query("stream_dedup_counts", oracle=None, tags=("streaming", "ST5", "no-oracle"))
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on event_id, then per-type counts."""
+    return run_stateful_dedup_stream(spark, sf_dir)

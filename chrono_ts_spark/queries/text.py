@@ -366,3 +366,26 @@ def doc_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return j.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# X9: multimodal plumbing (binary payload → Arrow-batched features;
+# decode step is a documented deterministic stub — rows-only check,
+# exact expectations covered in tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query("mm_features", oracle=None, tags=("multimodal", "X9", "no-oracle"))
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: payload + metadata + mapInPandas features."""
+    from ..operators.multimodal import multimodal_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = multimodal_features(spark, d)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        F.element_at("feature", 1).alias("f0"),
+    )

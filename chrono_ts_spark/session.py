@@ -41,7 +41,50 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # written to degrade gracefully (only nanosAsLong is load-bearing,
             # and it is runtime-settable in Spark 4.1).
             pass
+    try:
+        # A session still on Spark's stock 200 means nobody tuned it; right-
+        # size for the local fixture scales. Streaming plans can't rely on
+        # AQE coalescing, so the initial number matters there. A deliberate
+        # user/cluster setting (anything != 200) is left untouched.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:
+        pass
     return spark
+
+
+_PKG_ZIP: str | None = None
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship chrono_ts_spark to executor Python workers via addPyFile.
+
+    Needed by any Pandas-UDF / mapInPandas path: cloudpickle serializes
+    module-level functions by reference, so workers must be able to
+    import the package — which a driver-owned session (cwd elsewhere)
+    cannot do from sys.path alone.
+    """
+    global _PKG_ZIP
+    marker = "_chrono_pkg_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+        from pathlib import Path
+
+        pkg_dir = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.gettempdir()) / "chrono_ts_spark_pkg.zip"
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, "chrono_ts_spark/" + str(p.relative_to(pkg_dir)))
+        _PKG_ZIP = str(zip_path)
+    try:
+        sc.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already registered in a previous session reuse
+    setattr(sc, marker, True)
 
 
 def get_spark(

@@ -1,0 +1,122 @@
+"""File-stream replay of the events table + canonical streaming ops.
+
+The static events parquet is replayed as a Structured Streaming file
+source (ST: the ingest path of the TSDB). ``availableNow`` processes
+the backlog as micro-batches and terminates — the same code, pointed
+at a Kafka source with a processing-time trigger, is the production
+ingest (S4/S6).
+
+Watermarks bound state: with "10 minutes" on a month of data, the
+tumbling-window state store holds only the trailing windows, so the
+pipeline runs in O(active windows), not O(history) — the property that
+matters when the stream is 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import time_bucket, ts_str
+from ..session import apply_runtime_confs
+
+# Raw schema as the file source sees it (ts = nanos-as-long, see catalog).
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame replaying <sf_dir>/events.parquet."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run an availableNow query into a memory sink; return the table."""
+    name = "mem_" + uuid.uuid4().hex[:10]
+    ckpt = tempfile.mkdtemp(prefix="chrono_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_tumbling_counts_stream(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int = 300
+) -> DataFrame:
+    """ST1+ST2: watermarked tumbling-window counts, replayed to a table.
+
+    Batch-equivalent to the flagship ts_bucket_agg aggregation.
+    """
+    from ..functions import davg, dsum
+
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(
+        F.window("ts", f"{bucket_seconds} seconds"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg("value").alias("avg_value"),
+    )
+    out = agg.select(
+        ts_str(F.col("window.start")).alias("bucket_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        "avg_value",
+    )
+    return _run_to_memory(out, spark)
+
+
+def run_sessionized_stream(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """ST4: session-window aggregation per user (event-time sessions)."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(
+        F.session_window("ts", f"{gap_seconds} seconds"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        "user_id",
+        ts_str(F.col("session_window.start")).alias("session_start"),
+        "n_events",
+    )
+    return _run_to_memory(out, spark)
+
+
+def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: exact-once event ids via dropDuplicatesWithinWatermark,
+    then per-type counts (complete mode for a bounded replay)."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return _run_to_memory(agg, spark)

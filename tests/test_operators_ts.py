@@ -1,0 +1,201 @@
+"""Unit tests for the signature TSDB operators on hand-computed
+fixtures (SURVEY.md §5.2): edge cases the fixture tables can't force —
+empty inputs, equal timestamps, counter resets, single-point series.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from chrono_ts_spark.operators import (
+    asof_join,
+    gapfill,
+    range_join,
+    rate,
+    sessionize,
+    top_k_per_group,
+)
+from chrono_ts_spark.operators.rangejoin import range_join_count
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:00"), 1),
+            ("A", ts("2024-01-01 10:05:00"), 2),
+            ("A", ts("2024-01-01 10:10:00"), 3),
+            ("B", ts("2024-01-01 10:03:00"), 4),
+        ],
+        "key string, ts timestamp, trade_id int",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 09:59:00"), 100.0),
+            ("A", ts("2024-01-01 10:05:00"), 101.0),  # equal-ts match
+            ("A", ts("2024-01-01 10:07:00"), 102.0),
+            ("C", ts("2024-01-01 10:00:00"), 999.0),  # unmatched key
+        ],
+        "key string, ts timestamp, px double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, trades, quotes):
+        out = asof_join(trades, quotes, on=["key"], right_cols=["px"]).collect()
+        got = {r.trade_id: (r.px_r, r.ts_r) for r in out}
+        assert len(out) == 4  # every left row survives
+        assert got[1] == (100.0, ts("2024-01-01 09:59:00"))
+        assert got[2] == (101.0, ts("2024-01-01 10:05:00"))  # ties match
+        assert got[3] == (102.0, ts("2024-01-01 10:07:00"))
+        assert got[4] == (None, None)  # key B has no quotes
+
+    def test_tolerance(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], right_cols=["px"], tolerance_seconds=90
+        ).collect()
+        got = {r.trade_id: r.px_r for r in out}
+        assert got[1] == 100.0  # 60s old: inside tolerance
+        assert got[3] is None  # 180s old: outside tolerance → nulled
+        # tolerance only nulls, never drops
+        assert len(out) == 4
+
+    def test_empty_right(self, spark, trades):
+        empty = spark.createDataFrame([], "key string, ts timestamp, px double")
+        out = asof_join(trades, empty, on=["key"], right_cols=["px"]).collect()
+        assert len(out) == 4 and all(r.px_r is None for r in out)
+
+
+class TestRate:
+    def test_counter_reset_and_dt(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("A", ts("2024-01-01 00:00:00"), 10.0),
+                ("A", ts("2024-01-01 00:00:10"), 15.0),
+                ("A", ts("2024-01-01 00:00:20"), 3.0),  # counter reset
+                ("B", ts("2024-01-01 00:00:00"), 5.0),  # single point
+            ],
+            "key string, ts timestamp, v double",
+        )
+        out = {
+            (r.key, r.ts): (r.delta, r.dt_seconds, r.rate_per_s)
+            for r in rate(df, ["key"], "ts", "v").collect()
+        }
+        assert out[("A", ts("2024-01-01 00:00:10"))] == (5.0, 10.0, 0.5)
+        # reset: delta falls back to the raw value
+        assert out[("A", ts("2024-01-01 00:00:20"))] == (3.0, 10.0, 0.3)
+        # first rows and single-point series are dropped
+        assert len(out) == 2
+
+    def test_duplicate_ts_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("A", ts("2024-01-01 00:00:00"), 1.0, 1), ("A", ts("2024-01-01 00:00:00"), 2.0, 2)],
+            "key string, ts timestamp, v double, id int",
+        )
+        assert rate(df, ["key"], "ts", "v", tiebreak=["id"]).count() == 0
+
+
+class TestGapfill:
+    def test_spine_locf_interp(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("A", ts("2024-01-01 00:00:30"), 10.0),
+                ("A", ts("2024-01-01 03:00:30"), 40.0),
+            ],
+            "key string, ts timestamp, v double",
+        )
+        out = gapfill(
+            df, ["key"], "ts", "v", 3600,
+            "2024-01-01 00:00:00", "2024-01-01 04:00:00",
+        ).orderBy("bucket_ts").collect()
+        assert len(out) == 5  # 00..04 inclusive
+        vals = [(r.value, r.value_locf, r.value_interp) for r in out]
+        assert vals[0] == (10.0, 10.0, 10.0)
+        assert vals[1] == (None, 10.0, 20.0)  # linear between 10 and 40
+        assert vals[2] == (None, 10.0, 30.0)
+        assert vals[3] == (40.0, 40.0, 40.0)
+        assert vals[4] == (None, 40.0, None)  # after last obs: LOCF only
+
+    def test_row_count_invariant(self, spark):
+        df = spark.createDataFrame(
+            [("A", ts("2024-01-01 01:00:00"), 1.0), ("B", ts("2024-01-01 02:00:00"), 2.0)],
+            "key string, ts timestamp, v double",
+        )
+        out = gapfill(df, ["key"], "ts", "v", 3600, "2024-01-01 00:00:00", "2024-01-01 23:00:00")
+        assert out.count() == 2 * 24  # keys × buckets, exactly
+
+
+class TestSessionize:
+    def test_gap_boundary(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u", ts("2024-01-01 00:00:00"), 1),
+                ("u", ts("2024-01-01 00:30:00"), 2),   # exactly gap: same session
+                ("u", ts("2024-01-01 01:00:01"), 3),   # gap+1s: new session
+            ],
+            "key string, ts timestamp, id int",
+        )
+        out = {r.id: r.session_id for r in sessionize(df, ["key"], "ts", 1800).collect()}
+        assert out == {1: 0, 2: 0, 3: 1}
+
+
+class TestRangeJoin:
+    def test_matches_naive(self, spark):
+        import random
+
+        rnd = random.Random(0)
+        probes = [("k%d" % (i % 3), ts("2024-01-01 00:00:00"), i) for i in range(20)]
+        probes = [
+            (k, t.replace(minute=rnd.randrange(60), second=rnd.randrange(60)), i)
+            for (k, t, i) in probes
+        ]
+        builds = [
+            ("k%d" % rnd.randrange(3),
+             ts("2024-01-01 00:00:00").replace(minute=rnd.randrange(60), second=rnd.randrange(60)))
+            for _ in range(200)
+        ]
+        p = spark.createDataFrame(probes, "key string, ts timestamp, pid int")
+        b = spark.createDataFrame(builds, "key string, ts timestamp")
+        got = {
+            r.pid: r.n
+            for r in range_join_count(p, b, ["key"], "ts", "ts", 600, "pid", "n").collect()
+        }
+        for key, t, pid in probes:
+            want = sum(
+                1 for (bk, bt) in builds
+                if bk == key and (t.timestamp() - 600) * 1e6 < bt.timestamp() * 1e6 <= t.timestamp() * 1e6
+            )
+            assert got[pid] == want, pid
+
+    def test_inner_range_join(self, spark):
+        p = spark.createDataFrame(
+            [("k", ts("2024-01-01 00:10:00"), 1)], "key string, ts timestamp, pid int"
+        )
+        b = spark.createDataFrame(
+            [("k", ts("2024-01-01 00:05:00"), 7.0),   # in window
+             ("k", ts("2024-01-01 00:10:00"), 8.0),   # boundary: inclusive
+             ("k", ts("2024-01-01 00:00:00"), 9.0)],  # exactly lookback: excluded
+            "key string, bts timestamp, v double",
+        )
+        out = range_join(p, b, ["key"], "ts", "bts", 600)
+        assert sorted(r.v for r in out.collect()) == [7.0, 8.0]
+
+
+class TestTopK:
+    def test_ties_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0, 1), ("g", 1.0, 2), ("g", 1.0, 3)], "g string, m double, id int"
+        )
+        out = top_k_per_group(df, ["g"], [F.col("m").desc(), F.col("id")], 2).collect()
+        assert [r.id for r in sorted(out, key=lambda r: r.rnk)] == [1, 2]
