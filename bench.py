@@ -48,6 +48,7 @@ def main() -> None:
     for name in names:
         best = min(run_once(registry[name].fn, spark, sf_dir) for _ in range(2))
         timings[name] = round(best, 3)
+        print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -102,11 +102,35 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     rows = num_perm // bands
 
-    sig = df.select(
+    # Signature via explode + 64 min-aggregates, NOT 64 array_min
+    # expressions over the same array: Catalyst has no common-
+    # subexpression elimination across those, so the column form
+    # re-tokenizes the document 64×. Exploding computes each shingle
+    # hash exactly once, and the groupBy shuffle spreads signature
+    # work across the cluster even when the input is one file/split.
+    sh = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(
-            shingles(tokenize(F.col(text_col)), shingle_k), num_perm, seed
-        ).alias("__sig"),
+        shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
+    )
+    h = sh.select(
+        "__id",
+        F.explode(
+            F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+        ).alias("__h"),
+    )
+    params = [
+        ((a % ((1 << 31) - 1)) + 1, b % MERSENNE)
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    sig = h.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MERSENNE))).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    ).select(
+        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
     )
 
     banded = sig.select(

