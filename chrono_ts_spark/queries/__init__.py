@@ -52,6 +52,7 @@ _MODULES = [
     "text",
     "vectors",
     "streaming_queries",
+    "extras",
 ]
 
 

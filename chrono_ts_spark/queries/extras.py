@@ -1,0 +1,367 @@
+"""Coverage long tail: cube, outer joins, window value functions, map
+functions, approximate aggregates, sampling, CSV/JSON scans, the
+partitioned batch sink, and the UDAF/UDTF surface
+(SURVEY.md §2: S2, S5, A2, A5, J2, W-extra, O4, X1, X3, X4, map family).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+from ..functions import dsum, sql_dsum
+from . import query
+
+# ---------------------------------------------------------------------------
+# A5: CUBE with sentinel totals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_cube_sales",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       {sql_dsum('o_totalprice', 12, 2)} AS total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("relational", "A5"),
+)
+def rel_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) incl. all subtotal combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice", 12, 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        "total",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: full outer join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_full_outer_balance",
+    oracle=f"""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       {sql_dsum('c.c_acctbal', 12, 2)} AS cust_bal,
+       {sql_dsum('s.s_acctbal', 12, 2)} AS supp_bal,
+       COUNT(c.c_custkey) AS n_cust,
+       COUNT(s.s_suppkey) AS n_supp
+FROM customer c FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+""",
+    tags=("relational", "J2"),
+)
+def rel_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER customer↔supplier by nation with per-side aggregates."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey")
+    ).agg(
+        dsum("c_acctbal", 12, 2).alias("cust_bal"),
+        dsum("s_acctbal", 12, 2).alias("supp_bal"),
+        F.count("c_custkey").alias("n_cust"),
+        F.count("s_suppkey").alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W: first_value / last_value / nth_value over explicit frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_window_values",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w_full AS last_price,
+       nth_value(o_totalprice, 2) OVER w_full AS second_price
+FROM orders
+WINDOW
+    w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("relational", "W"),
+)
+def rel_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value window functions with explicit frames."""
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map functions (compared via sorted entry arrays — portable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_map_funcs",
+    oracle="""
+SELECT o_orderpriority,
+       map_extract(m, 'F')[1] AS f_total,
+       list_sort(map_keys(m)) AS statuses,
+       CAST(cardinality(m) AS INTEGER) AS n_statuses
+FROM (
+    SELECT o_orderpriority,
+           map(list(o_orderstatus ORDER BY o_orderstatus),
+               list(total ORDER BY o_orderstatus)) AS m
+    FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    )
+    GROUP BY o_orderpriority
+)
+""",
+    tags=("scalar", "map"),
+)
+def sf_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build status→total maps, extract/keys/cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        dsum("o_totalprice", 12, 2).alias("total")
+    )
+    m = (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "total")))
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "o_orderpriority",
+        F.element_at("m", "F").alias("f_total"),
+        F.sort_array(F.map_keys("m")).alias("statuses"),
+        F.size("m").alias("n_statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 approx / O4 sampling (rows-only: engine-specific algorithms)
+# ---------------------------------------------------------------------------
+
+
+@query("rel_approx_distinct", oracle=None, tags=("relational", "A2", "no-oracle"))
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct next to the exact count (sanity: ±5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("rel_sample", oracle=None, tags=("relational", "O4", "no-oracle"))
+def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (seed semantics are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: CSV / JSON scans (write a lossless temp copy, read it back, and
+# aggregate — the oracle runs the same aggregate on the parquet view,
+# so the check also proves the text roundtrip is exact)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
+    safe = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"chrono_{fmt}_{table}_{safe}")
+
+
+@query(
+    "io_csv_scan",
+    oracle=f"""
+SELECT p_brand, {sql_dsum('p_retailprice', 12, 2)} AS total_price, COUNT(*) AS n
+FROM part GROUP BY p_brand
+""",
+    tags=("io", "S2"),
+)
+def io_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan: parquet→CSV→scan with declared schema→aggregate."""
+    path = _roundtrip_dir(sf_dir, "csv", "part")
+    load_table(spark, sf_dir, "part").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    df = spark.read.schema(SCHEMAS["part"]).option("header", True).csv(path)
+    return df.groupBy("p_brand").agg(
+        dsum("p_retailprice", 12, 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "io_json_scan",
+    oracle=f"""
+SELECT s_nationkey, {sql_dsum('s_acctbal', 12, 2)} AS total_bal, COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey
+""",
+    tags=("io", "S2"),
+)
+def io_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema."""
+    path = _roundtrip_dir(sf_dir, "json", "supplier")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").json(path)
+    df = spark.read.schema(SCHEMAS["supplier"]).json(path)
+    return df.groupBy("s_nationkey").agg(
+        dsum("s_acctbal", 12, 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "io_partitioned_sink",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    tags=("io", "S5"),
+)
+def io_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: write events partitioned by date (the at-rest layout from
+    docs/scale.md), scan it back, count per partition — proves
+    partition values survive the hive-style directory encoding."""
+    path = _roundtrip_dir(sf_dir, "parquet_part", "events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+    # partition-column type inference may read `day` back as DATE;
+    # normalize to the string form the oracle produces
+    return back.groupBy(
+        F.col("day").cast("string").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# X1/X3: scalar pandas UDF + grouped-agg pandas UDAF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_median_price",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(AVG(abs(l_extendedprice - 51000.0)), 6) AS avg_abs_dev
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "X3"),
+)
+def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (median) + scalar pandas UDF (abs dev)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("double")
+    def abs_dev(v: pd.Series) -> pd.Series:
+        return (v - 51000.0).abs()
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark disallows mixing pandas UDAFs with built-in aggregates in
+    # one agg(); run them as two aggregations joined on the group key.
+    med = li.groupBy("l_returnflag").agg(
+        F.round(median_udaf("l_extendedprice"), 6).alias("median_price")
+    )
+    dev = (
+        li.withColumn("dev", abs_dev("l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.avg("dev"), 6).alias("avg_abs_dev"))
+    )
+    return med.join(dev, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# X4: UDTF — explode documents into word bigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_bigrams",
+    oracle=r"""
+SELECT bigram, COUNT(*) AS n
+FROM (
+    SELECT unnest(list_transform(
+        generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 50
+    )
+)
+GROUP BY bigram
+""",
+    tags=("udf", "X4"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF emitting word bigrams per document, then counted.
+
+    The UDTF (lateral-join table function) is the X4 surface; the
+    equivalent exists as pure HOFs too — the UDTF form exists for
+    logic that genuinely needs imperative Python per row.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS n
+        FROM __udtf_docs d, LATERAL bigrams_udtf(d.text) b
+        GROUP BY b.bigram
+        """
+    )

@@ -34,3 +34,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dedup on event_id, then per-type counts."""
     return run_stateful_dedup_stream(spark, sf_dir)
+
+
+@query("stream_sliding_counts", oracle=None, tags=("streaming", "ST3", "no-oracle"))
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min over the replayed stream."""
+    from ..streaming.stateful import run_sliding_counts_stream
+
+    return run_sliding_counts_stream(spark, sf_dir)
+
+
+@query("stream_stream_join", oracle=None, tags=("streaming", "J7", "no-oracle"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: purchases x clicks in 10 min."""
+    from ..streaming.stateful import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+@query("stream_ema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op: per-user EMA via applyInPandasWithState."""
+    from ..streaming.stateful import run_ema_stream
+
+    return run_ema_stream(spark, sf_dir)

@@ -1,0 +1,204 @@
+"""Advanced streaming operators: sliding windows, stream-stream joins,
+and an arbitrary-stateful custom operator (SURVEY.md §2.9 ST3/J7/ST6).
+
+The stateful op is a per-series exponential moving average — the
+canonical "TSDB operator Spark lacks as a built-in" — implemented with
+``applyInPandasWithState``: state = (last_ema, last_ts) per key,
+updated per micro-batch in event-time order, emitting one EMA row per
+event. Watermark bounds how long idle keys hold state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..functions import ts_str
+from .replay import _run_to_memory, replay_events_stream
+
+_EMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+_EMA_STATE = T.StructType(
+    [
+        T.StructField("ema", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def ema_update_fn(alpha: float):
+    """Build the applyInPandasWithState update function for EMA.
+
+    Self-contained closure (stdlib + pandas only) so Python workers can
+    unpickle it without importing this package.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ema, last_ts = state.get if state.exists else (None, None)
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for row in batch.itertuples():
+            ts_us = int(row.ts.value // 1000)  # pandas ns → µs
+            if last_ts is not None and ts_us <= last_ts:
+                continue  # late duplicate beyond state order: drop
+            ema = row.value if ema is None else alpha * row.value + (1 - alpha) * ema
+            last_ts = ts_us
+            out.append(
+                (
+                    key[0],
+                    row.event_id,
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    row.value,
+                    ema,
+                )
+            )
+        state.update((ema, last_ts))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts_s", "value", "ema"]
+        )
+
+    return update
+
+
+def run_ema_stream(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """ST6: per-user EMA over the replayed stream (arbitrary state)."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    ema = ev.groupBy("user_id").applyInPandasWithState(
+        ema_update_fn(alpha),
+        outputStructType=_EMA_OUT,
+        stateStructType=_EMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import tempfile
+    import uuid
+
+    name = "mem_" + uuid.uuid4().hex[:10]
+    q = (
+        ema.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def batch_ema(spark: SparkSession, sf_dir: str, alpha: float = 0.2) -> DataFrame:
+    """Batch reference for the EMA stream (same semantics, aggregate
+    over a per-key ordered collect_list — exact, for equivalence tests)."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    # EMA as a running aggregate over the ordered sequence
+    ema_seq = F.aggregate(
+        F.col("seq"),
+        F.array().cast("array<struct<ts:timestamp,event_id:bigint,value:double,ema:double>>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["ts"].alias("ts"),
+                    x["event_id"].alias("event_id"),
+                    x["value"].alias("value"),
+                    F.when(
+                        F.size(acc) == 0, x["value"]
+                    ).otherwise(
+                        F.lit(alpha) * x["value"]
+                        + F.lit(1 - alpha) * F.element_at(acc, -1)["ema"]
+                    ).alias("ema"),
+                )
+            ),
+        ),
+    )
+    out = rows.select("user_id", F.explode(ema_seq).alias("e"))
+    return out.select(
+        "user_id",
+        F.col("e.event_id").alias("event_id"),
+        ts_str(F.col("e.ts")).alias("ts_s"),
+        F.col("e.value").alias("value"),
+        F.col("e.ema").alias("ema"),
+    )
+
+
+def run_sliding_counts_stream(
+    spark: SparkSession, sf_dir: str, width_s: int = 600, slide_s: int = 300
+) -> DataFrame:
+    """ST3: sliding-window counts (each event lands in width/slide windows)."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(
+        F.window("ts", f"{width_s} seconds", f"{slide_s} seconds"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        ts_str(F.col("window.start")).alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+    return _run_to_memory(out, spark)
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, lookback_s: int = 600
+) -> DataFrame:
+    """J7: stream-stream inner join — purchases to clicks within the
+    preceding `lookback_s` by the same user, with watermarks bounding
+    both join-state buffers."""
+    ev1 = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    ev2 = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    purchases = ev1.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = joined.select(
+        "user_id",
+        "p_id",
+        ts_str(F.col("p_ts")).alias("p_ts_s"),
+        ts_str(F.col("c_ts")).alias("c_ts_s"),
+    )
+    import tempfile
+    import uuid
+
+    name = "mem_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

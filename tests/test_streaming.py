@@ -44,3 +44,68 @@ def test_dedup_stream_equals_batch_counts(spark):
     batch = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     cols = ["event_type", "n_events"]
     assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+@pytest.mark.slow
+def test_sliding_stream_equals_batch(spark):
+    stream = REG["stream_sliding_counts"].fn(spark, SF_SMOKE)
+    # batch equivalent: each event belongs to 2 sliding windows (600/300)
+    from chrono_ts_spark.functions import time_bucket, ts_str
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.select(
+            F.explode(
+                F.array(
+                    time_bucket(F.col("ts"), 300),
+                    time_bucket(F.col("ts"), 300) - F.expr("INTERVAL 300 SECONDS"),
+                )
+            ).alias("win_start"),
+            "event_type",
+        )
+        .groupBy(ts_str(F.col("win_start")).alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["win_start", "event_type", "n_events"]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+@pytest.mark.slow
+def test_stream_stream_join_equals_batch(spark):
+    stream = REG["stream_stream_join"].fn(spark, SF_SMOKE)
+    from chrono_ts_spark.functions import ts_str
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "user_id", "p_id",
+        ts_str(F.col("p_ts")).alias("p_ts_s"),
+        ts_str(F.col("c_ts")).alias("c_ts_s"),
+    )
+    cols = ["user_id", "p_id", "p_ts_s", "c_ts_s"]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+@pytest.mark.slow
+def test_ema_stream_equals_batch(spark):
+    from chrono_ts_spark.streaming.stateful import batch_ema
+
+    stream = REG["stream_ema"].fn(spark, SF_SMOKE)
+    batch = batch_ema(spark, SF_SMOKE)
+    cols = ["user_id", "event_id", "ts_s", "value", "ema"]
+    s_rows = as_sorted_rows(stream, cols)
+    b_rows = as_sorted_rows(batch, cols)
+    assert len(s_rows) == len(b_rows)
+    for srow, brow in zip(s_rows, b_rows):
+        assert srow[:4] == brow[:4]
+        assert srow[4] == pytest.approx(brow[4], rel=1e-12)
