@@ -365,3 +365,105 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.bigram
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X2: grouped-map applyInPandas — per-user OLS trend of value over time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_grouped_trend",
+    oracle="""
+SELECT user_id,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_hour
+FROM (
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 3600000000.0 AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 3600000000.0 AS DECIMAL(18,9))
+                    * CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 3600000000.0 AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 3600000000.0 AS DECIMAL(18,9))
+                    * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    FROM events
+    GROUP BY user_id
+)
+WHERE n >= 2
+""",
+    tags=("udf", "X2"),
+)
+def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user OLS slope (value per hour).
+
+    The pandas side reproduces the decimal-exact oracle arithmetic:
+    hours are quantized to 9 decimals (== the SQL DECIMAL(18,9) cast)
+    and summed with math.fsum (exactly rounded), so both sides see the
+    same doubles before the final rounded division.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    out_schema = "user_id long, n long, slope_per_hour double"
+    origin_us = 1704067200000000  # 2024-01-01 in epoch µs
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["user_id", "n", "slope_per_hour"])
+        ts_us = pdf["ts"].astype("int64") // 1000
+        x = [round(float(v - origin_us) / 3600000000.0, 9) for v in ts_us]
+        y = [round(float(v), 2) for v in pdf["value"]]
+        n = len(x)
+        sx, sy = math.fsum(x), math.fsum(y)
+        sxx = math.fsum(round(a * a, 18) for a in x)
+        sxy = math.fsum(round(a * b, 11) for a, b in zip(x, y))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n],
+             "slope_per_hour": [round(slope, 6)]}
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(trend, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# S7: SQL-string entry point with optimizer hints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_entry_star_join",
+    oracle="""
+SELECT n_name, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderstatus
+""",
+    tags=("relational", "S7"),
+)
+def sql_entry_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 (SURVEY §3): the same engine via spark.sql over
+    registered views, with a BROADCAST hint in SQL form."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+               n_name, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderstatus
+        """
+    )

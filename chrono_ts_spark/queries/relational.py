@@ -660,26 +660,43 @@ SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
        SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
              - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_quantity', 12, 2)} / COUNT(*))
-            / (COUNT(*) - 1)) AS stddev_qty
+            / (COUNT(*) - 1)) AS stddev_qty,
+       (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_extendedprice', 12, 2)})
+       / (SQRT(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_quantity', 12, 2)})
+          * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 - {sql_dsum('l_extendedprice', 12, 2)} * {sql_dsum('l_extendedprice', 12, 2)})) AS corr_qty_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx3
 FROM lineitem
 GROUP BY l_returnflag
 """,
     tags=("relational", "A3"),
 )
 def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance/stddev from decimal-exact moments (order-independent)."""
+    """Variance/stddev/corr + third raw moment from decimal-exact sums
+    (order-independent; skewness/kurtosis derive from sx/sxx/sx3 in
+    closed form — the raw moments ARE the hash-checked surface)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = dec("l_quantity", 12, 2)
     e = dec("l_extendedprice", 12, 2)
     n = F.count(F.lit(1))
     sx = F.sum(q).cast("double")
+    sy = F.sum(e).cast("double")
     sxx = F.sum(q * q).cast("double")
+    syy = F.sum(e * e).cast("double")
+    sxy = F.sum(q * e).cast("double")
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         sx.alias("sx"),
         sxx.alias("sxx"),
-        F.sum(q * e).cast("double").alias("sxy"),
+        sxy.alias("sxy"),
         F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        F.sum(q * q * q).cast("double").alias("sx3"),
     )
 
 

@@ -109,3 +109,32 @@ def test_ema_stream_equals_batch(spark):
     for srow, brow in zip(s_rows, b_rows):
         assert srow[:4] == brow[:4]
         assert srow[4] == pytest.approx(brow[4], rel=1e-12)
+
+
+@pytest.mark.slow
+def test_rate_source_smoke(spark):
+    """S4: the built-in rate source works as an alternate ingest path."""
+    import tempfile, uuid
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_rate_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        assert spark.table(name).count() > 0
+        assert set(spark.table(name).columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
