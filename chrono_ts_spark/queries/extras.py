@@ -467,3 +467,96 @@ def sql_entry_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention / downsample tier (SURVEY §1.1): batch compaction of raw
+# events into a coarser rollup table, written partitioned and re-read
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_downsample_tier",
+    oracle="""
+SELECT day, event_type, n_events, sum_value, min_value, max_value
+FROM (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+)
+""",
+    tags=("tsdb", "retention", "S5"),
+)
+def ts_downsample_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample tier: compact raw events to a daily rollup table at
+    rest (partitioned parquet), then serve from the rollup. This is
+    the retention/continuous-aggregate pattern: older data lives only
+    at this granularity and queries hit ~1/1000th of the bytes."""
+    from ..functions import dsum as _dsum
+
+    path = _roundtrip_dir(sf_dir, "rollup_daily", "events")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    tier = spark.read.parquet(path)
+    return tier.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exhaustive at oracle scale;
+# the LSH-accelerated path for big corpora is emb_ann_lsh)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_cosine_near_dups",
+    oracle="""
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / SQRT(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+               * list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine > 0.5
+""",
+    tags=("vectors", "near-dup"),
+)
+def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine > 0.5 (exhaustive O(n²) — the
+    correctness baseline; swap in the LSH bucket join for scale)."""
+    from ..functions import vec_cosine, vec_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), vec_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), vec_double(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", vec_cosine(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") > 0.5)
