@@ -164,6 +164,12 @@ def minhash_lsh_candidates(
         ).alias("__band"),
     ).select("__id", "__sig", "__band.band_id", "__band.band_hash")
 
+    # NOTE on the self-join: both branches recompute the signature
+    # pipeline (exchange reuse doesn't fire across the differently-
+    # projected branches, and persist() measured net-slower at bench
+    # scale — cache write + scheduling overhead exceed the saved
+    # recompute). At cluster scale with billion-doc corpora, persist
+    # the banded table or write it out; at this scale recompute wins.
     a = banded.select(
         F.col("band_id"), F.col("band_hash"),
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
