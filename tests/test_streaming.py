@@ -138,3 +138,65 @@ def test_rate_source_smoke(spark):
         assert set(spark.table(name).columns) == {"timestamp", "value"}
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST1: in append mode, rows later than watermark behind the max
+    seen event time are dropped from windowed aggregation state."""
+    import tempfile, time, uuid
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    df1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 30), 1.0),
+         (2, datetime(2024, 1, 1, 12, 0, 0), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_wm_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait until batch 1 (file 1) is fully processed
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            p1 = q.lastProgress
+            if p1 and p1["stateOperators"] and p1["stateOperators"][0]["numRowsTotal"] >= 2:
+                break
+            time.sleep(0.5)
+        # now the watermark advances to 11:50 on the next trigger;
+        # write the LATE row (10:01, behind watermark) + a fresh one
+        df2 = spark.createDataFrame(
+            [(3, datetime(2024, 1, 1, 10, 1, 0), 1.0),
+             (4, datetime(2024, 1, 1, 12, 1, 0), 1.0)],
+            "event_id long, ts timestamp, value double",
+        )
+        df2.coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = {(r.ws.isoformat(), r.n) for r in spark.table(name).collect()}
+            if any(ws.startswith("2024-01-01T10:00") for ws, _ in got):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {(r.ws.isoformat(), r.n) for r in spark.table(name).collect()}
+    # the 10:00 window closed with ONLY event 1 — late event 3 dropped
+    assert ("2024-01-01T10:00:00", 1) in got, got
+    assert not any(ws.startswith("2024-01-01T10:00") and n == 2 for ws, n in got)
