@@ -58,3 +58,11 @@ def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_ema_stream
 
     return run_ema_stream(spark, sf_dir)
+
+
+@query("stream_running_extrema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+def stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas: per-user running min/max/count."""
+    from ..streaming.stateful import run_running_extrema_stream
+
+    return run_running_extrema_stream(spark, sf_dir)

@@ -53,6 +53,28 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Recommended spark-defaults for the 100 TB / 1000-executor deployment
+# (docs/scale.md). Not applied locally — local[32] wants the small-scale
+# settings in get_spark(); this dict is the documented cluster preset.
+CLUSTER_CONF: dict[str, str] = {
+    **RUNTIME_CONFS,
+    # ~200 MB post-shuffle partitions at PB scan scale; AQE coalesces up
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    # skewed series keys / hot join keys
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512m",
+    # star-schema dims broadcast aggressively
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # arrow batches sized so multimodal blobs don't blow worker memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+    # streaming state on disk
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
 _PKG_ZIP: str | None = None
 
 

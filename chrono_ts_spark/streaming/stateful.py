@@ -202,3 +202,161 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST6 (modern API): transformWithStateInPandas stateful processor
+# ---------------------------------------------------------------------------
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state protocol;
+    this container ships a broken google.protobuf (no descriptor
+    module), so detect and fall back to applyInPandasWithState."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def run_running_extrema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running min/max/count via transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (typed ValueState, timers, TTL) —
+    with an applyInPandasWithState fallback when the environment lacks
+    protobuf (same semantics, older state API).
+
+    Emits one row per micro-batch per active user with the running
+    extrema so far; the last row per user equals the batch min/max.
+    """
+    if not _tws_available():
+        return _run_running_extrema_apiws(spark, sf_dir)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("min_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    class Extrema(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extrema", "n BIGINT, mn DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"]
+                n += len(vals)
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        Extrema(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+    import tempfile
+    import uuid
+
+    name = "mem_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep only the final row per user (multiple micro-batches emit
+    # running snapshots; max n_events per user is the final state)
+    snap = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snap.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def _run_running_extrema_apiws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of run_running_extrema_stream."""
+    out_schema = "user_id long, n_events long, min_value double, max_value double"
+    state_schema = "n BIGINT, mn DOUBLE, mx DOUBLE"
+
+    def update(key, pdfs, state):
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            vals = pdf["value"]
+            if len(vals):
+                n += len(vals)
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "min_value": [mn], "max_value": [mx]}
+        )
+
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import tempfile
+    import uuid
+
+    name = "mem_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snap.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )

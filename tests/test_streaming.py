@@ -200,3 +200,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed with ONLY event 1 — late event 3 dropped
     assert ("2024-01-01T10:00:00", 1) in got, got
     assert not any(ws.startswith("2024-01-01T10:00") and n == 2 for ws, n in got)
+
+
+@pytest.mark.slow
+def test_running_extrema_stream_equals_batch(spark):
+    stream = REG["stream_running_extrema"].fn(spark, SF_SMOKE)
+    batch = load_table(spark, SF_SMOKE, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    cols = ["user_id", "n_events", "min_value", "max_value"]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
