@@ -33,14 +33,20 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_r",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``left`` to ``right`` on key cols ``on``.
+    """As-of join of ``left`` to ``right`` on key cols ``on``.
 
+    direction='backward' (default): greatest r.ts <= l.ts.
+    direction='forward': smallest r.ts >= l.ts (the carry-forward
+    window simply runs in reverse time order).
     right_cols: right payload columns to attach (default: all except
     key/ts). Attached as ``<name><suffix>`` plus ``<right_ts><suffix>``.
-    tolerance_seconds: if set, matches older than this are nulled out
+    tolerance_seconds: if set, matches farther than this are nulled out
     (same as pandas ``merge_asof(tolerance=...)``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
 
@@ -70,10 +76,12 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag)
-    # Right rows sort before left rows at equal ts so equality matches.
+    # Right rows sort before left rows at equal ts so equality matches;
+    # forward direction = the same carry in reverse time order.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .orderBy(ts_order, F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -87,9 +95,9 @@ def asof_join(
     for c in payload:
         v = F.col(f"__cf_{c}")
         if tolerance_seconds is not None:
-            in_tol = (
-                F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
-            ) <= int(tolerance_seconds * 1_000_000)
-            v = F.when(in_tol, v)
+            gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+            if direction == "forward":
+                gap = -gap
+            v = F.when(gap <= int(tolerance_seconds * 1_000_000), v)
         keep.append(v.alias(c))
     return out.select(*keep)

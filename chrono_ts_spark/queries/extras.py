@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
 from ..functions import dsum, sql_dsum
+from ..operators.topk import top_k_per_group
 from . import query
 
 # ---------------------------------------------------------------------------
@@ -560,3 +561,96 @@ def emb_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", vec_cosine(F.col("va"), F.col("vb")).alias("cosine")
     )
     return scored.filter(F.col("cosine") > 0.5)
+
+
+# ---------------------------------------------------------------------------
+# A4+: median / mode aggregates; value histogram (width-bucketed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_median_mode",
+    oracle="""
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+), mode_pick AS (
+    SELECT o_orderstatus, o_orderpriority AS mode_priority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS r
+        FROM counts
+    ) WHERE r = 1
+)
+SELECT m.o_orderstatus,
+       round(median(o.o_totalprice), 6) AS median_price,
+       any_value(m.mode_priority) AS mode_priority,
+       COUNT(*) AS n
+FROM orders o JOIN mode_pick m USING (o_orderstatus)
+GROUP BY m.o_orderstatus
+""",
+    tags=("relational", "A4"),
+)
+def rel_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() + a DETERMINISTIC mode (most frequent, ties broken by
+    smallest value — built-in mode() tie-breaking is engine-defined,
+    which a hash-compared result can't tolerate)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode_pick = top_k_per_group(
+        counts,
+        group=["o_orderstatus"],
+        order=[F.col("cnt").desc(), F.col("o_orderpriority")],
+        k=1,
+    ).select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(mode_pick, "o_orderstatus").select(
+        "o_orderstatus", "median_price", "mode_priority", "n"
+    )
+
+
+@query(
+    "ts_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, bucket
+""",
+    tags=("tsdb", "histogram"),
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (floor bucketing —
+    the TSDB heat-map primitive)."""
+    from ..functions import dsum as _dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(25.0)).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch EWMA (the streaming stateful op's batch twin, as a first-class
+# query; no SQL oracle — DuckDB lacks a recursive-free EMA — semantics
+# proven by the stream/batch equivalence test instead)
+# ---------------------------------------------------------------------------
+
+
+@query("ts_ema", oracle=None, tags=("tsdb", "ema", "no-oracle"))
+def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (alpha=0.2) in batch form."""
+    from ..streaming.stateful import batch_ema
+
+    return batch_ema(spark, sf_dir, alpha=0.2)

@@ -413,3 +413,35 @@ def ts_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, clicks, on=["user_id"], probe_ts="ts", build_ts="ts",
         lookback_seconds=600, probe_id="event_id", count_alias="n_clicks_10m",
     )
+
+
+@query(
+    "ts_asof_join_forward",
+    oracle=f"""
+SELECT p.user_id, p.event_id, {sql_ts_str('p.ts')} AS ts_s, p.value,
+       c.value AS next_click_value, {sql_ts_str('c.ts')} AS next_click_ts_s
+FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+    tags=("tsdb", "J6"),
+)
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the earliest click at-or-after each purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], suffix="_click", direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        "value",
+        F.col("value_click").alias("next_click_value"),
+        ts_str("ts_click").alias("next_click_ts_s"),
+    )

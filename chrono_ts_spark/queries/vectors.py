@@ -119,8 +119,8 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     oracle="""
 SELECT label, CAST(pos AS INTEGER) AS pos,
-       CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-           / COUNT(*) AS avg_val,
+       round(CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_val,
        COUNT(*) AS n
 FROM embeddings
 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
@@ -134,7 +134,11 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = e.select(
         "label", F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "val")
     ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    # Final round(…, 6): continuous (float-origin) values can land on a
+    # 9-decimal half-way point where the engines' double→decimal
+    # rounding disagrees by one decimal ulp (seen at sf0.1); rounding
+    # the quotient absorbs that.
     return exploded.groupBy("label", "pos").agg(
-        davg("val", 18, 9).alias("avg_val"),
+        F.round(davg("val", 18, 9), 6).alias("avg_val"),
         F.count(F.lit(1)).alias("n"),
     )

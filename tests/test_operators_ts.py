@@ -199,3 +199,30 @@ class TestTopK:
         )
         out = top_k_per_group(df, ["g"], [F.col("m").desc(), F.col("id")], 2).collect()
         assert [r.id for r in sorted(out, key=lambda r: r.rnk)] == [1, 2]
+
+
+class TestAsofForward:
+    def test_forward_semantics(self, spark, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], right_cols=["px"], direction="forward"
+        ).collect()
+        got = {r.trade_id: (r.px_r, r.ts_r) for r in out}
+        assert got[1] == (101.0, ts("2024-01-01 10:05:00"))
+        assert got[2] == (101.0, ts("2024-01-01 10:05:00"))  # equality included
+        assert got[3] == (None, None)  # nothing after 10:10
+        assert got[4] == (None, None)
+
+    def test_forward_tolerance(self, spark, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], right_cols=["px"],
+            direction="forward", tolerance_seconds=120,
+        ).collect()
+        got = {r.trade_id: r.px_r for r in out}
+        assert got[1] is None  # 10:05 is 300s ahead: outside tolerance
+        assert got[2] == 101.0  # exact match: inside
+
+    def test_bad_direction(self, spark, trades, quotes):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            asof_join(trades, quotes, on=["key"], direction="sideways")
