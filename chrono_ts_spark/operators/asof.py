@@ -101,3 +101,69 @@ def asof_join(
             v = F.when(gap <= int(tolerance_seconds * 1_000_000), v)
         keep.append(v.alias(c))
     return out.select(*keep)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join via per-key applyInPandas + pandas.merge_asof.
+
+    Same semantics as :func:`asof_join`; different cost model. The
+    union-window form shuffles (|L|+|R|) rows once and streams; this
+    form materializes each key group in a Python worker — the right
+    choice when per-key history fits in memory and groups are many
+    (Arrow transfer amortizes), or when pandas-side extras
+    (nearest-direction, interpolation) are wanted. Offered as the
+    SURVEY J6 "small-data alternative"; equivalence is pinned by
+    tests/test_operators_ts.py.
+    """
+    import pandas as _pd
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(left.sparkSession)
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
+
+    l_fields = [(c, left.schema[c].dataType.simpleString()) for c in left.columns]
+    out_fields = l_fields + [
+        (f"{c}{suffix}", right.schema[c].dataType.simpleString()) for c in right_cols
+    ] + [(f"{right_ts}{suffix}", right.schema[right_ts].dataType.simpleString())]
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+
+    r_sel = right.select(
+        *on,
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("__side", F.lit(1))
+    l_sel = left.withColumn("__side", F.lit(0))
+    # align columns for a single grouped frame
+    for c in [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]:
+        l_sel = l_sel.withColumn(c, F.lit(None).cast(dict(out_fields)[c]))
+    for c in [c for c in left.columns if c not in on]:
+        r_sel = r_sel.withColumn(c, F.lit(None).cast(dict(l_fields)[c]))
+    both = l_sel.unionByName(r_sel)
+
+    lcols = [c for c in left.columns]
+    rts = f"{right_ts}{suffix}"
+    rpay = [f"{c}{suffix}" for c in right_cols]
+
+    def merge(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 0][lcols].sort_values(left_ts)
+        rpdf = pdf[pdf["__side"] == 1][[rts, *rpay]].dropna(subset=[rts]).sort_values(rts)
+        if len(lpdf) == 0:
+            return _pd.DataFrame(columns=[n for n, _ in out_fields])
+        merged = _pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=rts, direction=direction
+        )
+        return merged[[n for n, _ in out_fields]]
+
+    return both.groupBy(*on).applyInPandas(merge, out_schema)

@@ -389,3 +389,94 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.element_at("feature", 1).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5: the dedup OPERATION — keep the lowest doc_id per content group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dedup_keep_first",
+    oracle=f"""
+WITH h AS (SELECT doc_id, lang, source, n_chars, {_SQL_CONTENT_MD5} AS ch FROM documents)
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) AS r FROM h
+)
+WHERE r = 1
+""",
+    tags=("text", "X5"),
+)
+def doc_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first policy: survivors = min doc_id per
+    normalized-content group (deterministic, unlike dropDuplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "lang", "source", "n_chars", content_md5(F.col("text")).alias("ch"))
+    survivors = top_k_per_group(
+        h, group=["ch"], order=[F.col("doc_id")], k=1
+    )
+    return survivors.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus-cleaning pipeline (quality gate → lang filter →
+# exact dedup keep-first → per-lang accounting) — the composite
+# operation an LLM-data pipeline actually runs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+           {_SQL_CONTENT_MD5} AS ch
+    FROM documents
+), q AS (
+    SELECT *,
+        ((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+               WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+         + (CASE WHEN n_tok > 0
+                 THEN CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / n_tok
+                 ELSE 0.0 END)) / 3.0 AS quality
+    FROM scored
+), kept AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) AS r
+        FROM q WHERE quality >= 0.5
+    ) WHERE r = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 8) AS avg_quality
+FROM kept
+GROUP BY lang
+""",
+    tags=("text", "pipeline", "bench"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate → dedup(keep-first) → per-language accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("double").alias("n_tok"),
+        quality_score(F.col("text")).alias("quality"),
+        content_md5(F.col("text")).alias("ch"),
+    ).filter(F.col("quality") >= 0.5)
+    kept = top_k_per_group(scored, group=["ch"], order=[F.col("doc_id")], k=1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("avg_quality"),
+    )

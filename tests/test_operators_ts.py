@@ -226,3 +226,41 @@ class TestAsofForward:
 
         with _pytest.raises(ValueError):
             asof_join(trades, quotes, on=["key"], direction="sideways")
+
+
+def _nskey(rows):
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+class TestAsofPandasEquivalence:
+    def test_matches_window_form(self, spark, trades, quotes):
+        from chrono_ts_spark.operators.asof import asof_join_pandas
+
+        for direction in ("backward", "forward"):
+            a = asof_join(
+                trades, quotes, on=["key"], right_cols=["px"], direction=direction
+            )
+            b = asof_join_pandas(
+                trades, quotes, on=["key"], right_cols=["px"], direction=direction
+            )
+            ka = _nskey(a.select(sorted(a.columns)).collect())
+            kb = _nskey(b.select(sorted(b.columns)).collect())
+            assert ka == kb, direction
+
+    def test_matches_on_fixture_events(self, spark):
+        from chrono_ts_spark.operators.asof import asof_join_pandas
+        from chrono_ts_spark.catalog import load_table
+        from tests.conftest import SF_SMOKE
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+        a = asof_join(purchases, clicks, on=["user_id"], right_cols=["value"])
+        b = asof_join_pandas(purchases, clicks, on=["user_id"], right_cols=["value"])
+        cols = sorted(a.columns)
+        assert _nskey(a.select(cols).collect()) == _nskey(b.select(cols).collect())
