@@ -58,3 +58,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+@pytest.mark.slow
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP (docs/scale.md): joining a date-partitioned fact against a
+    filtered dim prunes fact partitions at runtime."""
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-05", "keep"), ("2024-01-06", "keep")], "day string, tag string"
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert joined.count() == 2
