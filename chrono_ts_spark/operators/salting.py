@@ -1,0 +1,61 @@
+"""Skew mitigation by key salting (SURVEY.md §4 "skew handling",
+docs/scale.md).
+
+AQE's skew-join splitting handles storage-level skew, but a *hot
+aggregation key* (one event_type being 90% of a 100 TB stream) still
+funnels one reducer. Salted two-stage aggregation shards each key into
+`salt` sub-keys for the partial aggregate, then combines the shards —
+the classic pattern, expressed so the final result is bit-identical to
+the unsalted aggregate (partial states are exact: decimal sums, counts,
+min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt: int,
+    sums_decimal: dict[str, tuple[int, int]] | None = None,
+    count_alias: str | None = "n",
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    sums_decimal: {col: (precision, scale)} → decimal-exact sums named
+    ``sum_<col>`` (double). count/min/max likewise re-associate exactly,
+    so salting cannot change any output bit.
+    """
+    sums_decimal = sums_decimal or {}
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+
+    partial_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    for c, (p, s) in sums_decimal.items():
+        partial_aggs.append(F.sum(F.col(c).cast(f"decimal({p},{s})")).alias(f"__ps_{c}"))
+        # widen by salt-count digits so the combine can't overflow
+        final_aggs.append(
+            F.sum(F.col(f"__ps_{c}")).cast("double").alias(f"sum_{c}")
+        )
+    if count_alias:
+        partial_aggs.append(F.count(F.lit(1)).alias("__pc"))
+        final_aggs.append(F.sum("__pc").alias(count_alias))
+    for c in min_cols:
+        partial_aggs.append(F.min(c).alias(f"__pmin_{c}"))
+        final_aggs.append(F.min(f"__pmin_{c}").alias(f"min_{c}"))
+    for c in max_cols:
+        partial_aggs.append(F.max(c).alias(f"__pmax_{c}"))
+        final_aggs.append(F.max(f"__pmax_{c}").alias(f"max_{c}"))
+
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

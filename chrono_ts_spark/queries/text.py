@@ -480,3 +480,70 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Proper winnowing fingerprints: k-gram hashes → sliding window of w →
+# min per window → distinct fingerprint set (Schleimer et al., public
+# algorithm). Oracle-able because md5 is portable.
+# ---------------------------------------------------------------------------
+
+_SQL_W = 4  # winnowing window (in shingle positions)
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+s AS (
+    SELECT doc_id,
+           list_transform(
+               CASE WHEN len(toks) >= 5 THEN
+                   list_transform(generate_series(1, len(toks) - 4),
+                                  i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [array_to_string(toks, ' ')] END,
+               x -> md5(x)) AS h
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(list_distinct(
+           CASE WHEN len(h) >= {_SQL_W} THEN
+               list_transform(generate_series(1, len(h) - {_SQL_W - 1}),
+                              i -> list_aggregate(h[i:i+{_SQL_W - 1}], 'min'))
+           ELSE [list_aggregate(h, 'min')] END)) AS INTEGER) AS n_fingerprints,
+       list_aggregate(h, 'min') AS min_fingerprint
+FROM s
+""",
+    tags=("text", "fingerprint"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing: distinct window-min shingle hashes per document.
+
+    Note: uses POSITIONAL shingles (no dedup before windowing), unlike
+    doc_fingerprints' distinct-shingle min — both sides mirror that.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    positional = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(4)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    h = F.transform(positional, lambda s: F.md5(s))
+    nh = F.size(h)
+    w = _SQL_W
+    windows = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(windows)).alias("n_fingerprints"),
+        F.array_min(h).alias("min_fingerprint"),
+    )

@@ -445,3 +445,34 @@ def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_click").alias("next_click_value"),
         ts_str("ts_click").alias("next_click_ts_s"),
     )
+
+
+@query(
+    "ts_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       {sql_dsum('value')} AS sum_value,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("tsdb", "skew"),
+)
+def ts_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage aggregation over the hot event_type key —
+    bit-identical to the plain aggregate (exact partial states), which
+    is exactly what the oracle asserts."""
+    from ..operators.salting import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        salt=16,
+        sums_decimal={"value": (18, 6)},
+        count_alias="n",
+        min_cols=["value"],
+        max_cols=["value"],
+    )
