@@ -150,3 +150,125 @@ def lsh_bucket_topk(
         order=[F.col("cosine").desc(), F.col("neighbor_id")],
         k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + n_probe search
+# ---------------------------------------------------------------------------
+
+
+def _assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Vectorized assigner: embedding → n_probe nearest centroid ids
+    (by cosine, numpy matmul per Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T  # (batch, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return assign
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    dims: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means: init = every (n/k)-th vector by id,
+    then `iters` Lloyd rounds computed with DataFrame aggregations
+    (only the k×dims centroid matrix ever reaches the driver)."""
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    init_rows = (
+        corpus.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+
+    for _ in range(iters):
+        assign = _assign_udf(centroids, 1)
+        assigned = corpus.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+            vec_double(F.col(vec_col)).alias("v"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, np.zeros(dims))[r.pos] = r.s
+            cnt[r.cluster] = r.m
+        for cid, vec in acc.items():
+            new[cid] = vec / max(cnt[cid], 1)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells; probes score
+    only the n_probe nearest cells. The cell join is a plain equi-join
+    on cluster id (AQE/skew eligible); recall/cost is n_probe/k-means
+    quality. The complementary scale path to multi-table LSH."""
+    centroids = ivf_fit_centroids(corpus, dims, n_centroids, iters, id_col, vec_col)
+
+    c_assign = _assign_udf(centroids, 1)
+    q_assign = _assign_udf(centroids, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec_double(F.col(vec_col)).alias("__cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec_double(F.col(vec_col)).alias("__qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=k,
+    )

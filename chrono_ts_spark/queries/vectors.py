@@ -142,3 +142,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(davg("val", 18, 9), 6).alias("avg_val"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("emb_ann_ivf", oracle=None, tags=("vectors", "ANN", "no-oracle"))
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (16-cell k-means quantizer, 2 probes)."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, probes, dims=_DIMS, k=5, n_centroids=16, n_probe=2)

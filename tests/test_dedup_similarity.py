@@ -11,8 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from chrono_ts_spark.operators.dedup import (
-    MERSENNE,
-    _perm_params,
     exact_jaccard_pairs,
     minhash_lsh_candidates,
     simhash,
@@ -85,13 +83,6 @@ class TestMinhashLSH:
         assert rows, "no candidates at all"
         err = [abs(r.est_jaccard - r.jaccard) for r in rows]
         assert sum(err) / len(err) < 0.25  # 64-perm signature accuracy
-
-
-def py_simhash(text: str, n_bits: int = 64) -> int:
-    """Mirror of operators.dedup.simhash using Spark's xxhash64 is not
-    reproducible in pure python, so this checks structural properties
-    only (see test below)."""
-    raise NotImplementedError
 
 
 class TestSimhash:
@@ -181,3 +172,31 @@ class TestSimilarity:
         labels = {r.vec_id: r.label for r in clustered.collect()}
         for r in out.collect():
             assert labels[r.neighbor_id] == labels[0]
+
+
+class TestIVF:
+    def test_ivf_high_recall_on_clusters(self, spark, clustered=None):
+        import random
+
+        rnd = random.Random(3)
+        rows = []
+        centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(10)]
+        vid = 0
+        for label, c in enumerate(centers):
+            for _ in range(20):
+                rows.append((vid, [x + rnd.gauss(0, 0.05) for x in c], label))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        from chrono_ts_spark.operators.similarity import ivf_topk
+
+        probes = df.filter(F.col("vec_id") % 40 == 0)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(df, probes, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(df, probes, dims=16, k=5, n_centroids=10, n_probe=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, recall
