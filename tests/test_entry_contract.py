@@ -44,3 +44,32 @@ def test_every_query_name_is_snake_case():
     mod = load_entry()
     for name in mod.queries():
         assert name.replace("_", "").isalnum() and name == name.lower()
+
+
+def test_sql_and_dataframe_entry_points_agree(spark):
+    """SURVEY §3: both entry points are thin wrappers over one engine —
+    the SQL-string form of a star join equals the DataFrame form."""
+    from pyspark.sql import functions as F
+
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.functions import dsum
+    from chrono_ts_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    sql_df = load_all()["sql_entry_star_join"].fn(spark, sf)
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    api_df = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderstatus")
+        .agg(
+            dsum("o_totalprice", 12, 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    cols = ["n_name", "o_orderstatus", "total", "n_orders"]
+    assert sorted(map(tuple, sql_df.select(cols).collect())) == sorted(
+        map(tuple, api_df.select(cols).collect())
+    )
