@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scale probe: run the TSDB operator suite on a synthetic events table
+10-100x larger than the sf0.1 fixture, to measure how the plan shapes
+scale (docs/scale.md). Internal evidence only — correctness queries
+always run on the driver-provided fixtures.
+
+    python tools/scale_probe.py [rows] [users]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build(spark, path: str, rows: int, users: int) -> None:
+    month_us = 30 * 86400 * 1_000_000
+    df = (
+        spark.range(rows)
+        .withColumn("event_id", F.col("id"))
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + F.pmod(F.xxhash64(F.col("id")), F.lit(month_us))
+            ),
+        )
+        .withColumn("user_id", F.pmod(F.xxhash64(F.col("id") + 7), F.lit(users)))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(t) for t in ["click", "view", "purchase", "error", "signup"]]),
+                (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(5)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "value",
+            F.round(
+                F.pmod(F.xxhash64(F.col("id") + 29), F.lit(30000)).cast("double")
+                / 100.0,
+                2,
+            ),
+        )
+        .withColumn("props", F.concat(F.lit('{"k": '), (F.col("id") % 100).cast("string"), F.lit("}")))
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    users = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    reg = load_all()
+    path = f"/tmp/chrono_scale_{rows}"
+    if not Path(f"{path}/events.parquet").exists():
+        build(spark, path, rows, users)
+
+    names = [
+        "ts_bucket_agg",
+        "ts_ohlc_daily",
+        "ts_rate",
+        "ts_sessionize",
+        "ts_topk_users",
+        "ts_asof_join",
+        "ts_range_join_counts",
+        "ts_gapfill_locf",
+        "ts_cumsum",
+        "ts_salted_agg",
+    ]
+    timings = {}
+    for n in names:
+        t0 = time.time()
+        reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
+        timings[n] = round(time.time() - t0, 2)
+        print(f"  {n}: {timings[n]}s", file=sys.stderr)
+    print(json.dumps({"rows": rows, "users": users, "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
