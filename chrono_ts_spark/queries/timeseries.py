@@ -57,21 +57,29 @@ GROUP BY 1, 2
 def ts_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(5-minute bucket, event_type) count/sum/min/max/avg."""
     ev = load_table(spark, sf_dir, "events")
+    # Group on the native timestamp bucket; render the string AFTER the
+    # aggregate — formatting runs once per group, not once per row.
     return (
         ev.filter(
             (F.col("ts") >= F.lit(T0).cast("timestamp"))
             & (F.col("ts") < F.lit(T1).cast("timestamp"))
         )
-        .groupBy(
-            ts_str(time_bucket("ts", 300)).alias("bucket_ts"),
-            "event_type",
-        )
+        .groupBy(time_bucket("ts", 300).alias("__b"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             davg("value").alias("avg_value"),
+        )
+        .select(
+            ts_str(F.col("__b")).alias("bucket_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "avg_value",
         )
     )
 
@@ -142,15 +150,26 @@ GROUP BY 1, 2
 def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-user OHLC candle (open/high/low/close by event time)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
-    ).agg(
-        F.min_by("value", "ts").alias("open_v"),
-        F.max("value").alias("high_v"),
-        F.min("value").alias("low_v"),
-        F.max_by("value", "ts").alias("close_v"),
-        dsum("value").alias("volume"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("__d"), F.col("user_id"))
+        .agg(
+            F.min_by("value", "ts").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ts").alias("close_v"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "volume",
+            "n_events",
+        )
     )
 
 
