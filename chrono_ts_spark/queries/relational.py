@@ -836,3 +836,96 @@ def rel_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_distinct_type_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projected pair."""
     return load_table(spark, sf_dir, "part").select("p_type", "p_brand").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large-volume customers (join against a HAVING aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_large_volume_customers",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice,
+       {sql_dsum('l_quantity', 12, 2)} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_date, o_totalprice
+""",
+    tags=("relational", "J3", "A1"),
+)
+def rel_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds 150, with customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity", 12, 2).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style correlated scalar subquery (SQL entry; Catalyst must
+# decorrelate RewriteCorrelatedScalarSubquery — §4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_below_avg_quantity",
+    oracle="""
+SELECT l_partkey,
+       COUNT(*) AS n_small_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY l_partkey
+""",
+    tags=("relational", "subquery"),
+)
+def rel_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-flavored: lineitems below half their part's average quantity
+    — written as a correlated scalar subquery in SQL so Catalyst's
+    decorrelation rewrite (SURVEY §4) is what actually runs."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               COUNT(*) AS n_small_orders,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY l_partkey
+        """
+    )
