@@ -661,12 +661,12 @@ SELECT l_returnflag,
        SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
              - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_quantity', 12, 2)} / COUNT(*))
             / (COUNT(*) - 1)) AS stddev_qty,
-       (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       round((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_extendedprice', 12, 2)})
        / (SQRT(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                - {sql_dsum('l_quantity', 12, 2)} * {sql_dsum('l_quantity', 12, 2)})
           * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 - {sql_dsum('l_extendedprice', 12, 2)} * {sql_dsum('l_extendedprice', 12, 2)})) AS corr_qty_price,
+                 - {sql_dsum('l_extendedprice', 12, 2)} * {sql_dsum('l_extendedprice', 12, 2)})), 10) AS corr_qty_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx3
 FROM lineitem
 GROUP BY l_returnflag
@@ -692,9 +692,13 @@ def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx.alias("sxx"),
         sxy.alias("sxy"),
         F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_qty"),
-        (
+        # round(…, 10): DuckDB's codegen may fuse a*b-c*d into an FMA,
+        # producing a 1-ulp difference vs the JVM's strict FP (seen at
+        # sf0.001); rounding absorbs it.
+        F.round(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
         ).alias("corr_qty_price"),
         F.sum(q * q * q).cast("double").alias("sx3"),
     )
