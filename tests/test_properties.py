@@ -65,3 +65,41 @@ def test_gapfill_row_count_and_locf(spark, pts):
             if r.value is not None:
                 seen = True
             assert (r.value_locf is not None) == seen
+
+
+salted_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y", "z"]),
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=salted_rows)
+def test_salted_agg_bit_identical_to_plain(spark, rows):
+    """Salting must never change any output bit (exact partial states)."""
+    from pyspark.sql import functions as F
+
+    from chrono_ts_spark.functions import dsum
+    from chrono_ts_spark.operators.salting import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = salted_agg(
+        df, keys=["k"], salt=7, sums_decimal={"v": (18, 6)},
+        count_alias="n", min_cols=["v"], max_cols=["v"],
+    )
+    plain = df.groupBy("k").agg(
+        dsum("v").alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    cols = ["k", "sum_v", "n", "min_v", "max_v"]
+    assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
