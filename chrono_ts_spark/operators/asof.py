@@ -84,21 +84,33 @@ def asof_join(
         .orderBy(ts_order, F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole right payload as ONE struct: carrying columns
+    # independently would stitch together values from different right
+    # rows whenever a payload column is NULL (the matched row's NULL
+    # would be "filled" by an older row's value). The struct is non-null
+    # exactly when a right row exists, so one carry preserves row unity.
+    row_struct = F.when(
+        F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in payload])
+    )
     carried = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__cf_{c}") for c in payload]
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__cf")
     )
     out = carried.filter(F.col(_SIDE) == 1)
 
-    matched_ts = F.col(f"__cf_{right_ts}{suffix}")
+    matched_ts = F.col("__cf")[f"{right_ts}{suffix}"]
+    in_tol = None
+    if tolerance_seconds is not None:
+        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= int(tolerance_seconds * 1_000_000)
+
     keep: list = [F.col(c) for c in on]
     keep += [F.col(c) for c in left.columns if c not in set(on)]
     for c in payload:
-        v = F.col(f"__cf_{c}")
-        if tolerance_seconds is not None:
-            gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
-            if direction == "forward":
-                gap = -gap
-            v = F.when(gap <= int(tolerance_seconds * 1_000_000), v)
+        v = F.col("__cf")[c]
+        if in_tol is not None:
+            v = F.when(in_tol, v)
         keep.append(v.alias(c))
     return out.select(*keep)
 

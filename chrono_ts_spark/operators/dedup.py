@@ -62,11 +62,20 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Affine permutation params, pre-reduced for overflow safety:
+    a < 2^31 (paired with 31-bit-reduced hashes, a*h + b stays under
+    2^63 — no long overflow under ANSI mode), b < MERSENNE."""
     rnd = random.Random(seed)
     return [
-        (rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+        ((rnd.randrange(1, MERSENNE) % ((1 << 31) - 1)) + 1,
+         rnd.randrange(0, MERSENNE) % MERSENNE)
         for _ in range(num_perm)
     ]
+
+
+def _hash31(col: Column) -> Column:
+    """xxhash64 reduced to 31 bits (see _perm_params overflow budget)."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 31))
 
 
 def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
@@ -77,9 +86,8 @@ def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -
     driver's session has spark.sql.ansi.enabled at its Spark 4 default
     of true, and we must not change semantics under it).
     """
-    hashes = F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
-    )
+    hashes = F.transform(shingle_col, lambda s: _hash31(s))
+
     def perm_min(a31: int, b: int) -> Column:
         return F.array_min(
             F.transform(
@@ -88,11 +96,7 @@ def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -
             )
         )
 
-    sig = [
-        perm_min((a % ((1 << 31) - 1)) + 1, b % MERSENNE)
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    return F.array(*sig)
+    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm, seed)])
 
 
 def minhash_lsh_candidates(
@@ -126,14 +130,9 @@ def minhash_lsh_candidates(
     )
     h = sh.select(
         "__id",
-        F.explode(
-            F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-        ).alias("__h"),
+        F.explode(F.transform(F.col("__sh"), lambda s: _hash31(s))).alias("__h"),
     )
-    params = [
-        ((a % ((1 << 31) - 1)) + 1, b % MERSENNE)
-        for a, b in _perm_params(num_perm, seed)
-    ]
+    params = _perm_params(num_perm, seed)
     sig = h.groupBy("__id").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MERSENNE))).alias(

@@ -59,6 +59,15 @@ def compact_partition(
     df = spark.read.parquet(str(part_dir))
     tmp = str(part_dir) + ".compacting"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_dir)
-    Path(tmp).rename(part_dir)
+    # crash-safe swap: the live partition is renamed aside (cheap, same
+    # filesystem) before the compacted copy takes its place, so no
+    # moment exists where the partition is missing; old copy removed last
+    old = str(part_dir) + ".old"
+    Path(part_dir).rename(old)
+    try:
+        Path(tmp).rename(part_dir)
+    except Exception:
+        Path(old).rename(part_dir)  # roll back
+        raise
+    shutil.rmtree(old)
     return before

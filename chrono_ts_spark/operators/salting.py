@@ -35,8 +35,14 @@ def salted_agg(
     min_cols = min_cols or []
     max_cols = max_cols or []
 
+    # Salt must be DETERMINISTIC per row: monotonically_increasing_id
+    # changes under task retry/speculation, which loses or double-counts
+    # rows when a lost map output is recomputed (SPARK-23207 class).
+    # Content-hash of the full row is stable across retries; duplicate
+    # rows sharing a salt only narrows spreading for pathological
+    # all-identical-row data.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
 
     partial_aggs: list[Column] = []

@@ -211,7 +211,13 @@ def ivf_fit_centroids(
         sums = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("m"))
+            # decimal-exact sum: plain double sums combine in shuffle
+            # order and would make centroids (and thus cell assignment)
+            # vary run-to-run (docs/determinism.md)
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("m"),
+            )
             .collect()
         )
         new = centroids.copy()

@@ -198,9 +198,17 @@ def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_RUN_TOKEN = __import__("uuid").uuid4().hex[:8]  # per-process isolation
+
+
 def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
+    """Scratch dir for write-then-scan queries. Includes a per-process
+    token so concurrent runs (pytest + bench + driver) can't overwrite
+    each other's directories mid-read."""
     safe = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"chrono_{fmt}_{table}_{safe}")
+    return os.path.join(
+        tempfile.gettempdir(), f"chrono_{fmt}_{table}_{safe}_{_RUN_TOKEN}"
+    )
 
 
 @query(

@@ -34,6 +34,7 @@ _EMA_STATE = T.StructType(
     [
         T.StructField("ema", T.DoubleType()),
         T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
     ]
 )
 
@@ -50,15 +51,19 @@ def ema_update_fn(alpha: float):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        ema, last_ts = state.get if state.exists else (None, None)
+        ema, last_ts, last_id = (
+            state.get if state.exists else (None, None, None)
+        )
         out = []
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for row in batch.itertuples():
             ts_us = int(row.ts.value // 1000)  # pandas ns → µs
-            if last_ts is not None and ts_us <= last_ts:
-                continue  # late duplicate beyond state order: drop
+            # replay guard on the full (ts, event_id) position so
+            # distinct same-microsecond events are NOT dropped
+            if last_ts is not None and (ts_us, row.event_id) <= (last_ts, last_id):
+                continue
             ema = row.value if ema is None else alpha * row.value + (1 - alpha) * ema
-            last_ts = ts_us
+            last_ts, last_id = ts_us, int(row.event_id)
             out.append(
                 (
                     key[0],
@@ -68,7 +73,7 @@ def ema_update_fn(alpha: float):
                     ema,
                 )
             )
-        state.update((ema, last_ts))
+        state.update((ema, last_ts, last_id))
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "ts_s", "value", "ema"]
         )

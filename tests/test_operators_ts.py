@@ -264,3 +264,25 @@ class TestAsofPandasEquivalence:
         b = asof_join_pandas(purchases, clicks, on=["user_id"], right_cols=["value"])
         cols = sorted(a.columns)
         assert _nskey(a.select(cols).collect()) == _nskey(b.select(cols).collect())
+
+
+class TestAsofNullPayload:
+    def test_matched_row_null_payload_not_backfilled(self, spark):
+        """Review finding: carrying payload columns independently would
+        stitch an older row's value onto a newer row's timestamp when
+        the matched row has a NULL payload. The struct carry keeps row
+        unity: the matched row's NULL stays NULL."""
+        left = spark.createDataFrame(
+            [("A", ts("2024-01-01 10:10:00"), 1)],
+            "key string, ts timestamp, trade_id int",
+        )
+        right = spark.createDataFrame(
+            [("A", ts("2024-01-01 10:00:00"), 100.0),
+             ("A", ts("2024-01-01 10:05:00"), None)],  # matched row, NULL px
+            "key string, ts timestamp, px double",
+        )
+        out = asof_join(left, right, on=["key"], right_cols=["px"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.ts_r == ts("2024-01-01 10:05:00")  # matched the later row
+        assert r.px_r is None  # and kept ITS value, not 100.0

@@ -252,3 +252,41 @@ def test_parquet_streaming_sink(spark, tmp_path):
     assert len(s_rows) >= 0.9 * len(b_rows)
     for k, v in s_rows.items():
         assert b_rows[k] == v, k
+
+
+@pytest.mark.slow
+def test_ema_stream_keeps_same_microsecond_events(spark, tmp_path):
+    """Review finding: the replay guard must not drop distinct events
+    sharing a microsecond timestamp."""
+    from datetime import datetime
+
+    from chrono_ts_spark.streaming.stateful import run_ema_stream
+
+    src = str(tmp_path / "ema_src")
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, t0, 7, "click", 10.0, "{}"), (2, t0, 7, "click", 20.0, "{}"),
+            (3, datetime(2024, 1, 1, 10, 1, 0), 7, "click", 30.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # write in the raw nanos-as-long layout; the replay source expects a
+    # single FILE named events.parquet (like the fixtures), so extract
+    # the part file from the written directory
+    staging = str(tmp_path / "staging")
+    df.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    import pathlib
+    import shutil
+
+    pathlib.Path(src).mkdir(parents=True, exist_ok=True)
+    part = next(pathlib.Path(staging).glob("part-*.parquet"))
+    shutil.copy(part, src + "/events.parquet")
+    out = run_ema_stream(spark, src, alpha=0.5).collect()
+    got = {r.event_id: r.ema for r in out}
+    assert len(out) == 3, out
+    assert got[1] == 10.0
+    assert got[2] == 0.5 * 20.0 + 0.5 * 10.0
+    assert got[3] == 0.5 * 30.0 + 0.5 * got[2]
