@@ -79,11 +79,6 @@ def asof_join(
     # Right rows sort before left rows at equal ts so equality matches;
     # forward direction = the same carry in reverse time order.
     ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col(_SIDE))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # Carry the whole right payload as ONE struct: carrying columns
     # independently would stitch together values from different right
     # rows whenever a payload column is NULL (the matched row's NULL
@@ -91,6 +86,14 @@ def asof_join(
     # exactly when a right row exists, so one carry preserves row unity.
     row_struct = F.when(
         F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in payload])
+    )
+    # Tiebreak among right rows sharing (key, ts): order by the payload
+    # struct itself so the carried "last" is the struct-max — total and
+    # run-stable (F.last under equal sort keys is shuffle-dependent).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_order, F.col(_SIDE), row_struct.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*", F.last(row_struct, ignorenulls=True).over(w).alias("__cf")

@@ -42,6 +42,18 @@ def gapfill(
     """
     from ..functions import davg, dsum
 
+    from datetime import datetime, timezone
+
+    for name, s in (("start", start), ("end", end)):
+        epoch = (
+            datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp()
+        )
+        if int(epoch) % int(bucket_seconds) != 0:
+            raise ValueError(
+                f"{name}={s!r} is not aligned to bucket_seconds={bucket_seconds}: "
+                "the spine would never match the epoch-aligned actuals"
+            )
+
     b = F.col("bucket_ts")
     # avg/sum use the decimal-exact forms so results are aggregation-order
     # independent (oracle hash-comparable); min/max/count are exact anyway.

@@ -57,12 +57,17 @@ def compact_partition(
     part_dir = Path(path) / f"{column}={value}"
     before = len(list(part_dir.glob("*.parquet")))
     df = spark.read.parquet(str(part_dir))
-    tmp = str(part_dir) + ".compacting"
+    # scratch dirs start with "_": Spark's partition discovery ignores
+    # them (a "day=...-suffixed" name would surface as a bogus duplicate
+    # partition to concurrent readers) and apply_retention's "day="
+    # prefix filter can never expire the backup copy
+    tmp = str(Path(path) / f"_compact_tmp_{column}_{value}")
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # crash-safe swap: the live partition is renamed aside (cheap, same
-    # filesystem) before the compacted copy takes its place, so no
-    # moment exists where the partition is missing; old copy removed last
-    old = str(part_dir) + ".old"
+    # swap: rename the live partition aside, then the compacted copy in.
+    # A crash between the renames leaves the data intact in the backup
+    # dir (never auto-deleted); readers see the partition missing only
+    # for the instant between the two renames.
+    old = str(Path(path) / f"_compact_old_{column}_{value}")
     Path(part_dir).rename(old)
     try:
         Path(tmp).rename(part_dir)

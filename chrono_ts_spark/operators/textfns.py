@@ -45,16 +45,27 @@ def stopword_hits(tokens: Column, lang: str) -> Column:
 
 def lang_id(text: Column, tiebreak_order: tuple[str, ...] = ("de", "en", "es", "fr", "zh")) -> Column:
     """Predicted language = argmax stopword overlap (ties resolved by
-    fixed language order, 'und' when nothing matches)."""
+    fixed language order, 'und' when nothing matches).
+
+    Shaped as array_max over (score, -order, lang) structs: a chained
+    when/otherwise fold embeds each previous step TWICE, growing the
+    expression tree 2^n and re-tokenizing the document per copy
+    (Catalyst has no cross-expression CSE — same trap documented in
+    operators/dedup.py).
+    """
     toks = F.array_distinct(tokenize(text))
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in tiebreak_order:
-        score = stopword_hits(toks, lang)
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    entries = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, lang).alias("score"),
+                F.lit(-i).alias("nord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(tiebreak_order)
+        ]
+    )
+    best = F.array_max(entries)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_score(text: Column) -> Column:

@@ -134,16 +134,23 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_ohlc_daily",
     oracle=f"""
-SELECT strftime(ts, '%Y-%m-%d') AS day,
-       user_id,
-       arg_min(value, ts) AS open_v,
+WITH ranked AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+                              ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+)
+SELECT day, user_id,
+       MAX(CASE WHEN rf = 1 THEN value END) AS open_v,
        MAX(value) AS high_v,
        MIN(value) AS low_v,
-       arg_max(value, ts) AS close_v,
+       MAX(CASE WHEN rl = 1 THEN value END) AS close_v,
        {sql_dsum('value')} AS volume,
        COUNT(*) AS n_events
-FROM events
-GROUP BY 1, 2
+FROM ranked
+GROUP BY day, user_id
 """,
     tags=("tsdb", "A7", "bench"),
 )
@@ -153,10 +160,12 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("__d"), F.col("user_id"))
         .agg(
-            F.min_by("value", "ts").alias("open_v"),
+            # composite (ts, event_id) keys: min_by/max_by tie-breaking
+            # on bare ts is engine/run-dependent when timestamps collide
+            F.min_by("value", F.struct("ts", "event_id")).alias("open_v"),
             F.max("value").alias("high_v"),
             F.min("value").alias("low_v"),
-            F.max_by("value", "ts").alias("close_v"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close_v"),
             dsum("value").alias("volume"),
             F.count(F.lit(1)).alias("n_events"),
         )

@@ -92,20 +92,26 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     if getattr(sc, marker, False):
         return
     if _PKG_ZIP is None:
+        import os
         import tempfile
         import zipfile
         from pathlib import Path
 
         pkg_dir = Path(__file__).resolve().parent
-        zip_path = Path(tempfile.gettempdir()) / "chrono_ts_spark_pkg.zip"
+        # Per-process file name: a shared fixed path would let one
+        # process truncate the zip while another's executors fetch it.
+        zip_path = (
+            Path(tempfile.gettempdir()) / f"chrono_ts_spark_pkg_{os.getpid()}.zip"
+        )
         with zipfile.ZipFile(zip_path, "w") as z:
             for p in sorted(pkg_dir.rglob("*.py")):
                 z.write(p, "chrono_ts_spark/" + str(p.relative_to(pkg_dir)))
         _PKG_ZIP = str(zip_path)
     try:
         sc.addPyFile(_PKG_ZIP)
-    except Exception:
-        pass  # already registered in a previous session reuse
+    except Exception as e:  # re-adding the same path raises: that's fine
+        if "already registered" not in str(e).lower():
+            raise  # a real failure must not be cached as success
     setattr(sc, marker, True)
 
 

@@ -50,19 +50,31 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run an availableNow query into a memory sink; return the table."""
+def _run_to_memory(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Run an availableNow query into a memory sink; return the table.
+
+    The checkpoint dir is deleted once the bounded query terminates
+    (replays construct fresh state; the checkpoint has no further use).
+    The memory table itself lives for the session — callers collect
+    from it lazily, so it can't be dropped here.
+    """
+    import shutil
+
     name = "mem_" + uuid.uuid4().hex[:10]
     ckpt = tempfile.mkdtemp(prefix="chrono_ckpt_")
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

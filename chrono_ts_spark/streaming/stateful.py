@@ -55,13 +55,15 @@ def ema_update_fn(alpha: float):
             state.get if state.exists else (None, None, None)
         )
         out = []
+        # Late-data policy: event-time order is guaranteed WITHIN a
+        # micro-batch (sorted here); an event arriving in a later batch
+        # behind the key's position is still folded in — streaming EMA
+        # is arrival-order-sensitive by nature and dropping in-watermark
+        # data would be silent loss. (State commits are atomic with
+        # batch offsets, so no replay guard is needed for retries.)
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for row in batch.itertuples():
             ts_us = int(row.ts.value // 1000)  # pandas ns → µs
-            # replay guard on the full (ts, event_id) position so
-            # distinct same-microsecond events are NOT dropped
-            if last_ts is not None and (ts_us, row.event_id) <= (last_ts, last_id):
-                continue
             ema = row.value if ema is None else alpha * row.value + (1 - alpha) * ema
             last_ts, last_id = ts_us, int(row.event_id)
             out.append(
@@ -93,20 +95,7 @@ def run_ema_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import tempfile
-    import uuid
-
-    name = "mem_" + uuid.uuid4().hex[:10]
-    q = (
-        ema.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(ema, spark, output_mode="append")
 
 
 def batch_ema(spark: SparkSession, sf_dir: str, alpha: float = 0.2) -> DataFrame:
@@ -193,20 +182,7 @@ def run_stream_stream_join(
         ts_str(F.col("p_ts")).alias("p_ts_s"),
         ts_str(F.col("c_ts")).alias("c_ts_s"),
     )
-    import tempfile
-    import uuid
-
-    name = "mem_" + uuid.uuid4().hex[:10]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(out, spark, output_mode="append")
 
 
 # ---------------------------------------------------------------------------
@@ -290,30 +266,8 @@ def run_running_extrema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
-    import tempfile
-    import uuid
-
-    name = "mem_" + uuid.uuid4().hex[:10]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # keep only the final row per user (multiple micro-batches emit
-    # running snapshots; max n_events per user is the final state)
-    snap = spark.table(name)
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        snap.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
-    )
+    snap = _run_to_memory(out, spark, output_mode="append")
+    return _latest_snapshot_per_user(snap)
 
 
 def _run_running_extrema_apiws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,20 +297,13 @@ def _run_running_extrema_apiws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import tempfile
-    import uuid
+    snap = _run_to_memory(out, spark, output_mode="append")
+    return _latest_snapshot_per_user(snap)
 
-    name = "mem_" + uuid.uuid4().hex[:10]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chrono_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    snap = spark.table(name)
+
+def _latest_snapshot_per_user(snap: DataFrame) -> DataFrame:
+    """Keep only each user's final running-extrema row (micro-batches
+    emit one snapshot per active key per batch; max n_events = last)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -286,3 +286,15 @@ class TestAsofNullPayload:
         r = out[0]
         assert r.ts_r == ts("2024-01-01 10:05:00")  # matched the later row
         assert r.px_r is None  # and kept ITS value, not 100.0
+
+
+class TestGapfillValidation:
+    def test_unaligned_start_rejected(self, spark):
+        df = spark.createDataFrame(
+            [("A", ts("2024-01-01 01:00:00"), 1.0)], "key string, ts timestamp, v double"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not aligned"):
+            gapfill(df, ["key"], "ts", "v", 3600,
+                    "2024-01-01 00:30:00", "2024-01-01 04:30:00")
