@@ -933,3 +933,140 @@ def rel_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_partkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: top customers by returned-item revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_returned_revenue_customers",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+       c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("relational", "J1", "O2"),
+)
+def rel_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue on returned items in 1996."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: trade volume between nation pairs by year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_nation_trade_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, yr, CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS yr,
+           {_SQL_REV} AS vol
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, yr
+""",
+    tags=("relational", "J1"),
+)
+def rel_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between distinct nation pairs per year."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: shipmode-free adaptation — late vs on-time lines by priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_priority_lateness",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS high_late,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS low_late,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY yr
+""",
+    tags=("relational", "A9"),
+)
+def rel_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adaptation: lines shipped >90 days after order, split by
+    priority class, per ship year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.count(F.when(is_high & late, F.lit(1))).alias("high_late"),
+        F.count(F.when(~is_high & late, F.lit(1))).alias("low_late"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
