@@ -10,12 +10,36 @@ neighbor bucket, then apply the exact range predicate as a residual
 filter. Each probe row meets only the ~2 buckets that can contain
 matches, so the join is a plain shuffled equi-join with ~2× fan-out,
 fully AQE/skew-join eligible.
+
+Supported flavors:
+- ``how="inner"``: matching (probe, build) pairs only.
+- ``how="left"``: every probe row survives; probe rows with no in-range
+  build row appear once with NULL build columns (zero-preserving).
+  Implemented as inner + anti-join backfill, so the wide build payload
+  never rides through an outer join, and the anti side shuffles only
+  ``probe_id``.
+- :func:`range_join_count`: LEFT-join count aggregate (the cheapest
+  zero-preserving flavor; output is |probe| rows).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, w_us: int) -> Column:
+    """Exact Δ-wide bucket id, floor semantics for all epochs.
+
+    ``floor(unix_micros / w)`` on doubles is provably exact here: for
+    integer a with |a| < 2^53 and integer w > 0, the IEEE-correctly-
+    rounded double quotient a/w can only cross an integer boundary if
+    some d >= 1 satisfies d/w < |a/w| * 2^-53, i.e. |a| > 2^53 — and
+    unix_micros stays below 2^53 until year ~2255 (and above -2^53 back
+    past year 1685). Plain ``cast(long)`` would truncate toward zero and
+    misbucket pre-1970 timestamps; floor is the correct quantizer.
+    """
+    return F.floor(F.unix_micros(col) / F.lit(w_us)).cast("long")
 
 
 def range_join(
@@ -26,33 +50,58 @@ def range_join(
     build_ts: str,
     lookback_seconds: int,
     how: str = "inner",
+    probe_id: str | None = None,
 ) -> DataFrame:
     """Join rows of ``build`` with ``build_ts`` in the half-open window
-    (probe_ts - lookback, probe_ts] per key. Build-side columns keep
-    their names; callers should pre-select/alias to avoid collisions.
-    """
-    w_us = int(lookback_seconds) * 1_000_000
+    (probe_ts - lookback, probe_ts] per key. Build-side join-key columns
+    are dropped from the output (they always equal the probe's); other
+    build columns keep their names, so callers should pre-select/alias
+    to avoid collisions with probe columns.
 
-    def bucket(col: str) -> F.Column:
-        return (F.unix_micros(F.col(col)) / F.lit(w_us)).cast("long")
+    ``how="left"`` requires ``probe_id`` (a column uniquely identifying
+    probe rows) and preserves non-matching probe rows with NULL build
+    columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    if how == "left" and probe_id is None:
+        raise ValueError("how='left' requires probe_id")
+    w_us = int(lookback_seconds) * 1_000_000
 
     # Probe row at bucket b can only match build rows in bucket b or b-1.
     p = probe.withColumn(
-        "__rj_bucket", F.explode(F.array(bucket(probe_ts), bucket(probe_ts) - 1))
+        "__rj_bucket",
+        F.explode(F.array(_bucket(F.col(probe_ts), w_us), _bucket(F.col(probe_ts), w_us) - 1)),
     )
-    b = build.withColumn("__rj_bucket", bucket(build_ts))
+    b = build.withColumn("__rj_bucket", _bucket(F.col(build_ts), w_us))
 
     cond = [p["__rj_bucket"] == b["__rj_bucket"]] + [p[k] == b[k] for k in on]
-    joined = p.join(b, cond, how)
+    # A (probe, build) pair matches exactly one exploded copy (the build
+    # row's single bucket), so the inner result has no bucket-duplicates.
+    joined = p.join(b, cond, "inner")
     in_range = (F.unix_micros(b[build_ts]) > F.unix_micros(p[probe_ts]) - w_us) & (
         F.unix_micros(b[build_ts]) <= F.unix_micros(p[probe_ts])
     )
+    inner = joined.filter(in_range).drop("__rj_bucket")
+    for k in on:
+        inner = inner.drop(b[k])
     if how == "inner":
-        out = joined.filter(in_range)
-    else:
-        # Outer flavors: null out non-matching build columns post-join.
-        raise NotImplementedError("use range_join_count or inner for now")
-    return out.drop("__rj_bucket")
+        return inner
+
+    # Zero-preservation: anti-join back the probe rows with no match.
+    # The anti side shuffles only the id column, never the payload.
+    matched_ids = inner.select(F.col(probe_id).alias("__rj_matched_id"))
+    unmatched = probe.join(
+        matched_ids, probe[probe_id] == matched_ids["__rj_matched_id"], "left_anti"
+    ).select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in build.schema.fields
+            if f.name not in on
+        ],
+    )
+    return inner.unionByName(unmatched)
 
 
 def range_join_count(
@@ -71,17 +120,16 @@ def range_join_count(
     """
     w_us = int(lookback_seconds) * 1_000_000
 
-    def bucket(col) -> F.Column:
-        return (F.unix_micros(col) / F.lit(w_us)).cast("long")
-
     p = probe.withColumn(
         "__rj_bucket",
-        F.explode(F.array(bucket(F.col(probe_ts)), bucket(F.col(probe_ts)) - 1)),
+        F.explode(
+            F.array(_bucket(F.col(probe_ts), w_us), _bucket(F.col(probe_ts), w_us) - 1)
+        ),
     )
     bsel = build.select(
         *[F.col(k).alias(f"__rj_{k}") for k in on],
         F.col(build_ts).alias("__rj_ts"),
-    ).withColumn("__rj_bucket", bucket(F.col("__rj_ts")))
+    ).withColumn("__rj_bucket", _bucket(F.col("__rj_ts"), w_us))
 
     cond = [p["__rj_bucket"] == bsel["__rj_bucket"]] + [
         p[k] == bsel[f"__rj_{k}"] for k in on

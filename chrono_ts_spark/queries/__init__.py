@@ -55,9 +55,87 @@ _MODULES = [
     "extras",
 ]
 
+# The driver's correctness harness verifies the FIRST 50 registry entries
+# per round, so ordering is coverage policy, not cosmetics.  The window
+# below puts (a) every oracled query that has never received a driver
+# correctness row, (b) queries whose round-1 rows errored and are now
+# fixed, (c) queries new this round, and (d) one keeper per SURVEY.md §2
+# operator family ahead of everything else.  Queries outside the window
+# were green in round 1 (CORRECTNESS_r01.json) and rotate back in on
+# later rounds — see docs/coverage.md for the rotation plan.
+_WINDOW_50 = [
+    # -- (a) oracled, never driver-checked in round 1 (outside the cap) --
+    "io_csv_scan",
+    "io_json_scan",
+    "io_partitioned_sink",
+    "sql_entry_star_join",
+    "udaf_median_price",
+    "udf_grouped_trend",
+    "udtf_bigrams",
+    "sf_map_funcs",
+    "rel_full_outer_balance",
+    "rel_cube_sales",
+    "rel_median_mode",
+    "rel_window_values",
+    "doc_dedup_stats",
+    "doc_dup_pairs",
+    "doc_dedup_keep_first",
+    "doc_quality",
+    "doc_fingerprints",
+    "doc_lang_id_confusion",
+    "doc_ngram_jaccard_adjacent",
+    "doc_winnow_fingerprints",
+    "pipeline_clean_corpus",
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_label_centroids",
+    "emb_cosine_near_dups",
+    "ts_downsample_tier",
+    "ts_value_histogram",
+    # -- (b) round-1 ERR rows, fixed this round (array serialization) --
+    "rel_collect_priorities",
+    "sf_array_funcs",
+    # -- (c) new this round --
+    "ts_range_join_left",
+    # -- (d) keepers: one representative per §2 operator family --
+    "ts_bucket_agg",
+    "ts_rate",
+    "ts_ohlc_daily",
+    "ts_sessionize",
+    "ts_cumsum",
+    "ts_gapfill_locf",
+    "ts_asof_join",
+    "ts_range_join_counts",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_brand_stats",
+    "rel_customers_without_orders",
+    "rel_nation_pairs",
+    "rel_stats_moments",
+    "rel_pivot_status",
+    "rel_top_orders_per_cust",
+    "rel_filter_project",
+    "sf_string_funcs",
+    "sf_json_funcs",
+    "doc_token_stats",
+]
+
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import all query modules (idempotent) and return the registry."""
+    """Import all query modules (idempotent) and return the registry.
+
+    The returned dict is ordered: the 50-query verification window first
+    (in ``_WINDOW_50`` order), then every remaining query in registration
+    order.  ``__spark_entry__.queries()`` preserves this order, which is
+    what the driver's first-50 correctness cap sees.
+    """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
-    return REGISTRY
+    missing = [n for n in _WINDOW_50 if n not in REGISTRY]
+    if missing:
+        raise LookupError(f"_WINDOW_50 names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _WINDOW_50}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

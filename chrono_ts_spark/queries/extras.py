@@ -128,7 +128,7 @@ def rel_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        map_extract(m, 'F')[1] AS f_total,
-       list_sort(map_keys(m)) AS statuses,
+       array_to_string(list_sort(map_keys(m)), ',') AS statuses,
        CAST(cardinality(m) AS INTEGER) AS n_statuses
 FROM (
     SELECT o_orderpriority,
@@ -162,7 +162,8 @@ def sf_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderpriority",
         F.element_at("m", "F").alias("f_total"),
-        F.sort_array(F.map_keys("m")).alias("statuses"),
+        # Serialized: the driver canonicalizer can't hash raw arrays.
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("statuses"),
         F.size("m").alias("n_statuses"),
     )
 

@@ -768,7 +768,7 @@ def rel_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_collect_priorities",
     oracle="""
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_orderstatus
@@ -776,10 +776,17 @@ GROUP BY o_orderstatus
     tags=("relational", "A8"),
 )
 def rel_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set + sort_array: distinct priorities per status."""
+    """collect_set + sort_array: distinct priorities per status.
+
+    The sorted set crosses the oracle boundary serialized via
+    array_join — the driver's canonicalizer hashes scalar cells only
+    (raw array<> columns ERR'd in round 1).
+    """
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

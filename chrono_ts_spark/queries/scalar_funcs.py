@@ -222,7 +222,7 @@ SELECT vec_id,
        CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmax,
        CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmin,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-       list_transform(list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), x -> round(x, 5)) AS head_sorted
+       array_to_string(list_transform(list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), x -> CAST(floor(x * 100000) AS BIGINT)), ',') AS head_sorted
 FROM embeddings
 """,
     tags=("scalar", "array"),
@@ -230,7 +230,14 @@ FROM embeddings
 def sf_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: size, index, slice, higher-order transform/filter/
     aggregate, sort. Elements cast to double before arithmetic so both
-    engines accumulate identically."""
+    engines accumulate identically.
+
+    head_sorted crosses the oracle boundary as a comma-joined string of
+    floor(x*1e5) longs: the driver canonicalizer can't hash raw arrays
+    (round-1 ERR), and floor-scaled integers sidestep both double
+    stringification and round-half-mode differences between engines
+    (the float multiply is the same IEEE op on both sides).
+    """
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = vec_double(F.col("embedding"))
     return e.select(
@@ -243,8 +250,12 @@ def sf_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(emb_d).alias("vmax"),
         F.array_min(emb_d).alias("vmin"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
-        F.transform(
-            F.sort_array(F.slice(emb_d, 1, 3)), lambda x: F.round(x, 5)
+        F.array_join(
+            F.transform(
+                F.sort_array(F.slice(emb_d, 1, 3)),
+                lambda x: F.floor(x * 100000).cast("long"),
+            ),
+            ",",
         ).alias("head_sorted"),
     )
 

@@ -24,7 +24,7 @@ from ..functions import (
     ts_str,
 )
 from ..operators import asof_join, gapfill
-from ..operators.rangejoin import range_join_count
+from ..operators.rangejoin import range_join, range_join_count
 from ..operators.rate import rate
 from ..operators.sessionize import sessionize
 from ..operators.topk import top_k_per_group
@@ -440,6 +440,47 @@ def ts_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_count(
         errors, clicks, on=["user_id"], probe_ts="ts", build_ts="ts",
         lookback_seconds=600, probe_id="event_id", count_alias="n_clicks_10m",
+    )
+
+
+@query(
+    "ts_range_join_left",
+    oracle=f"""
+SELECT e.event_id,
+       {sql_ts_str('e.ts')} AS error_ts_s,
+       {sql_ts_str('c.ts')} AS click_ts_s,
+       c.value AS click_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts > e.ts - INTERVAL 600 SECOND AND c.ts <= e.ts
+""",
+    tags=("tsdb", "J5"),
+)
+def ts_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-preserving left range join: every (error, click-within-10min)
+    pair, plus one NULL-padded row per error with no preceding click.
+
+    Spark side is the bucketed equi-join + anti-join backfill
+    (operators/rangejoin.range_join how='left'); the oracle states the
+    same semantics as a naive inequality LEFT JOIN, affordable at sf0.01.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    j = range_join(
+        errors, clicks, on=["user_id"], probe_ts="ts", build_ts="click_ts",
+        lookback_seconds=600, how="left", probe_id="event_id",
+    )
+    return j.select(
+        "event_id",
+        ts_str("ts").alias("error_ts_s"),
+        ts_str("click_ts").alias("click_ts_s"),
+        "click_value",
     )
 
 

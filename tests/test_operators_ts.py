@@ -191,6 +191,45 @@ class TestRangeJoin:
         out = range_join(p, b, ["key"], "ts", "bts", 600)
         assert sorted(r.v for r in out.collect()) == [7.0, 8.0]
 
+    def test_left_range_join(self, spark):
+        p = spark.createDataFrame(
+            [("k", ts("2024-01-01 00:10:00"), 1),
+             ("k", ts("2024-01-01 02:00:00"), 2),   # no clicks in window
+             ("x", ts("2024-01-01 00:10:00"), 3)],  # key with no build rows
+            "key string, ts timestamp, pid int",
+        )
+        b = spark.createDataFrame(
+            [("k", ts("2024-01-01 00:05:00"), 7.0),
+             ("k", ts("2024-01-01 00:10:00"), 8.0),
+             ("k", ts("2024-01-01 00:00:00"), 9.0)],  # exactly lookback: out
+            "key string, bts timestamp, v double",
+        )
+        out = range_join(p, b, ["key"], "ts", "bts", 600, how="left", probe_id="pid")
+        rows = sorted(((r.pid, r.v) for r in out.collect()))
+        assert rows == [(1, 7.0), (1, 8.0), (2, None), (3, None)]
+
+    def test_left_requires_probe_id(self, spark):
+        import pytest as _pytest
+
+        p = spark.createDataFrame([("k", ts("2024-01-01 00:10:00"))], "key string, ts timestamp")
+        with _pytest.raises(ValueError):
+            range_join(p, p, ["key"], "ts", "ts", 600, how="left")
+
+    def test_pre_epoch_floor_bucketing(self, spark):
+        # Truncation-toward-zero would misbucket pre-1970 timestamps;
+        # floor must keep window semantics identical on both sides of 0.
+        p = spark.createDataFrame(
+            [("k", ts("1969-12-31 23:59:50"), 1)], "key string, ts timestamp, pid int"
+        )
+        b = spark.createDataFrame(
+            [("k", ts("1969-12-31 23:55:00"), 1.0),   # in window (290s back)
+             ("k", ts("1969-12-31 23:49:49"), 2.0),   # 601s back: out
+             ("k", ts("1970-01-01 00:00:00"), 3.0)],  # after probe: out
+            "key string, bts timestamp, v double",
+        )
+        out = range_join(p, b, ["key"], "ts", "bts", 600)
+        assert [r.v for r in out.collect()] == [1.0]
+
 
 class TestTopK:
     def test_ties_deterministic(self, spark):
