@@ -5,6 +5,18 @@ for every left row, attach the right row with the greatest ``r.ts``
 satisfying ``r.ts <= l.ts`` within the same key group; equal timestamps
 match; left rows with no earlier right row get nulls.
 
+Tie divergence vs other engines: when several right rows share the same
+(key, ts), this join deterministically attaches the payload-struct
+MAXIMUM (lexicographic over ``right_cols + [right_ts]``, non-NULL above
+NULL), so results are stable across shuffles and retries. DuckDB's
+``ASOF JOIN`` (and pandas ``merge_asof``) pick an *unspecified* row in
+that case — an oracle written as a bare ASOF JOIN is only comparable on
+tie-free fixtures. The oracled queries in queries/timeseries.py
+therefore pre-deduplicate the right side per (key, ts) with
+``row_number() ... ORDER BY value DESC NULLS LAST`` — the exact mirror
+of the struct-max rule — so a future fixture with duplicate
+(user_id, ts) click rows cannot produce a flaky mismatch.
+
 Implementation: the union-and-carry-forward pattern. Both sides are
 unioned with a side tag, sorted per key by (ts, side), and the last
 non-null right payload is carried forward with an unbounded-preceding

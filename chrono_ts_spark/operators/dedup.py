@@ -107,6 +107,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -114,6 +115,17 @@ def minhash_lsh_candidates(
     ≥1 band w.h.p. (s-curve at t ≈ (1/bands)^(bands/num_perm)).
     Returns distinct candidate pairs with their estimated jaccard
     (signature agreement fraction).
+
+    materialize: when True, the banded signature table is persisted
+    (MEMORY_AND_DISK) so the shingle→hash→64-min-aggregate pipeline —
+    the dominant cost — runs ONCE instead of once per self-join branch.
+    This is the right default on a real cluster (at 100 TB the recompute
+    doubles the most expensive stage); it defaults to False because at
+    bench scale (sf0.1, local[32]) cache write + scheduling overhead
+    measurably exceed the saved recompute — see BASELINE.md for the
+    measured crossover guidance. The persisted table lives until the
+    caller's session drops it (spark.catalog.clearCache() or
+    .unpersist() via the returned plan's source).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -163,12 +175,15 @@ def minhash_lsh_candidates(
         ).alias("__band"),
     ).select("__id", "__sig", "__band.band_id", "__band.band_hash")
 
-    # NOTE on the self-join: both branches recompute the signature
-    # pipeline (exchange reuse doesn't fire across the differently-
-    # projected branches, and persist() measured net-slower at bench
-    # scale — cache write + scheduling overhead exceed the saved
-    # recompute). At cluster scale with billion-doc corpora, persist
-    # the banded table or write it out; at this scale recompute wins.
+    # NOTE on the self-join: without materialize=True both branches
+    # recompute the signature pipeline (exchange reuse doesn't fire
+    # across the differently-projected branches). At bench scale
+    # recompute wins (cache write + scheduling overhead exceed the
+    # saved recompute); at cluster scale pass materialize=True.
+    if materialize:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col("band_id"), F.col("band_hash"),
         F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
@@ -232,6 +247,81 @@ def exact_jaccard_pairs(
     return j.select(
         "id_a", "id_b", (inter / union).alias("jaccard"),
         *[c for c in pairs.columns if c not in ("id_a", "id_b")],
+    )
+
+
+def simhash_hamming_neighbors(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str = "simhash64",
+    max_distance: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with hamming(fp_a, fp_b) <= max_distance.
+
+    Pigeonhole banding (the trick sketched in the module docstring, now
+    exposed): split the n_bits fingerprint into max_distance+1 disjoint
+    bit bands — any pair within Hamming distance d must agree EXACTLY on
+    at least one band. Candidate generation is therefore an equi-join on
+    (band_id, band_bits): O(candidates), never O(n²). Each candidate is
+    then verified with an exact popcount of the XOR, so the banding only
+    affects cost, not results. Scale shape matches MinHash-LSH: one
+    (max_distance+1)-way explode (8 B/band/doc), shuffled equi-join,
+    AQE/skew eligible.
+    """
+    if not 0 <= max_distance < n_bits:
+        raise ValueError(f"max_distance must be in [0, {n_bits}), got {max_distance}")
+    nb = max_distance + 1
+    base, rem = divmod(n_bits, nb)
+    layout = []  # (band_id, start_bit, width)
+    start = 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        layout.append((i, start, w))
+        start += w
+
+    def band_bits(fp: Column, start_bit: int, width: int) -> Column:
+        if width >= 64:
+            return fp
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned(fp, start_bit).bitwiseAND(F.lit(mask))
+
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+    ).select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        band_bits(F.col("__fp"), s, w).alias("band_bits"),
+                    )
+                    for i, s, w in layout
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__fp", "__band.band_id", "__band.band_bits")
+
+    a = banded.select(
+        "band_id", "band_bits",
+        F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"),
+    )
+    b = banded.select(
+        "band_id", "band_bits",
+        F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"),
+    )
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

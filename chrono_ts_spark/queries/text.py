@@ -17,6 +17,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     shingles,
     simhash,
+    simhash_hamming_neighbors,
     tokenize,
 )
 from ..operators.textfns import (
@@ -308,10 +309,18 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns pairs with est_jaccard (signature agreement) and exact
     jaccard, filtered to exact >= 0.5.
+
+    SPARK_GRAFT_MINHASH_MATERIALIZE=1 persists the banded signature
+    table so the signature pipeline runs once instead of per self-join
+    branch — the cluster-scale setting (see operators/dedup.py and
+    BASELINE.md crossover guidance); default recompute wins locally.
     """
+    import os
+
     d = load_table(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(
-        d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5
+        d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
+        materialize=os.environ.get("SPARK_GRAFT_MINHASH_MATERIALIZE") == "1",
     )
     verified = exact_jaccard_pairs(d, cands, "doc_id", "text", shingle_k=5)
     return verified.filter(F.col("jaccard") >= 0.5).select(
@@ -330,6 +339,22 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grp.filter(F.col("n_docs") >= 1).select(
         "simhash64", "n_docs", "doc_ids"
+    )
+
+
+@query("doc_simhash_neighbors", oracle=None, tags=("text", "X6", "no-oracle"))
+def doc_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 3 via pigeonhole banding.
+
+    Candidates come from a (max_distance+1)-band equi-join — never an
+    all-pairs comparison — then exact popcount verification
+    (operators/dedup.simhash_hamming_neighbors). No oracle: xxhash64 is
+    Spark-specific; pytest pins equivalence to brute-force Hamming.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    return simhash_hamming_neighbors(
+        fps, "doc_id", "simhash64", max_distance=3
     )
 
 

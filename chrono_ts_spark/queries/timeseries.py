@@ -383,13 +383,21 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.user_id, p.event_id, {sql_ts_str('p.ts')} AS ts_s, p.value,
        c.value AS click_value, {sql_ts_str('c.ts')} AS click_ts_s
 FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC NULLS LAST) = 1
+) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
     tags=("tsdb", "J6", "bench"),
 )
 def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each purchase, the latest click at-or-before it by that user."""
+    """For each purchase, the latest click at-or-before it by that user.
+
+    The oracle pre-dedups clicks per (user_id, ts) mirroring asof_join's
+    deterministic payload-struct-max tiebreak (see operators/asof.py) —
+    DuckDB's ASOF JOIN alone picks an unspecified row on ties.
+    """
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "value"
@@ -490,13 +498,19 @@ def ts_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.user_id, p.event_id, {sql_ts_str('p.ts')} AS ts_s, p.value,
        c.value AS next_click_value, {sql_ts_str('c.ts')} AS next_click_ts_s
 FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC NULLS LAST) = 1
+) c
   ON p.user_id = c.user_id AND p.ts <= c.ts
 """,
     tags=("tsdb", "J6"),
 )
 def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: the earliest click at-or-after each purchase."""
+    """Forward as-of: the earliest click at-or-after each purchase.
+
+    Oracle pre-dedups ties per (user_id, ts) — see ts_asof_join.
+    """
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "value"

@@ -14,6 +14,7 @@ from chrono_ts_spark.operators.dedup import (
     exact_jaccard_pairs,
     minhash_lsh_candidates,
     simhash,
+    simhash_hamming_neighbors,
 )
 from chrono_ts_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
 
@@ -75,6 +76,19 @@ class TestMinhashLSH:
         for r in out:
             assert r.jaccard == pytest.approx(py_jaccard(text[r.id_a], text[r.id_b]))
 
+    def test_materialize_identical_pairs(self, spark, corpus):
+        # persist-the-banded-table mode must be a pure execution-strategy
+        # change: candidate pairs and estimates bit-identical.
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        base = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
+        mat = minhash_lsh_candidates(
+            df, "doc_id", "text", 64, 16, 5, materialize=True
+        )
+        a = sorted((r.id_a, r.id_b, r.est_jaccard) for r in base.collect())
+        b = sorted((r.id_a, r.id_b, r.est_jaccard) for r in mat.collect())
+        spark.catalog.clearCache()
+        assert a == b and a
+
     def test_est_jaccard_correlates(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         cands = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
@@ -118,6 +132,37 @@ class TestSimhash:
 
         assert ham(h[1], h[2]) < ham(h[1], h[3])
         assert ham(h[1], h[2]) <= 16
+
+    @pytest.mark.parametrize("max_d", [0, 3, 7])
+    def test_hamming_neighbors_match_brute_force(self, spark, max_d):
+        # synthetic fingerprints with planted near-neighbors: banded
+        # candidate generation + popcount must equal all-pairs Hamming.
+        rnd = random.Random(4)
+        fps = [(i, rnd.getrandbits(63)) for i in range(40)]
+        for i in range(6):  # plant: flip `i` random bits of fp i
+            fp = fps[i][1]
+            for _ in range(i):
+                fp ^= 1 << rnd.randrange(64)
+            fps.append((100 + i, fp))
+        df = spark.createDataFrame(fps, "doc_id long, simhash64 long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_hamming_neighbors(
+                df, "doc_id", "simhash64", max_distance=max_d
+            ).collect()
+        }
+        mask = (1 << 64) - 1
+
+        def ham(a, b):
+            return bin((a ^ b) & mask).count("1")
+
+        want = {
+            (ia, ib, ham(fa, fb))
+            for ia, fa in fps
+            for ib, fb in fps
+            if ia < ib and ham(fa, fb) <= max_d
+        }
+        assert got == want and want  # planted pairs guarantee non-empty
 
 
 class TestSimilarity:

@@ -76,6 +76,22 @@ class TestAsofJoin:
         out = asof_join(trades, empty, on=["key"], right_cols=["px"]).collect()
         assert len(out) == 4 and all(r.px_r is None for r in out)
 
+    def test_duplicate_right_ts_struct_max(self, spark):
+        # Several right rows share (key, ts): the deterministic pick is
+        # the payload-struct max (max px; non-NULL beats NULL) — the rule
+        # the oracle SQL mirrors with row_number ... ORDER BY value DESC.
+        left = spark.createDataFrame(
+            [("A", ts("2024-01-01 10:00:00"), 1)], "key string, ts timestamp, tid int"
+        )
+        right = spark.createDataFrame(
+            [("A", ts("2024-01-01 09:59:00"), None),
+             ("A", ts("2024-01-01 09:59:00"), 103.0),
+             ("A", ts("2024-01-01 09:59:00"), 101.0)],
+            "key string, ts timestamp, px double",
+        )
+        out = asof_join(left, right, on=["key"], right_cols=["px"]).collect()
+        assert len(out) == 1 and out[0].px_r == 103.0
+
 
 class TestRate:
     def test_counter_reset_and_dt(self, spark):
