@@ -97,6 +97,11 @@ _WINDOW_50 = [
     "sf_array_funcs",
     # -- (c) new this round --
     "ts_range_join_left",
+    "rel_top_supplier_revenue",
+    "doc_tfidf_top_terms",
+    "doc_pii_scrub",
+    "doc_chunk_tokens",
+    "emb_quantize_int8",
     # -- (d) keepers: one representative per §2 operator family --
     "ts_bucket_agg",
     "ts_rate",
@@ -111,13 +116,8 @@ _WINDOW_50 = [
     "rel_brand_stats",
     "rel_customers_without_orders",
     "rel_nation_pairs",
-    "rel_stats_moments",
     "rel_pivot_status",
     "rel_top_orders_per_cust",
-    "rel_filter_project",
-    "sf_string_funcs",
-    "sf_json_funcs",
-    "doc_token_stats",
 ]
 
 

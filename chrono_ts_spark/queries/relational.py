@@ -1077,3 +1077,59 @@ def rel_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~is_high & late, F.lit(1))).alias("low_late"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 + W1: TPC-H Q15 adaptation — top suppliers by quarterly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_top_supplier_revenue",
+    oracle=f"""
+SELECT s_suppkey, s_name,
+       CAST(rev_d AS DOUBLE) AS total_revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT l_suppkey,
+           SUM({_SQL_REV}) AS rev_d,
+           ROW_NUMBER() OVER (ORDER BY SUM({_SQL_REV}) DESC, l_suppkey) AS rnk
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+) r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk <= 10
+""",
+    tags=("relational", "J1", "W1"),
+)
+def rel_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 adaptation: top-10 suppliers by 1996Q1 lineitem revenue.
+
+    Revenue ranking happens BEFORE the supplier join (aggregate first,
+    then broadcast-join the 10 survivors against the dimension): at
+    100 TB the fact table is reduced to |suppliers| rows by the
+    partial-agg shuffle and the dimension join touches 10 rows.
+    Rank ties break on suppkey; revenue is decimal-exact so the rank is
+    engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
+    top = top_k_per_group(
+        rev.withColumn("__g", F.lit(1)),
+        group=["__g"],
+        order=[F.col("rev_dec").desc(), F.col("l_suppkey")],
+        k=10,
+    ).drop("__g")
+    supp = load_table(spark, sf_dir, "supplier")
+    return top.join(
+        F.broadcast(supp), top.l_suppkey == supp.s_suppkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

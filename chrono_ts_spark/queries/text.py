@@ -572,3 +572,195 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(windows)).alias("n_fingerprints"),
         F.array_min(h).alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8+: TF-IDF term scoring (log-free portable variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+), cnt AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dl AS (
+    SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), df AS (
+    SELECT token, COUNT(*) AS df FROM cnt GROUP BY token
+), nn AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       CAST(tf * n_docs AS DOUBLE) / CAST(n * df AS DOUBLE) AS tfidf_ratio,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT cnt.doc_id, cnt.token, cnt.tf, dl.n, df.df, nn.n_docs,
+           ROW_NUMBER() OVER (
+               PARTITION BY cnt.doc_id
+               ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(n * df AS DOUBLE) DESC,
+                        cnt.token
+           ) AS rnk
+    FROM cnt
+    JOIN dl ON cnt.doc_id = dl.doc_id
+    CROSS JOIN nn
+    JOIN df ON cnt.token = df.token
+)
+WHERE rnk <= 3 AND doc_id < 100
+""",
+    tags=("text", "X8", "tfidf"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 100 docs shown).
+
+    Uses the log-free ratio tf/|d| × N/df instead of tf × ln(N/df):
+    ln() is libm-dependent and the engines can disagree in the last
+    ulp (docs/determinism.md policy), while tf·N / (|d|·df) is one
+    IEEE division of two exactly-computed integers — bit-identical
+    everywhere and order-equivalent to the log form for fixed tf/|d|.
+    df is corpus-wide; scale shape: token explode → two integer
+    aggregates; the (token, df) vocabulary is a broadcast-sized dim.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = cnt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nn = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row broadcast dim
+    scored = (
+        cnt.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "tfidf_ratio",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / (F.col("n") * F.col("df")).cast("double"),
+        )
+    )
+    top = top_k_per_group(
+        scored,
+        group=["doc_id"],
+        order=[F.col("tfidf_ratio").desc(), F.col("token")],
+        k=3,
+    )
+    return top.filter(F.col("doc_id") < 100).select(
+        "doc_id", "token", F.col("tf").cast("bigint").alias("tf"),
+        "tfidf_ratio", F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8+: PII scrubbing (regex redaction) — a corpus-cleaning staple
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9.]+@[a-z0-9.]+"
+_PII_NUM = "[0-9]{3,}"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH planted AS (
+    SELECT doc_id,
+           'user' || doc_id || '@' || source || '.net tel 555-' || (doc_id * 7) || ' ' || text AS raw
+    FROM documents
+)
+SELECT doc_id,
+       left(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{_PII_NUM}', '<NUM>', 'g'), 60) AS scrubbed_head,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_NUM}')) AS INTEGER) AS n_nums
+FROM planted
+""",
+    tags=("text", "X8", "pii"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/number redaction with per-doc redaction counts.
+
+    The fixture corpus has no natural PII, so deterministic synthetic
+    PII (an email + a phone-ish token derived from doc_id/source) is
+    planted first and then scrubbed — the operator under test is the
+    scrub, and both engines plant identically. Patterns stay in the
+    common Java-regex ∩ RE2 subset (character classes + {{n,}}), so
+    Spark and DuckDB agree; Spark's regexp_replace is global by
+    default, DuckDB needs the explicit 'g' flag.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@"),
+        F.col("source"), F.lit(".net tel 555-"),
+        (F.col("doc_id") * 7).cast("string"), F.lit(" "), F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_NUM, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.substring(scrubbed, 1, 60).alias("scrubbed_head"),
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_NUM)).cast("int").alias("n_nums"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8+: fixed-size token chunking with overlap (training-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "doc_chunk_tokens",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), c AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(CASE WHEN len(toks) >= 1
+                       THEN generate_series(0, CAST((len(toks) - 1) // {_CHUNK_STRIDE} AS INTEGER))
+                       ELSE [] END) AS chunk_id
+    FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_W}]) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_W}], ' ')) AS chunk_md5
+FROM c
+""",
+    tags=("text", "X8", "chunking"),
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks at stride 48 per document.
+
+    The canonical training-window prep: each doc becomes
+    ceil-ish((n-1)/stride)+1 windows; the final window may be short.
+    Chunk content crosses the oracle boundary as md5(joined tokens)
+    (scalar, array-free). One narrow explode of (doc_id, chunk_id)
+    pairs — token arrays are sliced per row, never shuffled exploded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    chunks = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.col("n") >= 1,
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n") - 1) / F.lit(_CHUNK_STRIDE)).cast("int"),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_W
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sliced).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", sliced)).alias("chunk_md5"),
+    )

@@ -152,3 +152,66 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     return ivf_topk(e, probes, dims=_DIMS, k=5, n_centroids=16, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# X7+: symmetric int8 scalar quantization (embedding compression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+), m AS (
+    SELECT vec_id, vd,
+           list_max(list_transform(vd, x -> abs(x))) AS max_abs
+    FROM v
+)
+SELECT vec_id,
+       max_abs,
+       CASE WHEN max_abs = 0 THEN 1.0 ELSE 127.0 / max_abs END AS scale,
+       array_to_string(
+           list_transform(vd, x -> CAST(floor(x * (CASE WHEN max_abs = 0 THEN 1.0 ELSE 127.0 / max_abs END)) AS BIGINT)),
+           ',') AS codes,
+       CAST(len(list_filter(vd, x -> abs(x) = max_abs)) AS INTEGER) AS n_at_max
+FROM m
+""",
+    tags=("vectors", "X7", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    code_i = floor(x_i * scale) ∈ [-128, 127].
+
+    floor (not round) keeps the code deterministic across engines —
+    round-half modes differ, floor doesn't, and x*scale is the same
+    IEEE multiply on both sides. Codes cross the oracle boundary as a
+    comma-joined string (driver canonicalizer hashes scalars only).
+    Map-side only: no shuffle, codegen-friendly higher-order functions;
+    at 100 TB this is the classic 4× footprint cut before ANN serving.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = vec_double(F.col("embedding"))
+    m = e.select(
+        "vec_id",
+        vd.alias("vd"),
+        F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    scale = F.when(F.col("max_abs") == 0, F.lit(1.0)).otherwise(
+        F.lit(127.0) / F.col("max_abs")
+    )
+    return m.select(
+        "vec_id",
+        "max_abs",
+        scale.alias("scale"),
+        F.array_join(
+            F.transform(F.col("vd"), lambda x: F.floor(x * scale).cast("bigint")),
+            ",",
+        ).alias("codes"),
+        F.size(
+            F.filter(F.col("vd"), lambda x: F.abs(x) == F.col("max_abs"))
+        ).cast("int").alias("n_at_max"),
+    )

@@ -290,3 +290,44 @@ def test_ema_stream_keeps_same_microsecond_events(spark, tmp_path):
     assert got[1] == 10.0
     assert got[2] == 0.5 * 20.0 + 0.5 * 10.0
     assert got[3] == 0.5 * 30.0 + 0.5 * got[2]
+
+
+class TestKafkaParse:
+    def test_parse_kafka_events_batch(self, spark):
+        # Kafka wire schema mimicked as a batch frame: the parser is a
+        # pure transform, so batch-proving it pins the streaming path.
+        import json
+
+        def wire(eid, us, uid, etype, val):
+            return json.dumps(
+                {"event_id": eid, "ts_us": us, "user_id": uid,
+                 "event_type": etype, "value": val, "props": "{}"}
+            ).encode()
+
+        rows = [
+            (None, wire(1, 1_700_000_000_000_000, 7, "click", 1.5), "t", 0, 100),
+            (None, wire(2, 1_700_000_000_500_000, 8, "error", 0.0), "t", 1, 5),
+            (None, b"not json at all", "t", 1, 6),  # corrupt -> dead letter
+        ]
+        raw = spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, offset long",
+        )
+        from chrono_ts_spark.streaming.kafka import parse_kafka_events
+
+        out = {r.kafka_offset: r for r in parse_kafka_events(raw).collect()}
+        assert len(out) == 3
+        ok = out[100]
+        assert (ok.event_id, ok.user_id, ok.event_type, ok.value) == (1, 7, "click", 1.5)
+        assert ok.ts.isoformat().startswith("2023-11-14T22:13:20")
+        assert not ok.is_corrupt and ok.kafka_partition == 0
+        bad = out[6]
+        assert bad.is_corrupt and bad.event_id is None
+
+    def test_kafka_source_unavailable_raises_clearly(self, spark):
+        import pytest as _pytest
+
+        from chrono_ts_spark.streaming.kafka import kafka_events_stream
+
+        with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_events_stream(spark, "localhost:9092", "events")

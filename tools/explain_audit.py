@@ -85,6 +85,36 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["PushedFilters:", "Exchange rangepartitioning"],
         "forbid": ["Exchange hashpartitioning"],
     },
+    "ts_range_join_left": {
+        # bucketed equi-join + anti-join backfill — never a NL range join
+        "want": [],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "rel_top_supplier_revenue": {
+        # rank BEFORE the dim join; the single-group window collapses
+        # to a global TakeOrderedAndProject (no full sort) and the
+        # 10-row survivor side broadcast-joins the supplier dim
+        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "doc_tfidf_top_terms": {
+        # vocabulary (token, df) joins as a broadcast dim
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "emb_quantize_int8": {
+        # map-side only: no shuffle at all
+        "want": [],
+        "forbid": ["Exchange", "CartesianProduct"],
+    },
+    "doc_chunk_tokens": {
+        "want": [],
+        "forbid": ["Exchange", "CartesianProduct"],
+    },
+    "doc_pii_scrub": {
+        "want": [],
+        "forbid": ["Exchange", "CartesianProduct"],
+    },
 }
 
 
