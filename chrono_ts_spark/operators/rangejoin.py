@@ -104,6 +104,57 @@ def range_join(
     return inner.unionByName(unmatched)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner interval-overlap join: pairs whose [start, end] spans
+    intersect (closed intervals: ls <= re AND rs <= le) per key.
+
+    Bucketed like :func:`range_join`: each interval explodes across the
+    Δ-wide buckets it covers and the join is a plain (key, bucket)
+    equi-join with the exact overlap predicate as residual filter. A
+    pair overlapping across several buckets is emitted ONCE without any
+    dropDuplicates: only the canonical bucket — max(bucket(ls),
+    bucket(rs)), which both intervals cover whenever they overlap —
+    produces it. Cost is O(interval_len/Δ) exploded rows per side, so
+    pick ``bucket_seconds`` near the median interval length; at 100 TB
+    this stays a shuffled equi-join (AQE/skew eligible), never a
+    cartesian.
+
+    Both sides keep their non-key columns (pre-alias to avoid
+    collisions); the right side's key columns are dropped.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def span(start: str, end: str) -> F.Column:
+        return F.sequence(
+            _bucket(F.col(start), w_us), _bucket(F.col(end), w_us)
+        )
+
+    l = left.withColumn("__ij_bucket", F.explode(span(left_start, left_end)))
+    r = right.withColumn("__ij_bucket", F.explode(span(right_start, right_end)))
+
+    cond = [l["__ij_bucket"] == r["__ij_bucket"]] + [l[k] == r[k] for k in on]
+    j = l.join(r, cond, "inner")
+    overlap = (F.unix_micros(l[left_start]) <= F.unix_micros(r[right_end])) & (
+        F.unix_micros(r[right_start]) <= F.unix_micros(l[left_end])
+    )
+    canonical = l["__ij_bucket"] == F.greatest(
+        _bucket(l[left_start], w_us), _bucket(r[right_start], w_us)
+    )
+    out = j.filter(overlap & canonical).drop(l["__ij_bucket"]).drop(r["__ij_bucket"])
+    for k in on:
+        out = out.drop(r[k])
+    return out
+
+
 def range_join_count(
     probe: DataFrame,
     build: DataFrame,

@@ -97,6 +97,7 @@ _WINDOW_50 = [
     "sf_array_funcs",
     # -- (c) new this round --
     "ts_range_join_left",
+    "ts_interval_overlap",
     "rel_top_supplier_revenue",
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
@@ -107,7 +108,6 @@ _WINDOW_50 = [
     "ts_rate",
     "ts_ohlc_daily",
     "ts_sessionize",
-    "ts_cumsum",
     "ts_gapfill_locf",
     "ts_asof_join",
     "ts_range_join_counts",

@@ -52,6 +52,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
 
 
+@query("stream_stream_join_left", oracle=None, tags=("streaming", "J7", "no-oracle"))
+def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT watermarked stream-stream join (NULL clicks preserved);
+    flushed-prefix-equivalent to batch range_join(how='left')."""
+    from ..streaming.stateful import run_stream_stream_join_left
+
+    return run_stream_stream_join_left(spark, sf_dir)
+
+
 @query("stream_ema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
 def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op: per-user EMA via applyInPandasWithState."""

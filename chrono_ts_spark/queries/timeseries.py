@@ -24,7 +24,7 @@ from ..functions import (
     ts_str,
 )
 from ..operators import asof_join, gapfill
-from ..operators.rangejoin import range_join, range_join_count
+from ..operators.rangejoin import interval_join, range_join, range_join_count
 from ..operators.rate import rate
 from ..operators.sessionize import sessionize
 from ..operators.topk import top_k_per_group
@@ -490,6 +490,52 @@ def ts_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("click_ts").alias("click_ts_s"),
         "click_value",
     )
+
+
+@query(
+    "ts_interval_overlap",
+    oracle=f"""
+SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+       epoch_us(least(p.ts + INTERVAL 1800 SECOND, e.ts + INTERVAL 600 SECOND))
+         - epoch_us(greatest(p.ts, e.ts)) AS overlap_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts <= e.ts + INTERVAL 600 SECOND
+ AND e.ts <= p.ts + INTERVAL 1800 SECOND
+""",
+    tags=("tsdb", "J5", "interval"),
+)
+def ts_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: purchase windows [ts, ts+30min] meeting
+    error windows [ts, ts+10min] per user, with the overlap length.
+
+    Spark side is the bucketed canonical-bucket interval join
+    (operators/rangejoin.interval_join — one emit per pair, no dedup
+    pass); the oracle states the same closed-interval overlap as a
+    naive inequality join, affordable at sf0.01.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_start"))
+        .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 1800 SECONDS"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("e_id"), F.col("ts").alias("e_start"))
+        .withColumn("e_end", F.col("e_start") + F.expr("INTERVAL 600 SECONDS"))
+    )
+    j = interval_join(
+        p, e, on=["user_id"],
+        left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end",
+        bucket_seconds=600,
+    )
+    overlap_us = F.least(
+        F.unix_micros("p_end"), F.unix_micros("e_end")
+    ) - F.greatest(F.unix_micros("p_start"), F.unix_micros("e_start"))
+    return j.select("user_id", "p_id", "e_id", overlap_us.alias("overlap_us"))
 
 
 @query(

@@ -231,6 +231,32 @@ class TestRangeJoin:
         with _pytest.raises(ValueError):
             range_join(p, p, ["key"], "ts", "ts", 600, how="left")
 
+    def test_interval_join_single_emission(self, spark):
+        from chrono_ts_spark.operators.rangejoin import interval_join
+
+        # left interval spans many buckets and overlaps the right one in
+        # several of them: the canonical-bucket rule must emit the pair
+        # exactly once, with no dropDuplicates in the plan.
+        l = spark.createDataFrame(
+            [("k", ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00"), 1),
+             ("k", ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"), 2)],
+            "key string, ls timestamp, le timestamp, lid int",
+        )
+        r = spark.createDataFrame(
+            [("k", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:30:00"), 10),
+             ("k", ts("2024-01-01 02:59:00"), ts("2024-01-01 04:00:00"), 11),  # touches lid=1 end
+             ("k", ts("2024-01-01 03:00:01"), ts("2024-01-01 04:00:00"), 12),  # just after: no overlap
+             ("x", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00"), 13)],  # other key
+            "key string, rs timestamp, re timestamp, rid int",
+        )
+        out = interval_join(
+            l, r, on=["key"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_seconds=600,
+        )
+        pairs = sorted((row.lid, row.rid) for row in out.collect())
+        assert pairs == [(1, 10), (1, 11)]
+        assert "dropDuplicates" not in out._jdf.queryExecution().logical().toString()
+
     def test_pre_epoch_floor_bucketing(self, spark):
         # Truncation-toward-zero would misbucket pre-1970 timestamps;
         # floor must keep window semantics identical on both sides of 0.

@@ -90,6 +90,11 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": [],
         "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
+    "ts_interval_overlap": {
+        # canonical-bucket interval join: plain equi-join, no dedup pass
+        "want": [],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct", "Deduplicate"],
+    },
     "rel_top_supplier_revenue": {
         # rank BEFORE the dim join; the single-group window collapses
         # to a global TakeOrderedAndProject (no full sort) and the
