@@ -52,13 +52,20 @@ def asof_join(
     direction='backward' (default): greatest r.ts <= l.ts.
     direction='forward': smallest r.ts >= l.ts (the carry-forward
     window simply runs in reverse time order).
+    direction='nearest': whichever of those two candidates has the
+    smaller |gap|; exact ties pick the backward row (pandas
+    ``merge_asof(direction='nearest')`` semantics — pinned by the
+    equivalence test). Costs a second window pass over the SAME
+    key-partitioning: still one shuffle, two per-partition sorts.
     right_cols: right payload columns to attach (default: all except
     key/ts). Attached as ``<name><suffix>`` plus ``<right_ts><suffix>``.
     tolerance_seconds: if set, matches farther than this are nulled out
     (same as pandas ``merge_asof(tolerance=...)``).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
 
@@ -88,9 +95,6 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag)
-    # Right rows sort before left rows at equal ts so equality matches;
-    # forward direction = the same carry in reverse time order.
-    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     # Carry the whole right payload as ONE struct: carrying columns
     # independently would stitch together values from different right
     # rows whenever a payload column is NULL (the matched row's NULL
@@ -99,17 +103,42 @@ def asof_join(
     row_struct = F.when(
         F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in payload])
     )
+
     # Tiebreak among right rows sharing (key, ts): order by the payload
     # struct itself so the carried "last" is the struct-max — total and
     # run-stable (F.last under equal sort keys is shuffle-dependent).
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col(_SIDE), row_struct.asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__cf")
-    )
+    def carry(ts_order: F.Column) -> F.Column:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col(_SIDE), row_struct.asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(row_struct, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both candidates over the SAME partitioning — one shuffle
+        carried = unioned.select(
+            "*",
+            carry(F.col("__ts")).alias("__cf_b"),
+            carry(F.col("__ts").desc()).alias("__cf_f"),
+        )
+        l_us = F.unix_micros(F.col(left_ts))
+        b_ts = F.col("__cf_b")[f"{right_ts}{suffix}"]
+        f_ts = F.col("__cf_f")[f"{right_ts}{suffix}"]
+        gap_b = l_us - F.unix_micros(b_ts)
+        gap_f = F.unix_micros(f_ts) - l_us
+        pick_b = F.col("__cf_f").isNull() | (
+            F.col("__cf_b").isNotNull() & (gap_b <= gap_f)
+        )
+        carried = carried.select(
+            "*",
+            F.when(pick_b, F.col("__cf_b")).otherwise(F.col("__cf_f")).alias("__cf"),
+        )
+    else:
+        ts_order = (
+            F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+        )
+        carried = unioned.select("*", carry(ts_order).alias("__cf"))
     out = carried.filter(F.col(_SIDE) == 1)
 
     matched_ts = F.col("__cf")[f"{right_ts}{suffix}"]
@@ -118,6 +147,8 @@ def asof_join(
         gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         in_tol = gap <= int(tolerance_seconds * 1_000_000)
 
     keep: list = [F.col(c) for c in on]

@@ -309,6 +309,54 @@ class TestAsofForward:
             asof_join(trades, quotes, on=["key"], direction="sideways")
 
 
+class TestAsofNearest:
+    def test_nearest_semantics(self, spark):
+        left = spark.createDataFrame(
+            [("A", ts("2024-01-01 10:00:00"), 1),   # back 60s vs fwd 120s -> back
+             ("A", ts("2024-01-01 10:03:30"), 2),   # back 150s vs fwd 90s -> fwd
+             ("A", ts("2024-01-01 10:02:00"), 3),   # exact tie 60s -> backward
+             ("B", ts("2024-01-01 10:00:00"), 4)],  # no quotes: null
+            "key string, ts timestamp, tid int",
+        )
+        right = spark.createDataFrame(
+            [("A", ts("2024-01-01 09:59:00"), 100.0),
+             ("A", ts("2024-01-01 10:01:00"), 101.0),
+             ("A", ts("2024-01-01 10:05:00"), 102.0)],
+            "key string, ts timestamp, px double",
+        )
+        got = {
+            r.tid: r.px_r
+            for r in asof_join(
+                left, right, on=["key"], right_cols=["px"], direction="nearest"
+            ).collect()
+        }
+        assert got == {1: 100.0, 2: 102.0, 3: 101.0, 4: None}
+        # tid=3: 10:02 is 60s after 10:01 and 180s before 10:05 -> 101;
+        # a true tie is covered by the pandas-equivalence test below
+
+    def test_nearest_matches_pandas(self, spark, trades, quotes):
+        from chrono_ts_spark.operators.asof import asof_join_pandas
+
+        native = asof_join(
+            trades, quotes, on=["key"], right_cols=["px"], direction="nearest"
+        )
+        pandas_form = asof_join_pandas(
+            trades, quotes, on=["key"], right_cols=["px"], direction="nearest"
+        )
+        cols = sorted(native.columns)
+        a = sorted(tuple(r) for r in native.select(*cols).collect())
+        b = sorted(tuple(r) for r in pandas_form.select(*cols).collect())
+        assert a == b
+
+    def test_nearest_tolerance(self, spark, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], right_cols=["px"],
+            direction="nearest", tolerance_seconds=90,
+        ).collect()
+        got = {r.trade_id: r.px_r for r in out}
+        assert len(out) == 4  # tolerance nulls, never drops
+
+
 def _nskey(rows):
     return sorted(
         (tuple(r) for r in rows),

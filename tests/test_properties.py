@@ -67,6 +67,83 @@ def test_gapfill_row_count_and_locf(spark, pts):
             assert (r.value_locf is not None) == seen
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probes=series, builds=series)
+def test_left_range_join_matches_naive(spark, probes, builds):
+    """Bucketed left range join == naive inequality left join on any
+    input: same pairs, zero-preserving, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from chrono_ts_spark.operators.rangejoin import range_join
+
+    pdf = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s), i) for i, (k, s, _) in enumerate(probes)],
+        "key string, ts timestamp, pid int",
+    )
+    bdf = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s), v) for (k, s, v) in builds],
+        "key string, bts timestamp, bv double",
+    )
+    got = sorted(
+        (r.pid, r.bts, r.bv)
+        for r in range_join(
+            pdf, bdf, on=["key"], probe_ts="ts", build_ts="bts",
+            lookback_seconds=600, how="left", probe_id="pid",
+        ).collect()
+    )
+    want = []
+    for i, (k, s, _) in enumerate(probes):
+        matches = [
+            (i, BASE + timedelta(seconds=bs), bv)
+            for (bk, bs, bv) in builds
+            if bk == k and s - 600 < bs <= s
+        ]
+        want.extend(matches if matches else [(i, None, None)])
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lhs=series, rhs=series)
+def test_interval_join_matches_naive(spark, lhs, rhs):
+    """Canonical-bucket interval join == naive overlap join, each pair
+    exactly once (multiset equality)."""
+    from chrono_ts_spark.operators.rangejoin import interval_join
+
+    # interval = [start, start + len] with len derived from the float
+    ldf = spark.createDataFrame(
+        [
+            (k, BASE + timedelta(seconds=s),
+             BASE + timedelta(seconds=s + int(abs(v) * 30)), i)
+            for i, (k, s, v) in enumerate(lhs)
+        ],
+        "key string, ls timestamp, le timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, BASE + timedelta(seconds=s),
+             BASE + timedelta(seconds=s + int(abs(v) * 30)), j)
+            for j, (k, s, v) in enumerate(rhs)
+        ],
+        "key string, rs timestamp, re timestamp, rid int",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, on=["key"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_seconds=600,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, ls_, lv) in enumerate(lhs)
+        for j, (rk, rs_, rv) in enumerate(rhs)
+        if lk == rk
+        and ls_ <= rs_ + int(abs(rv) * 30)
+        and rs_ <= ls_ + int(abs(lv) * 30)
+    )
+    assert got == want
+
+
 salted_rows = st.lists(
     st.tuples(
         st.sampled_from(["x", "y", "z"]),
