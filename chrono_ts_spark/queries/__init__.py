@@ -98,6 +98,7 @@ _WINDOW_50 = [
     # -- (c) new this round --
     "ts_range_join_left",
     "ts_interval_overlap",
+    "ts_rolling_zscore",
     "rel_top_supplier_revenue",
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
@@ -113,7 +114,6 @@ _WINDOW_50 = [
     "ts_range_join_counts",
     "rel_pricing_summary",
     "rel_top_revenue_orders",
-    "rel_brand_stats",
     "rel_customers_without_orders",
     "rel_nation_pairs",
     "rel_pivot_status",

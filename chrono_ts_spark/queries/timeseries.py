@@ -296,6 +296,85 @@ def ts_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W3+: rolling z-score anomaly signal (frame stats from exact sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_zscore",
+    oracle=f"""
+SELECT user_id, event_id, {sql_ts_str('ts')} AS ts_s, value,
+       CASE WHEN n >= 2 AND (sumsq - sum1 * sum1 / n) / (n - 1) > 0
+            THEN (value - sum1 / n)
+                 / sqrt((sumsq - sum1 * sum1 / n) / (n - 1))
+       END AS zscore
+FROM (
+    SELECT user_id, event_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER w AS DOUBLE) AS sum1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                OVER w AS DOUBLE) AS sumsq,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+)
+""",
+    tags=("tsdb", "W3", "anomaly"),
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 11-point z-score per user — the standard streaming-ish
+    anomaly signal, computed from decimal-exact frame sums.
+
+    Every float op after the exact decimal sums (divide, multiply,
+    sqrt) is IEEE-correctly-rounded and appears in the identical order
+    on both sides, so the score is bit-identical (sqrt is exact per
+    IEEE-754, unlike ln/exp — docs/determinism.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    d = dec("value", 18, 6)
+    sum1 = F.sum(d).over(w).cast("double")
+    sumsq = F.sum(d * d).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        "value",
+        sum1.alias("sum1"),
+        sumsq.alias("sumsq"),
+        n.alias("n"),
+    )
+    var = (F.col("sumsq") - F.col("sum1") * F.col("sum1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        (F.col("n") >= 2) & (var > 0),
+        (F.col("value") - F.col("sum1") / F.col("n")) / F.sqrt(var),
+    )
+    return base.select("user_id", "event_id", "ts_s", "value", z.alias("zscore"))
+
+
+@query("ts_lttb_downsample", oracle=None, tags=("tsdb", "downsample", "no-oracle"))
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling: each user's month of events reduced to
+    ≤ 48 shape-preserving points. No SQL oracle (the algorithm is
+    sequential per series); pytest pins it against the shared pure-
+    Python reference on planted shapes."""
+    from ..operators.lttb import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, ["user_id"], "ts", "value", 48).select(
+        "user_id", ts_str("ts").alias("ts_s"), "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # W5: gap-fill + LOCF + linear interpolation
 # ---------------------------------------------------------------------------
 

@@ -427,3 +427,55 @@ class TestGapfillValidation:
         with _pytest.raises(ValueError, match="not aligned"):
             gapfill(df, ["key"], "ts", "v", 3600,
                     "2024-01-01 00:30:00", "2024-01-01 04:30:00")
+
+
+class TestLTTB:
+    def test_small_series_pass_through(self, spark):
+        from chrono_ts_spark.operators.lttb import lttb_downsample
+
+        df = spark.createDataFrame(
+            [("a", ts("2024-01-01 00:00:00"), 1.0),
+             ("a", ts("2024-01-01 01:00:00"), 2.0)],
+            "key string, ts timestamp, v double",
+        )
+        out = lttb_downsample(df, ["key"], "ts", "v", 10).collect()
+        assert len(out) == 2
+
+    def test_matches_reference_and_keeps_extremes(self, spark):
+        import math
+
+        from chrono_ts_spark.operators.lttb import (
+            lttb_downsample,
+            lttb_select_indices,
+        )
+
+        # two series: a sine with one violent spike, and a ramp
+        rows = []
+        base = ts("2024-01-01 00:00:00")
+        import datetime
+
+        for i in range(500):
+            t = base + datetime.timedelta(minutes=10 * i)
+            v = math.sin(i / 10.0) * 10
+            if i == 250:
+                v = 500.0  # spike LTTB must keep
+            rows.append(("sine", t, v))
+            rows.append(("ramp", t, float(i)))
+        df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+        out = lttb_downsample(df, ["key"], "ts", "v", 40)
+        got = {
+            k: sorted((r.ts, r.v) for r in out.collect() if r.key == k)
+            for k in ("sine", "ramp")
+        }
+        for key in ("sine", "ramp"):
+            series = sorted((t, v) for (k, t, v) in rows if k == key)
+            xs = [t.timestamp() for t, _ in series]
+            ys = [v for _, v in series]
+            want = [(series[i][0], series[i][1])
+                    for i in lttb_select_indices(xs, ys, 40)]
+            assert got[key] == sorted(want), key
+            assert len(got[key]) == 40
+        # the spike survives downsampling
+        assert any(v == 500.0 for _, v in got["sine"])
+        # first/last points always kept
+        assert got["ramp"][0][1] == 0.0 and got["ramp"][-1][1] == 499.0

@@ -120,6 +120,18 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": [],
         "forbid": ["Exchange", "CartesianProduct"],
     },
+    "ts_rolling_zscore": {
+        # one hash Exchange on user_id feeds a single Window; both
+        # frame sums + the count share it (no second shuffle, no join)
+        "want": ["Window"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
+    "ts_lttb_downsample": {
+        # the sanctioned per-series Python boundary: one shuffle on the
+        # series key into FlatMapGroupsInPandas — nothing else
+        "want": ["FlatMapGroupsInPandas"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
 }
 
 
