@@ -103,6 +103,7 @@ _WINDOW_50 = [
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
     "doc_chunk_tokens",
+    "doc_dup_clusters",
     "emb_quantize_int8",
     # -- (d) keepers: one representative per §2 operator family --
     "ts_bucket_agg",
@@ -116,7 +117,6 @@ _WINDOW_50 = [
     "rel_top_revenue_orders",
     "rel_customers_without_orders",
     "rel_nation_pairs",
-    "rel_pivot_status",
     "rel_top_orders_per_cust",
 ]
 

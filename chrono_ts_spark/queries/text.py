@@ -8,7 +8,7 @@ mirrored as list_filter(string_split_regex(...)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -19,7 +19,9 @@ from ..operators.dedup import (
     simhash,
     simhash_hamming_neighbors,
     tokenize,
+    widen,
 )
+from ..operators.graph import connected_components
 from ..operators.textfns import (
     LANG_STOPWORDS,
     bpe_ish_token_count,
@@ -763,4 +765,100 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(sliced).cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", sliced)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6+: near-duplicate CLUSTER resolution (inverted-index candidates →
+# exact-Jaccard edges → distributed connected components)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+), ex AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM s
+), rare AS (
+    SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 5
+), posting AS (
+    SELECT doc_id, shingle FROM ex JOIN rare USING (shingle)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM posting a JOIN posting b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT id_a AS ea, id_b AS eb
+    FROM pairs p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+), sym AS (
+    SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges
+), reach(node, origin) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.eb, reach.origin FROM reach JOIN sym ON sym.ea = reach.node
+), comp AS (
+    SELECT node AS doc_id, MIN(origin) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+    tags=("text", "X6", "graph"),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: every doc labeled with the minimum
+    doc_id of its transitive near-dup group.
+
+    Candidate generation here is the ORACLE-PORTABLE inverted-index
+    path (docs sharing a rare shingle — document frequency in [2, 5] —
+    become candidate pairs), because MinHash uses Spark-only xxhash64.
+    Both paths bound candidates without any all-pairs product: posting
+    lists are frequency-capped, so a shingle with df ≤ f emits ≤ f²/2
+    pairs, and stop-shingles (df > 5) are dropped the way LSH banding
+    drops common bands. Candidates are verified with exact Jaccard
+    (O(candidates), semi-join shingling) and the surviving edges are
+    resolved into clusters with the alternating-star distributed
+    connected-components operator (operators/graph.py) — transitive
+    closure without any driver-side graph state. The DuckDB oracle
+    mirrors edge generation verbatim and replaces the star algorithm
+    with a recursive-CTE reachability closure: two completely different
+    CC algorithms agreeing on every cluster label.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = widen(d).select(
+        "doc_id",
+        F.explode(shingles(tokenize(F.col("text")), 5)).alias("shingle"),
+    )
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 5))
+        .select("shingle")
+    )
+    posting = ex.join(rare, "shingle")
+    pairs = (
+        posting.select("shingle", F.col("doc_id").alias("id_a"))
+        .join(posting.select("shingle", F.col("doc_id").alias("id_b")), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = exact_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )

@@ -245,3 +245,75 @@ class TestIVF:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/graph.py) vs pure-Python union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id in component
+    labels: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        labels[node] = min(labels.get(root, root), root)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def _check(self, spark, edges):
+        from chrono_ts_spark.operators.graph import connected_components
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r.node: r.component
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        want = _union_find_components(edges)
+        # union-find roots are not necessarily minima; normalize both
+        # sides to min-of-component
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for n, r in want.items():
+            groups[r].append(n)
+        want_min = {n: min(ns) for r, ns in groups.items() for n in ns}
+        assert got == want_min
+
+    def test_two_triangles_and_bridge(self, spark):
+        self._check(
+            spark,
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)],
+        )
+
+    def test_long_chain_converges_fast(self, spark):
+        # a 300-node path: label propagation would need 300 rounds;
+        # alternating stars must finish inside the 25-round cap
+        self._check(spark, [(i, i + 1) for i in range(300)])
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 80
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            self._check(spark, edges)
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        self._check(spark, [(5, 1), (1, 5), (5, 1), (2, 5), (9, 2)])
