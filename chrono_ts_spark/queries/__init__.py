@@ -104,6 +104,9 @@ _WINDOW_50 = [
     "doc_pii_scrub",
     "doc_chunk_tokens",
     "doc_dup_clusters",
+    "doc_hash_sample",
+    "doc_decontaminate",
+    "doc_pack_sequences",
     "emb_quantize_int8",
     # -- (d) keepers: one representative per §2 operator family --
     "ts_bucket_agg",
@@ -115,9 +118,6 @@ _WINDOW_50 = [
     "ts_range_join_counts",
     "rel_pricing_summary",
     "rel_top_revenue_orders",
-    "rel_customers_without_orders",
-    "rel_nation_pairs",
-    "rel_top_orders_per_cust",
 ]
 
 

@@ -862,3 +862,169 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline+: deterministic reproducible sampling (hash-keyed Bernoulli
+# + exact stratified top-k — no RNG, stable under retries/partitioning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_hash_sample",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+), r AS (
+    SELECT doc_id, lang, hk,
+           substr(hk, 1, 1) IN ('0', '1') AS bern,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+    FROM h
+)
+SELECT doc_id, lang, bern, CAST(rk AS INTEGER) AS strat_rank
+FROM r WHERE bern OR rk <= 20
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling without RNG.
+
+    Two standard pipeline sampling modes, both keyed on md5(doc_id) so
+    the sample is a pure function of the data — stable under task
+    retries, repartitioning, and engine version (unlike seeded
+    `sample()`, whose per-partition RNG is engine-specific — the reason
+    `rel_sample` is rows-only):
+    - Bernoulli p=1/8: first hex nibble ∈ {0,1}.
+    - Exact stratified top-20 per language by hash order (deterministic
+      "random" ranking; at scale WindowGroupLimit keeps only 20 rows
+      per stratum per partition before the shuffle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", "lang", hk.alias("hk"))
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    r = base.select(
+        "doc_id",
+        "lang",
+        F.substring("hk", 1, 1).isin("0", "1").alias("bern"),
+        F.row_number().over(w).alias("strat_rank"),
+    )
+    return r.filter(F.col("bern") | (F.col("strat_rank") <= 20))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline+: benchmark decontamination (shingle overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+), bench AS (
+    SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s WHERE doc_id % 97 = 0
+), train AS (
+    SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s WHERE doc_id % 97 <> 0
+), pair_hits AS (
+    SELECT tr.doc_id, b.bench_id, COUNT(*) AS n_shared
+    FROM train tr JOIN bench b USING (shingle)
+    GROUP BY tr.doc_id, b.bench_id
+), per_doc AS (
+    SELECT doc_id, COUNT(DISTINCT bench_id) AS n_bench_hits,
+           MAX(n_shared) AS max_shared
+    FROM pair_hits GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(p.n_bench_hits, 0) AS n_bench_hits,
+       CAST(COALESCE(p.max_shared, 0) AS DOUBLE) / len(s.sh) AS max_overlap,
+       CAST(COALESCE(p.max_shared, 0) AS DOUBLE) / len(s.sh) >= 0.2 AS contaminated
+FROM s LEFT JOIN per_doc p USING (doc_id)
+WHERE s.doc_id % 97 <> 0
+""",
+    tags=("text", "pipeline", "decontamination"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against an eval set.
+
+    The benchmark set (here: every 97th doc, a deterministic synthetic
+    stand-in for a real eval suite) is shingled and BROADCAST — eval
+    suites are a few MB of n-grams next to a 100 TB corpus, so the scan
+    side never shuffles; each training doc scores
+    max_b |sh(d) ∩ sh(b)| / |sh(d)| and is flagged at ≥ 0.2 overlap.
+    Zero-hit docs are preserved via left join (the common case — the
+    output is the full decontamination report, not just the flags).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = widen(d).select(
+        "doc_id", shingles(tokenize(F.col("text")), 5).alias("sh")
+    )
+    bench = s.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("shingle")
+    )
+    train = s.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    pair_hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = pair_hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_hits"),
+        F.max("n_shared").alias("max_shared"),
+    )
+    base = s.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("sh").alias("n_sh")
+    )
+    out = base.join(per_doc, "doc_id", "left")
+    overlap = F.coalesce(F.col("max_shared"), F.lit(0)).cast("double") / F.col(
+        "n_sh"
+    ).cast("double")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
+        overlap.alias("max_overlap"),
+        (overlap >= 0.2).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline+: sequence packing (greedy token-budget batching)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, lang, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tok,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
+    FROM documents
+), packed(lang, rn, doc_id, n_tok, pack_id, fill) AS (
+    SELECT lang, rn, doc_id, n_tok, 0, n_tok FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.lang, t.rn, t.doc_id, t.n_tok,
+           CASE WHEN p.fill + t.n_tok > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+           CASE WHEN p.fill + t.n_tok > 256 THEN t.n_tok ELSE p.fill + t.n_tok END
+    FROM packed p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT lang, doc_id, n_tok, CAST(pack_id AS INTEGER) AS pack_id FROM packed
+""",
+    tags=("text", "pipeline", "packing"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs fill 256-token training packs in
+    doc_id order per language (operators/packing.py — the sequential
+    per-stream scan is the sanctioned applyInPandas boundary; the SQL
+    oracle replays the identical greedy rule as a recursive CTE, one
+    doc per recursion step)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(tokenize(F.col("text"))).cast("int").alias("n_tok")
+    )
+    from ..operators.packing import pack_sequences
+
+    return pack_sequences(sized, ["lang"], "doc_id", "n_tok", 256)

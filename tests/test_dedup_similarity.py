@@ -317,3 +317,44 @@ class TestConnectedComponents:
 
     def test_duplicate_and_reversed_edges(self, spark):
         self._check(spark, [(5, 1), (1, 5), (5, 1), (2, 5), (9, 2)])
+
+
+class TestPackSequences:
+    def test_greedy_rule_and_oversized(self, spark):
+        from chrono_ts_spark.operators.packing import pack_sequences
+
+        rows = [
+            # lang, doc_id, n_tok — cap 10:
+            ("en", 1, 4), ("en", 2, 5),        # pack 0 (fill 9)
+            ("en", 3, 2),                      # 9+2>10 → pack 1
+            ("en", 4, 25),                     # oversized → pack 2 alone
+            ("en", 5, 1),                      # 25+1>10 → pack 3
+            ("fr", 9, 10),                     # exactly cap → pack 0
+            ("fr", 10, 1),                     # 10+1>10 → pack 1
+        ]
+        df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_tok int")
+        got = {
+            (r.lang, r.doc_id): r.pack_id
+            for r in pack_sequences(df, ["lang"], "doc_id", "n_tok", 10).collect()
+        }
+        assert got == {
+            ("en", 1): 0, ("en", 2): 0, ("en", 3): 1, ("en", 4): 2,
+            ("en", 5): 3, ("fr", 9): 0, ("fr", 10): 1,
+        }
+
+    def test_pack_fill_never_exceeds_capacity_except_oversized(self, spark):
+        import random as _r
+
+        from chrono_ts_spark.operators.packing import pack_sequences
+
+        rng = _r.Random(3)
+        rows = [("g", i, rng.randint(1, 60)) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_tok int")
+        out = pack_sequences(df, ["lang"], "doc_id", "n_tok", 100).collect()
+        fills = {}
+        for r in out:
+            fills.setdefault(r.pack_id, 0)
+            fills[r.pack_id] += r.n_tok
+        assert all(f <= 100 for f in fills.values())
+        # packs are contiguous ids 0..max
+        assert sorted(fills) == list(range(len(fills)))
