@@ -108,16 +108,17 @@ _WINDOW_50 = [
     "doc_decontaminate",
     "doc_pack_sequences",
     "emb_quantize_int8",
-    # -- (d) keepers: one representative per §2 operator family --
+    "rel_promo_revenue",
+    "rel_disjunctive_revenue",
+    "rel_market_share",
+    "rel_only_late_supplier",
+    "rel_idle_rich_customers",
+    # -- (d) keepers: flagship + bench anchors (evicted keepers were all
+    # green in CORRECTNESS_r01 and rotate back in round 3) --
     "ts_bucket_agg",
-    "ts_rate",
-    "ts_ohlc_daily",
     "ts_sessionize",
-    "ts_gapfill_locf",
     "ts_asof_join",
-    "ts_range_join_counts",
     "rel_pricing_summary",
-    "rel_top_revenue_orders",
 ]
 
 

@@ -1133,3 +1133,279 @@ def rel_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("total_revenue"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: promo revenue share per ship month (conditional agg over a
+# broadcast dim join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_promo_revenue",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_SQL_REV} END) AS DOUBLE)
+           / CAST(SUM({_SQL_REV}) AS DOUBLE) AS promo_share,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY ship_year, ship_month
+""",
+    tags=("relational", "A9", "tpch"),
+)
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: PROMO-part share of monthly revenue.
+
+    part is the broadcast dim; months with zero promo revenue yield a
+    NULL share on both engines (SUM over an empty CASE branch), keeping
+    the null semantics oracle-symmetric.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), _rev())).cast("double")
+    total = F.sum(_rev()).cast("double")
+    return (
+        j.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            (promo / total).alias("promo_share"),
+            total.alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive multi-attribute predicate (OR-of-ANDs across
+# the join — Catalyst must still push the common part and split the rest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_disjunctive_revenue",
+    oracle=f"""
+SELECT p_brand, COUNT(*) AS n_lines, CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+""",
+    tags=("relational", "P2", "tpch"),
+)
+def rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: OR-of-ANDs mixing part and lineitem attributes.
+
+    The single-table disjuncts (brand ∈ {...} on part, quantity ≤ 30 on
+    lineitem) are pushdown-eligible even though the full predicate
+    spans the join — the explain audit asserts the scans are pre-filtered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#7") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        j.filter(pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: national market share inside a region by order year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_SQL_REV} END) AS DOUBLE)
+           / CAST(SUM({_SQL_REV}) AS DOUBLE) AS mkt_share,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS region_revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE r_name = 'ASIA' AND p_type LIKE 'STANDARD%'
+GROUP BY o_year
+""",
+    tags=("relational", "J1", "tpch"),
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3 suppliers' share of ASIA-customer STANDARD-part
+    revenue per order year. Every dimension (customer-side nation chain,
+    supplier nation, filtered part) broadcasts; the fact table shuffles
+    once for the year rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("STANDARD%")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    nation3 = F.sum(F.when(F.col("sn_name") == "NATION_3", _rev())).cast("double")
+    total = F.sum(_rev()).cast("double")
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (nation3 / total).alias("mkt_share"),
+        total.alias("region_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: suppliers who were the ONLY late supplier on multi-supplier
+# orders (EXISTS + NOT-EXISTS, rewritten as one per-order aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_only_late_supplier",
+    oracle="""
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+), per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_orderkey
+), late_per_order AS (
+    SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late_supp
+    FROM late GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN per_order USING (l_orderkey)
+JOIN late_per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+""",
+    tags=("relational", "J3", "tpch"),
+)
+def rel_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adaptation (lateness = shipped >90 days after order date):
+    late lines on orders with ≥2 suppliers where no OTHER supplier was
+    late.
+
+    The textbook EXISTS/NOT-EXISTS pair is rewritten as per-order
+    supplier counts — two aggregations sharing one orderkey shuffle
+    instead of two correlated self-joins of the 100 TB fact table; the
+    oracle SQL uses the same rewrite (the equivalence EXISTS(other
+    supplier) ⇔ n_supp ≥ 2, NOT EXISTS(other late) ⇔ n_late_supp = 1
+    given the row itself is late, holds by construction).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    ).select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: above-average-balance customers with no orders (global
+# scalar subquery + anti-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_idle_rich_customers",
+    oracle=f"""
+WITH thresh AS (
+    SELECT {sql_dsum('c_acctbal', 12, 2)} / COUNT(*) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal', 12, 2)} AS total_bal
+FROM customer, thresh
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1998-01-01'
+  )
+GROUP BY c_mktsegment
+""",
+    tags=("relational", "J3", "tpch"),
+)
+def rel_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 adaptation: customers above the positive-balance average with
+    no orders since 1998 ("idle rich"), rolled up by market segment.
+
+    The global average is a 1-row aggregate cross-joined in (broadcast,
+    exact decimal sum / count so the threshold double is bit-identical
+    across engines); the inactivity predicate is a left-anti join that
+    ships only the filtered o_custkey column."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 12, 2) / F.count(F.lit(1))).alias("ab")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", 12, 2).alias("total_bal"),
+        )
+    )

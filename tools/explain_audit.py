@@ -126,6 +126,26 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["Window"],
         "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
     },
+    "rel_promo_revenue": {
+        # ship-date range reaches the scan; part is a broadcast dim
+        "want": ["PushedFilters: [IsNotNull(l_shipdate)", "BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "rel_disjunctive_revenue": {
+        # OR-of-ANDs: the single-table disjunctions must still prune
+        # the scans (brand IN-list on part, quantity range on lineitem)
+        "want": ["Or(", "BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "rel_market_share": {
+        # seven-table star: every dim broadcasts, fact shuffles once
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "rel_only_late_supplier": {
+        "want": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "ts_lttb_downsample": {
         # the sanctioned per-series Python boundary: one shuffle on the
         # series key into FlatMapGroupsInPandas — nothing else
