@@ -96,3 +96,24 @@ def doc_fingerprint(text: Column, shingle_k: int = 5) -> Column:
 def content_md5(text: Column) -> Column:
     """Normalized exact-dup digest: lowercase, collapsed whitespace."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """All word n-grams in order (with duplicates — repetition metrics
+    need the multiset, unlike ``dedup.shingles`` which distinct-ifies
+    and falls back to the whole document for short inputs). Documents
+    shorter than n tokens yield an empty array, never a partial gram.
+
+    The guard matters: Spark's ``sequence(1, size - (n-1))`` produces a
+    DESCENDING sequence when size < n instead of an empty one.
+    """
+    if n == 1:
+        return tokens
+    size = F.size(tokens)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

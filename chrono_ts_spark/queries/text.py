@@ -28,6 +28,7 @@ from ..operators.textfns import (
     content_md5,
     doc_fingerprint,
     lang_id,
+    ngrams,
     quality_score,
     token_count,
 )
@@ -1028,3 +1029,212 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_sequences
 
     return pack_sequences(sized, ["lang"], "doc_id", "n_tok", 256)
+
+
+# ---------------------------------------------------------------------------
+# X8+: Gopher-style repetition filter (within-doc duplicate n-grams)
+# ---------------------------------------------------------------------------
+
+_SQL_NGRAM = (
+    "CASE WHEN len(toks) >= {n} THEN "
+    "list_transform(generate_series(1, len(toks) - {nm1}), "
+    "i -> array_to_string(toks[i:i+{nm1}], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+@query(
+    "doc_repetition_filter",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+    SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM w
+    UNION ALL
+    SELECT doc_id, 2 AS n, unnest({_SQL_NGRAM.format(n=2, nm1=1)}) AS gram FROM w
+    UNION ALL
+    SELECT doc_id, 3 AS n, unnest({_SQL_NGRAM.format(n=3, nm1=2)}) AS gram FROM w
+), c AS (
+    SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram
+)
+SELECT doc_id,
+    CAST(SUM(CASE WHEN n = 1 THEN c END) AS BIGINT) AS n_words,
+    CAST(SUM(CASE WHEN n = 1 THEN c END) - COUNT(CASE WHEN n = 1 THEN 1 END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN n = 1 THEN c END) AS DOUBLE) AS dup_word_frac,
+    COALESCE(CAST(SUM(CASE WHEN n = 2 THEN c END) - COUNT(CASE WHEN n = 2 THEN 1 END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) AS dup_bigram_frac,
+    COALESCE(CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) AS top_bigram_mass,
+    COALESCE(CAST(SUM(CASE WHEN n = 3 THEN c END) - COUNT(CASE WHEN n = 3 THEN 1 END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN n = 3 THEN c END) AS DOUBLE), 0.0) AS dup_trigram_frac,
+    CAST(CASE WHEN SUM(CASE WHEN n = 1 THEN c END) >= 12 AND (
+        COALESCE(CAST(SUM(CASE WHEN n = 2 THEN c END) - COUNT(CASE WHEN n = 2 THEN 1 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) > 0.08
+        OR COALESCE(CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) > 0.12
+        OR COALESCE(CAST(SUM(CASE WHEN n = 3 THEN c END) - COUNT(CASE WHEN n = 3 THEN 1 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 3 THEN c END) AS DOUBLE), 0.0) > 0.04
+    ) THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM c
+GROUP BY doc_id
+""",
+    tags=("text", "X8", "pipeline"),
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics in the style of the Gopher
+    quality filters (occurrence-fraction analogue of "fraction of
+    characters in duplicate n-grams"): duplicate word/bigram/trigram
+    occurrence fractions plus the single most-frequent bigram's share,
+    and an OR-of-thresholds flag.
+
+    Plan shape: one map-side n-gram expansion (textfns.ngrams builds
+    unigram+bigram+trigram entries before a single explode, so the
+    document text is read once), then two hash aggregations —
+    (doc_id, n, gram) counts with map-side partial combine of repeated
+    grams, and a conditional rollup to one row per document. No joins;
+    shuffle volume is gram counts, not text. Thresholds are tuned to
+    the synthetic word-soup corpus (natural-corpus deployments would
+    use the published Gopher character-fraction cutoffs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    def _entries(n: int):
+        # single-arg lambda: a two-arg one would receive (element, index)
+        return F.transform(
+            ngrams(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    entries = F.concat(_entries(1), _entries(2), _entries(3))
+    grams = d.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+
+    def _tot(n: int):
+        return F.sum(F.when(F.col("n") == n, F.col("c")))
+
+    def _nd(n: int):
+        return F.count(F.when(F.col("n") == n, F.lit(1)))
+
+    def _dup(n: int):
+        return F.coalesce(
+            (_tot(n) - _nd(n)).cast("double") / _tot(n).cast("double"), F.lit(0.0)
+        )
+
+    top2 = F.coalesce(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).cast("double")
+        / _tot(2).cast("double"),
+        F.lit(0.0),
+    )
+    return counts.groupBy("doc_id").agg(
+        _tot(1).cast("bigint").alias("n_words"),
+        ((_tot(1) - _nd(1)).cast("double") / _tot(1).cast("double")).alias(
+            "dup_word_frac"
+        ),
+        _dup(2).alias("dup_bigram_frac"),
+        top2.alias("top_bigram_mass"),
+        _dup(3).alias("dup_trigram_frac"),
+        ((_tot(1) >= 12) & ((_dup(2) > 0.08) | (top2 > 0.12) | (_dup(3) > 0.04)))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline+: domain-mixture sampling (target per-language corpus shares)
+# ---------------------------------------------------------------------------
+
+_MIXTURE_WEIGHTS = {"en": 0.40, "zh": 0.15, "es": 0.15, "fr": 0.15, "de": 0.15}
+
+_SQL_U32 = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+)
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=f"""
+WITH wts(lang, w) AS (
+    VALUES {", ".join(f"('{l}', CAST({w} AS DOUBLE))" for l, w in _MIXTURE_WEIGHTS.items())}
+), avail AS (
+    SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY lang
+), t AS (
+    SELECT MIN(CAST(n_avail AS DOUBLE) / w) AS target
+    FROM avail JOIN wts USING (lang)
+), rates AS (
+    SELECT lang, n_avail,
+           LEAST(CAST(1 AS DOUBLE), w * target / CAST(n_avail AS DOUBLE)) AS rate
+    FROM avail JOIN wts USING (lang) CROSS JOIN t
+), sampled AS (
+    SELECT d.lang, COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_SQL_U32} < r.rate
+    GROUP BY d.lang
+)
+SELECT r.lang,
+       CAST(r.n_avail AS BIGINT) AS n_avail,
+       r.rate,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(s.n_sampled, 0) AS DOUBLE)
+           / CAST(SUM(COALESCE(s.n_sampled, 0)) OVER () AS DOUBLE) AS realized_share
+FROM rates r LEFT JOIN sampled s USING (lang)
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: resample the corpus so the
+    per-language shares hit a target mixture, keeping the maximum
+    feasible corpus (the binding domain keeps everything; the rest
+    downsample at rate w_d * T / n_d, where T = min_d n_d / w_d).
+
+    Acceptance is a pure function of the data — uniform u =
+    first-32-bits of md5(doc_id) / 2^32 compared to the domain rate —
+    so the sample is stable under retries, repartitioning, and engine
+    (same rationale as doc_hash_sample). Two scans of the corpus (count
+    pass + accept pass), both reading only (doc_id, lang); the 5-row
+    rate table broadcasts. Output is the per-domain sampling report.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wmap = F.create_map(
+        *[F.lit(x) for lw in _MIXTURE_WEIGHTS.items() for x in lw]
+    )
+    avail = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    avail = avail.withColumn("w", wmap[F.col("lang")])
+    t = avail.agg(
+        F.min(F.col("n_avail").cast("double") / F.col("w")).alias("target")
+    )
+    rates = avail.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_avail",
+        F.least(
+            F.lit(1.0),
+            F.col("w") * F.col("target") / F.col("n_avail").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    out = rates.join(sampled, "lang", "left").select(
+        "lang",
+        F.col("n_avail").cast("bigint").alias("n_avail"),
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+    )
+    w_all = Window.partitionBy()
+    return out.withColumn(
+        "realized_share",
+        F.col("n_sampled").cast("double")
+        / F.sum(F.col("n_sampled")).over(w_all).cast("double"),
+    )

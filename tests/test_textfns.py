@@ -81,3 +81,54 @@ def test_fingerprint_and_md5_stability(spark, docs):
     # deterministic across evaluations
     again = rows(docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")))
     assert {k: v.fp for k, v in out.items()} == {k: v.fp for k, v in again.items()}
+
+
+def test_ngrams_short_doc_guard(spark, docs):
+    from chrono_ts_spark.operators.textfns import ngrams
+    from chrono_ts_spark.operators.dedup import tokenize
+
+    toks = tokenize(F.col("text"))
+    out = rows(
+        docs.select(
+            "doc_id",
+            ngrams(toks, 2).alias("bi"),
+            ngrams(toks, 3).alias("tri"),
+        )
+    )
+    assert out[0].bi == [] and out[0].tri == []  # empty doc
+    assert out[2].bi == [] and out[2].tri == []  # 1 word: no partial grams
+    # "xyzzy plugh " * 8 -> 16 tokens, 15 bigrams, every one a repeat of 2
+    assert len(out[5].bi) == 15
+    assert set(out[5].bi) == {"xyzzy plugh", "plugh xyzzy"}
+
+
+def test_repetition_metrics_exact(spark, tmp_path):
+    """Hand-computed fractions for a deliberately repetitive doc."""
+    from chrono_ts_spark.queries import load_all
+
+    d = spark.createDataFrame(
+        [
+            # 18 words alternating a/b -> 17 bigrams (2 distinct)
+            (1, ("a b " * 9).strip(), "en", "s", 35),
+            # all distinct words (below the 12-word flag guard)
+            (2, "u v w x y z", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for t in ("documents",):
+        pass
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    q = load_all()["doc_repetition_filter"]
+    out = {r.doc_id: r for r in q.fn(spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert r1.n_words == 18
+    assert r1.dup_word_frac == pytest.approx((18 - 2) / 18)
+    assert r1.dup_bigram_frac == pytest.approx((17 - 2) / 17)
+    assert r1.top_bigram_mass == pytest.approx(9 / 17)
+    assert r1.dup_trigram_frac == pytest.approx((16 - 2) / 16)
+    assert r1.flagged == 1
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    assert r2.dup_bigram_frac == 0.0
+    assert r2.top_bigram_mass == pytest.approx(1 / 5)
+    assert r2.flagged == 0  # below the 12-word guard

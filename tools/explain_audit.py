@@ -146,6 +146,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": [],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "doc_repetition_filter": {
+        # map-side n-gram expansion (Generate) into two hash
+        # aggregations — no join, text never shuffled
+        "want": ["Generate explode", "HashAggregate"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
     "ts_lttb_downsample": {
         # the sanctioned per-series Python boundary: one shuffle on the
         # series key into FlatMapGroupsInPandas — nothing else
