@@ -1409,3 +1409,43 @@ def rel_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 12, 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J1+: bloom-filter semi-join reduction (fact scan pre-filtered by a
+# selective dim before the exact join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_bloom_join_revenue",
+    oracle=f"""
+SELECT p_brand, COUNT(*) AS n_lines, CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+""",
+    tags=("relational", "J1", "bloom"),
+)
+def rel_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand for size-1 parts, with the lineitem scan reduced
+    by an in-plan bloom filter on the ~2%-selective part subset before
+    the exact join (operators/bloomjoin.py).
+
+    The oracle is the PLAIN join — the bloom admits no false negatives
+    and the exact join removes its false positives, so the reduction
+    must be invisible in the results. At cluster scale this is the
+    shape for a fact-side shuffle join against a dim too big to
+    broadcast: the bloom (kilobytes) broadcasts even when the dim
+    can't, and unmatched fact rows die at the scan instead of crossing
+    the shuffle.
+    """
+    from ..operators.bloomjoin import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    j = bloom_prefilter_join(li, part, "l_partkey", "p_partkey", num_bits=1 << 14)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_rev()).cast("double").alias("revenue"),
+    )

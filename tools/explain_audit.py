@@ -146,6 +146,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": [],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "rel_bloom_join_revenue": {
+        # in-plan bloom build (bit_or agg) broadcast as one row (the
+        # sanctioned NL cross), exact join still broadcast-hash
+        "want": ["bit_or", "BroadcastNestedLoopJoin Cross", "BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
     "doc_repetition_filter": {
         # map-side n-gram expansion (Generate) into two hash
         # aggregations — no join, text never shuffled
