@@ -26,6 +26,7 @@ from ..functions import (
 from ..operators import asof_join, gapfill
 from ..operators.rangejoin import interval_join, range_join, range_join_count
 from ..operators.rate import rate
+from ..operators.scd import scd2
 from ..operators.sessionize import sessionize
 from ..operators.topk import top_k_per_group
 from . import query
@@ -683,4 +684,47 @@ def ts_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n",
         min_cols=["value"],
         max_cols=["value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2+: SCD Type-2 dimension build from the event change log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_scd2_user_state",
+    oracle=f"""
+WITH c AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events
+), runs AS (
+    SELECT user_id, ts, event_type FROM c WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       {sql_ts_str('ts')} AS effective_from,
+       {sql_ts_str('lead(ts) OVER w')} AS effective_to,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+    tags=("tsdb", "scd"),
+)
+def ts_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event_type "state": versioned
+    [effective_from, effective_to) rows, consecutive same-type events
+    collapsed (operators/scd.py — single shuffle, two Windows over one
+    Exchange). (user_id, ts) is unique in the fixture, so no tiebreak
+    columns are needed for a total order."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = scd2(ev, keys=["user_id"], attrs=["event_type"], ts_col="ts")
+    return s.select(
+        "user_id",
+        "event_type",
+        ts_str("effective_from").alias("effective_from"),
+        ts_str("effective_to").alias("effective_to"),
+        "version",
+        "is_current",
     )

@@ -479,3 +479,38 @@ class TestLTTB:
         assert any(v == 500.0 for _, v in got["sine"])
         # first/last points always kept
         assert got["ramp"][0][1] == 0.0 and got["ramp"][-1][1] == 499.0
+
+
+def test_scd2_collapses_and_versions(spark):
+    from chrono_ts_spark.operators.scd import scd2
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a a b b a  -> runs a(v1) b(v2) a(v3)
+        (1, t0 + dt.timedelta(minutes=0), "a"),
+        (1, t0 + dt.timedelta(minutes=1), "a"),
+        (1, t0 + dt.timedelta(minutes=2), "b"),
+        (1, t0 + dt.timedelta(minutes=3), "b"),
+        (1, t0 + dt.timedelta(minutes=4), "a"),
+        # user 2: single observation, incl. a null attr run
+        (2, t0, None),
+        (2, t0 + dt.timedelta(minutes=1), None),
+        (2, t0 + dt.timedelta(minutes=2), "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string")
+    out = scd2(df, keys=["user_id"], attrs=["state"], ts_col="ts")
+    got = sorted(
+        ((r.user_id, r.version, r.state, r.effective_from, r.effective_to, r.is_current)
+         for r in out.collect())
+    )
+    u1 = [g for g in got if g[0] == 1]
+    assert [(g[1], g[2]) for g in u1] == [(1, "a"), (2, "b"), (3, "a")]
+    # contiguity: each version ends where the next begins; last is open
+    for a, b in zip(u1, u1[1:]):
+        assert a[4] == b[3]
+    assert u1[-1][4] is None and u1[-1][5] == 1
+    assert sum(g[5] for g in u1) == 1
+    # null attrs collapse null-safely into one run
+    u2 = [g for g in got if g[0] == 2]
+    assert [(g[1], g[2]) for g in u2] == [(1, None), (2, "x")]

@@ -146,6 +146,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": [],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "ts_scd2_user_state": {
+        # change detect + versioning share one Exchange: two Window ops,
+        # a filter between, no join (verified single-Exchange in docs)
+        "want": ["Window"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
     "rel_bloom_join_revenue": {
         # in-plan bloom build (bit_or agg) broadcast as one row (the
         # sanctioned NL cross), exact join still broadcast-hash
