@@ -1,0 +1,255 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Complements the scalar int8 path (queries/vectors.py emb_quantize_int8)
+and the LSH/IVF ANN operators (operators/similarity.py): vectors are
+split into `m_sub` subspaces, each subspace gets its own K-centroid
+codebook (deterministic Lloyd, same discipline as ivf_fit_centroids —
+decimal-exact per-dimension sums so centroids are shuffle-order
+independent), and every vector compresses to m_sub small codes
+(64 float32 dims → 8 bytes at m_sub=8/K=16 vs 256 bytes raw).
+
+Search is asymmetric distance computation (ADC): each query
+precomputes an (m_sub × K) table of squared subspace distances to
+every centroid; a corpus vector's approximate squared L2 distance is
+the sum of m_sub table lookups on its codes — no decompression.
+
+Scale shape: fitting collects only K×dims centroid sums per iteration
+(bounded, like IVF); encoding is one Arrow-batched pandas UDF pass
+(map-side, no shuffle); ADC scans codes (bytes, not vectors) with the
+query tables shipped in the UDF closure (few-probe assumption, same as
+brute_force_topk), then TakeOrdered-style per-query top-k. The classic
+production follow-up — re-rank the ADC top-R with exact distances —
+is `pq_adc_topk(..., rerank=...)`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .topk import top_k_per_group
+
+
+def _check_geometry(dims: int, m_sub: int) -> int:
+    if dims % m_sub:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    return dims // m_sub
+
+
+def _encode_np(mat: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(B, dims) float64 → (B, m_sub) int32 codes (argmin squared L2
+    per subspace; ties break to the lowest centroid id)."""
+    m_sub, _, sub = codebook.shape
+    codes = np.empty((mat.shape[0], m_sub), dtype=np.int32)
+    for m in range(m_sub):
+        seg = mat[:, m * sub : (m + 1) * sub]
+        # (B, K): ||x||^2 - 2 x.c + ||c||^2 ; argmin unaffected by ||x||^2
+        d = -2.0 * seg @ codebook[m].T + (codebook[m] ** 2).sum(axis=1)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_fit(
+    corpus: DataFrame,
+    dims: int,
+    m_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic PQ codebook (m_sub, k, dims/m_sub).
+
+    Init = every (n/k)-th vector by id sliced into subspaces; each
+    Lloyd round is ONE Spark job covering all subspaces (assign codes,
+    posexplode dims, decimal-exact per-(subspace, centroid, dim) sums;
+    only k×dims sums reach the driver)."""
+    sub = _check_geometry(dims, m_sub)
+    n = corpus.count()
+    stride = max(1, n // k)
+    init_rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    codebook = np.array(
+        [[list(r[0])[m * sub : (m + 1) * sub] for r in init_rows] for m in range(m_sub)],
+        dtype=np.float64,
+    )  # (m_sub, k, sub)
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+
+    for _ in range(iters):
+        enc = pq_encode_udf(codebook)
+        assigned = corpus.select(
+            enc(F.col(vec_col)).alias("codes"),
+            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        ).select(
+            (F.col("pos") / sub).cast("int").alias("m"),
+            F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias("c"),
+            "pos",
+            "val",
+        )
+        sums = (
+            assigned.groupBy("m", "c", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        new = codebook.copy()
+        for m in range(m_sub):
+            rows = [r for r in sums if r.m == m]
+            by_c: dict[int, np.ndarray] = {}
+            n_c: dict[int, int] = {}
+            for r in rows:
+                by_c.setdefault(r.c, np.zeros(sub))[r.pos - m * sub] = r.s
+                n_c[r.c] = r.cnt
+            for cid, vec in by_c.items():
+                new[m, cid] = vec / max(n_c[cid], 1)
+        codebook = new
+    return codebook
+
+
+def pq_encode_udf(codebook: np.ndarray):
+    """pandas UDF: embedding array → m_sub int codes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = codebook.copy()
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        codes = _encode_np(mat, cb)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id_col, codes array<int>] — the compressed corpus."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    enc = pq_encode_udf(codebook)
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 5,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query approximate top-k by ADC over PQ codes.
+
+    With rerank=R > 0, the ADC top-R candidates are re-scored with the
+    exact squared L2 distance (joining the raw vectors back for the
+    candidates only) before the final top-k — the standard
+    quality-recovery stage.
+    """
+    m_sub = codebook.shape[0]
+    q_rows = queries.select(id_col, vec_col).collect()
+    tables = {}
+    for r in q_rows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        sub = codebook.shape[2]
+        tab = np.empty((m_sub, codebook.shape[1]))
+        for m in range(m_sub):
+            seg = qv[m * sub : (m + 1) * sub]
+            tab[m] = ((codebook[m] - seg) ** 2).sum(axis=1)
+        tables[r[0]] = tab
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+
+    codes_df = pq_encode(corpus, codebook, id_col, vec_col)
+    arange = np.arange(m_sub)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qid, tab in tables.items():
+                d = tab[arange[None, :], codes].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(pdf), qid, dtype=np.int64),
+                        "neighbor_id": pdf[id_col].to_numpy(),
+                        "adc_dist": d,
+                    }
+                )
+
+    scored = codes_df.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+    if not rerank:
+        return top_k_per_group(
+            scored,
+            group=["query_id"],
+            order=[F.col("adc_dist").asc(), F.col("neighbor_id")],
+            k=k,
+        )
+
+    candidates = top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("adc_dist").asc(), F.col("neighbor_id")],
+        k=rerank,
+    )
+    # exact re-rank: join raw vectors back for candidates only
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__nv"),
+    )
+    qmap = {r[0]: np.array(list(r[1]), dtype=np.float64) for r in q_rows}
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["__nv"].to_numpy())
+            qs = np.vstack([qmap[q] for q in pdf["query_id"]])
+            d = ((mat - qs) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "l2_sq": d,
+                }
+            )
+
+    exact_scored = (
+        candidates.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "__nv")
+        .mapInPandas(exact, "query_id long, neighbor_id long, l2_sq double")
+    )
+    return top_k_per_group(
+        exact_scored,
+        group=["query_id"],
+        order=[F.col("l2_sq").asc(), F.col("neighbor_id")],
+        k=k,
+    )

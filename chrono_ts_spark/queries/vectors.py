@@ -215,3 +215,23 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.col("vd"), lambda x: F.abs(x) == F.col("max_abs"))
         ).cast("int").alias("n_at_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7+: product quantization ADC search (compressed-domain ANN)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_pq_topk", oracle=None, tags=("vectors", "ANN", "quantize", "no-oracle"))
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-5 with exact re-rank of the ADC top-50
+    (operators/pq.py: 8 subspaces × 16 centroids = 8 B/vector vs 256 B
+    raw; deterministic codebook, so rows-only only because k-means is
+    not SQL-expressible — recall and exactness are pinned in
+    tests/test_pq.py)."""
+    from ..operators.pq import pq_adc_topk, pq_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    codebook = pq_fit(e, dims=_DIMS, m_sub=8, k=16, iters=2)
+    return pq_adc_topk(e, probes, codebook, k=5, rerank=50)
