@@ -1,0 +1,102 @@
+"""CUSUM changepoint / anomaly detection per series.
+
+Two-sided cumulative-sum control chart (Page 1954, the standard
+process-control formulation): per key, with series mean mu and
+standard deviation sigma,
+
+    S+_t = max(0, S+_{t-1} + ((x_t - mu) - k*sigma))
+    S-_t = max(0, S-_{t-1} + ((mu - x_t) - k*sigma))
+    alarm_t = S+_t > h*sigma  OR  S-_t > h*sigma
+
+with both statistics reset to 0 on the step AFTER an alarm. The
+recursion is inherently sequential per series, so it runs in the
+sanctioned per-series applyInPandas boundary (one shuffle on the keys,
+like operators/packing.py and lttb.py); mu/sigma come from a separate
+decimal-exact aggregation pass so they are shuffle-order independent
+and bit-identical to a SQL mirror — every recursion step is then pure
+double arithmetic with a fixed operation order, replayable exactly by
+a recursive CTE (the doc_pack_sequences oracle pattern).
+
+At 100 TB: series are independent — the applyInPandas stage
+parallelizes across keys; state per task is O(1) per series. Skewed
+series lengths are the one hazard (a single enormous series serializes
+into one task) — the standard mitigation is windowed restarts, which
+change semantics and are deliberately not applied here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import davg, dsum_sq
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Per-key CUSUM chart rows: keys + rn, ts, value, s_plus, s_minus,
+    alarm. `ts_col` must give a total order within each key."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    stats = df.groupBy(*keys).agg(
+        davg(value_col).alias("__mu"),
+        (
+            dsum_sq(value_col)
+            / F.count(F.col(value_col)).cast("double")
+        ).alias("__ex2"),
+    )
+    stats = stats.select(
+        *keys,
+        "__mu",
+        F.sqrt(F.greatest(F.lit(0.0), F.col("__ex2") - F.col("__mu") * F.col("__mu"))).alias(
+            "__sigma"
+        ),
+    )
+    joined = df.select(*keys, ts_col, value_col).join(F.broadcast(stats), list(keys))
+
+    key_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, rn int, {ts_col} {df.schema[ts_col].dataType.simpleString()}, "
+        f"{value_col} double, s_plus double, s_minus double, alarm int"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        mu = float(pdf["__mu"].iloc[0])
+        sigma = float(pdf["__sigma"].iloc[0])
+        slack = k_sigma * sigma
+        h = h_sigma * sigma
+        sp = sm = 0.0
+        out_p, out_m, out_a = [], [], []
+        for x in pdf[value_col].astype("float64"):
+            x = float(x)
+            sp = max(0.0, sp + ((x - mu) - slack))
+            sm = max(0.0, sm + ((mu - x) - slack))
+            alarm = 1 if (sp > h or sm > h) else 0
+            out_p.append(sp)
+            out_m.append(sm)
+            out_a.append(alarm)
+            if alarm:
+                sp = sm = 0.0
+        res = pdf[[*keys, ts_col]].copy()
+        res.insert(len(keys), "rn", pd.array(range(1, len(pdf) + 1), dtype="int32"))
+        res[value_col] = pdf[value_col].astype("float64")
+        res["s_plus"] = pd.array(out_p, dtype="float64")
+        res["s_minus"] = pd.array(out_m, dtype="float64")
+        res["alarm"] = pd.array(out_a, dtype="int32")
+        return res
+
+    return joined.groupBy(*keys).applyInPandas(run, out_schema)

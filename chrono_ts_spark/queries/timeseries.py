@@ -18,6 +18,7 @@ from ..functions import (
     dsum,
     sql_davg,
     sql_dsum,
+    sql_dsum_sq,
     sql_time_bucket,
     sql_ts_str,
     time_bucket,
@@ -26,6 +27,7 @@ from ..functions import (
 from ..operators import asof_join, gapfill
 from ..operators.rangejoin import interval_join, range_join, range_join_count
 from ..operators.rate import rate
+from ..operators.changepoint import cusum
 from ..operators.scd import scd2
 from ..operators.sessionize import sessionize
 from ..operators.topk import top_k_per_group
@@ -727,4 +729,70 @@ def ts_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("effective_to").alias("effective_to"),
         "version",
         "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3+/X2: CUSUM changepoint detection per series (recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cusum_alarms",
+    oracle=f"""
+WITH RECURSIVE stats AS (
+    SELECT user_id,
+           {sql_davg('value')} AS mu,
+           {sql_dsum_sq('value')} / CAST(COUNT(value) AS DOUBLE) AS ex2
+    FROM events GROUP BY user_id
+), s2 AS (
+    SELECT user_id, mu,
+           sqrt(greatest(CAST(0 AS DOUBLE), ex2 - mu * mu)) AS sigma
+    FROM stats
+), t AS (
+    SELECT e.user_id, e.ts, CAST(e.value AS DOUBLE) AS value, s2.mu, s2.sigma,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS INTEGER) AS rn
+    FROM events e JOIN s2 USING (user_id)
+), c(user_id, rn, ts, value, mu, sigma, s_plus, s_minus, alarm) AS (
+    SELECT user_id, rn, ts, value, mu, sigma, s_plus, s_minus,
+           CAST(CASE WHEN s_plus > CAST(3.0 AS DOUBLE) * sigma
+                       OR s_minus > CAST(3.0 AS DOUBLE) * sigma THEN 1 ELSE 0 END AS INTEGER)
+    FROM (
+        SELECT user_id, rn, ts, value, mu, sigma,
+               greatest(CAST(0 AS DOUBLE), (value - mu) - CAST(0.5 AS DOUBLE) * sigma) AS s_plus,
+               greatest(CAST(0 AS DOUBLE), (mu - value) - CAST(0.5 AS DOUBLE) * sigma) AS s_minus
+        FROM t WHERE rn = 1
+    )
+    UNION ALL
+    SELECT user_id, rn, ts, value, mu, sigma, s_plus, s_minus,
+           CAST(CASE WHEN s_plus > CAST(3.0 AS DOUBLE) * sigma
+                       OR s_minus > CAST(3.0 AS DOUBLE) * sigma THEN 1 ELSE 0 END AS INTEGER)
+    FROM (
+        SELECT t.user_id, t.rn, t.ts, t.value, t.mu, t.sigma,
+               greatest(CAST(0 AS DOUBLE),
+                        (CASE WHEN c.alarm = 1 THEN CAST(0 AS DOUBLE) ELSE c.s_plus END)
+                        + ((t.value - t.mu) - CAST(0.5 AS DOUBLE) * t.sigma)) AS s_plus,
+               greatest(CAST(0 AS DOUBLE),
+                        (CASE WHEN c.alarm = 1 THEN CAST(0 AS DOUBLE) ELSE c.s_minus END)
+                        + ((t.mu - t.value) - CAST(0.5 AS DOUBLE) * t.sigma)) AS s_minus
+        FROM c JOIN t ON t.user_id = c.user_id AND t.rn = c.rn + 1
+    )
+)
+SELECT user_id, rn, {sql_ts_str('ts')} AS ts, value, s_plus, s_minus, alarm FROM c
+""",
+    tags=("tsdb", "changepoint", "X2"),
+)
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per user (k=0.5σ slack, h=3σ
+    threshold, reset after alarm — operators/changepoint.py). The
+    sequential recursion runs in the per-series applyInPandas boundary;
+    mu/sigma come from a decimal-exact pass, so the DuckDB recursive
+    CTE replays the identical double arithmetic step-for-step (same
+    pattern as the doc_pack_sequences oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cusum(ev, keys=["user_id"], ts_col="ts", value_col="value",
+              k_sigma=0.5, h_sigma=3.0)
+    return c.select(
+        "user_id", "rn", ts_str("ts").alias("ts"),
+        "value", "s_plus", "s_minus", "alarm",
     )

@@ -514,3 +514,70 @@ def test_scd2_collapses_and_versions(spark):
     # null attrs collapse null-safely into one run
     u2 = [g for g in got if g[0] == 2]
     assert [(g[1], g[2]) for g in u2] == [(1, None), (2, "x")]
+
+
+def test_cusum_detects_level_shift(spark):
+    from chrono_ts_spark.operators.changepoint import cusum
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # series A: 50 stationary points alternating 9/11 (mean pulled to 11
+    # by the burst), then a 10-point burst at 16 -> upward alarm shortly
+    # after rn=50; series B constant -> never alarms. The baseline is
+    # the retrospective global mean, so the quiet half must stay inside
+    # slack+threshold by construction.
+    rows = []
+    for i in range(60):
+        v = (9.0 if i % 2 == 0 else 11.0) if i < 50 else 16.0
+        rows.append((1, t0 + dt.timedelta(minutes=i), v))
+        rows.append((2, t0 + dt.timedelta(minutes=i), 5.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = cusum(df, keys=["user_id"], ts_col="ts", value_col="value",
+                k_sigma=0.5, h_sigma=4.0)
+    a = sorted((r.rn, r.alarm, r.s_plus, r.s_minus) for r in out.collect()
+               if r.user_id == 1)
+    b = [r for r in out.collect() if r.user_id == 2]
+    first_alarm = next(rn for rn, al, _, _ in a if al == 1)
+    assert 50 < first_alarm <= 56  # fires shortly after the burst
+    # before the burst the chart stays quiet
+    assert all(al == 0 for rn, al, _, _ in a if rn <= 50)
+    # reset: the row after an alarm starts from 0 (s stats smaller than
+    # at the alarm row)
+    alarm_rows = [rn for rn, al, _, _ in a if al == 1]
+    for rn in alarm_rows:
+        if rn < 60:
+            s_alarm = a[rn - 1][2]
+            s_next = a[rn][2]
+            assert s_next < s_alarm
+    assert all(r.alarm == 0 for r in b)
+    assert all(r.s_plus == 0.0 and r.s_minus == 0.0 for r in b)
+
+
+def test_cusum_matches_pure_python(spark):
+    from chrono_ts_spark.operators.changepoint import cusum
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3.0, 7.5, 2.25, 9.0, 1.5, 8.25, 0.75, 6.0, 12.0, 2.0]
+    rows = [(1, t0 + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.rn: r for r in cusum(df, ["user_id"], "ts", "value",
+                                  k_sigma=0.25, h_sigma=1.0).collect()}
+
+    # reference: identical arithmetic, decimal-exact mu/sigma
+    from decimal import Decimal
+    import math
+    dvals = [Decimal(str(v)) for v in vals]
+    mu = float(sum(dvals)) / len(vals)
+    ex2 = float(sum(d * d for d in dvals)) / len(vals)
+    sigma = math.sqrt(max(0.0, ex2 - mu * mu))
+    slack, h = 0.25 * sigma, 1.0 * sigma
+    sp = sm = 0.0
+    for i, x in enumerate(vals, start=1):
+        sp = max(0.0, sp + ((x - mu) - slack))
+        sm = max(0.0, sm + ((mu - x) - slack))
+        alarm = 1 if (sp > h or sm > h) else 0
+        r = out[i]
+        assert (r.s_plus, r.s_minus, r.alarm) == (sp, sm, alarm), i
+        if alarm:
+            sp = sm = 0.0

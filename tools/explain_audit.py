@@ -170,6 +170,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "ts_cusum_alarms": {
+        # per-series recursion in the sanctioned applyInPandas boundary;
+        # the 150-row stats table broadcasts
+        "want": ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
 }
 
 
