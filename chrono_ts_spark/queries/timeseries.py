@@ -796,3 +796,54 @@ def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "rn", ts_str("ts").alias("ts"),
         "value", "s_plus", "s_minus", "alarm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout+: z-order value (Morton interleave) for multi-dim clustering
+# ---------------------------------------------------------------------------
+
+_Z_TERMS = " | ".join(
+    f"(((q{c} >> {i}) & 1) << {i * 2 + j})"
+    for i in range(8)
+    for j, c in enumerate(("t", "v"))
+)
+
+
+@query(
+    "ts_zorder_values",
+    oracle=f"""
+WITH b AS (
+    SELECT min(epoch_us(ts)) AS mn_t, max(epoch_us(ts)) AS mx_t,
+           min(value) AS mn_v, max(value) AS mx_v
+    FROM events
+), q AS (
+    SELECT event_id,
+           CAST(CASE WHEN mx_t = mn_t THEN 0 ELSE
+               floor(((CAST(epoch_us(ts) AS DOUBLE) - CAST(mn_t AS DOUBLE))
+                      * CAST(255 AS DOUBLE))
+                     / (CAST(mx_t AS DOUBLE) - CAST(mn_t AS DOUBLE)))
+           END AS BIGINT) AS qt,
+           CAST(CASE WHEN mx_v = mn_v THEN 0 ELSE
+               floor(((value - mn_v) * CAST(255 AS DOUBLE)) / (mx_v - mn_v))
+           END AS BIGINT) AS qv
+    FROM events, b
+)
+SELECT event_id, CAST({_Z_TERMS} AS BIGINT) AS zval
+FROM q
+""",
+    tags=("tsdb", "layout"),
+)
+def ts_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value of (ts, value) at 8 bits/dimension
+    (operators/zorder.py — the clustering key behind zorder_write;
+    min/max bounds broadcast from a one-row aggregate, interleave is a
+    codegen'd shift/mask OR-chain). The layout benefit itself —
+    per-file range shrinkage and file skipping — is pinned in
+    tests/test_zorder.py; this query oracles the arithmetic."""
+    from ..operators.zorder import with_zvalue
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("tsu"), "value"
+    )
+    z = with_zvalue(ev, ["tsu", "value"], bits=8)
+    return z.select("event_id", "zval")

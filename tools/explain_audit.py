@@ -170,6 +170,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "ts_zorder_values": {
+        # one-row bounds broadcast + map-side shift/mask chain: no
+        # shuffle of the fact at all
+        "want": ["BroadcastNestedLoopJoin Cross"],
+        "forbid": ["SortMergeJoin", "Exchange hashpartitioning", "CartesianProduct"],
+    },
     "ts_cusum_alarms": {
         # per-series recursion in the sanctioned applyInPandas boundary;
         # the 150-row stats table broadcasts
