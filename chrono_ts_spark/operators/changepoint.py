@@ -74,29 +74,39 @@ def cusum(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         mu = float(pdf["__mu"].iloc[0])
         sigma = float(pdf["__sigma"].iloc[0])
         slack = k_sigma * sigma
         h = h_sigma * sigma
+        n = len(pdf)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        # the recursion is data-dependent (clamp at 0, reset on alarm)
+        # so it stays a scalar loop — but over raw float64s, which is
+        # several times faster than Series iteration at 100 TB row
+        # counts (tools/scale_probe.py)
+        out_p = np.empty(n)
+        out_m = np.empty(n)
+        out_a = np.empty(n, dtype="int32")
         sp = sm = 0.0
-        out_p, out_m, out_a = [], [], []
-        for x in pdf[value_col].astype("float64"):
-            x = float(x)
+        for i in range(n):
+            x = xs[i]
             sp = max(0.0, sp + ((x - mu) - slack))
             sm = max(0.0, sm + ((mu - x) - slack))
             alarm = 1 if (sp > h or sm > h) else 0
-            out_p.append(sp)
-            out_m.append(sm)
-            out_a.append(alarm)
+            out_p[i] = sp
+            out_m[i] = sm
+            out_a[i] = alarm
             if alarm:
                 sp = sm = 0.0
         res = pdf[[*keys, ts_col]].copy()
-        res.insert(len(keys), "rn", pd.array(range(1, len(pdf) + 1), dtype="int32"))
-        res[value_col] = pdf[value_col].astype("float64")
-        res["s_plus"] = pd.array(out_p, dtype="float64")
-        res["s_minus"] = pd.array(out_m, dtype="float64")
-        res["alarm"] = pd.array(out_a, dtype="int32")
+        res.insert(len(keys), "rn", pd.array(range(1, n + 1), dtype="int32"))
+        res[value_col] = xs
+        res["s_plus"] = out_p
+        res["s_minus"] = out_m
+        res["alarm"] = out_a
         return res
 
     return joined.groupBy(*keys).applyInPandas(run, out_schema)

@@ -53,6 +53,43 @@ def build(spark, path: str, rows: int, users: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/events.parquet")
 
 
+def build_documents(spark, path: str, docs: int) -> None:
+    """Synthetic word-soup documents (~50 words from a 100-word vocab)
+    for the text-pipeline probes."""
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(100)])
+    df = (
+        spark.range(docs)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        (F.pmod(F.xxhash64(F.col("id")), F.lit(40)) + 30).cast("int"),
+                    ),
+                    lambda i: F.element_at(
+                        vocab,
+                        (F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) + 1).cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(x) for x in ["en", "zh", "es", "fr", "de"]]),
+                (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(5)) + 1).cast("int"),
+            ),
+        )
+        .withColumn("source", F.concat(F.lit("src"), (F.col("id") % 20).cast("string")))
+        .withColumn("n_chars", F.length("text"))
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     users = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
@@ -65,6 +102,9 @@ def main() -> None:
     path = f"/tmp/chrono_scale_{rows}"
     if not Path(f"{path}/events.parquet").exists():
         build(spark, path, rows, users)
+    n_docs = max(10_000, rows // 50)
+    if not Path(f"{path}/documents.parquet").exists():
+        build_documents(spark, path, n_docs)
 
     names = [
         "ts_bucket_agg",
@@ -77,6 +117,10 @@ def main() -> None:
         "ts_gapfill_locf",
         "ts_cumsum",
         "ts_salted_agg",
+        # round-2 additions
+        "ts_scd2_user_state",
+        "ts_cusum_alarms",
+        "ts_zorder_values",
     ]
     timings = {}
     for n in names:
@@ -84,7 +128,12 @@ def main() -> None:
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
-    print(json.dumps({"rows": rows, "users": users, "queries": timings}))
+    for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample"]:
+        t0 = time.time()
+        reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
+        timings[n] = round(time.time() - t0, 2)
+        print(f"  {n}: {timings[n]}s", file=sys.stderr)
+    print(json.dumps({"rows": rows, "users": users, "docs": n_docs, "queries": timings}))
     spark.stop()
 
 
