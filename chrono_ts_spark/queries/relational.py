@@ -1449,3 +1449,36 @@ def rel_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_rev()).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A5+: explicit GROUPING SETS (rollup/cube's general form)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query(
+    "rel_grouping_sets",
+    oracle=_GSETS_SQL,
+    tags=("relational", "A5", "sql"),
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two disjoint single-column groupings
+    plus the grand total in ONE pass (rollup/cube are special cases;
+    both engines run the identical SQL text, with GROUPING() markers
+    disambiguating real NULLs from grouping NULLs). Spark plans this as
+    a single Expand + hash aggregate: the fact scans once, not once
+    per set."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GSETS_SQL)

@@ -1238,3 +1238,151 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sampled").cast("double")
         / F.sum(F.col("n_sampled")).over(w_all).cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline+: deterministic train/val/test split (80/10/10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_split_assign",
+    oracle=f"""
+WITH u AS (
+    SELECT doc_id, lang, {_SQL_U32} AS u FROM documents
+), s AS (
+    SELECT lang,
+           CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+                WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+FROM s GROUP BY lang, split
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the same
+    md5-u32 uniform as doc_mixture_sample — membership is a pure
+    function of doc_id, so a doc can never migrate between splits
+    across runs, retries, or repartitioning (the leakage failure mode
+    of seeded random splits). Output is the per-(lang, split)
+    accounting with within-language shares."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    s = d.select(
+        "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+    agg = s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return agg.withColumn(
+        "lang_share",
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5+: chunk-level (sub-document) dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+_DD_CHUNK = 20
+
+
+@query(
+    "doc_chunk_dedup",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), c AS (
+    SELECT doc_id, toks,
+           unnest(CASE WHEN len(toks) >= 1
+                       THEN generate_series(0, CAST((len(toks) - 1) // {_DD_CHUNK} AS INTEGER))
+                       ELSE [] END) AS chunk_id
+    FROM t
+), h AS (
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * {_DD_CHUNK} + 1 : chunk_id * {_DD_CHUNK} + {_DD_CHUNK}], ' ') AS chunk_txt
+    FROM c
+), k AS (
+    SELECT doc_id, chunk_id, chunk_txt,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(chunk_txt)
+                                        ORDER BY doc_id, chunk_id) = 1
+                THEN 1 ELSE 0 END AS kept
+    FROM h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       CAST(SUM(kept) AS INTEGER) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retained_frac,
+       md5(COALESCE(string_agg(CASE WHEN kept = 1 THEN chunk_txt END, ' '
+                               ORDER BY chunk_id), '')) AS cleaned_md5
+FROM k
+GROUP BY doc_id
+""",
+    tags=("text", "X5", "pipeline"),
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (the C4/line-level analogue for a corpus
+    without newlines): docs split into non-overlapping 20-token chunks,
+    duplicate chunks removed CORPUS-WIDE keep-first (global (doc_id,
+    chunk_id) order), and each document reconstructed from its
+    surviving chunks in order.
+
+    Scale shape: the keep-first decision shuffles md5 digests + chunk
+    ids, never text twice (the winning chunk text rides the same row);
+    reconstruction is one per-doc aggregation of kept chunks
+    (order-insensitive collect + in-row sort, deterministic). Cleaned
+    text crosses the oracle boundary as md5.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    chunks = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.col("n") >= 1,
+                F.sequence(F.lit(0), ((F.col("n") - 1) / F.lit(_DD_CHUNK)).cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("chunk_id") * _DD_CHUNK + 1, _DD_CHUNK)
+        ).alias("chunk_txt"),
+    )
+    w = Window.partitionBy(F.md5("chunk_txt")).orderBy("doc_id", "chunk_id")
+    k = chunks.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("kept") == 1,
+                F.struct(F.col("chunk_id"), F.col("chunk_txt")),
+            )
+        )
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("kept").cast("int").alias("n_kept"),
+        (F.sum("kept").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "retained_frac"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["chunk_txt"]), " "
+            )
+        ).alias("cleaned_md5"),
+    )

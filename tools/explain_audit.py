@@ -170,6 +170,17 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "rel_grouping_sets": {
+        # GROUPING SETS = one Expand + one hash agg, not a union of
+        # scans
+        "want": ["Expand", "HashAggregate"],
+        "forbid": ["Union", "CartesianProduct"],
+    },
+    "doc_chunk_dedup": {
+        # keep-first decision shuffles digests; no self-join of text
+        "want": ["Window"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
     "ts_zorder_values": {
         # one-row bounds broadcast + map-side shift/mask chain: no
         # shuffle of the fact at all
