@@ -42,28 +42,41 @@ def cusum(
     value_col: str,
     k_sigma: float = 0.5,
     h_sigma: float = 4.0,
+    target: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per-key CUSUM chart rows: keys + rn, ts, value, s_plus, s_minus,
-    alarm. `ts_col` must give a total order within each key."""
+    alarm. `ts_col` must give a total order within each key.
+
+    With `target=(mu, sigma)` the chart monitors against KNOWN process
+    parameters (the online formulation — what the streaming variant in
+    streaming/stateful.py uses); by default mu/sigma are estimated from
+    each series with decimal-exact aggregates (retrospective form)."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
 
-    stats = df.groupBy(*keys).agg(
-        davg(value_col).alias("__mu"),
-        (
-            dsum_sq(value_col)
-            / F.count(F.col(value_col)).cast("double")
-        ).alias("__ex2"),
-    )
-    stats = stats.select(
-        *keys,
-        "__mu",
-        F.sqrt(F.greatest(F.lit(0.0), F.col("__ex2") - F.col("__mu") * F.col("__mu"))).alias(
-            "__sigma"
-        ),
-    )
-    joined = df.select(*keys, ts_col, value_col).join(F.broadcast(stats), list(keys))
+    if target is not None:
+        joined = df.select(*keys, ts_col, value_col).withColumns(
+            {"__mu": F.lit(float(target[0])), "__sigma": F.lit(float(target[1]))}
+        )
+    else:
+        stats = df.groupBy(*keys).agg(
+            davg(value_col).alias("__mu"),
+            (
+                dsum_sq(value_col)
+                / F.count(F.col(value_col)).cast("double")
+            ).alias("__ex2"),
+        )
+        stats = stats.select(
+            *keys,
+            "__mu",
+            F.sqrt(
+                F.greatest(F.lit(0.0), F.col("__ex2") - F.col("__mu") * F.col("__mu"))
+            ).alias("__sigma"),
+        )
+        joined = df.select(*keys, ts_col, value_col).join(
+            F.broadcast(stats), list(keys)
+        )
 
     key_fields = ", ".join(
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys

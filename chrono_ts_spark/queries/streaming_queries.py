@@ -75,3 +75,13 @@ def stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_running_extrema_stream
 
     return run_running_extrema_stream(spark, sf_dir)
+
+
+@query("stream_cusum", oracle=None, tags=("streaming", "ST6", "changepoint", "no-oracle"))
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM chart per user (applyInPandasWithState; state = two
+    doubles/key). Exact batch equivalence vs operators/changepoint.py
+    with target=(mu, sigma) is pinned in tests/test_streaming.py."""
+    from ..streaming.stateful import run_cusum_stream
+
+    return run_cusum_stream(spark, sf_dir)

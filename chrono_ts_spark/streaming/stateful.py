@@ -355,3 +355,92 @@ def _latest_snapshot_per_user(snap: DataFrame) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST6b: streaming CUSUM changepoint chart (online formulation)
+# ---------------------------------------------------------------------------
+
+_CUSUM_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("s_plus", T.DoubleType()),
+        T.StructField("s_minus", T.DoubleType()),
+        T.StructField("alarm", T.IntegerType()),
+    ]
+)
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("s_plus", T.DoubleType()),
+        T.StructField("s_minus", T.DoubleType()),
+    ]
+)
+
+
+def cusum_update_fn(mu: float, sigma: float, k_sigma: float, h_sigma: float):
+    """applyInPandasWithState update fn for the ONLINE CUSUM chart:
+    state = (s_plus, s_minus) per key, monitored against known process
+    parameters — bit-identical recursion to operators/changepoint.py
+    with target=(mu, sigma), so the batch op is the exact reference.
+    Self-contained closure (stdlib + pandas only)."""
+    slack = k_sigma * sigma
+    h = h_sigma * sigma
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sp, sm = state.get if state.exists else (0.0, 0.0)
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for row in batch.itertuples():
+            x = float(row.value)
+            sp = max(0.0, sp + ((x - mu) - slack))
+            sm = max(0.0, sm + ((mu - x) - slack))
+            alarm = 1 if (sp > h or sm > h) else 0
+            out.append(
+                (
+                    key[0],
+                    int(row.event_id),
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    x,
+                    sp,
+                    sm,
+                    alarm,
+                )
+            )
+            if alarm:
+                sp = sm = 0.0
+        state.update((sp, sm))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_s", "value", "s_plus", "s_minus", "alarm"],
+        )
+
+    return update
+
+
+def run_cusum_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    mu: float = 150.0,
+    sigma: float = 85.0,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """ST6b: per-user online CUSUM over the replayed stream. State is
+    two doubles per key regardless of history length — the O(keys)
+    state property that makes the chart viable on an unbounded stream."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        cusum_update_fn(mu, sigma, k_sigma, h_sigma),
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, spark, output_mode="append")

@@ -377,3 +377,96 @@ class TestKafkaParse:
 
         with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
             kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_cusum_stream_equals_batch(spark):
+    """Online streaming CUSUM == batch changepoint op with the same
+    fixed target parameters (exact, not approximate)."""
+    from chrono_ts_spark.operators.changepoint import cusum
+    from chrono_ts_spark.catalog import load_table
+
+    mu, sigma = 150.0, 85.0
+    stream = REG["stream_cusum"].fn(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = cusum(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        k_sigma=0.5, h_sigma=4.0, target=(mu, sigma),
+    )
+    s_rows = {
+        (r.user_id, r.event_id): (r.value, r.s_plus, r.s_minus, r.alarm)
+        for r in stream.collect()
+    }
+    # map batch rows (keyed on rn) back to event ids via ordered ts
+    ev_ids = {
+        (r.user_id, r.ts): r.event_id
+        for r in ev.select("user_id", "ts", "event_id").collect()
+    }
+    n = 0
+    for r in batch.collect():
+        eid = ev_ids[(r.user_id, r.ts)]
+        assert s_rows[(r.user_id, eid)] == (r.value, r.s_plus, r.s_minus, r.alarm)
+        n += 1
+    assert n == len(s_rows) and n > 0
+
+
+@pytest.mark.slow
+def test_cusum_stream_state_crosses_batches(spark, tmp_path):
+    """Two files -> two micro-batches: the (s_plus, s_minus) state must
+    carry across the batch boundary (no restart at zero)."""
+    from datetime import datetime
+
+    from chrono_ts_spark.streaming.stateful import run_cusum_stream
+    import pathlib
+
+    src = pathlib.Path(tmp_path / "cusum_src")
+    src.mkdir(parents=True)
+
+    def write_file(name, rows):
+        staging = str(tmp_path / ("st_" + name))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.select(
+            "event_id", (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(pathlib.Path(staging).glob("part-*.parquet"))
+        import shutil
+
+        shutil.copy(part, src / name)
+
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    # mu=10, sigma=2 -> slack=1, h=4 (h_sigma=2). Values of 13 add 2 per
+    # step to s_plus; the alarm needs 3 steps, which only happens if
+    # state survives the file boundary after 2 steps.
+    write_file("events.parquet", [(1, t(0), 5, "c", 13.0, "{}"),
+                                  (2, t(1), 5, "c", 13.0, "{}")])
+    write_file("events2.parquet", [(3, t(2), 5, "c", 13.0, "{}")])
+
+    # pathGlobFilter only matches events.parquet; widen via a direct run
+    from chrono_ts_spark.streaming.stateful import cusum_update_fn, _CUSUM_OUT, _CUSUM_STATE
+    from chrono_ts_spark.streaming.replay import _run_to_memory, _RAW_SCHEMA
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    out = raw.groupBy("user_id").applyInPandasWithState(
+        cusum_update_fn(10.0, 2.0, 0.5, 2.0),
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = {r.event_id: r for r in _run_to_memory(out, spark, "append").collect()}
+    assert len(rows) == 3
+    assert rows[1].s_plus == 2.0 and rows[1].alarm == 0
+    assert rows[2].s_plus == 4.0 and rows[2].alarm == 0
+    # third step only reaches 6.0 > h=4 if state crossed the boundary
+    assert rows[3].s_plus == 6.0 and rows[3].alarm == 1
