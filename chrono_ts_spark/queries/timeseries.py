@@ -847,3 +847,146 @@ def ts_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = with_zvalue(ev, ["tsu", "value"], bits=8)
     return z.select("event_id", "zval")
+
+
+# ---------------------------------------------------------------------------
+# Analytics+: ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_funnel_steps",
+    oracle="""
+WITH e AS (
+    SELECT * FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 12:00:00'
+), s1 AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+    FROM e GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT COUNT(t1) AS n_view,
+       COUNT(t2) AS n_click,
+       COUNT(t3) AS n_purchase,
+       CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE) AS view_to_click,
+       CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE) AS click_to_purchase
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+    tags=("tsdb", "analytics", "funnel"),
+)
+def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching view -> first later click -> first
+    later purchase within the first 36 fixture hours (the window keeps
+    the funnel discriminating — over the full month every user
+    completes every step).
+
+    Spark side is a SINGLE shuffle: per-user ordered event fold (sorted
+    collect_list + an `aggregate` HOF carrying (t1, t2, t3) — greedy
+    first-match, provably equal to the oracle's chained-min formulation
+    because the earliest view, then the earliest click after it, then
+    the earliest purchase after that, are exactly what a left-to-right
+    scan latches). The SQL mirror is the textbook 3-pass chained-min —
+    running both shapes against each other IS the equivalence proof.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp")
+    )
+    seq = F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, x):
+        t1 = F.when(
+            acc["t1"].isNull() & (x["event_type"] == "view"), x["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & t1.isNotNull()
+            & (x["event_type"] == "click")
+            & (x["ts"] > t1),
+            x["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & t2.isNotNull()
+            & (x["event_type"] == "purchase")
+            & (x["ts"] > t2),
+            x["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(seq, init, step).alias("f")
+    )
+    return per_user.agg(
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_click"),
+        F.count("f.t3").alias("n_purchase"),
+        (F.count("f.t2").cast("double") / F.count("f.t1").cast("double")).alias(
+            "view_to_click"
+        ),
+        (F.count("f.t3").cast("double") / F.count("f.t2").cast("double")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics+: weekly cohort retention
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86400 * 1_000_000
+
+
+@query(
+    "ts_cohort_retention",
+    oracle=f"""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // {_DAY_US} AS INTEGER) AS wk
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+)
+SELECT cohort_wk,
+       CAST(a.wk - c.cohort_wk AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY cohort_wk, week_offset
+""",
+    tags=("tsdb", "analytics", "retention"),
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (day granularity keeps the matrix
+    discriminating on the dense fixture): users bucketed by
+    first-activity day, counted again at each later day they were
+    active. Activity
+    collapses to distinct (user, week) BEFORE anything else — the
+    shuffle carries at most users x weeks rows, not raw events; the
+    per-user cohort table then joins back on the same user_id
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        # integer div, not double-divide+cast: a double quotient near an
+        # integer boundary can round across it (ADVICE r1, rangejoin)
+        F.expr(f"unix_micros(ts) div {_DAY_US}").cast("int").alias("wk"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("int").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

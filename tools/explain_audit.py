@@ -170,6 +170,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "ts_funnel_steps": {
+        # one shuffle into the per-user fold; no join on the Spark side
+        # (the 3-pass chained-min shape lives only in the oracle)
+        "want": ["HashAggregate"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
     "rel_grouping_sets": {
         # GROUPING SETS = one Expand + one hash agg, not a union of
         # scans
