@@ -1386,3 +1386,23 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8+: heavy-hitter tokens via the Misra-Gries mergeable sketch
+# ---------------------------------------------------------------------------
+
+
+@query("doc_heavy_tokens", oracle=None, tags=("text", "X8", "sketch", "no-oracle"))
+def doc_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy-hitter tokens (operators/heavyhitters.py,
+    k=64): per-partition summaries cap the shuffle at k rows/partition
+    where exact doc_top_terms ships every distinct token. Rows-only
+    because MG estimates depend on partition boundaries (inherent to
+    the sketch); the error-bound/recall guarantees are pinned in
+    tests/test_heavyhitters.py."""
+    from ..operators.heavyhitters import misra_gries
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    return misra_gries(toks, "tok", k=64)
