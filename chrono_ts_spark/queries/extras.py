@@ -663,3 +663,24 @@ def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import batch_ema
 
     return batch_ema(spark, sf_dir, alpha=0.2)
+
+
+@query(
+    "io_orc_scan",
+    oracle=f"""
+SELECT c_mktsegment, {sql_dsum('c_acctbal', 12, 2)} AS total_bal, COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("io", "S2"),
+)
+def io_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip (S2: the other mainstream columnar at-rest format,
+    built into Spark): parquet→ORC→scan→aggregate. ORC carries its own
+    schema, and predicate pushdown/column pruning work as for parquet."""
+    path = _roundtrip_dir(sf_dir, "orc", "customer")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    df = spark.read.orc(path)
+    return df.groupBy("c_mktsegment").agg(
+        dsum("c_acctbal", 12, 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
