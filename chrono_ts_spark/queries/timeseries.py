@@ -990,3 +990,133 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("int").alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W3+: rolling correlation with the lagged series (autocorrelation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_autocorr",
+    oracle=f"""
+SELECT user_id, event_id, {sql_ts_str('ts')} AS ts_s,
+       CASE WHEN n >= 2
+                 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+       END AS autocorr
+FROM (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CASE WHEN y IS NOT NULL THEN xd END) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(yd) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(xd * yd) OVER w AS DOUBLE) AS sxy,
+           CAST(SUM(CASE WHEN y IS NOT NULL THEN xd * xd END) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(yd * yd) OVER w AS DOUBLE) AS syy,
+           CAST(COUNT(y) OVER w AS DOUBLE) AS n
+    FROM (
+        SELECT user_id, event_id, ts,
+               CAST(value AS DECIMAL(18,6)) AS xd,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y,
+               CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DECIMAL(18,6)) AS yd
+    FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+""",
+    tags=("tsdb", "W3", "stats"),
+)
+def ts_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-point lag-1 autocorrelation per user: Pearson r
+    between the series and its lag over a sliding frame, from
+    decimal-exact PAIRED frame sums (x sums restricted to rows where
+    the lagged partner exists — an unpaired x would bias the moments).
+    Same determinism discipline as ts_rolling_zscore: exact sums, then
+    an identical IEEE op order ending in an exact sqrt. Both the lag
+    and the frame share one (user_id; ts, event_id) sort — a single
+    Exchange feeds both Window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fw = ow.rowsBetween(-19, Window.currentRow)
+    xd = dec("value", 18, 6)
+    y = F.lag("value").over(ow)
+    yd = y.cast("decimal(18,6)")
+    base = ev.select(
+        "user_id", "event_id", "ts", xd.alias("xd"), y.alias("y"), yd.alias("yd")
+    )
+    sx = F.sum(F.when(F.col("y").isNotNull(), F.col("xd"))).over(fw).cast("double")
+    sy = F.sum("yd").over(fw).cast("double")
+    sxy = F.sum(F.col("xd") * F.col("yd")).over(fw).cast("double")
+    sxx = (
+        F.sum(F.when(F.col("y").isNotNull(), F.col("xd") * F.col("xd")))
+        .over(fw)
+        .cast("double")
+    )
+    syy = F.sum(F.col("yd") * F.col("yd")).over(fw).cast("double")
+    n = F.count("y").over(fw).cast("double")
+    s = base.select(
+        "user_id", "event_id", ts_str("ts").alias("ts_s"),
+        sx.alias("sx"), sy.alias("sy"), sxy.alias("sxy"),
+        sxx.alias("sxx"), syy.alias("syy"), n.alias("n"),
+    )
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(denom)
+    return s.select(
+        "user_id", "event_id", "ts_s",
+        F.when((F.col("n") >= 2) & (denom > 0), r).alias("autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics+: event-sequence pattern matching (CEP-lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_event_pattern",
+    oracle="""
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INTEGER) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS INTEGER) AS n_conversions,
+       CAST(len(regexp_extract_all(seq, 'ee')) AS INTEGER) AS n_error_bursts
+FROM seqs
+""",
+    tags=("tsdb", "analytics", "cep"),
+)
+def ts_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite sequence matching: each user's event-type history
+    becomes a character string (first letter per event, time order) and
+    patterns are counted as non-overlapping regex matches —
+    view→(clicks/errors)*→purchase "conversions" and back-to-back error
+    bursts. Restricted to the Java-regex/RE2 common subset (character
+    classes + * — every match at a given start is unique, so
+    leftmost-first and leftmost-longest agree; same discipline as
+    doc_pii_scrub). One shuffle: the per-user string fold."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.regexp_count("seq", F.lit(r"v[ce]*p")).cast("int").alias("n_conversions"),
+        F.regexp_count("seq", F.lit(r"ee")).cast("int").alias("n_error_bursts"),
+    )

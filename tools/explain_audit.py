@@ -170,6 +170,17 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "ts_rolling_autocorr": {
+        # lag + frame sums share one (user_id; ts,event_id) sort: one
+        # Exchange, two Windows, no join
+        "want": ["Window"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
+    "ts_event_pattern": {
+        # one shuffle into the per-user string fold; regexes map-side
+        "want": ["HashAggregate"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    },
     "ts_funnel_steps": {
         # one shuffle into the per-user fold; no join on the Spark side
         # (the 3-pass chained-min shape lives only in the oracle)
