@@ -85,3 +85,12 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_cusum_stream
 
     return run_cusum_stream(spark, sf_dir)
+
+
+@query("stream_static_enrich", oracle=None, tags=("streaming", "J7", "no-oracle"))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment join (stateless, no
+    watermark; batch-equivalence pinned in tests/test_streaming.py)."""
+    from ..streaming.replay import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)

@@ -132,3 +132,34 @@ def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return _run_to_memory(agg, spark)
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the standard dimension-lookup
+    ingest pattern): the replayed event stream inner-joins a BATCH
+    dimension (per-user tier derived deterministically from user_id).
+
+    Stream-static joins are stateless on the stream side — the static
+    side is (re)read per micro-batch and the join needs no watermark or
+    state store, which is why this is the preferred shape for enriching
+    a 100 TB/day stream with reference data (vs a stream-stream join
+    whose state grows with the watermark gap)."""
+    from ..catalog import load_table
+
+    static = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+            ),
+        )
+    )
+    ev = replay_events_stream(spark, sf_dir)
+    enriched = ev.join(static, "user_id").select(
+        "event_id", "user_id", "tier", ts_str(F.col("ts")).alias("ts_s")
+    )
+    return _run_to_memory(enriched, spark, output_mode="append")

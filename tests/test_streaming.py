@@ -470,3 +470,25 @@ def test_cusum_stream_state_crosses_batches(spark, tmp_path):
     assert rows[2].s_plus == 4.0 and rows[2].alarm == 0
     # third step only reaches 6.0 > h=4 if state crossed the boundary
     assert rows[3].s_plus == 6.0 and rows[3].alarm == 1
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.functions import ts_str
+
+    stream = REG["stream_static_enrich"].fn(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    static = (
+        ev.select("user_id").distinct().withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+            ),
+        )
+    )
+    batch = ev.join(static, "user_id").select(
+        "event_id", "user_id", "tier", ts_str(F.col("ts")).alias("ts_s")
+    )
+    cols = ["event_id", "user_id", "tier", "ts_s"]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
