@@ -1,0 +1,118 @@
+"""KLL-style mergeable quantile sketch (deterministic compactors).
+
+Exact percentiles need a full sort (or Spark's built-in
+`percentile`, which collects per-group value multisets); at 100 TB
+what you want is a bounded-size MERGEABLE summary, the same reason
+operators/heavyhitters.py exists for frequencies. This is the
+compactor construction behind the KLL sketch (Karnin/Lang/Liberty,
+FOCS 2016) with one deliberate twist: compaction keeps every other
+element of the sorted buffer with an offset that ALTERNATES per
+(level, compaction-count) instead of a coin flip — fully
+deterministic for a given partitioning, at the cost of the adversarial
+worst case the random offset protects against (irrelevant for
+monitoring workloads, and the empirical rank error is pinned in
+tests/test_quantile_sketch.py under several partitionings).
+
+Spark shape: one mapInPandas pass builds a sketch per partition and
+emits its (value, weight) items — at most capacity × log2(n/capacity)
+rows per partition. The global quantile read-off is a weighted-rank
+scan over those few emitted rows (window cumulative sum), so nothing
+large is ever sorted, shuffled, or collected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class _Compactors:
+    def __init__(self, capacity: int):
+        self.cap = capacity
+        self.levels: list[list[float]] = [[]]
+        self.parity: list[int] = [0]
+
+    def add_array(self, xs: np.ndarray) -> None:
+        self.levels[0].extend(xs.tolist())
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) >= self.cap:
+                buf = sorted(self.levels[lvl])
+                # only an even count may compact (two weight-w items
+                # become one weight-2w item) — hold the max back at
+                # this level when odd, or total weight isn't conserved
+                held = []
+                if len(buf) % 2 == 1:
+                    held = [buf[-1]]
+                    buf = buf[:-1]
+                off = self.parity[lvl]
+                self.parity[lvl] ^= 1
+                promoted = buf[off::2]
+                self.levels[lvl] = held
+                if lvl + 1 == len(self.levels):
+                    self.levels.append([])
+                    self.parity.append(0)
+                self.levels[lvl + 1].extend(promoted)
+            lvl += 1
+
+    def items(self) -> tuple[list[float], list[int]]:
+        vals: list[float] = []
+        wts: list[int] = []
+        for lvl, buf in enumerate(self.levels):
+            vals.extend(buf)
+            wts.extend([1 << lvl] * len(buf))
+        return vals, wts
+
+
+def sketch_items(df: DataFrame, col: str, capacity: int = 200) -> DataFrame:
+    """[value, weight] — per-partition compactor sketches, emitted as
+    weighted items (the mergeable summary; total weight == row count)."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    def partial(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = _Compactors(capacity)
+        for pdf in pdfs:
+            xs = pdf["value"].to_numpy(dtype="float64")
+            sk.add_array(xs[~np.isnan(xs)])
+        vals, wts = sk.items()
+        if vals:
+            yield pd.DataFrame({"value": vals, "weight": wts})
+
+    return df.select(F.col(col).cast("double").alias("value")).mapInPandas(
+        partial, "value double, weight long"
+    )
+
+
+def kll_quantiles(
+    df: DataFrame, col: str, qs: Sequence[float], capacity: int = 200
+) -> DataFrame:
+    """[q, estimate] — approximate quantiles from the merged sketch.
+
+    estimate(q) = smallest sketch value whose cumulative weight reaches
+    q × total weight (weighted lower rank). The read-off runs over the
+    emitted items only (≤ partitions × capacity × log2(n) rows)."""
+    items = sketch_items(df, col, capacity)
+    w = Window.orderBy("value", "weight").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = items.withColumn("cw", F.sum("weight").over(w))
+    total = cum.agg(F.max("cw").alias("n"))
+    c = cum.crossJoin(F.broadcast(total))
+    out = None
+    for q in qs:
+        hit = (
+            c.filter(F.col("cw") >= F.lit(float(q)) * F.col("n"))
+            .agg(F.min("value").alias("estimate"))
+            .select(F.lit(float(q)).alias("q"), "estimate")
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out

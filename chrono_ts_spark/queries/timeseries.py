@@ -1120,3 +1120,23 @@ def ts_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit(r"v[ce]*p")).cast("int").alias("n_conversions"),
         F.regexp_count("seq", F.lit(r"ee")).cast("int").alias("n_error_bursts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4+: KLL-style quantile sketch over event values
+# ---------------------------------------------------------------------------
+
+
+@query("ts_value_quantile_sketch", oracle=None, tags=("tsdb", "A4", "sketch", "no-oracle"))
+def ts_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate value quantiles from the mergeable compactor sketch
+    (operators/quantile_sketch.py, capacity 200): per-partition
+    summaries of ≤ capacity×log2(n) weighted items, weighted-rank
+    read-off over the emitted items only. Rows-only — like the exact
+    `rel_price_percentiles` it answers A4, but with the summary the
+    100 TB path needs; rank-error bounds pinned under 1/8/32
+    partitionings in tests/test_quantile_sketch.py."""
+    from ..operators.quantile_sketch import kll_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return kll_quantiles(ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
