@@ -60,7 +60,9 @@ def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
                 {"item": list(counters.keys()), "cnt": list(counters.values())}
             )
 
-    partials = df.select(F.col(col).alias("item")).mapInPandas(
+    # items travel as strings (matching the declared Arrow schema) so
+    # the sketch works for any castable column type — ids, URLs, tokens
+    partials = df.select(F.col(col).cast("string").alias("item")).mapInPandas(
         partial, "item string, cnt long"
     )
     summed = partials.groupBy("item").agg(F.sum("cnt").alias("est"))

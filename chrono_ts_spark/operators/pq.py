@@ -78,6 +78,13 @@ def pq_fit(
         .select(vec_col)
         .collect()
     )
+    if len(init_rows) < k:
+        # sparse / non-contiguous id spaces can leave the modulo probe
+        # short: fall back to the first k rows by id (deterministic,
+        # layout-independent)
+        init_rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
     codebook = np.array(
         [[list(r[0])[m * sub : (m + 1) * sub] for r in init_rows] for m in range(m_sub)],
         dtype=np.float64,

@@ -73,7 +73,9 @@ class _Compactors:
 
 def sketch_items(df: DataFrame, col: str, capacity: int = 200) -> DataFrame:
     """[value, weight] — per-partition compactor sketches, emitted as
-    weighted items (the mergeable summary; total weight == row count)."""
+    weighted items (the mergeable summary). Null/NaN values are dropped
+    first, so total weight == the NON-NULL row count and quantiles are
+    quantiles of the non-null subset (SQL aggregate convention)."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
@@ -107,12 +109,21 @@ def kll_quantiles(
     cum = items.withColumn("cw", F.sum("weight").over(w))
     total = cum.agg(F.max("cw").alias("n"))
     c = cum.crossJoin(F.broadcast(total))
-    out = None
-    for q in qs:
-        hit = (
-            c.filter(F.col("cw") >= F.lit(float(q)) * F.col("n"))
-            .agg(F.min("value").alias("estimate"))
-            .select(F.lit(float(q)).alias("q"), "estimate")
-        )
-        out = hit if out is None else out.unionAll(hit)
-    return out
+    # single aggregate reads off every q at once (one filter+agg branch
+    # per q would re-evaluate the sketch subplan unless ReuseExchange
+    # happens to fire), then pivot the one wide row to (q, estimate)
+    wide = c.agg(
+        *[
+            F.min(
+                F.when(F.col("cw") >= F.lit(float(q)) * F.col("n"), F.col("value"))
+            ).alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(float(q)).alias("q"), F.col(f"q{i}").alias("estimate"))
+            for i, q in enumerate(qs)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("e")).select("e.q", "e.estimate")

@@ -1147,6 +1147,18 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIXTURE_WEIGHTS = {"en": 0.40, "zh": 0.15, "es": 0.15, "fr": 0.15, "de": 0.15}
 
+def _u32():
+    """md5-derived uniform in [0,1) from doc_id — the Spark twin of
+    _SQL_U32; keep the two in lockstep (split membership and mixture
+    sampling both key off it)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
 _SQL_U32 = (
     "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     " AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
@@ -1213,12 +1225,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w") * F.col("target") / F.col("n_avail").cast("double"),
         ).alias("rate"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = _u32()
     sampled = (
         d.select("doc_id", "lang")
         .join(F.broadcast(rates.select("lang", "rate")), "lang")
@@ -1272,12 +1279,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     of seeded random splits). Output is the per-(lang, split)
     accounting with within-language shares."""
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = _u32()
     s = d.select(
         "lang",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),

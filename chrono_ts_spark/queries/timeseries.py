@@ -818,14 +818,14 @@ WITH b AS (
     FROM events
 ), q AS (
     SELECT event_id,
-           CAST(CASE WHEN mx_t = mn_t THEN 0 ELSE
+           CAST(COALESCE(CASE WHEN mx_t = mn_t THEN 0 ELSE
                floor(((CAST(epoch_us(ts) AS DOUBLE) - CAST(mn_t AS DOUBLE))
                       * CAST(255 AS DOUBLE))
                      / (CAST(mx_t AS DOUBLE) - CAST(mn_t AS DOUBLE)))
-           END AS BIGINT) AS qt,
-           CAST(CASE WHEN mx_v = mn_v THEN 0 ELSE
+           END, 0) AS BIGINT) AS qt,
+           CAST(COALESCE(CASE WHEN mx_v = mn_v THEN 0 ELSE
                floor(((value - mn_v) * CAST(255 AS DOUBLE)) / (mx_v - mn_v))
-           END AS BIGINT) AS qv
+           END, 0) AS BIGINT) AS qv
     FROM events, b
 )
 SELECT event_id, CAST({_Z_TERMS} AS BIGINT) AS zval

@@ -115,8 +115,6 @@ def test_repetition_metrics_exact(spark, tmp_path):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    for t in ("documents",):
-        pass
     d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     q = load_all()["doc_repetition_filter"]
     out = {r.doc_id: r for r in q.fn(spark, str(tmp_path)).collect()}
