@@ -1140,3 +1140,53 @@ def ts_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kll_quantiles(ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# A6+: continuous-aggregate (hypertable rollup) incremental refresh
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rollup_incremental",
+    oracle=f"""
+SELECT {sql_ts_str(sql_time_bucket('ts', 3600))} AS bucket_s,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_v,
+       {sql_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS avg_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events
+GROUP BY bucket_s, event_type
+""",
+    tags=("tsdb", "A6", "rollup"),
+)
+def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (operators/rollup.py): the hourly
+    per-type rollup is built from mergeable partial states over the
+    first 20 fixture days, then REFRESHED with the remaining days'
+    batch — and the result must be bit-identical to the direct
+    aggregation over all history, which is exactly what the oracle
+    computes. Mergeability (counts add, decimal sums add
+    order-independently, min/max combine) is what makes the refresh
+    touch only new-batch buckets at 100 TB."""
+    from ..operators.rollup import finalize, merge_states, partial_state
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    hist = ev.filter(F.col("ts") < cutoff)
+    late = ev.filter(F.col("ts") >= cutoff)
+    s_old = partial_state(hist, ["event_type"], "ts", "value", 3600)
+    s_new = partial_state(late, ["event_type"], "ts", "value", 3600)
+    merged = merge_states(s_old, s_new, ["event_type"])
+    out = finalize(merged, ["event_type"])
+    return out.select(
+        ts_str("bucket_ts").alias("bucket_s"),
+        "event_type",
+        "n",
+        "sum_v",
+        "avg_v",
+        "min_v",
+        "max_v",
+    )

@@ -581,3 +581,42 @@ def test_cusum_matches_pure_python(spark):
         assert (r.s_plus, r.s_minus, r.alarm) == (sp, sm, alarm), i
         if alarm:
             sp = sm = 0.0
+
+
+def test_rollup_merge_exact_and_order_invariant(spark):
+    from chrono_ts_spark.operators.rollup import (
+        finalize,
+        merge_states,
+        partial_state,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=7 * i), "a" if i % 3 else "b",
+         float((i * 37) % 100) / 4.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    full = finalize(
+        partial_state(df, ["event_type"], "ts", "value", 3600), ["event_type"]
+    )
+
+    # split into 3 arbitrary batches; refresh in two different orders
+    b = [df.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    p = [partial_state(x, ["event_type"], "ts", "value", 3600) for x in b]
+    m1 = merge_states(merge_states(p[0], p[1], ["event_type"]), p[2], ["event_type"])
+    m2 = merge_states(p[2], merge_states(p[1], p[0], ["event_type"]), ["event_type"])
+
+    def rows_of(s):
+        return sorted(
+            (r.bucket_ts, r.event_type, r.n, r.sum_v, r.avg_v, r.min_v, r.max_v)
+            for r in finalize(s, ["event_type"]).collect()
+        )
+
+    want = sorted(
+        (r.bucket_ts, r.event_type, r.n, r.sum_v, r.avg_v, r.min_v, r.max_v)
+        for r in full.collect()
+    )
+    assert rows_of(m1) == want
+    assert rows_of(m2) == want
