@@ -1408,3 +1408,148 @@ def doc_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
     return misra_gries(toks, "tok", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline v2: quality -> repetition -> dedup -> split, end to end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+           {_SQL_CONTENT_MD5} AS ch
+    FROM documents
+), q AS (
+    SELECT *,
+        ((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+               WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+         + (CASE WHEN n_tok > 0
+                 THEN CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE) / n_tok
+                 ELSE 0.0 END)) / 3.0 AS quality
+    FROM scored
+), survivors AS (
+    SELECT doc_id, lang, n_tok, ch FROM q WHERE quality >= 0.5
+), w AS (
+    SELECT s.doc_id, {_SQL_TOKENS} AS toks
+    FROM documents d JOIN survivors s USING (doc_id)
+), g AS (
+    SELECT doc_id, 2 AS n, unnest({_SQL_NGRAM.format(n=2, nm1=1)}) AS gram FROM w
+    UNION ALL
+    SELECT doc_id, 3 AS n, unnest({_SQL_NGRAM.format(n=3, nm1=2)}) AS gram FROM w
+), c AS (
+    SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram
+), rep AS (
+    SELECT doc_id,
+        COALESCE(CAST(SUM(CASE WHEN n = 2 THEN c END) - COUNT(CASE WHEN n = 2 THEN 1 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) AS dup2,
+        COALESCE(CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 2 THEN c END) AS DOUBLE), 0.0) AS top2,
+        COALESCE(CAST(SUM(CASE WHEN n = 3 THEN c END) - COUNT(CASE WHEN n = 3 THEN 1 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN n = 3 THEN c END) AS DOUBLE), 0.0) AS dup3
+    FROM c GROUP BY doc_id
+), clean AS (
+    SELECT s.* FROM survivors s LEFT JOIN rep USING (doc_id)
+    WHERE NOT (s.n_tok >= 12 AND (rep.dup2 > 0.08 OR rep.top2 > 0.12 OR rep.dup3 > 0.04))
+), kept AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) AS r
+        FROM clean
+    ) WHERE r = 1
+), split AS (
+    SELECT lang, n_tok,
+           CASE WHEN {_SQL_U32} < CAST(0.8 AS DOUBLE) THEN 'train'
+                WHEN {_SQL_U32} < CAST(0.9 AS DOUBLE) THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens
+FROM split GROUP BY lang, split
+""",
+    tags=("text", "pipeline", "bench"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 end-to-end curation pipeline: quality gate (>= 0.5)
+    -> Gopher-style repetition filter (dup-bigram/top-bigram/
+    dup-trigram thresholds with the 12-word guard, computed only over
+    quality survivors) -> exact dedup keep-first -> deterministic
+    80/10/10 split -> per-(lang, split) accounting. Every stage is the
+    same operator the standalone queries use; the whole chain stays one
+    declarative plan (Catalyst pipelines the three shuffles: repetition
+    counts, dedup window, final rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("double").alias("n_tok"),
+        quality_score(F.col("text")).alias("quality"),
+        content_md5(F.col("text")).alias("ch"),
+        toks.alias("toks"),
+    ).filter(F.col("quality") >= 0.5)
+
+    def _entries(n: int):
+        return F.transform(
+            ngrams(F.col("toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    grams = scored.select(
+        "doc_id", F.explode(F.concat(_entries(2), _entries(3))).alias("e")
+    ).select("doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+
+    def _tot(n: int):
+        return F.sum(F.when(F.col("n") == n, F.col("c")))
+
+    def _nd(n: int):
+        return F.count(F.when(F.col("n") == n, F.lit(1)))
+
+    def _dup(n: int):
+        return F.coalesce(
+            (_tot(n) - _nd(n)).cast("double") / _tot(n).cast("double"), F.lit(0.0)
+        )
+
+    rep = counts.groupBy("doc_id").agg(
+        _dup(2).alias("dup2"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).cast("double")
+            / _tot(2).cast("double"),
+            F.lit(0.0),
+        ).alias("top2"),
+        _dup(3).alias("dup3"),
+    )
+    clean = scored.join(rep, "doc_id", "left").filter(
+        ~(
+            (F.col("n_tok") >= 12)
+            & (
+                (F.col("dup2") > 0.08)
+                | (F.col("top2") > 0.12)
+                | (F.col("dup3") > 0.04)
+            )
+        )
+    )
+    kept = top_k_per_group(
+        clean.select("doc_id", "lang", "n_tok", "ch"),
+        group=["ch"],
+        order=[F.col("doc_id")],
+        k=1,
+    )
+    u = _u32()
+    split = kept.select(
+        "lang",
+        "n_tok",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("total_tokens"),
+    )
