@@ -1190,3 +1190,63 @@ def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+# ---------------------------------------------------------------------------
+# J6+: point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_pit_join_status",
+    oracle="""
+WITH chg AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events WHERE event_type IN ('signup', 'error')
+), runs AS (
+    SELECT user_id, ts, event_type AS status FROM chg
+    WHERE prev IS DISTINCT FROM event_type
+), dim AS (
+    SELECT user_id, status,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+    FROM runs
+)
+SELECT d.status, e.event_type, COUNT(*) AS n_events
+FROM events e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.effective_from
+ AND (d.effective_to IS NULL OR e.ts < d.effective_to)
+GROUP BY d.status, e.event_type
+""",
+    tags=("tsdb", "J6", "scd", "temporal"),
+)
+def ts_pit_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct enrichment (the feature-store pattern):
+    an "account status" SCD2 dimension is built from the signup/error
+    change events (operators/scd.py), then EVERY event joins the status
+    version whose [effective_from, effective_to) interval contains its
+    timestamp — never a later version (no feature leakage).
+
+    Join shape: equi-join on user_id with the containment predicate as
+    a post-join filter — correct at scale because SCD2 collapses runs,
+    so the dim side is versions-per-user (small), not events; versions
+    are disjoint per user, so each event matches at most one row.
+    Events before a user's first status version drop out (inner join),
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id", "ts", F.col("event_type").alias("status")
+    )
+    dim = scd2(changes, keys=["user_id"], attrs=["status"], ts_col="ts").select(
+        "user_id", "status", "effective_from", "effective_to"
+    )
+    j = ev.join(dim.withColumnRenamed("user_id", "d_uid"),
+                (F.col("user_id") == F.col("d_uid"))
+                & (F.col("ts") >= F.col("effective_from"))
+                & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))))
+    return j.groupBy("status", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
