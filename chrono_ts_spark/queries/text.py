@@ -1474,7 +1474,10 @@ SELECT lang, split,
        CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens
 FROM split GROUP BY lang, split
 """,
-    tags=("text", "pipeline", "bench"),
+    # NOT bench-tagged: the headline set stays the round-1 query list so
+    # BENCH rows compare round-over-round (this pipeline is covered by
+    # the oracle gate and the scale probe instead)
+    tags=("text", "pipeline"),
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-2 end-to-end curation pipeline: quality gate (>= 0.5)
