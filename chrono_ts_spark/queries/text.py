@@ -1556,3 +1556,55 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tok").cast("bigint")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8+: feature hashing (hashing-trick vectorization)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 256
+
+
+@query(
+    "doc_feature_hash",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+), b AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % {_FH_DIM}
+                AS INTEGER) AS bucket
+    FROM tok
+), tf AS (
+    SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id, bucket, tf,
+       CAST(tf AS DOUBLE)
+           / sqrt(CAST(SUM(tf * tf) OVER (PARTITION BY doc_id) AS DOUBLE)) AS weight
+FROM tf
+""",
+    tags=("text", "X8", "features"),
+)
+def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into a fixed
+    {_FH_DIM}-bucket space (md5-derived, portable across engines —
+    unlike murmur-based hashingTF whose buckets are engine-specific),
+    emitted long-form as (doc_id, bucket, tf, L2-normalized weight).
+    The vocabulary-free path to bag-of-words features at 100 TB: no
+    vocab broadcast, no OOV, one explode + one hash aggregate; the
+    normalization sqrt is exact so weights are bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(_FH_DIM)
+    ).cast("int")
+    tf = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id")
+    return tf.withColumn(
+        "weight",
+        F.col("tf").cast("double")
+        / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w).cast("double")),
+    )
