@@ -65,3 +65,37 @@ def salted_agg(
 
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+    force_shuffle: bool = False,
+) -> DataFrame:
+    """Skew-safe equi-join: the big side's hot keys shard into `salt`
+    sub-keys and the SMALL side replicates salt× so every shard still
+    finds its match — the classic hot-key join fix when the small side
+    is too big (or the planner too conservative) to broadcast.
+
+    The salt is deterministic — pmod(xxhash64(all big columns), salt) —
+    never rand(): a task retry re-salts identically, so no row can
+    migrate shards mid-job (the correctness hazard of random salting).
+    Identical duplicate rows share a shard, which only matters for
+    spread, never for results: each big row matches exactly the one
+    replica carrying its salt, so the output is row-identical to the
+    plain join. `force_shuffle=True` adds a SHUFFLE_HASH hint so the
+    salted Exchange actually materializes at fixture scale (a 15-row
+    dim would otherwise broadcast and the salt would be a no-op).
+    """
+    bsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
+    ).cast("int")
+    big2 = big.withColumn("__salt", bsalt)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("__salt")
+    small2 = small.select("*", salts)
+    if force_shuffle:
+        small2 = small2.hint("SHUFFLE_HASH")
+    return big2.join(small2, [*on, "__salt"], how).drop("__salt")

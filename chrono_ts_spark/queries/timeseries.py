@@ -1250,3 +1250,52 @@ def ts_pit_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("status", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# §4 skew: salted join on the hot event_type keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_salted_join_enrich",
+    oracle="""
+WITH dim AS (
+    SELECT DISTINCT event_type,
+           CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type = 'purchase' THEN 'revenue'
+                ELSE 'ops' END AS category
+    FROM events
+)
+SELECT category, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.event_type) AS n_types
+FROM events e JOIN dim USING (event_type)
+GROUP BY category
+""",
+    tags=("tsdb", "skew", "J1"),
+)
+def ts_salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe enrichment join: events carry only 5 distinct
+    event_type keys, so an unsalted shuffle join funnels 100 TB through
+    5 reducers; operators/salting.salted_join shards each key 16× and
+    replicates the tiny dim to match (plan-audited: the Exchange
+    partitions on (event_type, __salt), no broadcast). The oracle is
+    the plain join — salting must be invisible in the results."""
+    from ..operators.salting import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("click", "view"), "engagement")
+            .when(F.col("event_type") == "purchase", "revenue")
+            .otherwise("ops"),
+        )
+    )
+    j = salted_join(ev, dim, ["event_type"], salt=16, force_shuffle=True)
+    return j.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -620,3 +620,34 @@ def test_rollup_merge_exact_and_order_invariant(spark):
     )
     assert rows_of(m1) == want
     assert rows_of(m2) == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from chrono_ts_spark.operators.salting import salted_join
+
+    # heavily skewed big side: one key is 90% of rows
+    rows = [("hot" if i % 10 else f"k{i % 7}", i) for i in range(5000)]
+    big = spark.createDataFrame(rows, "k string, v long")
+    small = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k3", 3), ("nomatch", 9)], "k string, d long"
+    )
+    got = sorted(
+        (r.k, r.v, r.d)
+        for r in salted_join(big, small, ["k"], salt=8, force_shuffle=True).collect()
+    )
+    want = sorted((r.k, r.v, r.d) for r in big.join(small, "k").collect())
+    assert got == want and len(got) > 0
+
+    # the hot key really spreads across shards
+    from pyspark.sql import functions as F2
+    spread = (
+        big.withColumn(
+            "__salt",
+            F2.pmod(F2.xxhash64(F2.col("k"), F2.col("v")), F2.lit(8)).cast("int"),
+        )
+        .filter(F2.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8

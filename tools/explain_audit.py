@@ -170,6 +170,13 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "ts_salted_join_enrich": {
+        # the salted Exchange must materialize: ShuffledHashJoin on
+        # (event_type, __salt), never a broadcast (which would make the
+        # salt a no-op at fixture scale)
+        "want": ["ShuffledHashJoin", "__salt"],
+        "forbid": ["BroadcastHashJoin", "CartesianProduct"],
+    },
     "ts_rolling_autocorr": {
         # lag + frame sums share one (user_id; ts,event_id) sort: one
         # Exchange, two Windows, no join
