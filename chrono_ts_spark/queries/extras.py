@@ -684,3 +684,46 @@ def io_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal", 12, 2).alias("total_bal"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+WITH unioned AS (
+    SELECT c_mktsegment, NULL AS bal_tier
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_tier
+    FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(bal_tier) AS n_with_tier,
+       COUNT(CASE WHEN bal_tier = 'pos' THEN 1 END) AS n_pos
+FROM unioned GROUP BY c_mktsegment
+""",
+    tags=("io", "S2", "schema-evolution"),
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (S2+): two parquet batches land in the
+    same dataset directory, the second carrying a NEW column; reading
+    with mergeSchema=true unions by name, back-filling nulls for the
+    old batch — the append-only evolution path a long-lived 100 TB
+    dataset actually follows (widening only; renames/retypes need a
+    rewrite). The oracle replays the same union from the base table."""
+    path = _roundtrip_dir(sf_dir, "parquet_evolve", "customer")
+    c = load_table(spark, sf_dir, "customer")
+    c.filter(F.col("c_custkey") % 2 == 0).write.mode("overwrite").parquet(
+        path + "/batch=1"
+    )
+    c.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "bal_tier",
+        F.when(F.col("c_acctbal") >= 0, "pos").otherwise("neg"),
+    ).write.mode("overwrite").parquet(path + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal_tier").alias("n_with_tier"),
+        F.count(F.when(F.col("bal_tier") == "pos", F.lit(1))).alias("n_pos"),
+    )
