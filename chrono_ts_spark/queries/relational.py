@@ -1530,3 +1530,78 @@ def rel_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "key_a", "key_b", "name_a", "name_b",
                 F.col("dist").cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph+: fixed-iteration PageRank over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_D = "CAST(0.85 AS DOUBLE)"
+
+
+def _pr_sql() -> str:
+    ctes = [
+        "WITH nodes AS (SELECT p_partkey AS node FROM part)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(floor(p.rank / d.deg * CAST(1e18 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE) / CAST(1e18 AS DOUBLE) AS s
+    FROM edges e JOIN deg d ON d.src = e.src
+    JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+    SELECT nodes.node,
+           (CAST(1 AS DOUBLE) - {_PR_D}) / n
+           + {_PR_D} * COALESCE(c{i}.s, CAST(0 AS DOUBLE)) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS p_partkey, rank FROM pr{_PR_ITERS}"
+    )
+
+
+@query(
+    "rel_part_pagerank",
+    oracle=_pr_sql(),
+    tags=("relational", "graph", "iterative"),
+)
+def rel_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-occurrence graph (parts sharing an
+    order, undirected so no dangling mass), 3 synchronous iterations
+    (operators/pagerank.py). Iterative algorithms are normally the
+    rows-only class — pinning the iteration count and summing
+    contributions decimal-exactly makes each round a pure function of
+    the last, so the oracle replays the identical rounds as chained
+    CTEs and ranks match bit-for-bit."""
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = part.select(F.col("p_partkey").alias("node"))
+    pr = pagerank(nodes, edges, iters=_PR_ITERS)
+    return pr.select(F.col("node").alias("p_partkey"), "rank")

@@ -651,3 +651,20 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_pagerank_star_and_mass(spark):
+    from chrono_ts_spark.operators.pagerank import pagerank
+
+    # star: center 0 connected to 1..6 (undirected)
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    e = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(nodes, edges, iters=5).collect()}
+    # center dominates; leaves identical by symmetry
+    assert all(pr[0] > pr[i] for i in range(1, 7))
+    leaf_vals = {pr[i] for i in range(1, 7)}
+    assert len(leaf_vals) == 1
+    # no dangling nodes: total mass stays ~1 (fixed-point floor loses
+    # at most edges * 1e-18 per iteration)
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
