@@ -1299,3 +1299,75 @@ def ts_salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4+/W3: winsorization at exact per-series percentiles (robust stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_winsorized_stats",
+    oracle=f"""
+WITH bounds AS (
+    SELECT user_id,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY user_id
+), w AS (
+    SELECT e.user_id,
+           CASE WHEN value < lo THEN lo
+                WHEN value > hi THEN hi
+                ELSE value END AS wv,
+           CAST(value < lo OR value > hi AS INTEGER) AS clamped
+    FROM events e JOIN bounds USING (user_id)
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+       CAST(SUM(CAST(floor(wv * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+           / CAST(1e9 AS DOUBLE) AS sum_winsorized,
+       CAST(SUM(CAST(floor(wv * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+           / CAST(1e9 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+FROM w GROUP BY user_id
+""",
+    tags=("tsdb", "A4", "robust"),
+)
+def ts_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series statistics: values clamped to each user's
+    exact interpolated [p05, p95] before aggregation (winsorized mean —
+    the standard outlier-resistant estimator). The percentile bounds
+    are a small per-key aggregate joined back on the same user_id
+    partitioning; both engines compute the identical
+    interpolation (rel_price_percentiles precedent), and because the
+    clamped values include COMPUTED interpolated bounds, the sums use
+    the scaled-integer fixed-point rule from docs/determinism.md, not
+    a decimal cast."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    w = ev.join(bounds, "user_id").select(
+        "user_id",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("clamped"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        (
+            F.sum(F.floor(F.col("wv") * F.lit(1e9)).cast("long")).cast("double")
+            / F.lit(1e9)
+        ).alias("sum_winsorized"),
+        (
+            F.sum(F.floor(F.col("wv") * F.lit(1e9)).cast("long")).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_winsorized"),
+    )
