@@ -1371,3 +1371,64 @@ def ts_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6+/W2: time-weighted average per series (irregular sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH s AS (
+    SELECT user_id, value,
+           epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS t_next
+    FROM events
+), d AS (
+    SELECT user_id, value, t_next - t AS dur
+    FROM s WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS span_us,
+       CAST(SUM(CAST(CAST(round(value * CAST(100 AS DOUBLE)) AS BIGINT) * dur
+                     AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(SUM(dur) AS DOUBLE) / CAST(100 AS DOUBLE) AS twa
+FROM d GROUP BY user_id
+""",
+    tags=("tsdb", "A6", "W2"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (the TSDB answer to irregular
+    sampling — a value "counts" for as long as it was current, last
+    observation carried forward until the next sample; the final open
+    observation has no duration and drops). Arithmetic is exact INTEGER
+    end to end: fixture values are 2-decimal, so cents = round(v*100)
+    is an exact long, cents x integer-us products sum exactly in
+    decimal(38,0), and only the final integer->double conversion rounds
+    (once, identically on both engines — casting a WIDE-SCALE decimal
+    sum to double instead proved 1-ulp divergent between engines, the
+    same family of hazard as docs/determinism.md's computed-quotient
+    rule). One shuffle: the lead() window and the aggregation share the
+    user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    d = s.withColumn("dur", F.col("t_next") - F.col("t"))
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur").cast("bigint").alias("span_us"),
+        (
+            F.sum((cents * F.col("dur")).cast("decimal(38,0)")).cast("double")
+            / F.sum("dur").cast("double")
+            / F.lit(100.0)
+        ).alias("twa"),
+    )
