@@ -40,28 +40,38 @@ def main() -> None:
 
     spark = get_spark("chrono-bench")
     # Warm-up: one cheap action so JVM startup isn't billed to query 1.
-    registry["ts_topk_users"].fn(spark, sf_dir).count()
+    # (Isolated like the per-query runs — a raising warm-up must not
+    # null the whole artifact, which happened in rounds 3-4.)
+    try:
+        registry["ts_topk_users"].fn(spark, sf_dir).count()
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"  warm-up failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        best = min(run_once(registry[name].fn, spark, sf_dir) for _ in range(2))
+        try:
+            best = min(run_once(registry[name].fn, spark, sf_dir) for _ in range(2))
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"  {name}: ERROR {type(e).__name__}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "spark": spark.version,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "spark": spark.version,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -103,7 +103,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),  # µs, truncated from ns
+            T.StructField("ts", T.TimestampType()),  # normalized, see load_table
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -132,16 +132,29 @@ SCHEMAS: dict[str, T.StructType] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to SCHEMAS[name].
 
-    events.ts: parquet stores timestamp[ns]; with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as a
-    raw long of nanoseconds. We truncate (integer div) to microseconds,
-    matching DuckDB 1.0's ns→µs truncation on read, so timestamps are
-    bit-identical across Spark and the oracle.
+    Timestamp normalization (fixture-encoding-robust — the driver has
+    rotated the events.ts physical type across rounds, see
+    docs/determinism.md "Timestamps"):
+
+    * ``timestamp[ns]`` + ``spark.sql.legacy.parquet.nanosAsLong=true``
+      → Spark reads a raw long of nanoseconds; truncate (integer div)
+      to µs, matching DuckDB's ns→µs truncation on read.
+    * naive ``timestamp[us]`` → Spark 4.x reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP. The session TZ is pinned UTC (session.py), so the
+      wall-clock values are unchanged and this matches DuckDB, which
+      treats naive parquet timestamps as UTC instants.
+
+    The rule is applied to *every* column observed as ``timestamp_ntz``
+    in *every* table, not just events.ts, so a future rotation of
+    o_orderdate / l_shipdate cannot re-open the same hole.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

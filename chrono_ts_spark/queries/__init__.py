@@ -56,69 +56,71 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  The window
-# below puts (a) every oracled query that has never received a driver
-# correctness row, (b) queries whose round-1 rows errored and are now
-# fixed, (c) queries new this round, and (d) one keeper per SURVEY.md §2
-# operator family ahead of everything else.  Queries outside the window
-# were green in round 1 (CORRECTNESS_r01.json) and rotate back in on
-# later rounds — see docs/coverage.md for the rotation plan.
+# per round, so ordering is coverage policy, not cosmetics.  Round-5
+# rotation (docs/coverage.md items 4-5): (a) the 24 oracled queries
+# registered after the round-2 window froze that have never received a
+# driver row; (b) the 7 queries un-broken by the round-5 TIMESTAMP_NTZ
+# normalization fix, kept in-window so the fix is proven by fresh driver
+# rows (4 more NTZ-fixed queries — ts_time_weighted_avg,
+# ts_cohort_retention, ts_rollup_incremental, ts_zorder_values — are
+# already in (a)); (c) round-1-green keepers evicted since round 2,
+# rotating back so nothing goes >3 rounds without a fresh row.  Every
+# query outside the window has a green driver row in r1/r2/r4 plus
+# standing pytest coverage.
 _WINDOW_50 = [
-    # -- (a) oracled, never driver-checked in round 1 (outside the cap) --
-    "io_csv_scan",
-    "io_json_scan",
-    "io_partitioned_sink",
-    "sql_entry_star_join",
-    "udaf_median_price",
-    "udf_grouped_trend",
-    "udtf_bigrams",
-    "sf_map_funcs",
-    "rel_full_outer_balance",
-    "rel_cube_sales",
-    "rel_median_mode",
-    "rel_window_values",
-    "doc_dedup_stats",
-    "doc_dup_pairs",
-    "doc_dedup_keep_first",
-    "doc_quality",
-    "doc_fingerprints",
-    "doc_lang_id_confusion",
-    "doc_ngram_jaccard_adjacent",
-    "doc_winnow_fingerprints",
-    "pipeline_clean_corpus",
-    "emb_norms",
-    "emb_cosine_topk",
-    "emb_label_centroids",
-    "emb_cosine_near_dups",
-    "ts_downsample_tier",
-    "ts_value_histogram",
-    # -- (b) round-1 ERR rows, fixed this round (array serialization) --
-    "rel_collect_priorities",
-    "sf_array_funcs",
-    # -- (c) new this round --
-    "ts_range_join_left",
-    "ts_interval_overlap",
-    "ts_rolling_zscore",
-    "rel_top_supplier_revenue",
-    "doc_tfidf_top_terms",
-    "doc_pii_scrub",
-    "doc_chunk_tokens",
-    "doc_dup_clusters",
-    "doc_hash_sample",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "emb_quantize_int8",
-    "rel_promo_revenue",
-    "rel_disjunctive_revenue",
-    "rel_market_share",
-    "rel_only_late_supplier",
-    "rel_idle_rich_customers",
-    # -- (d) keepers: flagship + bench anchors (evicted keepers were all
-    # green in CORRECTNESS_r01 and rotate back in round 3) --
+    # -- (a) oracled, never driver-checked (registered after r2 froze) --
+    "rel_part_pagerank",
+    "ts_winsorized_stats",
+    "ts_time_weighted_avg",
+    "rel_fuzzy_part_names",
+    "io_schema_evolution",
+    "doc_feature_hash",
+    "ts_scd2_user_state",
+    "ts_cusum_alarms",
+    "ts_zorder_values",
+    "doc_split_assign",
+    "doc_chunk_dedup",
+    "rel_grouping_sets",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
+    "io_orc_scan",
+    "ts_rolling_autocorr",
+    "ts_event_pattern",
+    "rel_bloom_join_revenue",
+    "doc_repetition_filter",
+    "doc_mixture_sample",
+    "ts_rollup_incremental",
+    "pipeline_curate_corpus",
+    "ts_pit_join_status",
+    "ts_salted_join_enrich",
+    # -- (b) NTZ-fix proof: crashed in r3/r4, normalized in r5 --
     "ts_bucket_agg",
     "ts_sessionize",
-    "ts_asof_join",
-    "rel_pricing_summary",
+    "ts_range_join_left",
+    "ts_range_join_counts",
+    "ts_interval_overlap",
+    "ts_rate",
+    "ts_gapfill_locf",
+    # -- (c) r1-green evicted keepers rotating back (last row: r1) --
+    "sf_string_funcs",
+    "sf_datetime_funcs",
+    "sf_math_funcs",
+    "sf_conditional_funcs",
+    "sf_json_funcs",
+    "sf_hash_funcs",
+    "doc_token_stats",
+    "rel_stats_moments",
+    "rel_filter_project",
+    "ts_cumsum",
+    "rel_brand_stats",
+    "rel_rollup_sales",
+    "rel_price_percentiles",
+    "rel_cust_order_histogram",
+    "rel_order_gap_days",
+    "rel_acctbal_distribution",
+    "rel_union_nationkeys",
+    "rel_nations_cust_not_supp",
+    "rel_distinct_type_brand",
 ]
 
 

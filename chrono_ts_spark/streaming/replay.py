@@ -24,30 +24,35 @@ from pyspark.sql import types as T
 from ..functions import time_bucket, ts_str
 from ..session import apply_runtime_confs
 
-# Raw schema as the file source sees it (ts = nanos-as-long, see catalog).
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _observed_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Footer-only batch read to learn how this fixture generation
+    encodes ``ts`` (the driver has rotated it: ns-as-bigint in early
+    rounds, naive µs → TIMESTAMP_NTZ since; see docs/determinism.md).
+    readStream requires a declared schema, so we declare whatever the
+    footer actually says and normalize afterwards — the same rule
+    ``catalog.load_table`` applies on the batch path."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
 
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming DataFrame replaying <sf_dir>/events.parquet."""
+    """Streaming DataFrame replaying <sf_dir>/events.parquet, with
+    ``ts`` normalized to TIMESTAMP regardless of the fixture encoding."""
     apply_runtime_confs(spark)
+    raw_schema = _observed_events_schema(spark, sf_dir)
     raw = (
         spark.readStream.format("parquet")
-        .schema(_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # Session TZ pinned UTC → value-identical cast (docs/determinism.md).
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def _run_to_memory(

@@ -444,14 +444,21 @@ def test_cusum_stream_state_crosses_batches(spark, tmp_path):
                                   (2, t(1), 5, "c", 13.0, "{}")])
     write_file("events2.parquet", [(3, t(2), 5, "c", 13.0, "{}")])
 
-    # pathGlobFilter only matches events.parquet; widen via a direct run
+    # pathGlobFilter only matches events.parquet; widen via a direct run.
+    # (This test writes its own ns-as-bigint files above, so it declares
+    # that encoding locally — replay.py now discovers the encoding from
+    # the footer instead of exporting a fixed schema.)
     from chrono_ts_spark.streaming.stateful import cusum_update_fn, _CUSUM_OUT, _CUSUM_STATE
-    from chrono_ts_spark.streaming.replay import _run_to_memory, _RAW_SCHEMA
+    from chrono_ts_spark.streaming.replay import _run_to_memory
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ns_schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
     raw = (
         spark.readStream.format("parquet")
-        .schema(_RAW_SCHEMA)
+        .schema(ns_schema)
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
