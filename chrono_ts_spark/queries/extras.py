@@ -652,12 +652,38 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Batch EWMA (the streaming stateful op's batch twin, as a first-class
-# query; no SQL oracle — DuckDB lacks a recursive-free EMA — semantics
-# proven by the stream/batch equivalence test instead)
+# query). Oracled exactly (upgraded from rows-only in r5): the Spark
+# side evaluates `alpha*x + (1-alpha)*prev` sequentially over the
+# per-user (ts, event_id)-sorted sequence, and a DuckDB recursive CTE
+# replays the *same* IEEE-double op sequence in the same order — so the
+# computed doubles are bit-identical, the same argument as the
+# pack-sequences / pagerank oracles. The literals must be CAST AS
+# DOUBLE on the DuckDB side (bare 0.2 parses as DECIMAL(2,1) there,
+# which would accumulate in decimal and diverge).
 # ---------------------------------------------------------------------------
 
 
-@query("ts_ema", oracle=None, tags=("tsdb", "ema", "no-oracle"))
+@query(
+    "ts_ema",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+ema AS (
+    SELECT user_id, event_id, ts, value, rn, value AS ema
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+           CAST(0.2 AS DOUBLE) * s.value + CAST(0.8 AS DOUBLE) * e.ema AS ema
+    FROM ema e JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value, ema
+FROM ema
+""",
+    tags=("tsdb", "ema"),
+)
 def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average (alpha=0.2) in batch form."""
     from ..streaming.stateful import batch_ema

@@ -1608,3 +1608,136 @@ def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("double")
         / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w).cast("double")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> sorted posting list) — the IR / retrieval
+# build primitive over the corpus (new in r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_inverted_index",
+    oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+)
+SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+FROM tok GROUP BY token
+HAVING COUNT(*) >= 5
+""",
+    tags=("text", "X8", "index"),
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for tokens with df >= 5: token, document
+    frequency, and the sorted doc_id list.
+
+    Scale shape: explode -> distinct -> one groupBy(token) shuffle
+    carrying (token, doc_id) pairs, never documents. At production
+    scale the stop-word head (df ~ corpus size) would be excluded by a
+    df-ratio cap or range-sharded per token; the fixture vocabulary is
+    ~31 tokens so the query keeps every df >= 5 token to stay
+    non-degenerate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    inv = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return inv.filter(F.col("df") >= 5)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of a text signal and an embedding signal —
+# the multi-signal retrieval/curation pattern (new in r5)
+# ---------------------------------------------------------------------------
+
+
+_SQL_DOT_RRF = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "doc_rrf_fusion",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+    SELECT e.vec_id AS doc_id,
+           {_SQL_DOT_RRF.format(a='e.embedding', b='p.qv')}
+           / SQRT({_SQL_DOT_RRF.format(a='e.embedding', b='e.embedding')}
+                  * {_SQL_DOT_RRF.format(a='p.qv', b='p.qv')}) AS cosine
+    FROM embeddings e CROSS JOIN probe p
+),
+tk AS (
+    SELECT doc_id, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tok FROM documents
+),
+r AS (
+    SELECT sc.doc_id, n_tok,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, sc.doc_id) AS r_cos,
+           ROW_NUMBER() OVER (ORDER BY n_tok DESC, sc.doc_id) AS r_tok
+    FROM sc JOIN tk ON sc.doc_id = tk.doc_id
+),
+f AS (
+    SELECT doc_id, CAST(r_cos AS INTEGER) AS r_cos, CAST(r_tok AS INTEGER) AS r_tok,
+           CAST(1 AS DOUBLE) / (60 + r_cos) + CAST(1 AS DOUBLE) / (60 + r_tok) AS rrf
+    FROM r
+)
+SELECT doc_id, r_cos, r_tok, rrf, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+WHERE rnk <= 50
+""",
+    tags=("text", "vectors", "fusion"),
+)
+def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two document rankings: cosine
+    similarity to a probe embedding (vec_id 0) and token count. Top 50
+    fused docs with both component ranks.
+
+    RRF = 1/(60+r_a) + 1/(60+r_b) over integer ranks — the doubles are
+    single IEEE divisions of exact integers, bit-identical across
+    engines. Cosine uses the sequential left-to-right dot product both
+    engines replay identically (vectors.py convention). The probe is a
+    1-row broadcast; ranks are global windows (fine for the ranked
+    head — at 100 TB the cosine rank would come from a top-k pushdown
+    rather than a full sort, and token-count rank from an approximate
+    quantile cut; the fusion algebra is unchanged).
+    """
+    from ..functions import vec_cosine, vec_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        vec_double(F.col("embedding")).alias("qv")
+    )
+    sc = e.crossJoin(F.broadcast(probe)).select(
+        F.col("vec_id").alias("doc_id"),
+        vec_cosine(vec_double(F.col("embedding")), F.col("qv")).alias("cosine"),
+    )
+    tk = d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    j = sc.join(tk, "doc_id")
+    r = j.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")).alias("r_cos"),
+        F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")).alias("r_tok"),
+    )
+    f = r.select(
+        "doc_id",
+        "r_cos",
+        "r_tok",
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_tok"))
+        ).alias("rrf"),
+    )
+    out = f.select(
+        "doc_id", "r_cos", "r_tok", "rrf",
+        F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")).alias("rnk"),
+    )
+    return out.filter(F.col("rnk") <= 50)

@@ -1432,3 +1432,150 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("twa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation: do two event types co-move hour to hour?
+# (the TSDB "correlate metrics" primitive; new in r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_series_corr",
+    oracle=f"""
+WITH hourly AS (
+    SELECT {sql_time_bucket('ts', 3600)} AS bucket, event_type,
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY bucket, event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y
+    FROM hourly a JOIN hourly b ON a.bucket = b.bucket
+    WHERE a.event_type < b.event_type
+),
+m AS (
+    SELECT type_a, type_b, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_buckets,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+           AS corr
+FROM m
+""",
+    tags=("tsdb", "corr"),
+)
+def ts_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event-type series,
+    aligned on shared 1-hour buckets (hourly value totals).
+
+    Exactness: fixture values are 2-decimal, so cents = round(v*100) is
+    an exact long; per-bucket totals and all five moments accumulate as
+    exact integers (decimal(38,0) on Spark, HUGEINT in the oracle — the
+    same class, int-exact, chosen per engine because DuckDB widens
+    decimal×decimal past 38 into double while Spark caps at 38). Only
+    the final corr expression runs in double, identically on both
+    engines — the docs/determinism.md computed-value rule.
+
+    Scale shape: one agg shuffles events down to (buckets × types) rows
+    — everything after operates on the tiny aligned series, so the pair
+    join and moment agg are negligible at any corpus size. Series
+    alignment via inner bucket join = "hours where both types active".
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    hourly = (
+        ev.select(time_bucket("ts", 3600).alias("bucket"), "event_type", cents.alias("c"))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    a = hourly.select("bucket", F.col("event_type").alias("type_a"), F.col("v").alias("x"))
+    b = hourly.select("bucket", F.col("event_type").alias("type_b"), F.col("v").alias("y"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    m = (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("x"))).alias("sx"),
+            F.sum(d38(F.col("y"))).alias("sy"),
+            F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+            F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+            F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+        )
+    )
+    n = d38(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        (num / F.sqrt(denx * deny)).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: bucket activity vs its own trailing baseline
+# (rate-anomaly primitive; integer-exact by cross-multiplication; r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_burst_detect",
+    oracle=f"""
+WITH c AS (
+    SELECT user_id, {sql_time_bucket('ts', 300)} AS bucket, COUNT(*) AS cnt
+    FROM events GROUP BY user_id, bucket
+),
+t AS (
+    SELECT user_id, bucket, cnt,
+           SUM(cnt) OVER w AS trail,
+           COUNT(*) OVER w AS n_trail
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, {sql_ts_str('bucket')} AS bucket_ts,
+       CAST(cnt AS BIGINT) AS cnt, CAST(trail AS BIGINT) AS trail,
+       CAST(cnt * 12 > trail * 3 AS INTEGER) AS is_burst
+FROM t WHERE n_trail = 12
+""",
+    tags=("tsdb", "anomaly"),
+)
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag 5-minute buckets whose event count exceeds 3x the mean of
+    the user's previous 12 active buckets (trailing baseline excludes
+    the current bucket; emitted only once the baseline is full).
+
+    The comparison is cross-multiplied (`cnt*12 > trail*3`) so the
+    whole query is integer arithmetic end to end — no float boundary
+    at all. One shuffle (user_id+bucket agg); the trailing window
+    reuses the user_id partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select("user_id", time_bucket("ts", 300).alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-12, -1)
+    t = c.select(
+        "user_id",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("trail"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return t.filter(F.col("n_trail") == 12).select(
+        "user_id",
+        ts_str("bucket").alias("bucket_ts"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("trail").cast("bigint").alias("trail"),
+        (F.col("cnt") * 12 > F.col("trail") * 3).cast("int").alias("is_burst"),
+    )
