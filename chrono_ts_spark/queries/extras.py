@@ -753,3 +753,31 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("bal_tier").alias("n_with_tier"),
         F.count(F.when(F.col("bal_tier") == "pos", F.lit(1))).alias("n_pos"),
     )
+
+
+@query("io_binary_scan", oracle=None, tags=("io", "S2", "X9", "no-oracle"))
+def io_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingestion (the X9 multimodal on-ramp, S2 family):
+    every fixture parquet read as an opaque blob via the binaryFile
+    source; emits (basename, byte length, raw-content md5). Rows-only
+    for the driver (oracle SQL runs on pre-registered table views, and
+    a path-bearing read_blob() can't parameterize across scale dirs);
+    pytest pins sizes and md5s against os.stat + hashlib ground truth
+    (DuckDB itself can only md5 a blob through an escaping VARCHAR
+    cast, which hashes different bytes than Spark's raw md5(binary)).
+
+    Scale: binaryFile streams whole files as single-row Arrow batches;
+    at 100 TB the per-file bytes stay on executors (decode/feature
+    UDFs run where the row lives — operators/multimodal.py), and only
+    extracted metadata ever shuffles.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

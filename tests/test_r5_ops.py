@@ -1,0 +1,153 @@
+"""Round-5 operator tests on planted data: cross-series correlation,
+burst detection, inverted index, and RRF fusion — edge cases the
+fixture tables can't force (perfect/anti correlation, exact burst
+threshold boundaries, rank-fusion tie handling).
+
+The registry queries read ``{dir}/events.parquet`` etc. via
+catalog.load_table, so each test writes a minimal planted table into
+tmp_path and calls the query on that directory.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def t(h, m=0):
+    return datetime(2024, 1, 1, h, m, 0)
+
+
+class TestSeriesCorr:
+    def test_perfect_and_anti_correlation(self, spark, tmp_path):
+        # Two hourly buckets; series b = a (perfect), series c = -a + const
+        # (perfect anti). Integer moments make the result exactly ±1.0.
+        rows = []
+        eid = 0
+        for hour, va in [(0, 10.0), (1, 20.0), (2, 40.0)]:
+            for etype, v in [("a", va), ("b", va), ("c", 60.0 - va)]:
+                eid += 1
+                rows.append((eid, t(hour), 1, etype, v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = {
+            (r.type_a, r.type_b): r
+            for r in REG["ts_series_corr"].fn(spark, sf).collect()
+        }
+        assert out[("a", "b")].corr == 1.0
+        assert out[("a", "c")].corr == -1.0
+        assert out[("b", "c")].corr == -1.0
+        assert out[("a", "b")].n_buckets == 3
+
+    def test_alignment_is_inner(self, spark, tmp_path):
+        # type "a" active in 3 buckets, "b" only in 2 -> pair sees 2.
+        rows = [
+            (1, t(0), 1, "a", 1.0, "{}"),
+            (2, t(1), 1, "a", 2.0, "{}"),
+            (3, t(2), 1, "a", 3.0, "{}"),
+            (4, t(0), 1, "b", 1.0, "{}"),
+            (5, t(2), 1, "b", 5.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_series_corr"].fn(spark, sf).collect()
+        assert len(out) == 1 and out[0].n_buckets == 2
+
+
+class TestBurstDetect:
+    def _baseline_plus_current(self, spark, tmp_path, current_n):
+        # 12 buckets of exactly 1 event, then a current bucket with
+        # current_n events. Threshold: cnt*12 > 3*trail = 3*12 = 36
+        # -> burst iff cnt > 3.
+        rows = []
+        eid = 0
+        base = datetime(2024, 1, 1, 0, 0, 0)
+        for b in range(12):
+            eid += 1
+            rows.append((eid, base + timedelta(minutes=5 * b), 1, "x", 1.0, "{}"))
+        for _ in range(current_n):
+            eid += 1
+            rows.append((eid, base + timedelta(minutes=60), 1, "x", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_burst_detect"].fn(spark, sf).collect()
+        # only the 13th bucket has a full 12-bucket trailing baseline
+        assert len(out) == 1
+        return out[0]
+
+    def test_exact_threshold_not_burst(self, spark, tmp_path):
+        r = self._baseline_plus_current(spark, tmp_path, 3)  # 36 > 36 false
+        assert r.cnt == 3 and r.trail == 12 and r.is_burst == 0
+
+    def test_above_threshold_burst(self, spark, tmp_path):
+        r = self._baseline_plus_current(spark, tmp_path, 4)  # 48 > 36 true
+        assert r.cnt == 4 and r.is_burst == 1
+
+    def test_partial_baseline_suppressed(self, spark, tmp_path):
+        # Only 5 trailing buckets -> no row emitted at all.
+        rows = []
+        base = datetime(2024, 1, 1, 0, 0, 0)
+        for b in range(6):
+            rows.append((b + 1, base + timedelta(minutes=5 * b), 1, "x", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        assert REG["ts_burst_detect"].fn(spark, sf).count() == 0
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_df_band(self, spark, tmp_path):
+        docs = []
+        # "common" in 6 docs, "rare" in 1, "mid" in 5
+        for i in range(6):
+            text = "common" + (" mid" if i < 5 else "") + (" rare" if i == 0 else "")
+            docs.append((i, text, "en", "s", len(text)))
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {r.token: r for r in REG["doc_inverted_index"].fn(spark, str(tmp_path)).collect()}
+        assert set(out) == {"common", "mid"}  # df >= 5 band
+        assert out["common"].df == 6 and out["common"].postings == [0, 1, 2, 3, 4, 5]
+        assert out["mid"].postings == [0, 1, 2, 3, 4]
+
+
+class TestRrfFusion:
+    def test_fusion_on_fixture(self, spark):
+        out = REG["doc_rrf_fusion"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert 0 < len(out) <= 50
+        by_rnk = sorted(out, key=lambda r: r.rnk)
+        # rrf must equal the formula from its own integer ranks, and be
+        # monotonically non-increasing in rnk with doc_id tiebreak
+        for r in by_rnk:
+            assert r.rrf == pytest.approx(1.0 / (60 + r.r_cos) + 1.0 / (60 + r.r_tok), abs=0)
+        for a, b in zip(by_rnk, by_rnk[1:]):
+            assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
+        # probe doc itself ranks #1 on cosine (self-similarity = 1)
+        r_cos_1 = [r for r in out if r.r_cos == 1]
+        assert r_cos_1 and r_cos_1[0].doc_id == 0
+
+
+class TestBinaryScan:
+    def test_sizes_and_md5_match_ground_truth(self, spark):
+        import hashlib
+        import os
+
+        sf = "/root/testdata/sf0.001"
+        out = {r.fname: r for r in REG["io_binary_scan"].fn(spark, sf).collect()}
+        names = [f for f in os.listdir(sf) if f.endswith(".parquet")]
+        assert set(out) == set(names) and len(names) == 10
+        for f in names:
+            p = os.path.join(sf, f)
+            assert out[f].n_bytes == os.stat(p).st_size
+            assert out[f].content_md5 == hashlib.md5(open(p, "rb").read()).hexdigest()

@@ -121,6 +121,11 @@ def main() -> None:
         "ts_scd2_user_state",
         "ts_cusum_alarms",
         "ts_zorder_values",
+        # round-5 additions
+        "ts_series_corr",
+        "ts_burst_detect",
+        "ts_ema",
+        "ts_time_weighted_avg",
     ]
     timings = {}
     for n in names:
@@ -128,7 +133,8 @@ def main() -> None:
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
-    for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample"]:
+    for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
+              "doc_inverted_index"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
