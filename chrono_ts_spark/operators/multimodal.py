@@ -113,3 +113,92 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+# Public file signatures (magic bytes) → container format. Offsets are
+# 1-based to match SQL substring semantics; 'mp4' matches 'ftyp' at
+# byte offset 4. Codec-free: this is metadata-level sniffing, the step
+# before any (stubbed) decode.
+_MAGIC: list[tuple[str, int, str]] = [
+    ("89504E47", 1, "png"),
+    ("FFD8FF", 1, "jpeg"),
+    ("47494638", 1, "gif"),
+    ("52494646", 1, "riff"),
+    ("25504446", 1, "pdf"),
+    ("504B0304", 1, "zip"),
+    ("1F8B", 1, "gzip"),
+    ("4F5243", 1, "orc"),
+    ("4F626A01", 1, "avro"),
+    ("50415231", 1, "parquet"),
+    ("66747970", 5, "mp4"),
+]
+
+
+def sniff_format(content):  # Column -> Column
+    """Magic-byte format sniff, fully JVM-side (hex-prefix compares on
+    the binary column — no Python boundary, no decode)."""
+    expr = F.lit("unknown")
+    for prefix, off, name in reversed(_MAGIC):
+        nbytes = len(prefix) // 2
+        cond = F.hex(F.substring(content, off, nbytes)) == F.lit(prefix)
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
+BYTE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("fname", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("n_distinct_bytes", T.IntegerType()),
+        T.StructField("top_byte", T.IntegerType()),
+    ]
+)
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Codec-free per-blob byte statistics via Arrow-batched mapInPandas:
+    Shannon entropy (bits/byte, rounded 6), distinct byte count, and the
+    most frequent byte (ties → smallest value, via argmax-first).
+
+    Input columns: fname, format, content. The blob bytes never leave
+    the executor that read them — only the fixed-width feature row
+    shuffles, which is the 100 TB multimodal contract (module doc).
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for fname, fmt, blob in zip(
+                pdf["fname"], pdf["format"], pdf["content"]
+            ):
+                b = bytes(blob)
+                counts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8), minlength=256
+                )
+                n = len(b)
+                if n:
+                    p = counts[counts > 0] / n
+                    ent = round(float(-(p * np.log2(p)).sum()), 6)
+                    top = int(counts.argmax())
+                    nd = int((counts > 0).sum())
+                else:
+                    ent, top, nd = 0.0, 0, 0
+                rows.append((fname, fmt, n, ent, nd, top))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fname", "format", "n_bytes",
+                    "entropy", "n_distinct_bytes", "top_byte",
+                ],
+            )
+
+    return df.select("fname", "format", "content").mapInPandas(
+        extract, BYTE_FEATURE_SCHEMA
+    )
