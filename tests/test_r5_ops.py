@@ -67,6 +67,25 @@ class TestSeriesCorr:
         out = REG["ts_series_corr"].fn(spark, sf).collect()
         assert len(out) == 1 and out[0].n_buckets == 2
 
+    def test_degenerate_pairs_filtered(self, spark, tmp_path):
+        # r6 guard (ADVICE r5): zero-variance series and single-shared-
+        # bucket pairs are dropped, not NULL/NaN — and identically in
+        # the oracle, where DuckDB division by zero would give inf.
+        rows = [
+            # "a" varies over 3 buckets; "flat" is constant over the same
+            (1, t(0), 1, "a", 1.0, "{}"),
+            (2, t(1), 1, "a", 2.0, "{}"),
+            (3, t(2), 1, "a", 3.0, "{}"),
+            (4, t(0), 1, "flat", 7.0, "{}"),
+            (5, t(1), 1, "flat", 7.0, "{}"),
+            (6, t(2), 1, "flat", 7.0, "{}"),
+            # "once" shares exactly one bucket with "a" (n = 1)
+            (7, t(2), 1, "once", 9.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_series_corr"].fn(spark, sf).collect()
+        assert out == []  # (a,flat): zero variance; (a,once)/(flat,once): n=1
+
 
 class TestBurstDetect:
     def _baseline_plus_current(self, spark, tmp_path, current_n):
@@ -107,35 +126,87 @@ class TestBurstDetect:
 
 
 class TestInvertedIndex:
+    def _write_docs(self, spark, tmp_path, docs):
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
     def test_postings_sorted_and_df_band(self, spark, tmp_path):
         docs = []
         # "common" in 6 docs, "rare" in 1, "mid" in 5
         for i in range(6):
             text = "common" + (" mid" if i < 5 else "") + (" rare" if i == 0 else "")
             docs.append((i, text, "en", "s", len(text)))
-        spark.createDataFrame(
-            docs, "doc_id long, text string, lang string, source string, n_chars long"
-        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-        out = {r.token: r for r in REG["doc_inverted_index"].fn(spark, str(tmp_path)).collect()}
-        assert set(out) == {"common", "mid"}  # df >= 5 band
-        assert out["common"].df == 6 and out["common"].postings == [0, 1, 2, 3, 4, 5]
-        assert out["mid"].postings == [0, 1, 2, 3, 4]
+        sf = self._write_docs(spark, tmp_path, docs)
+        rows = REG["doc_inverted_index"].fn(spark, sf).collect()
+        assert {r.token for r in rows} == {"common", "mid"}  # total-df >= 5 band
+        merged: dict = {}
+        for r in rows:
+            assert r.postings == sorted(r.postings)  # sorted within shard
+            assert r.df_shard == len(r.postings)
+            merged.setdefault(r.token, []).extend(r.postings)
+            assert r.df == (6 if r.token == "common" else 5)  # df is the TOTAL
+        assert sorted(merged["common"]) == [0, 1, 2, 3, 4, 5]
+        assert sorted(merged["mid"]) == [0, 1, 2, 3, 4]
+
+    def test_stop_word_shard_bound(self, spark, tmp_path):
+        # r6 hot-key guard: a stop word hitting every one of 200 docs
+        # must spread over the md5 shards instead of producing one
+        # 200-id posting list in a single reducer.
+        from chrono_ts_spark.queries.text import _INV_SHARDS, inverted_index
+
+        n = 200
+        docs = [(i, "the unique%d" % i, "en", "s", 10) for i in range(n)]
+        self._write_docs(spark, tmp_path, docs)
+        d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+        rows = [r for r in inverted_index(d).collect() if r.token == "the"]
+        assert len(rows) == _INV_SHARDS  # every shard non-empty at n=200
+        assert all(r.df == n for r in rows)
+        # bound: no shard materializes more than ~2x the even share
+        assert max(len(r.postings) for r in rows) <= 2 * n // _INV_SHARDS
+        assert sorted(x for r in rows for x in r.postings) == list(range(n))
+        # the unique tokens (df=1) are below the floor
+        assert {r.token for r in inverted_index(d).collect()} == {"the"}
 
 
 class TestRrfFusion:
     def test_fusion_on_fixture(self, spark):
+        from chrono_ts_spark.queries.text import _RRF_POOL
+
         out = REG["doc_rrf_fusion"].fn(spark, "/root/testdata/sf0.001").collect()
         assert 0 < len(out) <= 50
         by_rnk = sorted(out, key=lambda r: r.rnk)
-        # rrf must equal the formula from its own integer ranks, and be
-        # monotonically non-increasing in rnk with doc_id tiebreak
+        # rrf must equal the formula from its own (pool-bounded,
+        # possibly NULL) integer ranks, and be monotonically
+        # non-increasing in rnk with doc_id tiebreak
         for r in by_rnk:
-            assert r.rrf == pytest.approx(1.0 / (60 + r.r_cos) + 1.0 / (60 + r.r_tok), abs=0)
+            expect = (1.0 / (60 + r.r_cos) if r.r_cos is not None else 0.0) + (
+                1.0 / (60 + r.r_tok) if r.r_tok is not None else 0.0
+            )
+            assert r.rrf == pytest.approx(expect, abs=0)
+            assert r.r_cos is not None or r.r_tok is not None
+            assert r.r_cos is None or 1 <= r.r_cos <= _RRF_POOL
+            assert r.r_tok is None or 1 <= r.r_tok <= _RRF_POOL
         for a, b in zip(by_rnk, by_rnk[1:]):
             assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
         # probe doc itself ranks #1 on cosine (self-similarity = 1)
         r_cos_1 = [r for r in out if r.r_cos == 1]
         assert r_cos_1 and r_cos_1[0].doc_id == 0
+
+    def test_pool_cut_is_plan_bounded(self, spark):
+        # the scale contract: no unpartitioned Window may see a scan
+        # that is not GlobalLimit-bounded (tools/explain_audit rule)
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from explain_audit import unguarded_global_windows
+
+        df = REG["doc_rrf_fusion"].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert unguarded_global_windows(plan) == []
+        assert "GlobalLimit 200" in plan  # the pool cut survives optimization
 
 
 class TestBinaryScan:

@@ -220,9 +220,110 @@ RULES: dict[str, dict[str, list[str]]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide window audit (r6): a partition-less ordered Window is
+# the canonical 100 TB scale-killer (whole input through one sort), so
+# it is forbidden EVERYWHERE unless the plan itself proves the input
+# bounded — every Relation leaf beneath the Window must pass through a
+# GlobalLimit (orderBy().limit() → TakeOrderedAndProject: per-partition
+# heaps, never a global sort). The few intentionally-global queries
+# below are allowlisted with the reason the audit can't see.
+# ---------------------------------------------------------------------------
+
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    # W6 is global by definition (percent_rank/cume_dist/ntile over the
+    # whole relation). Scale path documented in docs/scale.md: two-pass
+    # cumulative-histogram broadcast replaces the single sort.
+    "rel_acctbal_distribution": "W6 semantics are inherently global",
+    # cumulative weight over the groupBy(value)-aggregated domain:
+    # bounded by value cardinality (2-decimal fixture domain), which an
+    # Aggregate node can't prove to the plan.
+    "ts_value_quantile_sketch": "cumsum over aggregated value domain",
+}
+
+
+def _parse_tree(text: str) -> list[tuple[int, str]]:
+    """(depth, content) rows of a logical-plan tree string."""
+    import re
+
+    rows = []
+    for line in text.splitlines():
+        m = re.match(r"^((?:[:+|\- ]{3})*)(.*)$", line)
+        rows.append((len(m.group(1)) // 3, m.group(2)))
+    return rows
+
+
+def _top_level_groups(s: str) -> int:
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def unguarded_global_windows(plan: str) -> list[str]:
+    """Partition-less ordered Window nodes with any Relation leaf whose
+    path up to the Window crosses no GlobalLimit."""
+    nodes = _parse_tree(plan)
+    bad = []
+    for idx, (d, content) in enumerate(nodes):
+        if not content.startswith("Window "):
+            continue
+        args = content[len("Window ") :]
+        if _top_level_groups(args) != 2:
+            continue  # [exprs], [partition], [order] — partitioned
+        last = args[args.rindex(", [") :]
+        if " ASC" not in last and " DESC" not in last:
+            continue  # [exprs], [partition] — unordered partitioned
+        stack: list[tuple[int, bool]] = []
+        guarded = True
+        for d2, c2 in nodes[idx + 1 :]:
+            if d2 <= d:
+                break
+            while stack and stack[-1][0] >= d2:
+                stack.pop()
+            inherited = stack[-1][1] if stack else False
+            stack.append((d2, inherited or c2.startswith("GlobalLimit")))
+            if c2.startswith("Relation") and not inherited:
+                guarded = False
+        if not guarded:
+            bad.append(content[:100])
+    return bad
+
+
+def audit_windows(registry, spark, sf: str, names=None) -> int:
+    failures = 0
+    for name, spec in registry.items():
+        if names and name not in names:
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming plans are audited via their batch twins
+        if name in GLOBAL_WINDOW_ALLOWLIST:
+            print(f"SKIP window-audit {name}: {GLOBAL_WINDOW_ALLOWLIST[name]}")
+            continue
+        try:
+            df = spec.fn(spark, sf)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as ex:  # build failures surface in oracle_check
+            print(f"ERR  window-audit {name}: {str(ex)[:90]}")
+            failures += 1
+            continue
+        bad = unguarded_global_windows(plan)
+        if bad:
+            failures += 1
+            print(f"FAIL window-audit {name}: {bad[0]}")
+    print(f"window-audit: {'FAIL' if failures else 'OK'} ({failures} failures)")
+    return failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-windows", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -251,6 +352,8 @@ def main() -> int:
             print(f"FAIL {name}: missing={missing} forbidden={present}")
         else:
             print(f"PASS {name}")
+    if not args.skip_windows:
+        failures += audit_windows(registry, spark, args.sf, args.names)
     print(f"\n{'FAIL' if failures else 'OK'} ({failures} failures)")
     return 1 if failures else 0
 
