@@ -660,6 +660,12 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pack-sequences / pagerank oracles. The literals must be CAST AS
 # DOUBLE on the DuckDB side (bare 0.2 parses as DECIMAL(2,1) there,
 # which would accumulate in decimal and diverge).
+#
+# Oracle sf ceiling (ADVICE r5): the recursive CTE advances one row per
+# user per iteration (iterations = max per-user sequence length, each
+# re-joining seq), so it degrades ~quadratically with sequence length.
+# Fine at the sf0.01 verify scale (~67 events/user); if the driver ever
+# verifies at sf >= 1, batch the recursion by rn ranges instead.
 # ---------------------------------------------------------------------------
 
 
@@ -781,3 +787,38 @@ def io_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query("mm_byte_features", oracle=None, tags=("io", "X9", "multimodal", "no-oracle"))
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 byte-level features over real binary blobs (r6): every fixture
+    parquet file ingested via binaryFile, format-sniffed JVM-side from
+    its magic bytes (operators/multimodal.sniff_format — no Python, no
+    decode), then Arrow-batched per-blob byte statistics (Shannon
+    entropy, distinct-byte count, modal byte) via mapInPandas.
+
+    Rows-only for the driver (same reason as io_binary_scan: the blob
+    domain is the filesystem, not the pre-registered table views);
+    tests/test_multimodal.py pins every value against an independent
+    pure-Python/numpy recomputation of the same files, and a planted
+    fixture (fake png/jpeg/gzip/empty blobs) proves the sniff table and
+    the entropy/tie-break conventions.
+
+    Scale: identical contract to io_binary_scan — bytes stay where the
+    scan put them, mapInPandas emits fixed-width feature rows, and only
+    those ever shuffle. Entropy/histogram is the codec-free stand-in
+    for the real decode (module doc: swap in PIL/ffmpeg unchanged).
+    """
+    from ..operators.multimodal import byte_features, sniff_format
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    named = df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        sniff_format(F.col("content")).alias("format"),
+        F.col("content"),
+    )
+    return byte_features(named)

@@ -1465,6 +1465,7 @@ SELECT type_a, type_b, CAST(n AS BIGINT) AS n_buckets,
        / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
            AS corr
 FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """,
     tags=("tsdb", "corr"),
 )
@@ -1510,13 +1511,19 @@ def ts_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d38(F.col("n"))
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return m.select(
+    denx_i = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny_i = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate-pair guard (ADVICE r5): a zero-variance series or a
+    # single shared bucket gives denominator 0, where Spark's non-ANSI
+    # double division yields NULL but DuckDB yields inf/NaN — filter
+    # the pair out on BOTH sides (decimal-exact compare, pre-division)
+    return m.filter(
+        (F.col("n") >= 2) & (denx_i > 0) & (deny_i > 0)
+    ).select(
         "type_a",
         "type_b",
         F.col("n").cast("bigint").alias("n_buckets"),
-        (num / F.sqrt(denx * deny)).alias("corr"),
+        (num / F.sqrt(denx_i.cast("double") * deny_i.cast("double"))).alias("corr"),
     )
 
 
