@@ -56,71 +56,73 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-5
-# rotation (docs/coverage.md items 4-5): (a) the 24 oracled queries
-# registered after the round-2 window froze that have never received a
-# driver row; (b) the 7 queries un-broken by the round-5 TIMESTAMP_NTZ
-# normalization fix, kept in-window so the fix is proven by fresh driver
-# rows (4 more NTZ-fixed queries — ts_time_weighted_avg,
-# ts_cohort_retention, ts_rollup_incremental, ts_zorder_values — are
-# already in (a)); (c) round-1-green keepers evicted since round 2,
-# rotating back so nothing goes >3 rounds without a fresh row.  Every
-# query outside the window has a green driver row in r1/r2/r4 plus
-# standing pytest coverage.
+# per round, so ordering is coverage policy, not cosmetics.  Round-6
+# rotation (VERDICT r5 item 1 + docs/coverage.md "Round-5 additions"):
+# (a) the six round-5 queries registered after the r5 window froze —
+# never driver-checked; (b) every remaining round-1-green keeper (last
+# driver row: r1, now five rounds stale — the oldest rows anywhere);
+# (c) every other registry query that has NEVER had a driver row: the
+# rows-only-by-design set (streaming equivalence queries, seeded
+# sampling, sketches, ANN, minhash/simhash) — the driver records the
+# weaker rows-only check for these, converting "pytest-only" into
+# "driver-witnessed" for the whole family; (d) queries added in round 6.
+# Everything outside the window is r4/r5-green (≤2 rounds old) plus
+# standing pytest coverage; the 46 r4-green rows rotate back in r7.
 _WINDOW_50 = [
-    # -- (a) oracled, never driver-checked (registered after r2 froze) --
-    "rel_part_pagerank",
-    "ts_winsorized_stats",
-    "ts_time_weighted_avg",
-    "rel_fuzzy_part_names",
-    "io_schema_evolution",
-    "doc_feature_hash",
-    "ts_scd2_user_state",
-    "ts_cusum_alarms",
-    "ts_zorder_values",
-    "doc_split_assign",
-    "doc_chunk_dedup",
-    "rel_grouping_sets",
-    "ts_funnel_steps",
-    "ts_cohort_retention",
-    "io_orc_scan",
-    "ts_rolling_autocorr",
-    "ts_event_pattern",
-    "rel_bloom_join_revenue",
-    "doc_repetition_filter",
-    "doc_mixture_sample",
-    "ts_rollup_incremental",
-    "pipeline_curate_corpus",
-    "ts_pit_join_status",
-    "ts_salted_join_enrich",
-    # -- (b) NTZ-fix proof: crashed in r3/r4, normalized in r5 --
-    "ts_bucket_agg",
-    "ts_sessionize",
-    "ts_range_join_left",
-    "ts_range_join_counts",
-    "ts_interval_overlap",
-    "ts_rate",
-    "ts_gapfill_locf",
-    # -- (c) r1-green evicted keepers rotating back (last row: r1) --
-    "sf_string_funcs",
-    "sf_datetime_funcs",
-    "sf_math_funcs",
-    "sf_conditional_funcs",
-    "sf_json_funcs",
-    "sf_hash_funcs",
-    "doc_token_stats",
-    "rel_stats_moments",
-    "rel_filter_project",
-    "ts_cumsum",
-    "rel_brand_stats",
-    "rel_rollup_sales",
-    "rel_price_percentiles",
-    "rel_cust_order_histogram",
-    "rel_order_gap_days",
-    "rel_acctbal_distribution",
-    "rel_union_nationkeys",
-    "rel_nations_cust_not_supp",
-    "rel_distinct_type_brand",
+    # -- (a) round-5 additions, never driver-checked --
+    "ts_ema",
+    "ts_series_corr",
+    "ts_burst_detect",
+    "doc_inverted_index",
+    "doc_rrf_fusion",
+    "io_binary_scan",
+    # -- (d) round-6 additions --
+    "mm_byte_features",
+    # -- (b) r1-green keepers, five rounds stale --
+    "doc_top_terms",
+    "rel_below_avg_quantity",
+    "rel_big_spender_customers",
+    "rel_cust_running_total",
+    "rel_customers_without_orders",
+    "rel_first_last_order",
+    "rel_large_volume_customers",
+    "rel_nation_pairs",
+    "rel_nation_revenue",
+    "rel_nation_trade_volume",
+    "rel_nations_cust_and_supp",
+    "rel_order_priority_counts",
+    "rel_pivot_status",
+    "rel_priority_lateness",
+    "rel_returned_revenue_customers",
+    "rel_revenue_forecast",
+    "rel_top_orders_per_cust",
+    "rel_top_revenue_orders",
+    "ts_asof_join_forward",
+    "ts_ohlc_daily",
+    "ts_salted_agg",
+    "ts_topk_users",
+    # -- (c) never-driver-checked rows-only set --
+    "doc_minhash_near_dups",
+    "doc_simhash",
+    "doc_simhash_neighbors",
+    "doc_heavy_tokens",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+    "emb_pq_topk",
+    "ts_lttb_downsample",
+    "ts_value_quantile_sketch",
+    "mm_features",
+    "rel_approx_distinct",
+    "rel_sample",
+    "stream_bucket_counts",
+    "stream_session_windows",
+    "stream_dedup_counts",
+    "stream_sliding_counts",
+    "stream_stream_join",
+    "stream_stream_join_left",
+    "stream_ema",
+    "stream_running_extrema",
+    "stream_cusum",
 ]
 
 
