@@ -78,6 +78,10 @@ _WINDOW_50 = [
     "io_binary_scan",
     # -- (d) round-6 additions --
     "mm_byte_features",
+    "ts_m4_downsample",
+    "ts_seasonal_baseline",
+    "ts_holt_linear",
+    "doc_bm25",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -119,10 +123,6 @@ _WINDOW_50 = [
     "stream_dedup_counts",
     "stream_sliding_counts",
     "stream_stream_join",
-    "stream_stream_join_left",
-    "stream_ema",
-    "stream_running_extrema",
-    "stream_cusum",
 ]
 
 

@@ -697,6 +697,107 @@ def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_ema(spark, sf_dir, alpha=0.2)
 
 
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing — level + trend per
+# series, the forecasting step up from ts_ema (r6). Same sanctioned-
+# sequential-boundary contract: numpy scalar loop in applyInPandas,
+# DuckDB recursive CTE replaying the identical IEEE op sequence.
+# Constants: 1.0-0.3 == 0.7 and 1.0-0.1 == 0.9 exactly (ties-to-even),
+# so the oracle's CAST(0.7/0.9 AS DOUBLE) are the same doubles the
+# Python closure folds. The trend column recomputes the level
+# expression inline (same bits — it IS the same expression) so the CTE
+# needs no intra-SELECT alias reference. Oracle sf ceiling: same
+# ~quadratic recursive-join profile as ts_ema (note there).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+hw AS (
+    SELECT user_id, event_id, ts, value, rn,
+           value AS lvl, CAST(0 AS DOUBLE) AS trd
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+           CAST(0.3 AS DOUBLE) * s.value
+               + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd) AS lvl,
+           CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * s.value
+                   + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+               + CAST(0.9 AS DOUBLE) * h.trd AS trd
+    FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+       lvl AS level, trd AS trend, lvl + trd AS forecast_next
+FROM hw
+""",
+    tags=("tsdb", "forecast", "W8"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing (alpha=0.3, beta=0.1): level,
+    trend, and the one-step-ahead forecast level+trend, over the
+    (ts, event_id) order. Seeds: level = first value, trend = 0.
+
+    Scale: the stateful.batch_ema contract — one shuffle on user_id
+    into the sanctioned applyInPandas boundary, numpy scalar loop
+    (~0.3 µs/row), cross-series fan-out is the parallelism.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a, b1, g, g1 = 0.3, 1.0 - 0.3, 0.1, 1.0 - 0.1
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        xs = pdf["value"].to_numpy(dtype="float64")
+        n = len(xs)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        l = t = 0.0
+        for i in range(n):
+            x = xs[i]
+            if i == 0:
+                l, t = x, 0.0
+            else:
+                nl = a * x + b1 * (l + t)
+                t = g * (nl - l) + g1 * t
+                l = nl
+            lvl[i] = l
+            trd[i] = t
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts_s": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": pdf["value"],
+                "level": lvl,
+                "trend": trd,
+                "forecast_next": lvl + trd,
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            run,
+            "user_id bigint, event_id bigint, ts_s string, value double, "
+            "level double, trend double, forecast_next double",
+        )
+    )
+
+
 @query(
     "io_orc_scan",
     oracle=f"""

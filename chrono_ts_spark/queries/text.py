@@ -8,6 +8,7 @@ mirrored as list_filter(string_split_regex(...)).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1087,57 +1088,73 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence fractions plus the single most-frequent bigram's share,
     and an OR-of-thresholds flag.
 
-    Plan shape: one map-side n-gram expansion (textfns.ngrams builds
-    unigram+bigram+trigram entries before a single explode, so the
-    document text is read once), then two hash aggregations —
-    (doc_id, n, gram) counts with map-side partial combine of repeated
-    grams, and a conditional rollup to one row per document. No joins;
-    shuffle volume is gram counts, not text. Thresholds are tuned to
-    the synthetic word-soup corpus (natural-corpus deployments would
-    use the published Gopher character-fraction cutoffs).
+    r6 rewrite: every metric is a pure PER-DOCUMENT function, so the
+    whole computation moved into one Arrow-batched mapInPandas pass —
+    zero shuffles (the r5 form exploded ~3L gram rows per doc through
+    two hash aggregations, and the interpreted struct-array HOF build
+    dominated: 17.3 s → 6.9 s at 200k docs, bit-identical output —
+    tools/scale_probe.py). The sanctioned-boundary rules apply
+    (CUSUM/EMA precedent): Counter arithmetic per doc, fractions are
+    single IEEE divisions of exact ints, tokenization replays
+    tokenize() exactly (ASCII \\s+ split of lowered text, empties
+    dropped — re.ASCII matches Java's default \\s). Docs with zero
+    tokens emit nothing, as explode() did. Thresholds are tuned to the
+    synthetic word-soup corpus (natural-corpus deployments would use
+    the published Gopher character-fraction cutoffs).
     """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    def _entries(n: int):
-        # single-arg lambda: a two-arg one would receive (element, index)
-        return F.transform(
-            ngrams(toks, n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-        )
 
-    entries = F.concat(_entries(1), _entries(2), _entries(3))
-    grams = d.select("doc_id", F.explode(entries).alias("e")).select(
-        "doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram")
-    )
-    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    def run(batches):
+        import re
+        from collections import Counter
 
-    def _tot(n: int):
-        return F.sum(F.when(F.col("n") == n, F.col("c")))
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text.lower()) if t != ""]
+                t1 = len(toks)
+                if t1 == 0:
+                    continue
+                c1 = Counter(toks)
+                dup1 = (t1 - len(c1)) / t1
+                if t1 >= 2:
+                    t2 = t1 - 1
+                    c2 = Counter(
+                        " ".join(toks[i : i + 2]) for i in range(t2)
+                    )
+                    dup2 = (t2 - len(c2)) / t2
+                    top2 = max(c2.values()) / t2
+                else:
+                    dup2 = top2 = 0.0
+                if t1 >= 3:
+                    t3 = t1 - 2
+                    c3 = Counter(
+                        " ".join(toks[i : i + 3]) for i in range(t3)
+                    )
+                    dup3 = (t3 - len(c3)) / t3
+                else:
+                    dup3 = 0.0
+                flagged = int(
+                    t1 >= 12 and (dup2 > 0.08 or top2 > 0.12 or dup3 > 0.04)
+                )
+                out.append((doc_id, t1, dup1, dup2, top2, dup3, flagged))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_words", "dup_word_frac", "dup_bigram_frac",
+                    "top_bigram_mass", "dup_trigram_frac", "flagged",
+                ],
+            )
 
-    def _nd(n: int):
-        return F.count(F.when(F.col("n") == n, F.lit(1)))
-
-    def _dup(n: int):
-        return F.coalesce(
-            (_tot(n) - _nd(n)).cast("double") / _tot(n).cast("double"), F.lit(0.0)
-        )
-
-    top2 = F.coalesce(
-        F.max(F.when(F.col("n") == 2, F.col("c"))).cast("double")
-        / _tot(2).cast("double"),
-        F.lit(0.0),
-    )
-    return counts.groupBy("doc_id").agg(
-        _tot(1).cast("bigint").alias("n_words"),
-        ((_tot(1) - _nd(1)).cast("double") / _tot(1).cast("double")).alias(
-            "dup_word_frac"
-        ),
-        _dup(2).alias("dup_bigram_frac"),
-        top2.alias("top_bigram_mass"),
-        _dup(3).alias("dup_trigram_frac"),
-        ((_tot(1) >= 12) & ((_dup(2) > 0.08) | (top2 > 0.12) | (_dup(3) > 0.04)))
-        .cast("int")
-        .alias("flagged"),
+    return d.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, n_words long, dup_word_frac double, "
+        "dup_bigram_frac double, top_bigram_mass double, "
+        "dup_trigram_frac double, flagged int",
     )
 
 
@@ -1703,6 +1720,137 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unbounded collect_list per token is gone — see inverted_index
     for the hot-key contract and scale shape)."""
     return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring (Robertson/Lucene form) for a fixed query over the
+# corpus — the ranking function the inverted index exists to serve (r6)
+# ---------------------------------------------------------------------------
+
+# Query terms: one high-df, one mid-df, one rare token (fixture vocab),
+# so idf spread is real. Fixed list order = fixed score addition order.
+_BM25_TERMS = ("batch", "scan", "dup")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _sql_tf(term: str) -> str:
+    return f"CAST(len(list_filter({_SQL_TOKENS}, t -> t = '{term}')) AS BIGINT)"
+
+
+_BM25_ORACLE = (
+    "WITH pertok AS (\n"
+    "    SELECT doc_id,\n"
+    f"           CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,\n"
+    + ",\n".join(
+        f"           {_sql_tf(t)} AS tf{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    + "\n    FROM documents\n"
+    "),\n"
+    "stats AS (\n"
+    "    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "           CAST(SUM(dl) AS BIGINT) AS sum_dl,\n"
+    + ",\n".join(
+        f"           CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    + "\n    FROM pertok\n"
+    "),\n"
+    "scored AS (\n"
+    "    SELECT doc_id, dl, tf0, tf1, tf2,\n"
+    + " +\n".join(
+        "           COALESCE(CASE WHEN tf{i} > 0 THEN\n"
+        "               ln((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))\n"
+        "                  / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))\n"
+        "               * (CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))\n"
+        "               / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)\n"
+        "                  * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)\n"
+        "                     * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))\n"
+        "           END, CAST(0 AS DOUBLE))".format(i=i)
+        for i in range(len(_BM25_TERMS))
+    )
+    + " AS score\n"
+    "    FROM pertok CROSS JOIN stats\n"
+    ")\n"
+    "SELECT doc_id, tf0, tf1, tf2, dl, round(score, 6) AS score\n"
+    "FROM scored WHERE tf0 + tf1 + tf2 > 0\n"
+)
+
+
+@query("doc_bm25", oracle=_BM25_ORACLE, tags=("text", "X8", "ranking"))
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene +1 idf) for the fixed 3-term query
+    over every matching document.
+
+    Determinism: tf/df/dl/N are exact integers; avgdl enters as the
+    exact ratio dl·N/Σdl; per-term scores are fixed-order double
+    expressions and the 3-term sum is written term0+term1+term2 in both
+    engines (never a SUM aggregate, whose addition order floats). ln()
+    is the one libm call — its last-ulp may differ across engines, so
+    the final score rounds to 6 decimals on both sides (the
+    rel_median_mode rule).
+
+    Scale: zero shuffles over documents — tf via map-side
+    size(filter(tokens)), the corpus-level stats are ONE 1-row
+    aggregate broadcast back (BroadcastNestedLoopJoin of a single row,
+    the sanctioned z-order bounds pattern). At 100 TB this is a scan,
+    a 1-row reduce, and a second scan; an ad-hoc query-time path that
+    needs no index, complementing doc_inverted_index's build path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    def tf_col(term: str):
+        return F.size(F.filter(toks, lambda t: t == term)).cast("bigint")
+
+    pertok = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)],
+    )
+    stats = pertok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1 = F.lit(_BM25_K1)
+    k1p1 = F.lit(_BM25_K1 + 1.0)
+    b = F.lit(_BM25_B)
+    one_m_b = F.lit(1.0 - _BM25_B)
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        norm_dl = (
+            F.col("dl").cast("double") * n / F.col("sum_dl").cast("double")
+        )
+        return F.coalesce(
+            F.when(
+                F.col(f"tf{i}") > 0,
+                idf * (tf * k1p1) / (tf + k1 * (one_m_b + b * norm_dl)),
+            ),
+            F.lit(0.0),
+        )
+
+    scored = pertok.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "tf0",
+        "tf1",
+        "tf2",
+        "dl",
+        (term_score(0) + term_score(1) + term_score(2)).alias("raw"),
+    )
+    return scored.filter(
+        F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
+    ).select(
+        "doc_id", "tf0", "tf1", "tf2", "dl", F.round("raw", 6).alias("score")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,162 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A7+: M4 downsampling — the published visualization-preserving
+# aggregation (min/max/first/last AND their timestamps per pixel
+# bucket), the lossless-for-line-charts form of OHLC (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=f"""
+WITH ranked AS (
+    SELECT {sql_time_bucket('ts', 900)} AS bucket, event_type, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY {sql_time_bucket('ts', 900)}, event_type
+                              ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY {sql_time_bucket('ts', 900)}, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rl,
+           ROW_NUMBER() OVER (PARTITION BY {sql_time_bucket('ts', 900)}, event_type
+                              ORDER BY value, ts, event_id) AS rmn,
+           ROW_NUMBER() OVER (PARTITION BY {sql_time_bucket('ts', 900)}, event_type
+                              ORDER BY value DESC, ts DESC, event_id DESC) AS rmx
+    FROM events
+)
+SELECT {sql_ts_str('bucket')} AS bucket_ts, event_type,
+       MAX(CASE WHEN rf = 1 THEN {sql_ts_str('ts')} END) AS t_first,
+       MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rmn = 1 THEN {sql_ts_str('ts')} END) AS t_min,
+       MAX(CASE WHEN rmn = 1 THEN value END) AS v_min,
+       MAX(CASE WHEN rmx = 1 THEN {sql_ts_str('ts')} END) AS t_max,
+       MAX(CASE WHEN rmx = 1 THEN value END) AS v_max,
+       MAX(CASE WHEN rl = 1 THEN {sql_ts_str('ts')} END) AS t_last,
+       MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
+       COUNT(*) AS n_events
+FROM ranked
+GROUP BY bucket, event_type
+""",
+    tags=("tsdb", "A7", "downsample"),
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (15-min pixel buckets per event type): the four
+    extreme points — first, last, min, max — each WITH its timestamp,
+    which is what makes the reduction line-chart-lossless where plain
+    min/max aggregates are not.
+
+    One hash aggregate (the A6 shuffle), four min_by/max_by composite
+    keys; ties on value break by (ts, event_id) so both engines pick
+    the same witness point (the OHLC determinism rule). The oracle
+    spells the same picks as four ROW_NUMBER ranks.
+
+    Scale: identical shape to the flagship bucket agg — partial+final
+    hash agg, no window over raw events, ~4 struct comparisons per row
+    map-side; at 100 TB the downsample output is bounded by
+    (pixels × series), independent of input rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tev = F.struct("ts", "event_id")
+    vte = F.struct("value", "ts", "event_id")
+    g = ev.groupBy(
+        time_bucket("ts", 900).alias("bucket"), "event_type"
+    ).agg(
+        F.min_by(F.struct("ts", "value"), tev).alias("_f"),
+        F.max_by(F.struct("ts", "value"), tev).alias("_l"),
+        F.min_by(F.struct("ts", "value"), vte).alias("_mn"),
+        F.max_by(F.struct("ts", "value"), vte).alias("_mx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        ts_str("bucket").alias("bucket_ts"),
+        "event_type",
+        ts_str("_f.ts").alias("t_first"),
+        F.col("_f.value").alias("v_first"),
+        ts_str("_mn.ts").alias("t_min"),
+        F.col("_mn.value").alias("v_min"),
+        ts_str("_mx.ts").alias("t_max"),
+        F.col("_mx.value").alias("v_max"),
+        ts_str("_l.ts").alias("t_last"),
+        F.col("_l.value").alias("v_last"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7+: seasonal (hour-of-day) baseline + residual anomaly flag (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle=f"""
+WITH hourly AS (
+    SELECT {sql_time_bucket('ts', 3600)} AS bucket, event_type,
+           EXTRACT(hour FROM {sql_time_bucket('ts', 3600)}) AS hod,
+           COUNT(*) AS cnt
+    FROM events GROUP BY bucket, event_type
+),
+base AS (
+    SELECT event_type, hod,
+           CAST(SUM(cnt) AS BIGINT) AS season_total,
+           CAST(COUNT(*) AS BIGINT) AS season_n
+    FROM hourly GROUP BY event_type, hod
+)
+SELECT {sql_ts_str('h.bucket')} AS bucket_ts, h.event_type,
+       CAST(h.cnt AS BIGINT) AS cnt,
+       b.season_total, b.season_n,
+       CAST(h.cnt * b.season_n AS DOUBLE) / CAST(b.season_total AS DOUBLE)
+           AS load_factor,
+       CAST(h.cnt * b.season_n * 2 > b.season_total * 3 AS INTEGER) AS is_high
+FROM hourly h JOIN base b ON h.event_type = b.event_type AND h.hod = b.hod
+WHERE b.season_n >= 3
+""",
+    tags=("tsdb", "anomaly", "seasonal"),
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each (event_type, hour) bucket count
+    compared against the mean count of the SAME hour-of-day across the
+    series' history (the time-of-day baseline every ops dashboard
+    uses). is_high flags buckets at >1.5x their seasonal mean, with the
+    comparison cross-multiplied (`cnt·n·2 > total·3`) so the flag is
+    integer-exact end to end (the burst-detect rule); load_factor is
+    the one final double division. Baselines with fewer than 3
+    observed same-hour buckets are suppressed (cold-start guard, the
+    series-corr n>=2 principle).
+
+    Scale: one (bucket, type) agg collapses events; the 24x|types|
+    baseline table aggregates from THAT (tiny) and broadcast-joins
+    back. No window at all, no second pass over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(time_bucket("ts", 3600).alias("bucket"), "event_type")
+        .groupBy("bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hod", F.hour("bucket").cast("bigint"))
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.sum("cnt").cast("bigint").alias("season_total"),
+        F.count(F.lit(1)).cast("bigint").alias("season_n"),
+    )
+    j = hourly.join(F.broadcast(base), ["event_type", "hod"]).filter(
+        F.col("season_n") >= 3
+    )
+    return j.select(
+        ts_str("bucket").alias("bucket_ts"),
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "season_total",
+        "season_n",
+        (
+            (F.col("cnt") * F.col("season_n")).cast("double")
+            / F.col("season_total").cast("double")
+        ).alias("load_factor"),
+        (F.col("cnt") * F.col("season_n") * 2 > F.col("season_total") * 3)
+        .cast("int")
+        .alias("is_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O3: top-k series per dimension
 # ---------------------------------------------------------------------------
 

@@ -159,10 +159,10 @@ RULES: dict[str, dict[str, list[str]]] = {
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
     "doc_repetition_filter": {
-        # map-side n-gram expansion (Generate) into two hash
-        # aggregations — no join, text never shuffled
-        "want": ["Generate explode", "HashAggregate"],
-        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        # r6: per-doc metrics in one Arrow mapInPandas pass — NO
+        # shuffle at all (the r5 gram explode + two hash aggs is gone)
+        "want": ["MapInPandas"],
+        "forbid": ["Exchange", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
     },
     "ts_lttb_downsample": {
         # the sanctioned per-series Python boundary: one shuffle on the
