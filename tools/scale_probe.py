@@ -126,6 +126,10 @@ def main() -> None:
         "ts_burst_detect",
         "ts_ema",
         "ts_time_weighted_avg",
+        # round-6 additions
+        "ts_m4_downsample",
+        "ts_seasonal_baseline",
+        "ts_holt_linear",
     ]
     timings = {}
     for n in names:
@@ -134,7 +138,7 @@ def main() -> None:
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
     for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
-              "doc_inverted_index"]:
+              "doc_inverted_index", "doc_bm25"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
