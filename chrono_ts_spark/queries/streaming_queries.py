@@ -69,6 +69,16 @@ def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ema_stream(spark, sf_dir)
 
 
+@query("stream_holt", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op (r6): per-user Holt linear level+trend via
+    applyInPandasWithState — the streaming twin of ts_holt_linear,
+    equivalence-tested bit-for-bit in tests/test_streaming.py."""
+    from ..streaming.stateful import run_holt_stream
+
+    return run_holt_stream(spark, sf_dir)
+
+
 @query("stream_running_extrema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
 def stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas: per-user running min/max/count."""

@@ -154,6 +154,86 @@ def batch_ema(spark: SparkSession, sf_dir: str, alpha: float = 0.2) -> DataFrame
     )
 
 
+_HOLT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ]
+)
+_HOLT_STATE = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+def holt_update_fn(alpha: float, beta: float):
+    """applyInPandasWithState update for Holt linear smoothing (ST6):
+    state = (level, trend, position); the recurrence is the identical
+    IEEE op sequence as the batch twin (queries/extras.ts_holt_linear),
+    so stream == batch bit-for-bit in arrival order. Self-contained
+    closure (stdlib + pandas only), same late-data policy as EMA."""
+    a, b1, g, g1 = alpha, 1.0 - alpha, beta, 1.0 - beta
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        lvl, trd, last_ts, last_id = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for row in batch.itertuples():
+            x = row.value
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                nl = a * x + b1 * (lvl + trd)
+                trd = g * (nl - lvl) + g1 * trd
+                lvl = nl
+            last_ts, last_id = int(row.ts.value // 1000), int(row.event_id)
+            out.append(
+                (
+                    key[0],
+                    row.event_id,
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    x,
+                    lvl,
+                    trd,
+                )
+            )
+        state.update((lvl, trd, last_ts, last_id))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts_s", "value", "level", "trend"]
+        )
+
+    return update
+
+
+def run_holt_stream(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """ST6: per-user Holt linear (level+trend) over the replayed stream."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    holt = ev.groupBy("user_id").applyInPandasWithState(
+        holt_update_fn(alpha, beta),
+        outputStructType=_HOLT_OUT,
+        stateStructType=_HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(holt, spark, output_mode="append")
+
+
 def run_sliding_counts_stream(
     spark: SparkSession, sf_dir: str, width_s: int = 600, slide_s: int = 300
 ) -> DataFrame:

@@ -180,3 +180,80 @@ def test_salted_agg_bit_identical_to_plain(spark, rows):
     assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
         map(tuple, plain.select(cols).collect())
     )
+
+
+doc_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["the", "a", "w1", "w2", "w3", "w4"]),
+        min_size=0, max_size=12,
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_corpus)
+def test_inverted_index_sharding_is_lossless(spark, texts):
+    """r6 invariant: the md5-sharded index carries exactly the same
+    (token → posting set) as a 1-shard build, per-shard lists are
+    sorted, and df equals the merged posting count."""
+    from chrono_ts_spark.queries.text import inverted_index
+
+    d = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    sharded = inverted_index(d, n_shards=4, min_df=1).collect()
+    flat = inverted_index(d, n_shards=1, min_df=1).collect()
+    merged: dict = {}
+    for r in sharded:
+        assert r.postings == sorted(r.postings)
+        assert r.df_shard == len(r.postings)
+        merged.setdefault(r.token, []).extend(r.postings)
+    assert {t: sorted(v) for t, v in merged.items()} == {
+        r.token: list(r.postings) for r in flat
+    }
+    dfs = {r.token: r.df for r in sharded}
+    assert dfs == {r.token: r.df for r in flat}
+
+
+events_for_m4 = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 900 - 1),  # seconds, 3 buckets
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=events_for_m4)
+def test_m4_envelope_and_count(spark, pts):
+    """r6 invariant: per bucket, v_min <= {v_first, v_last} <= v_max,
+    witnesses lie inside the bucket, and n_events sums to the input."""
+    import pathlib
+    import tempfile
+
+    from chrono_ts_spark.queries import load_all
+
+    reg = load_all()
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    rows = [
+        (i + 1, BASE + timedelta(seconds=s), 1, "a", v, "{}")
+        for i, (s, v) in enumerate(pts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    out = reg["ts_m4_downsample"].fn(spark, str(tmp)).collect()
+    assert sum(r.n_events for r in out) == len(pts)
+    for r in out:
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        b0 = datetime.strptime(r.bucket_ts, "%Y-%m-%d %H:%M:%S")
+        for w in (r.t_first, r.t_min, r.t_max, r.t_last):
+            dt = datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
+            assert b0 <= dt < b0 + timedelta(seconds=900)
+        assert r.t_first <= r.t_last

@@ -499,3 +499,16 @@ def test_stream_static_enrich_equals_batch(spark):
     )
     cols = ["event_id", "user_id", "tier", "ts_s"]
     assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+def test_holt_stream_equals_batch(spark):
+    # r6: same bit-exactness contract as EMA — the stream replays the
+    # identical IEEE recurrence, so level/trend match the batch twin
+    # exactly (not approx) on the in-order replay.
+    batch = REG["ts_holt_linear"].fn(spark, SF_SMOKE).drop("forecast_next")
+    stream = REG["stream_holt"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "event_id", "ts_s", "value", "level", "trend"]
+    s_rows = as_sorted_rows(stream, cols)
+    b_rows = as_sorted_rows(batch, cols)
+    assert len(s_rows) == len(b_rows)
+    assert s_rows == b_rows
