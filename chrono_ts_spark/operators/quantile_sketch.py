@@ -101,12 +101,48 @@ def kll_quantiles(
 
     estimate(q) = smallest sketch value whose cumulative weight reaches
     q × total weight (weighted lower rank). The read-off runs over the
-    emitted items only (≤ partitions × capacity × log2(n) rows)."""
+    emitted items only (≤ partitions × capacity × log2(n) rows).
+
+    r6: the cumulative weight is a two-level distributed prefix sum —
+    per-range cumsum under a PARTITIONED window plus broadcast range
+    offsets — instead of one unpartitioned window over all items. The
+    range grid is value-uniform (min/max from a 1-row broadcast, the
+    z-order bounds pattern) and the offset table is `.limit(_RANGES)`-
+    bounded so the plan itself proves the one remaining global window
+    tiny (tools/explain_audit.py window rule — no allowlist needed).
+    Range id is monotone in value, so (range, value, weight) order ==
+    (value, weight) order and cw is bit-identical to the r5 form."""
     items = sketch_items(df, col, capacity)
-    w = Window.orderBy("value", "weight").rowsBetween(
+    _RANGES = 1024
+    bounds = items.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    it = items.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_RANGES - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(_RANGES)))
+                ).cast("int"),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("rng").orderBy("value", "weight").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = items.withColumn("cw", F.sum("weight").over(w))
+    cum_in = it.withColumn("cw_in", F.sum("weight").over(w_in))
+    rng_tot = (
+        it.groupBy("rng").agg(F.sum("weight").alias("wt"))
+        .orderBy("rng")
+        .limit(_RANGES)
+    )
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rng_tot.withColumn(
+        "off", F.coalesce(F.sum("wt").over(w_rng), F.lit(0))
+    )
+    cum = cum_in.join(F.broadcast(offsets.select("rng", "off")), "rng").withColumn(
+        "cw", F.col("cw_in") + F.col("off")
+    )
     total = cum.agg(F.max("cw").alias("n"))
     c = cum.crossJoin(F.broadcast(total))
     # single aggregate reads off every q at once (one filter+agg branch

@@ -235,10 +235,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # whole relation). Scale path documented in docs/scale.md: two-pass
     # cumulative-histogram broadcast replaces the single sort.
     "rel_acctbal_distribution": "W6 semantics are inherently global",
-    # cumulative weight over the groupBy(value)-aggregated domain:
-    # bounded by value cardinality (2-decimal fixture domain), which an
-    # Aggregate node can't prove to the plan.
-    "ts_value_quantile_sketch": "cumsum over aggregated value domain",
+    # (ts_value_quantile_sketch left this list in r6: its cumulative
+    # weight is now a two-level prefix sum whose only global window
+    # runs over a .limit(_RANGES)-bounded offset table.)
 }
 
 
