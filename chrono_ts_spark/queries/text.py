@@ -346,6 +346,108 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable SimHash (r6): md5-derived token hashes make the
+# fingerprint oracle-able, unlike the Spark-private xxhash64 the fast
+# path uses. The 64-bit hash rides as two 32-bit halves so neither
+# engine touches unsigned-64 territory.
+_SH_HALVES = (("h", 1), ("l", 9))  # (prefix, 1-based md5 hex offset)
+
+_SH_VOTE_SQL = ",\n".join(
+    f"        SUM(2 * (({p}v >> {i}) & 1) - 1) AS v{p}{i}"
+    for p, _ in _SH_HALVES
+    for i in range(32)
+)
+_SH_BITS_SQL = {
+    p: " + ".join(
+        f"(CASE WHEN v{p}{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    for p, _ in _SH_HALVES
+}
+
+_SIMHASH_MD5_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS hv,
+           CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS lv
+    FROM tok
+),
+v AS (
+    SELECT doc_id,
+{_SH_VOTE_SQL}
+    FROM h GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id,
+           CAST({_SH_BITS_SQL['h']} AS BIGINT) AS sim_hi,
+           CAST({_SH_BITS_SQL['l']} AS BIGINT) AS sim_lo
+    FROM v
+)
+SELECT sim_hi, sim_lo, COUNT(*) AS n_docs, list(doc_id ORDER BY doc_id) AS doc_ids
+FROM fp GROUP BY sim_hi, sim_lo
+"""
+
+
+@query("doc_simhash_md5", oracle=_SIMHASH_MD5_ORACLE, tags=("text", "X6", "simhash"))
+def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled SimHash (X6b): 64-bit fingerprint from md5 token
+    hashes (two 32-bit halves), tf-weighted ±1 bit votes, grouped into
+    identical-fingerprint clusters.
+
+    This is the cross-engine-checkable twin of doc_simhash (whose
+    xxhash64 is Spark-private and therefore rows-only): explode →
+    one (doc_id) agg computing all 64 vote sums → bit reassembly from
+    integer literals. Every quantity is integer end to end — votes,
+    signs, bit weights — so the hash compare is exact by construction.
+
+    Scale: the shuffle carries (doc_id, two 32-bit ints) per token
+    occurrence; the vote agg is partial+final (map-side combine), and
+    the fingerprint groupBy touches 16 B/doc. Same plan class as
+    doc_dedup_stats.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    md5 = F.md5(F.col("token"))
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("hv"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("lv"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col(f"{p}v"), i).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{p}{i}")
+            for p, _ in _SH_HALVES
+            for i in range(32)
+        ]
+    )
+
+    def assemble(p: str):
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out + F.when(
+                F.col(f"v{p}{i}") > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    fp = votes.select(
+        "doc_id",
+        assemble("h").alias("sim_hi"),
+        assemble("l").alias("sim_lo"),
+    )
+    return fp.groupBy("sim_hi", "sim_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+    )
+
+
 @query("doc_simhash_neighbors", oracle=None, tags=("text", "X6", "no-oracle"))
 def doc_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3 via pigeonhole banding.

@@ -154,3 +154,25 @@ class TestBM25:
         # rarer term (scan, df=1) must outscore the commoner one at
         # equal tf/dl: doc 0's scan term > its per-occurrence batch term
         assert term(1, 1, 3) > term(1, 2, 3)
+
+
+class TestSimhashMd5:
+    def test_clusters_and_order_invariance(self, spark, tmp_path):
+        docs = [
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (1, "delta gamma beta alpha", "en", "s", 22),  # permutation
+            (2, "alpha beta gamma delta", "en", "s", 22),  # exact dup
+            (3, "totally different words here now", "en", "s", 32),
+        ]
+        sf = _write_docs(spark, tmp_path, docs)
+        out = REG["doc_simhash_md5"].fn(spark, sf).collect()
+        by_docs = {tuple(r.doc_ids): r for r in out}
+        # tf-weighted votes are order-independent: 0, 1, 2 share one
+        # fingerprint; doc 3 lands elsewhere
+        assert (0, 1, 2) in by_docs
+        assert by_docs[(0, 1, 2)].n_docs == 3
+        assert (3,) in by_docs
+        assert len(out) == 2
+        # halves stay in unsigned-32 range (BIGINT-safe on both engines)
+        for r in out:
+            assert 0 <= r.sim_hi < 2**32 and 0 <= r.sim_lo < 2**32
