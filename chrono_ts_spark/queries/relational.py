@@ -633,15 +633,82 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     tags=("relational", "W6"),
 )
 def rel_acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/cume_dist over account balances."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    """ntile/percent_rank/cume_dist over account balances.
+
+    r6 rewrite — W6 without the global sort: the window's order
+    (c_acctbal, c_custkey) is tie-free, so rank == row_number and all
+    three functions are closed forms of (rn, N). rn comes from the same
+    two-level distributed prefix sum as the quantile sketch
+    (operators/quantile_sketch.kll_quantiles): value-uniform range grid
+    from a 1-row min/max broadcast, row_number under a PARTITIONED
+    per-range window, plus broadcast range-offset counts whose
+    `.limit(_RANGES)` bound makes the one remaining tiny global window
+    plan-provably bounded (explain_audit window rule — this query left
+    the allowlist). Closed forms: pct_rank = (rn-1)/(N-1) (0 when
+    N = 1, Spark's own convention), cume = rn/N, and ntile(4) by the
+    documented first-(N mod n)-tiles-get-one-extra rule. The oracle
+    keeps the declarative window form — same values, so the rewrite is
+    hash-proven equivalent.
+    """
+    _RANGES = 1024
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bounds = cust.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    it = cust.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_RANGES - 1),
+                F.floor(
+                    (F.col("c_acctbal") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(_RANGES)))
+                ).cast("int"),
+            )
+        ),
+    )
+    w_in = Window.partitionBy("rng").orderBy("c_acctbal", "c_custkey")
+    ranked = it.withColumn("rn_in", F.row_number().over(w_in))
+    rng_tot = (
+        it.groupBy("rng").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("rng")
+        .limit(_RANGES)
+    )
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rng_tot.select(
+        "rng",
+        F.coalesce(F.sum("cnt").over(w_rng), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("rng").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    j = (
+        ranked.join(F.broadcast(offsets), "rng")
+        .withColumn("rn", (F.col("rn_in") + F.col("off")).cast("bigint"))
+        # `div` keeps the tile arithmetic in exact integer space (a
+        # double divide + floor would go inexact past 2^53 rows)
+        .withColumn("base", F.expr("n_total div 4"))
+        .withColumn("rem", F.col("n_total") % 4)
+        .withColumn("boundary", F.col("rem") * (F.col("base") + 1))
+    )
+    n = F.col("n_total").cast("bigint")
+    rn = F.col("rn")
+    quartile = (
+        F.when(
+            rn <= F.col("boundary"), F.expr("(rn - 1) div (base + 1)")
+        ).otherwise(F.col("rem") + F.expr("(rn - boundary - 1) div base"))
+        + 1
+    )
+    return j.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.cast("int").alias("quartile"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((rn - 1).cast("double") / (n - 1).cast("double"))
+        .alias("pct_rank"),
+        (rn.cast("double") / n.cast("double")).alias("cume"),
     )
 
 

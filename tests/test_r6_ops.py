@@ -176,3 +176,51 @@ class TestSimhashMd5:
         # halves stay in unsigned-32 range (BIGINT-safe on both engines)
         for r in out:
             assert 0 <= r.sim_hi < 2**32 and 0 <= r.sim_lo < 2**32
+
+
+class TestAcctbalDistributionRewrite:
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 8, 41])
+    def test_matches_builtin_window_functions(self, spark, tmp_path, n):
+        # r6: the prefix-sum W6 rewrite must reproduce Spark's own
+        # ntile/percent_rank/cume_dist bit-for-bit at every small-N
+        # edge (single row, N < tiles, N % 4 != 0).
+        import pathlib
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rows = [(i + 1, float((i * 37) % 19) - 5.0) for i in range(n)]
+        df = spark.createDataFrame(rows, "c_custkey long, c_acctbal double")
+        full = df.select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit("x").alias("c_name"),
+            F.lit("x").alias("c_address"),
+            F.lit(0).cast("long").alias("c_nationkey"),
+            F.lit("x").alias("c_phone"),
+            F.lit("x").alias("c_mktsegment"),
+            F.lit("x").alias("c_comment"),
+        )
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        full.coalesce(1).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+        got = {
+            r.c_custkey: r
+            for r in REG["rel_acctbal_distribution"].fn(spark, str(tmp)).collect()
+        }
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        want = {
+            r.c_custkey: r
+            for r in df.select(
+                "c_custkey",
+                F.ntile(4).over(w).alias("quartile"),
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cume"),
+            ).collect()
+        }
+        assert len(got) == n
+        for k, e in want.items():
+            g = got[k]
+            assert (g.quartile, g.pct_rank, g.cume) == (
+                e.quartile, e.pct_rank, e.cume,
+            ), (n, k)

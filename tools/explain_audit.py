@@ -231,13 +231,11 @@ RULES: dict[str, dict[str, list[str]]] = {
 # ---------------------------------------------------------------------------
 
 GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
-    # W6 is global by definition (percent_rank/cume_dist/ntile over the
-    # whole relation). Scale path documented in docs/scale.md: two-pass
-    # cumulative-histogram broadcast replaces the single sort.
-    "rel_acctbal_distribution": "W6 semantics are inherently global",
-    # (ts_value_quantile_sketch left this list in r6: its cumulative
-    # weight is now a two-level prefix sum whose only global window
-    # runs over a .limit(_RANGES)-bounded offset table.)
+    # EMPTY since r6: rel_acctbal_distribution (W6) and
+    # ts_value_quantile_sketch both moved to the two-level distributed
+    # prefix-sum shape — per-range partitioned windows + a
+    # .limit(_RANGES)-bounded offset table — so every partition-less
+    # ordered window in the registry is now plan-provably bounded.
 }
 
 
