@@ -342,6 +342,82 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A4+/W7+: robust outlier detection via median absolute deviation (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_mad_outliers",
+    oracle=f"""
+WITH med AS (
+    SELECT event_type, round(median(value), 6) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, round(median(adev), 6) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       MAX(d.med) AS med,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                THEN d.value END) AS min_outlier,
+       MAX(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                THEN d.value END) AS max_outlier
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+    tags=("tsdb", "A4", "anomaly"),
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier accounting: median + median absolute
+    deviation, flagging |x − med| > 3·1.4826·MAD (the normal-consistent
+    robust z-score; 3·1.4826 pre-folded to the literal 4.4478 on both
+    sides). Unlike stddev-based thresholds, MAD doesn't let the
+    outliers inflate their own gate.
+
+    Determinism: both medians are exact interpolated percentiles
+    rounded to 6dp BEFORE any downstream arithmetic (the
+    rel_median_mode rule — interpolation may differ in the last ulp
+    across engines, rounding re-converges it), so adev, the threshold
+    compare, and the min/max witnesses are identical-double
+    computations on both sides.
+
+    Scale: two aggregate passes over events plus a broadcast of the
+    |types|-row median/MAD tables — exact medians at 100 TB would move
+    to percentile_approx or the KLL sketch (ts_value_quantile_sketch),
+    which slot into the same two-pass shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median("adev"), 6).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("adev") > F.lit(4.4478) * F.col("mad")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.min(F.when(is_out, F.col("value"))).alias("min_outlier"),
+        F.max(F.when(is_out, F.col("value"))).alias("max_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O3: top-k series per dimension
 # ---------------------------------------------------------------------------
 

@@ -224,3 +224,24 @@ class TestAcctbalDistributionRewrite:
             assert (g.quartile, g.pct_rank, g.cume) == (
                 e.quartile, e.pct_rank, e.cume,
             ), (n, k)
+
+
+class TestMadOutliers:
+    def test_known_outlier_and_constant_series(self, spark, tmp_path):
+        # series "a": med=4, MAD=2, threshold 4.4478*2=8.8956 -> only
+        # the 100.0 point (adev 96) flags. series "flat": MAD=0 ->
+        # threshold 0, all deviations 0 -> nothing flags.
+        vals_a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0]
+        rows = [
+            (i + 1, t(0, i), 1, "a", v, "{}") for i, v in enumerate(vals_a)
+        ] + [
+            (100 + i, t(0, i), 1, "flat", 5.0, "{}") for i in range(5)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.event_type: r for r in REG["ts_mad_outliers"].fn(spark, sf).collect()}
+        a = out["a"]
+        assert (a.n, a.med, a.mad, a.n_outliers) == (7, 4.0, 2.0, 1)
+        assert (a.min_outlier, a.max_outlier) == (100.0, 100.0)
+        f = out["flat"]
+        assert (f.med, f.mad, f.n_outliers) == (5.0, 0.0, 0)
+        assert f.min_outlier is None and f.max_outlier is None
