@@ -84,6 +84,7 @@ _WINDOW_50 = [
     "doc_bm25",
     "doc_simhash_md5",
     "ts_mad_outliers",
+    "ts_bucket_percentiles",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -122,7 +123,6 @@ _WINDOW_50 = [
     "rel_sample",
     "stream_bucket_counts",
     "stream_session_windows",
-    "stream_dedup_counts",
 ]
 
 

@@ -342,6 +342,56 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A4×A6: per-bucket latency-style percentiles — "p99 per window per
+# series", the canonical observability query (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_bucket_percentiles",
+    oracle=f"""
+SELECT {sql_ts_str(sql_time_bucket('ts', 3600))} AS bucket_ts,
+       event_type,
+       COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("tsdb", "A4", "A6", "percentiles"),
+)
+def ts_bucket_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of value per (hour bucket, event type) — the
+    dashboard query every latency series runs, composed from the A6
+    bucket shuffle and A4 exact interpolated percentiles (the
+    rel_price_percentiles determinism precedent: both engines
+    interpolate the same way on fixture doubles).
+
+    Scale: one hash agg; exact percentiles buffer each group's values,
+    so at 100 TB the same query swaps F.percentile for
+    percentile_approx (t-digest, mergeable partial aggs) or the KLL
+    sketch — plan shape unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 3600).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    ).select(
+        ts_str("bucket").alias("bucket_ts"),
+        "event_type",
+        "n",
+        "p50",
+        "p95",
+        "p99",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4+/W7+: robust outlier detection via median absolute deviation (r6)
 # ---------------------------------------------------------------------------
 
