@@ -85,6 +85,7 @@ _WINDOW_50 = [
     "doc_simhash_md5",
     "ts_mad_outliers",
     "ts_bucket_percentiles",
+    "ts_tier_routed_daily",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -120,7 +121,6 @@ _WINDOW_50 = [
     "ts_value_quantile_sketch",
     "mm_features",
     "rel_approx_distinct",
-    "rel_sample",
     "stream_bucket_counts",
     "stream_session_windows",
 ]

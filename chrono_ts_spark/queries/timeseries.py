@@ -342,6 +342,70 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A6+: tier routing — a coarse query answered FROM the hourly rollup
+# tier, hash-proven equal to computing directly from raw (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_tier_routed_daily",
+    oracle=f"""
+SELECT strftime({sql_time_bucket('ts', 86400)}, '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       {sql_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS avg_v
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("tsdb", "A6", "rollup", "routing"),
+)
+def ts_tier_routed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type aggregates answered from the HOURLY rollup tier
+    (the ts_rollup_incremental shape), not from raw events — the
+    continuous-aggregate query-routing contract every hypertable
+    system makes: a bucket width that is a multiple of the tier width
+    re-aggregates tier partials instead of rescanning raw data.
+
+    The oracle computes the same dailies DIRECTLY from raw events, so
+    the hash compare IS the tier-algebra proof: n = Σ n_h, sum = Σ
+    sum_h (decimal-exact, order-independent), min/max re-associate,
+    and avg derives from the re-aggregated sum/count at the END (never
+    an average of averages). At 100 TB the hourly tier is ~10⁴× smaller
+    than raw, so routed queries touch a fraction of the bytes; the
+    rollup itself is maintained incrementally (ts_rollup_incremental).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        time_bucket("ts", 3600).alias("hbucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(dec("value")).alias("sum_h"),  # stays decimal until the end
+        F.min("value").alias("min_h"),
+        F.max("value").alias("max_h"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hbucket")).alias("dbucket"), "event_type"
+    ).agg(
+        F.sum("n_h").alias("n"),
+        F.sum("sum_h").alias("sum_d"),
+        F.min("min_h").alias("min_v"),
+        F.max("max_h").alias("max_v"),
+    )
+    return daily.select(
+        F.date_format("dbucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.col("sum_d").cast("double").alias("sum_v"),
+        "min_v",
+        "max_v",
+        (F.col("sum_d").cast("double") / F.col("n").cast("double")).alias("avg_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4×A6: per-bucket latency-style percentiles — "p99 per window per
 # series", the canonical observability query (r6)
 # ---------------------------------------------------------------------------
