@@ -86,6 +86,7 @@ _WINDOW_50 = [
     "ts_mad_outliers",
     "ts_bucket_percentiles",
     "ts_tier_routed_daily",
+    "sql_correlated_above_avg",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -120,7 +121,6 @@ _WINDOW_50 = [
     "ts_lttb_downsample",
     "ts_value_quantile_sketch",
     "mm_features",
-    "rel_approx_distinct",
     "stream_bucket_counts",
     "stream_session_windows",
 ]

@@ -479,6 +479,45 @@ def sql_entry_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_correlated_above_avg",
+    oracle="""
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+""",
+    tags=("relational", "S7", "subquery"),
+)
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average, written as TWO
+    correlated scalar subqueries through the SQL entry point — the §4
+    decorrelation evidence: Catalyst rewrites both into one aggregated
+    self-join (RewriteCorrelatedScalarSubquery + MergeScalarSubqueries
+    collapse the two subqueries into a single aggregate pass), so the
+    executed plan scans orders twice, never once per outer row.
+
+    Determinism: the avg compare is cross-multiplied (price·cnt >
+    sum) in DECIMAL, so membership is integer-exact — a float
+    `price > sum/cnt` could flip boundary rows between engines.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2)))
+                 FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retention / downsample tier (SURVEY §1.1): batch compaction of raw
 # events into a coarser rollup table, written partitioned and re-read

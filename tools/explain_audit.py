@@ -211,6 +211,12 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["BroadcastNestedLoopJoin Cross"],
         "forbid": ["SortMergeJoin", "Exchange hashpartitioning", "CartesianProduct"],
     },
+    "sql_correlated_above_avg": {
+        # correlated scalar subqueries must decorrelate to agg+join —
+        # never a per-row rewrite or a cartesian
+        "want": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "ts_cusum_alarms": {
         # per-series recursion in the sanctioned applyInPandas boundary;
         # the 150-row stats table broadcasts
