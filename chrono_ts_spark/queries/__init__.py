@@ -87,6 +87,7 @@ _WINDOW_50 = [
     "ts_bucket_percentiles",
     "ts_tier_routed_daily",
     "sql_correlated_above_avg",
+    "doc_rrf_bm25",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -120,7 +121,6 @@ _WINDOW_50 = [
     "emb_pq_topk",
     "ts_lttb_downsample",
     "ts_value_quantile_sketch",
-    "mm_features",
     "stream_bucket_counts",
     "stream_session_windows",
 ]

@@ -1839,8 +1839,8 @@ def _sql_tf(term: str) -> str:
     return f"CAST(len(list_filter({_SQL_TOKENS}, t -> t = '{term}')) AS BIGINT)"
 
 
-_BM25_ORACLE = (
-    "WITH pertok AS (\n"
+_BM25_CTES = (
+    "pertok AS (\n"
     "    SELECT doc_id,\n"
     f"           CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,\n"
     + ",\n".join(
@@ -1872,7 +1872,11 @@ _BM25_ORACLE = (
     )
     + " AS score\n"
     "    FROM pertok CROSS JOIN stats\n"
-    ")\n"
+    ")"
+)
+
+_BM25_ORACLE = (
+    "WITH " + _BM25_CTES + "\n"
     "SELECT doc_id, tf0, tf1, tf2, dl, round(score, 6) AS score\n"
     "FROM scored WHERE tf0 + tf1 + tf2 > 0\n"
 )
@@ -1898,6 +1902,17 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row reduce, and a second scan; an ad-hoc query-time path that
     needs no index, complementing doc_inverted_index's build path.
     """
+    return _bm25_scored(spark, sf_dir).select(
+        "doc_id", "tf0", "tf1", "tf2", "dl", F.round("raw", 6).alias("score")
+    ).filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0).select(
+        "doc_id", "tf0", "tf1", "tf2", "dl", "score"
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tf0..2, dl, raw) — the shared BM25 scoring frame behind
+    doc_bm25 and doc_rrf_bm25 (same plan: map-side tf, 1-row stats
+    broadcast, fixed-order 3-term sum)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
 
@@ -1940,7 +1955,7 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         )
 
-    scored = pertok.crossJoin(F.broadcast(stats)).select(
+    return pertok.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "tf0",
         "tf1",
@@ -1948,11 +1963,118 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         (term_score(0) + term_score(1) + term_score(2)).alias("raw"),
     )
-    return scored.filter(
-        F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
-    ).select(
-        "doc_id", "tf0", "tf1", "tf2", "dl", F.round("raw", 6).alias("score")
+
+
+_SQL_DOT_RRF = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+_RRF_BM25_ORACLE = (
+    f"""
+WITH probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+    SELECT e.vec_id AS doc_id,
+           {_SQL_DOT_RRF.format(a='e.embedding', b='p.qv')}
+           / SQRT({_SQL_DOT_RRF.format(a='e.embedding', b='e.embedding')}
+                  * {_SQL_DOT_RRF.format(a='p.qv', b='p.qv')}) AS cosine
+    FROM embeddings e CROSS JOIN probe p
+),
+"""
+    + _BM25_CTES
+    + """,
+b AS (
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored WHERE tf0 + tf1 + tf2 > 0
+),
+cosr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_cos
+    FROM (SELECT doc_id, cosine FROM sc ORDER BY cosine DESC, doc_id LIMIT 200)
+),
+bmr AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_bm
+    FROM (SELECT doc_id, score FROM b ORDER BY score DESC, doc_id LIMIT 200)
+),
+f AS (
+    SELECT COALESCE(c.doc_id, t.doc_id) AS doc_id, r_cos, r_bm,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm), CAST(0 AS DOUBLE)) AS rrf
+    FROM cosr c FULL JOIN bmr t ON c.doc_id = t.doc_id
+)
+SELECT doc_id, r_cos, r_bm, rrf, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+WHERE rnk <= 50
+"""
+)
+
+
+@query("doc_rrf_bm25", oracle=_RRF_BM25_ORACLE, tags=("text", "vectors", "fusion", "ranking"))
+def doc_rrf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hybrid-retrieval pipeline (r6): embedding cosine vs the
+    probe (vec_id 0) fused with BM25 lexical relevance for the fixed
+    3-term query, each signal bounded to its top-200 pool before
+    ranking — dense + sparse retrieval RRF, the production hybrid-search
+    shape, assembled entirely from this module's audited pieces
+    (doc_rrf_fusion's pool pattern + _bm25_scored).
+
+    Scale/exactness contracts are inherited: TakeOrderedAndProject
+    pools (no unpartitioned sort over the corpus; window-audit clean),
+    integer ranks with doc_id tie-breaks, BM25 pool ordered by the
+    6dp-rounded score both engines share, zero document shuffles in the
+    BM25 leg, broadcast probe in the cosine leg.
+    """
+    from ..functions import vec_cosine, vec_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        vec_double(F.col("embedding")).alias("qv")
     )
+    sc = e.crossJoin(F.broadcast(probe)).select(
+        F.col("vec_id").alias("doc_id"),
+        vec_cosine(vec_double(F.col("embedding")), F.col("qv")).alias("cosine"),
+    )
+    cosr = (
+        sc.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+            .alias("r_cos"),
+        )
+    )
+    b = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+    )
+    bmr = (
+        b.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            F.col("doc_id").alias("b_doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("r_bm"),
+        )
+    )
+    f = cosr.join(
+        bmr, cosr["doc_id"] == bmr["b_doc_id"], "full_outer"
+    ).select(
+        F.coalesce("doc_id", "b_doc_id").alias("doc_id"),
+        "r_cos",
+        "r_bm",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    out = f.select(
+        "doc_id", "r_cos", "r_bm", "rrf",
+        F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")).alias("rnk"),
+    )
+    return out.filter(F.col("rnk") <= 50)
 
 
 # ---------------------------------------------------------------------------
@@ -1961,10 +2083,6 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_SQL_DOT_RRF = (
-    "list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-)
 
 
 # Per-signal candidate-pool cap (the public "rrf window size" pattern:
