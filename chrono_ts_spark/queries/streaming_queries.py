@@ -24,6 +24,15 @@ def stream_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_counts_stream(spark, sf_dir, 300)
 
 
+@query("stream_m4", oracle=None, tags=("streaming", "ST2", "A7b", "no-oracle"))
+def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming M4 downsampling (r6): witness-point tiles per tumbling
+    window — batch-equivalence vs ts_m4_downsample in tests."""
+    from ..streaming.replay import run_m4_stream
+
+    return run_m4_stream(spark, sf_dir, 900)
+
+
 @query("stream_session_windows", oracle=None, tags=("streaming", "ST4", "no-oracle"))
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) over the replayed stream."""

@@ -83,6 +83,42 @@ def _run_to_memory(
     return spark.table(name)
 
 
+def run_m4_stream(
+    spark: SparkSession, sf_dir: str, width_seconds: int = 900
+) -> DataFrame:
+    """ST2+A7b (r6): streaming M4 downsampling — the same composite-key
+    min_by/max_by witness aggregation as the batch ts_m4_downsample,
+    per tumbling window, so downsampled tiles materialize continuously
+    as data arrives. Batch-equivalence asserted in tests.
+    """
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    tev = F.struct("ts", "event_id")
+    vte = F.struct("value", "ts", "event_id")
+    agg = ev.groupBy(
+        F.window("ts", f"{width_seconds} seconds"), F.col("event_type")
+    ).agg(
+        F.min_by(F.struct("ts", "value"), tev).alias("_f"),
+        F.max_by(F.struct("ts", "value"), tev).alias("_l"),
+        F.min_by(F.struct("ts", "value"), vte).alias("_mn"),
+        F.max_by(F.struct("ts", "value"), vte).alias("_mx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = agg.select(
+        ts_str(F.col("window.start")).alias("bucket_ts"),
+        "event_type",
+        ts_str(F.col("_f.ts")).alias("t_first"),
+        F.col("_f.value").alias("v_first"),
+        ts_str(F.col("_mn.ts")).alias("t_min"),
+        F.col("_mn.value").alias("v_min"),
+        ts_str(F.col("_mx.ts")).alias("t_max"),
+        F.col("_mx.value").alias("v_max"),
+        ts_str(F.col("_l.ts")).alias("t_last"),
+        F.col("_l.value").alias("v_last"),
+        "n_events",
+    )
+    return _run_to_memory(out, spark)
+
+
 def run_tumbling_counts_stream(
     spark: SparkSession, sf_dir: str, bucket_seconds: int = 300
 ) -> DataFrame:

@@ -512,3 +512,16 @@ def test_holt_stream_equals_batch(spark):
     b_rows = as_sorted_rows(batch, cols)
     assert len(s_rows) == len(b_rows)
     assert s_rows == b_rows
+
+
+def test_m4_stream_equals_batch(spark):
+    # r6: streaming M4 must reproduce the batch downsample exactly —
+    # witness timestamps, values, and counts (deterministic composite
+    # min_by/max_by keys on both sides).
+    stream = REG["stream_m4"].fn(spark, SF_SMOKE)
+    batch = REG["ts_m4_downsample"].fn(spark, SF_SMOKE)
+    cols = [
+        "bucket_ts", "event_type", "t_first", "v_first", "t_min", "v_min",
+        "t_max", "v_max", "t_last", "v_last", "n_events",
+    ]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
