@@ -88,6 +88,7 @@ _WINDOW_50 = [
     "ts_tier_routed_daily",
     "sql_correlated_above_avg",
     "doc_rrf_bm25",
+    "doc_unigram_logprob",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -113,7 +114,6 @@ _WINDOW_50 = [
     "ts_topk_users",
     # -- (c) never-driver-checked rows-only set --
     "doc_minhash_near_dups",
-    "doc_simhash",
     "doc_simhash_neighbors",
     "doc_heavy_tokens",
     "emb_ann_lsh",

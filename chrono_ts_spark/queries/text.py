@@ -1965,6 +1965,91 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (the CCNet-style perplexity-proxy filter):
+# score each document by its mean token log-probability under the
+# corpus's own unigram distribution (r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+vocab AS (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM vocab),
+scored AS (
+    SELECT t.doc_id,
+           CAST(round(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tt.n_tok AS DOUBLE)), 6)
+                      * 1000000, 0) AS BIGINT) AS lp_fp
+    FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN total tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(lp_fp) AS BIGINT) AS sum_logprob_fp,
+       CAST(SUM(lp_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+           AS mean_logprob
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "X8", "quality", "lm"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: mean log-probability of a document's
+    tokens under the corpus unigram distribution (low mean ⇒ rare-token
+    soup ⇒ the document a perplexity filter would drop). The standard
+    pretraining-corpus filter family (CCNet-style), self-trained on the
+    corpus so no external LM is needed.
+
+    Determinism (the pagerank fixed-point rule, adapted for libm):
+    ln() may differ in the last ulp across engines, so each token's
+    log-prob is FIRST rounded to 6dp (re-converging both engines onto
+    the same double), then scaled to an exact 1e6 fixed-point BIGINT —
+    the per-document SUM is integer arithmetic, immune to addition
+    order; the final mean divides once in double.
+
+    Scale: explode → vocabulary agg (broadcast-sized) → broadcast join
+    back → one (doc_id) integer agg. The 1-row total broadcasts like
+    the z-order bounds.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_tok_total"))
+    lp = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.round(
+                    F.log(
+                        F.col("cnt").cast("double")
+                        / F.col("n_tok_total").cast("double")
+                    ),
+                    6,
+                )
+                * F.lit(1000000),
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_fp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.sum("lp_fp").cast("bigint").alias("sum_logprob_fp"),
+        (
+            F.sum("lp_fp").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_logprob"),
+    )
+
+
 _SQL_DOT_RRF = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"

@@ -245,3 +245,26 @@ class TestMadOutliers:
         f = out["flat"]
         assert (f.med, f.mad, f.n_outliers) == (5.0, 0.0, 0)
         assert f.min_outlier is None and f.max_outlier is None
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark, tmp_path):
+        import math
+
+        docs = [
+            (0, "a a b", "en", "s", 5),
+            (1, "c", "en", "s", 1),
+        ]
+        sf = _write_docs(spark, tmp_path, docs)
+        out = {r.doc_id: r for r in REG["doc_unigram_logprob"].fn(spark, sf).collect()}
+
+        def fp(p):
+            return int(round(round(math.log(p), 6) * 1e6))
+
+        # vocab: a=2, b=1, c=1, total=4
+        assert out[0].n_tok == 3
+        assert out[0].sum_logprob_fp == 2 * fp(0.5) + fp(0.25)
+        assert out[0].mean_logprob == out[0].sum_logprob_fp / 3 / 1e6
+        assert out[1].sum_logprob_fp == fp(0.25)
+        # the common-token doc scores higher (less surprising)
+        assert out[0].mean_logprob > out[1].mean_logprob
