@@ -89,6 +89,8 @@ _WINDOW_50 = [
     "sql_correlated_above_avg",
     "doc_rrf_bm25",
     "doc_unigram_logprob",
+    "sf_agg_predicates",
+    "ts_forecast_backtest",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -114,8 +116,6 @@ _WINDOW_50 = [
     "ts_topk_users",
     # -- (c) never-driver-checked rows-only set --
     "doc_minhash_near_dups",
-    "doc_simhash_neighbors",
-    "doc_heavy_tokens",
     "emb_ann_lsh",
     "emb_ann_ivf",
     "emb_pq_topk",

@@ -838,6 +838,112 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_forecast_backtest",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+hw AS (
+    SELECT user_id, event_id, ts, value, rn,
+           value AS lvl, CAST(0 AS DOUBLE) AS trd
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+           CAST(0.3 AS DOUBLE) * s.value
+               + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd) AS lvl,
+           CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * s.value
+                   + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+               + CAST(0.9 AS DOUBLE) * h.trd AS trd
+    FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+),
+err AS (
+    SELECT user_id,
+           CAST(floor(abs(value - LAG(lvl + trd) OVER
+                (PARTITION BY user_id ORDER BY rn)) * 1000000) AS BIGINT) AS ae_fp
+    FROM hw
+)
+SELECT user_id,
+       CAST(COUNT(ae_fp) AS BIGINT) AS n_forecasts,
+       CAST(SUM(ae_fp) AS BIGINT) AS sum_abs_err_fp,
+       CAST(SUM(ae_fp) AS DOUBLE) / CAST(COUNT(ae_fp) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) AS mae
+FROM err
+WHERE ae_fp IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("tsdb", "forecast", "backtest"),
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt forecaster: each row's
+    forecast is the PREVIOUS row's level+trend; per-user count and MAE
+    of the absolute errors.
+
+    Determinism: the Holt doubles are bit-identical across engines
+    (ts_holt_linear's recursive-CTE argument), so each |error| is an
+    identical double — floored into 1e6 fixed point (the pagerank
+    rule) before summing, making the per-user aggregate integer-exact
+    regardless of addition order; MAE divides once at the end.
+
+    Scale: one shuffle into the sanctioned per-series boundary; the
+    errors accumulate INSIDE the same numpy loop that runs the
+    recursion (a post-hoc lag over the formatted output would re-order
+    same-second events — ts_s truncates sub-second — so the backtest
+    never leaves the exactly-ordered loop), and each series emits one
+    row.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a, b1, g, g1 = 0.3, 1.0 - 0.3, 0.1, 1.0 - 0.1
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        xs = pdf["value"].to_numpy(dtype="float64")
+        l = t = 0.0
+        n_fc = 0
+        s_fp = 0
+        for i in range(len(xs)):
+            x = xs[i]
+            if i == 0:
+                l, t = x, 0.0
+            else:
+                s_fp += int(math.floor(abs(x - (l + t)) * 1000000.0))
+                n_fc += 1
+                nl = a * x + b1 * (l + t)
+                t = g * (nl - l) + g1 * t
+                l = nl
+        if n_fc == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_forecasts", "sum_abs_err_fp", "mae"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_forecasts": [n_fc],
+                "sum_abs_err_fp": [s_fp],
+                "mae": [float(s_fp) / float(n_fc) / 1000000.0],
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            run,
+            "user_id bigint, n_forecasts bigint, sum_abs_err_fp bigint, mae double",
+        )
+    )
+
+
+@query(
     "io_orc_scan",
     oracle=f"""
 SELECT c_mktsegment, {sql_dsum('c_acctbal', 12, 2)} AS total_bal, COUNT(*) AS n

@@ -312,3 +312,33 @@ def sf_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("c_name", 256).alias("name_sha256"),
         F.length(F.md5("c_name")).alias("md5_len"),
     )
+
+
+@query(
+    "sf_agg_predicates",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_big,
+       CAST(bool_and(o_totalprice > 0) AS INTEGER) AS all_positive,
+       CAST(bool_or(o_orderpriority = '1-URGENT') AS INTEGER) AS any_urgent,
+       CAST(MIN(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END) AS BIGINT)
+           AS first_urgent_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "agg-predicates"),
+)
+def sf_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates (r6, §2.8 completion): count_if, every/any
+    (bool_and/bool_or), and a deterministic any-value stand-in (MIN over
+    the predicate's key — Spark's any_value/first are pick-whatever,
+    which a hash-compared result can't tolerate; docs/determinism.md
+    result-SET rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+        F.some(urgent).cast("int").alias("any_urgent"),
+        F.min(F.when(urgent, F.col("o_orderkey"))).cast("bigint").alias("first_urgent_key"),
+    )
