@@ -1007,6 +1007,53 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("io_csv_malformed", oracle=None, tags=("io", "S2", "data-quality", "no-oracle"))
+def io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row ingestion (S2 data-quality path, r6): a planted
+    CSV mixing clean rows with type-broken and arity-short lines is
+    read in PERMISSIVE mode with a corrupt-record column — the
+    dead-letter pattern (the streaming twin is kafka.py's from_json
+    accounting). PERMISSIVE semantics, pinned in the test: type-broken
+    rows land in the corrupt column (whole raw line preserved),
+    arity-SHORT rows are accepted with nulls for the missing trailing
+    columns (visible via the null accounting, NOT the corrupt column).
+    Ingestion never throws (FAILFAST) and never silently drops
+    (DROPMALFORMED); every anomaly is countable.
+
+    Rows-only: DuckDB's CSV error handling (ignore_errors/reject
+    tables) has different row-acceptance semantics than Spark's
+    PERMISSIVE parser, so the pinned expectations live in
+    tests/test_r6_ops.py against the planted file.
+    """
+    path = _roundtrip_dir(sf_dir, "csv_malformed", "events")
+    os.makedirs(path, exist_ok=True)
+    lines = ["src,event_id,value"]
+    for i in range(40):
+        lines.append(f"clean,{i},{float(i) / 2}")
+    for i in range(40, 50):
+        lines.append(f"badtype,{i},not_a_double")
+    for i in range(50, 55):
+        lines.append(f"badarity,{i}")
+    with open(os.path.join(path, "batch.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.schema(
+            "src string, event_id long, value double, _corrupt string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))).alias(
+            "clean_value_sum"
+        ),
+    )
+
+
 @query("io_binary_scan", oracle=None, tags=("io", "S2", "X9", "no-oracle"))
 def io_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-file ingestion (the X9 multimodal on-ramp, S2 family):

@@ -268,3 +268,20 @@ class TestUnigramLogprob:
         assert out[1].sum_logprob_fp == fp(0.25)
         # the common-token doc scores higher (less surprising)
         assert out[0].mean_logprob > out[1].mean_logprob
+
+
+class TestCsvMalformed:
+    def test_permissive_accounting(self, spark):
+        out = {
+            r.src: r
+            for r in REG["io_csv_malformed"].fn(spark, "/root/testdata/sf0.001").collect()
+        }
+        # clean: 40 rows, sum 0/2 + 1/2 + ... + 39/2 = 390.0
+        assert (out["clean"].n_rows, out["clean"].n_corrupt) == (40, 0)
+        assert out["clean"].clean_value_sum == 390.0
+        # type-broken: every row dead-lettered via the corrupt column
+        assert (out["badtype"].n_rows, out["badtype"].n_corrupt) == (10, 10)
+        # arity-short: accepted with null value, NOT corrupt (the
+        # PERMISSIVE null-fill rule this test exists to pin)
+        assert (out["badarity"].n_rows, out["badarity"].n_corrupt) == (5, 0)
+        assert out["badarity"].clean_value_sum is None
