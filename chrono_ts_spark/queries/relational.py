@@ -775,21 +775,24 @@ def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_price_percentiles",
     oracle="""
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50,
-       quantile_cont(l_extendedprice, 0.9) AS p90,
-       quantile_cont(l_extendedprice, 0.99) AS p99
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
 FROM lineitem
 GROUP BY l_returnflag
 """,
     tags=("relational", "A4"),
 )
 def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (p50/p90/p99) per return flag."""
+    """Exact interpolated percentiles (p50/p90/p99) per return flag —
+    rounded 6dp on both sides (r6: the sf0.1 winsorized-stats red row
+    proved quantile interpolation can diverge by 1 ulp between engines
+    on real data; every percentile OUTPUT now rounds)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
     )
 
 

@@ -417,9 +417,9 @@ def ts_tier_routed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT {sql_ts_str(sql_time_bucket('ts', 3600))} AS bucket_ts,
        event_type,
        COUNT(*) AS n,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
 FROM events
 GROUP BY 1, 2
 """,
@@ -428,9 +428,9 @@ GROUP BY 1, 2
 def ts_bucket_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 of value per (hour bucket, event type) — the
     dashboard query every latency series runs, composed from the A6
-    bucket shuffle and A4 exact interpolated percentiles (the
-    rel_price_percentiles determinism precedent: both engines
-    interpolate the same way on fixture doubles).
+    bucket shuffle and A4 exact interpolated percentiles, rounded 6dp
+    on both sides (r6 percentile-output rule — interpolation can
+    diverge by 1 ulp between engines; see docs/determinism.md).
 
     Scale: one hash agg; exact percentiles buffer each group's values,
     so at 100 TB the same query swaps F.percentile for
@@ -442,9 +442,9 @@ def ts_bucket_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket("ts", 3600).alias("bucket"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     ).select(
         ts_str("bucket").alias("bucket_ts"),
         "event_type",
@@ -1657,8 +1657,8 @@ def ts_salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH bounds AS (
     SELECT user_id,
-           quantile_cont(value, 0.05) AS lo,
-           quantile_cont(value, 0.95) AS hi
+           round(quantile_cont(value, 0.05), 6) AS lo,
+           round(quantile_cont(value, 0.95), 6) AS hi
     FROM events GROUP BY user_id
 ), w AS (
     SELECT e.user_id,
@@ -1671,28 +1671,33 @@ WITH bounds AS (
 SELECT user_id,
        COUNT(*) AS n,
        CAST(SUM(clamped) AS BIGINT) AS n_clamped,
-       CAST(SUM(CAST(floor(wv * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
-           / CAST(1e9 AS DOUBLE) AS sum_winsorized,
-       CAST(SUM(CAST(floor(wv * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
-           / CAST(1e9 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+       CAST(SUM(CAST(round(wv * CAST(1e6 AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+           / CAST(1e6 AS DOUBLE) AS sum_winsorized,
+       CAST(SUM(CAST(round(wv * CAST(1e6 AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+           / CAST(1e6 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
 FROM w GROUP BY user_id
 """,
     tags=("tsdb", "A4", "robust"),
 )
 def ts_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-series statistics: values clamped to each user's
-    exact interpolated [p05, p95] before aggregation (winsorized mean —
-    the standard outlier-resistant estimator). The percentile bounds
-    are a small per-key aggregate joined back on the same user_id
-    partitioning; both engines compute the identical
-    interpolation (rel_price_percentiles precedent), and because the
-    clamped values include COMPUTED interpolated bounds, the sums use
-    the scaled-integer fixed-point rule from docs/determinism.md, not
-    a decimal cast."""
+    interpolated [p05, p95] before aggregation (winsorized mean — the
+    standard outlier-resistant estimator). The percentile bounds are a
+    small per-key aggregate joined back on the same user_id
+    partitioning.
+
+    Determinism (tightened in r6 after the sf0.1 cross-check caught a
+    1-ulp quantile_cont divergence on one series): the interpolated
+    bounds are rounded to 6dp BEFORE clamping (the ts_mad_outliers
+    rule — re-converges the engines' interpolation ulp), and the sums
+    use ROUND-based 1e6 fixed point rather than floor at 1e9 — every
+    wv has ≤6 significant decimals, so round() lands both engines on
+    the same integer where a floor one ulp below a boundary would not.
+    """
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.groupBy("user_id").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
     )
     w = ev.join(bounds, "user_id").select(
         "user_id",
@@ -1704,17 +1709,13 @@ def ts_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clamped"),
     )
+    fp = F.round(F.col("wv") * F.lit(1e6), 0).cast("long")
     return w.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("clamped").cast("bigint").alias("n_clamped"),
+        (F.sum(fp).cast("double") / F.lit(1e6)).alias("sum_winsorized"),
         (
-            F.sum(F.floor(F.col("wv") * F.lit(1e9)).cast("long")).cast("double")
-            / F.lit(1e9)
-        ).alias("sum_winsorized"),
-        (
-            F.sum(F.floor(F.col("wv") * F.lit(1e9)).cast("long")).cast("double")
-            / F.lit(1e9)
-            / F.count(F.lit(1)).cast("double")
+            F.sum(fp).cast("double") / F.lit(1e6) / F.count(F.lit(1)).cast("double")
         ).alias("mean_winsorized"),
     )
 
