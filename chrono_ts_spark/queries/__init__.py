@@ -91,6 +91,8 @@ _WINDOW_50 = [
     "doc_unigram_logprob",
     "sf_agg_predicates",
     "ts_forecast_backtest",
+    "ts_sla_availability",
+    "ts_value_drift_psi",
     # -- (b) r1-green keepers, five rounds stale --
     "doc_top_terms",
     "rel_below_avg_quantity",
@@ -121,8 +123,6 @@ _WINDOW_50 = [
     "emb_pq_topk",
     "ts_lttb_downsample",
     "ts_value_quantile_sketch",
-    "stream_bucket_counts",
-    "stream_session_windows",
 ]
 
 

@@ -342,6 +342,174 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A3+/ML-monitoring: value-distribution drift between the first and
+# second half of the window, as PSI (population stability index; r6)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 12:00:00"
+
+
+@query(
+    "ts_value_drift_psi",
+    oracle=f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(ts < TIMESTAMP '{_PSI_SPLIT}' AS INTEGER) AS first_half
+    FROM events
+),
+c AS (
+    SELECT event_type, bucket,
+           CAST(SUM(first_half) AS BIGINT) AS n_p,
+           CAST(SUM(1 - first_half) AS BIGINT) AS n_q
+    FROM b GROUP BY event_type, bucket
+),
+t AS (
+    SELECT event_type,
+           CAST(SUM(n_p) AS BIGINT) AS tot_p,
+           CAST(SUM(n_q) AS BIGINT) AS tot_q
+    FROM c GROUP BY event_type
+),
+terms AS (
+    SELECT c.event_type,
+           CAST(round(round(
+               (CAST(n_p AS DOUBLE) / CAST(tot_p AS DOUBLE)
+                - CAST(n_q AS DOUBLE) / CAST(tot_q AS DOUBLE))
+               * ln((CAST(n_p AS DOUBLE) / CAST(tot_p AS DOUBLE))
+                    / (CAST(n_q AS DOUBLE) / CAST(tot_q AS DOUBLE))), 9)
+               * 1000000000, 0) AS BIGINT) AS term_fp
+    FROM c JOIN t ON c.event_type = t.event_type
+    WHERE n_p > 0 AND n_q > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(term_fp) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS psi,
+       CAST(SUM(term_fp) > 100000000 AS INTEGER) AS drifted
+FROM terms GROUP BY event_type
+""",
+    tags=("tsdb", "drift", "ml-monitoring"),
+)
+def ts_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: PSI of each event type's value
+    histogram (width-25 buckets) between the first and second half of
+    the window — the standard train/serve skew alarm an ML pipeline
+    runs over its feature streams (PSI > 0.1 ⇒ drifted).
+
+    Determinism: per-bucket shares are single divisions of exact
+    integers; each PSI term contains one ln() so it is rounded to 9dp
+    and scaled to 1e9 fixed point BEFORE the per-type sum (the
+    doc_unigram_logprob rule — the sum is integer arithmetic, and the
+    0.1 threshold compares in the fixed-point domain). Buckets missing
+    from either half are excluded (unsmoothed PSI; n_buckets reports
+    the compared support).
+
+    Scale: one (type, bucket) agg collapses events; everything after
+    runs on the histogram. The half-split is a literal timestamp
+    predicate, pushed to the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).cast("int")
+    c = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(25.0)).alias("bucket"),
+            first.alias("first_half"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("first_half").cast("bigint").alias("n_p"),
+            F.sum(F.lit(1) - F.col("first_half")).cast("bigint").alias("n_q"),
+        )
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_p").cast("bigint").alias("tot_p"),
+        F.sum("n_q").cast("bigint").alias("tot_q"),
+    )
+    p = F.col("n_p").cast("double") / F.col("tot_p").cast("double")
+    q = F.col("n_q").cast("double") / F.col("tot_q").cast("double")
+    term_fp = F.round(
+        F.round((p - q) * F.log(p / q), 9) * F.lit(1_000_000_000), 0
+    ).cast("bigint")
+    terms = (
+        c.join(F.broadcast(t), "event_type")
+        .filter((F.col("n_p") > 0) & (F.col("n_q") > 0))
+        .select("event_type", term_fp.alias("term_fp"))
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (F.sum("term_fp").cast("double") / F.lit(1e9)).alias("psi"),
+        (F.sum("term_fp") > 100_000_000).cast("int").alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2+: heartbeat/availability accounting — per-series uptime from
+# inter-event gaps (the SLA/monitoring staple; r6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_sla_availability",
+    oracle=f"""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+    FROM events
+),
+d AS (
+    SELECT user_id,
+           t_next - t AS gap_us,
+           CAST(t_next - t > CAST(3600 AS BIGINT) * 1000000 AS INTEGER) AS is_down
+    FROM g WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(is_down) AS BIGINT) AS n_downtimes,
+       CAST(SUM(CASE WHEN is_down = 1 THEN gap_us ELSE 0 END) AS BIGINT) AS downtime_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) - SUM(CASE WHEN is_down = 1 THEN gap_us ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(gap_us) AS DOUBLE) AS availability
+FROM d GROUP BY user_id
+""",
+    tags=("tsdb", "W2", "sla"),
+)
+def ts_sla_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-style availability per series: a gap between
+    consecutive events longer than 1 hour counts as downtime;
+    availability = 1 − downtime/span over the observed span. The SLA
+    report every monitoring system derives from its heartbeat series.
+
+    Exactness: gaps are integer epoch-µs differences; counts/sums are
+    integer end to end; availability is one final double division.
+    One shuffle (the per-series lead window); integer thresholds, no
+    float boundaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    gap = F.col("t_next") - F.col("t")
+    is_down = (gap > 3600 * 1_000_000).cast("int")
+    d = g.select("user_id", gap.alias("gap_us"), is_down.alias("is_down"))
+    down_us = F.sum(F.when(F.col("is_down") == 1, F.col("gap_us")).otherwise(F.lit(0)))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("is_down").cast("bigint").alias("n_downtimes"),
+        down_us.cast("bigint").alias("downtime_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        (
+            (F.sum("gap_us") - down_us).cast("double")
+            / F.sum("gap_us").cast("double")
+        ).alias("availability"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6+: tier routing — a coarse query answered FROM the hourly rollup
 # tier, hash-proven equal to computing directly from raw (r6)
 # ---------------------------------------------------------------------------
