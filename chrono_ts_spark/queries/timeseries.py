@@ -2101,3 +2101,261 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trail").cast("bigint").alias("trail"),
         (F.col("cnt") * 12 > F.col("trail") * 3).cast("int").alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct actives (DAU / trailing-7-day WAU) — the product-
+# analytics "active users" rollup (A2 distinct-agg x W3 trailing window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_actives",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT {sql_time_bucket('ts', 86400)} AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+),
+obs AS (SELECT DISTINCT day FROM du),
+ex AS (
+    SELECT make_timestamp(epoch_us(du.day) + o.o * 86400000000) AS day,
+           du.user_id
+    FROM du CROSS JOIN (SELECT unnest(range(7)) AS o) o
+),
+wau AS (
+    SELECT ex.day, CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS wau
+    FROM ex JOIN obs ON ex.day = obs.day GROUP BY ex.day
+)
+SELECT {sql_ts_str('dau.day')} AS day_s, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+    tags=("tsdb", "A2", "W3", "actives"),
+)
+def ts_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day: distinct active users that day (DAU) and in the
+    trailing 7-day window ending that day (WAU), for observed days.
+
+    Rolling COUNT(DISTINCT) is not a frame-able window aggregate in
+    either engine, and the naive range self-join re-scans raw events 7x.
+    Instead: dedup to (day, user) pairs FIRST (the only big shuffle —
+    cardinality is active pairs, not events), then explode each pair to
+    the <=7 future days it keeps alive (fixed 7x amplification of the
+    already-deduped pairs, map-side), and count distinct per target day.
+    Day arithmetic is integer epoch-us throughout. At 100 TB the pair
+    dedup is a classic high-cardinality distinct (spillable hash agg);
+    the explode factor is a constant w, never data-dependent — this is
+    the standard scalable WAU/MAU shape, vs the unbounded state a
+    sliding distinct window would need.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(time_bucket("ts", 86400).alias("day"), "user_id").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    obs = pairs.select("day").distinct()
+    ex = pairs.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros("day") + F.col("o") * F.lit(86_400_000_000)
+        ).alias("day"),
+        "user_id",
+    )
+    wau = ex.join(obs, "day").groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        ts_str("day").alias("day_s"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: median of pairwise slopes per series (the
+# outlier-resistant alternative to udf_grouped_trend's OLS slope).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+WITH p AS (
+    SELECT a.user_id,
+           CAST(round(round((b.value - a.value)
+                 / (CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE)
+                    / 3600000000.0), 6) * 1000000.0, 0) AS BIGINT) AS m
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND epoch_us(a.ts) <> epoch_us(b.ts)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(m, 0.5) / 1000000.0 AS slope_per_hour
+FROM p GROUP BY user_id
+""",
+    tags=("tsdb", "robust", "trend"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator per user: the median of all pairwise
+    (value-delta / hour-delta) slopes — robust to up to ~29% outliers
+    where OLS (udf_grouped_trend) is not.
+
+    Each unordered point pair is visited once (event_id tiebreak);
+    slope is symmetric under swapping both coordinates so orientation
+    does not matter; equal-timestamp pairs (infinite slope) are
+    excluded identically on both sides via integer epoch-us compare.
+    Per-pair slopes are rounded 6dp then carried as integer micro-units
+    into the median: interpolating between two BIGINTs is exact in
+    double (x.0 or x.5), and the final /1e6 is a single identical FP op
+    — no round() ever touches a midpoint average, which is exactly
+    where the cross-engine round-half hazard lives (a first cut that
+    rounded the interpolated median diverged by 1e-6 at sf0.01; see
+    docs/determinism.md). Scale: the self-join shuffles on user_id once
+    (both sides
+    co-partitioned), but the pair expansion is inherently O(n_s^2) per
+    series — correct for the bounded per-series densities of metrics
+    data (fixture: ~67 pts/user at every SF); for unbounded series the
+    windowed variant (pairs within a bounded time offset) or the
+    repeated-median sketch is the documented swap-in (docs/scale.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    slope6 = F.round(
+        (F.col("b.value") - F.col("a.value"))
+        / ((F.col("b.t") - F.col("a.t")).cast("double") / F.lit(3600000000.0)),
+        6,
+    )
+    m = F.round(slope6 * F.lit(1000000.0), 0).cast("bigint")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .select(F.col("a.user_id").alias("user_id"), m.alias("m"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization: z-normalized PAA + fixed gaussian breakpoints
+# (the classic time-series indexing/motif representation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_sax_symbols",
+    oracle="""
+WITH o AS (
+    SELECT user_id,
+           CAST(round(value * 100.0) AS BIGINT) AS c,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+seg AS (
+    SELECT user_id, (rn * 8) // n AS segment, n,
+           CAST(SUM(c) AS HUGEINT) AS s1, CAST(COUNT(*) AS BIGINT) AS n_pts
+    FROM o GROUP BY user_id, (rn * 8) // n, n
+),
+u AS (
+    SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+           SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+    FROM o GROUP BY user_id
+),
+z AS (
+    SELECT seg.user_id, seg.segment, seg.n_pts,
+           round((CAST(seg.s1 AS DOUBLE) / CAST(seg.n_pts AS DOUBLE)
+                  - CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
+                 / (SQRT(CAST(u.n * u.q - u.s * u.s AS DOUBLE))
+                    / CAST(u.n AS DOUBLE)), 6) AS zscore
+    FROM seg JOIN u ON seg.user_id = u.user_id
+    WHERE u.n * u.q - u.s * u.s > 0
+)
+SELECT user_id, CAST(segment AS BIGINT) AS segment, n_pts, zscore,
+       CASE WHEN zscore < -0.6745 THEN 'a'
+            WHEN zscore < 0.0 THEN 'b'
+            WHEN zscore < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+""",
+    tags=("tsdb", "sax", "representation"),
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX: each user's value series → 8 equal-count PAA segments →
+    z-score against the user's own mean/std → 4-letter alphabet with
+    the standard N(0,1) quartile breakpoints (±0.6745, 0).
+
+    Exactness: cents are exact longs; segment sums, series sum and
+    sum-of-squares accumulate as decimal(38,0)/HUGEINT; the population
+    variance numerator n*q - s^2 is integer-exact (also the zero-
+    variance guard, pre-division). The only float ops are two exact-int
+    to double casts, divisions, one SQRT (IEEE 754 correctly-rounded —
+    identical across engines, unlike ln/exp) and the 6dp round before
+    the breakpoint CASE, whose literals are exact on both sides.
+    Segment id (rn*8) div n is pure integer math. Scale: one window
+    over user_id (row_number + count reuse one sort), two hash aggs
+    keyed by user — all co-partitioned; nothing global.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    o = ev.select(
+        "user_id",
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("c"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    seg = o.groupBy(
+        "user_id", F.expr("(rn * 8) div n").alias("segment"), "n"
+    ).agg(
+        F.sum(d38(F.col("c"))).alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+    )
+    u = o.groupBy("user_id").agg(
+        d38(F.count(F.lit(1))).alias("un"),
+        F.sum(d38(F.col("c"))).alias("s"),
+        F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("q"),
+    )
+    var_num = F.col("un") * F.col("q") - F.col("s") * F.col("s")
+    zscore = F.round(
+        (
+            F.col("s1").cast("double") / F.col("n_pts").cast("double")
+            - F.col("s").cast("double") / F.col("un").cast("double")
+        )
+        / (F.sqrt(var_num.cast("double")) / F.col("un").cast("double")),
+        6,
+    )
+    z = (
+        seg.join(u, "user_id")
+        .filter(var_num > 0)
+        .select(
+            "user_id",
+            F.col("segment").cast("bigint").alias("segment"),
+            "n_pts",
+            zscore.alias("zscore"),
+        )
+    )
+    return z.select(
+        "user_id",
+        "segment",
+        "n_pts",
+        "zscore",
+        F.when(F.col("zscore") < -0.6745, F.lit("a"))
+        .when(F.col("zscore") < 0.0, F.lit("b"))
+        .when(F.col("zscore") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )

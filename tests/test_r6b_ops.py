@@ -1,0 +1,159 @@
+"""Late round-6 operator tests on planted data: rolling-actives window
+boundaries, Theil–Sen outlier resistance vs a pure-Python reference,
+and SAX symbolization vs an independent reference implementation —
+edge cases (window edge days, exact-breakpoint z-scores) the fixture
+tables can't force.
+"""
+
+from __future__ import annotations
+
+import statistics
+from datetime import datetime, timedelta
+
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+D0 = datetime(2024, 3, 1)
+
+
+class TestRollingActives:
+    def test_window_boundaries(self, spark, tmp_path):
+        # user 1: day 0 and day 10; user 2: days 0-2.  Day 10's trailing
+        # 7-day window (days 4-10) must NOT see day 0's activity.
+        rows, eid = [], 0
+        for u, day in [(1, 0), (1, 10), (2, 0), (2, 1), (2, 2)]:
+            eid += 1
+            rows.append((eid, D0 + timedelta(days=day, hours=1), u, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.day_s: (r.dau, r.wau) for r in REG["ts_rolling_actives"].fn(spark, sf).collect()}
+        assert out == {
+            "2024-03-01 00:00:00": (2, 2),  # both active; window = day 0 only
+            "2024-03-02 00:00:00": (1, 2),  # user 2 active; user 1 in window
+            "2024-03-03 00:00:00": (1, 2),
+            "2024-03-11 00:00:00": (1, 1),  # day 0 aged out of the window
+        }
+
+    def test_day7_exactly_ages_out(self, spark, tmp_path):
+        # activity on day 0 and day 7: the trailing window is 7 days
+        # INCLUSIVE of the current day (offsets 0..6), so day 7 must not
+        # count day 0's user.
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(days=7), 2, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.day_s: (r.dau, r.wau) for r in REG["ts_rolling_actives"].fn(spark, sf).collect()}
+        assert out["2024-03-08 00:00:00"] == (1, 1)
+
+    def test_day6_still_in_window(self, spark, tmp_path):
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(days=6), 2, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.day_s: (r.dau, r.wau) for r in REG["ts_rolling_actives"].fn(spark, sf).collect()}
+        assert out["2024-03-07 00:00:00"] == (1, 2)
+
+
+class TestTheilSen:
+    def test_outlier_resistance_vs_reference(self, spark, tmp_path):
+        # 5 hourly points on a unit slope with one wild outlier: 6 of 10
+        # pairwise slopes are exactly 1, so the median — and the
+        # estimator — is exactly 1.0.  OLS on the same data gives ~20.
+        vals = [0.0, 1.0, 2.0, 3.0, 100.0]
+        rows = [
+            (i + 1, D0 + timedelta(hours=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_theil_sen"].fn(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_pairs == 10
+        assert r.slope_per_hour == 1.0
+        # cross-check against the brute-force pure-Python estimator
+        slopes = [
+            round((vals[j] - vals[i]) / (j - i), 6)
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        ]
+        assert r.slope_per_hour == statistics.median(slopes)
+
+    def test_equal_timestamp_pairs_excluded(self, spark, tmp_path):
+        # two events at the identical timestamp: the (infinite-slope)
+        # pair is dropped; the remaining pairs still produce a result.
+        rows = [
+            (1, D0, 1, "a", 0.0, "{}"),
+            (2, D0, 1, "a", 5.0, "{}"),
+            (3, D0 + timedelta(hours=1), 1, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_theil_sen"].fn(spark, sf).collect()[0]
+        assert r.n_pairs == 2  # (1,3) and (2,3); (1,2) excluded
+        # slopes: (1-0)/1 = 1, (1-5)/1 = -4 -> median -1.5
+        assert r.slope_per_hour == -1.5
+
+
+def _sax_reference(values, n_seg=8, cents=True):
+    """Independent pure-Python SAX: equal-count PAA + z + breakpoints."""
+    c = [round(v * 100) for v in values]
+    n = len(c)
+    mean = sum(c) / n
+    var = (n * sum(x * x for x in c) - sum(c) ** 2) / (n * n)
+    std = var**0.5
+    segs = {}
+    for rn, x in enumerate(c):
+        segs.setdefault((rn * n_seg) // n, []).append(x)
+    out = {}
+    for s, xs in sorted(segs.items()):
+        z = round((sum(xs) / len(xs) - mean) / std, 6)
+        sym = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        out[s] = (len(xs), z, sym)
+    return out
+
+
+class TestSaxSymbols:
+    def test_vs_pure_python_reference(self, spark, tmp_path):
+        vals = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0, 6.5, 7.0, 7.5, 8.0, 9.25]
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 7, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r.segment: (r.n_pts, r.zscore, r.symbol)
+            for r in REG["ts_sax_symbols"].fn(spark, sf).collect()
+        }
+        assert got == _sax_reference(vals)
+
+    def test_zero_z_maps_to_c(self, spark, tmp_path):
+        # symmetric series: the two middle segments straddle the mean;
+        # a segment whose mean equals the series mean gets z = 0.0,
+        # which the (half-open) breakpoint CASE maps to 'c'.
+        vals = [4.0] * 2 + [2.0, 6.0] + [4.0] * 4  # seg of [2,6] -> mean 4 = series mean
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 7, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.segment: r for r in REG["ts_sax_symbols"].fn(spark, sf).collect()}
+        assert any(r.zscore == 0.0 and r.symbol == "c" for r in out.values())
+
+    def test_zero_variance_series_dropped(self, spark, tmp_path):
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 7, "a", 3.0, "{}") for i in range(8)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        assert REG["ts_sax_symbols"].fn(spark, sf).count() == 0
