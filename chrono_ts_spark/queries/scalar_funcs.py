@@ -342,3 +342,81 @@ def sf_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(urgent).cast("int").alias("any_urgent"),
         F.min(F.when(urgent, F.col("o_orderkey"))).cast("bigint").alias("first_urgent_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URLs — regex-portable parsing (Spark's parse_url/url_decode are
+# JVM-native but have no DuckDB twin, so the oracled surface uses
+# identical regexes; parse_url is the documented production swap-in)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_url_funcs",
+    oracle="""
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&page=' || CAST(doc_id % 10 AS VARCHAR) AS url
+    FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param,
+       split_part(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '.', 1)
+           AS subdomain,
+       split_part(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '.', 3)
+           AS tld,
+       reverse(split_part(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '.', 1))
+           || '.' ||
+       regexp_extract(url, '^[a-z]+://[a-z0-9]+\\.(.*?)/', 1) AS host_rev_key
+FROM u
+""",
+    tags=("scalar", "url"),
+)
+def sf_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: scheme/host/path/query-param extraction plus the
+    reversed-host clustering key (the web-corpus partitioning trick —
+    co-locates a site's pages under range partitioning).
+
+    Deterministic URL built from document columns; parsing via regexes
+    whose semantics are identical in Java regex and RE2 (character
+    classes, anchors, lazy dot — no lookaround). Both engines return
+    '' for a non-matching extract (verified). All map-side, codegen'd,
+    shuffle-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    host = F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)/", 1)
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.regexp_extract("url", "^([a-z]+)://", 1).alias("scheme"),
+            host.alias("host"),
+            F.regexp_extract("url", "://[^/]+(/[^?]*)", 1).alias("path"),
+            F.regexp_extract("url", "[?&]lang=([^&]*)", 1).alias("lang_param"),
+            F.regexp_extract("url", "[?&]page=([^&]*)", 1).alias("page_param"),
+            F.split_part(host, F.lit("."), F.lit(1)).alias("subdomain"),
+            F.split_part(host, F.lit("."), F.lit(3)).alias("tld"),
+            F.concat(
+                F.reverse(F.split_part(host, F.lit("."), F.lit(1))),
+                F.lit("."),
+                F.regexp_extract("url", "^[a-z]+://[a-z0-9]+\\.(.*?)/", 1),
+            ).alias("host_rev_key"),
+        )
+    )

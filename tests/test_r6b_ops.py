@@ -157,3 +157,44 @@ class TestSaxSymbols:
         ]
         sf = _write_events(spark, tmp_path, rows)
         assert REG["ts_sax_symbols"].fn(spark, sf).count() == 0
+
+
+def _write_lineitem(spark, tmp_path, order_parts):
+    rows = []
+    ln = 0
+    for o, parts in order_parts:
+        for i, p in enumerate(parts):
+            ln += 1
+            rows.append(
+                (o, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+            )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+class TestTriangleParts:
+    def test_single_triangle_and_dangling_edge(self, spark, tmp_path):
+        # order 1 = {1,2,3} -> one triangle; order 2 = {3,4} -> edge
+        # only; order 3 = {1,2} -> duplicate edge (must dedup, not
+        # double-count the triangle).
+        sf = _write_lineitem(spark, tmp_path, [(1, [1, 2, 3]), (2, [3, 4]), (3, [1, 2])])
+        got = {r.part_id: r.n_triangles for r in REG["rel_triangle_parts"].fn(spark, sf).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_k4_clique(self, spark, tmp_path):
+        # one order with 4 parts = K4: C(4,3)=4 triangles, each part in 3
+        sf = _write_lineitem(spark, tmp_path, [(1, [1, 2, 3, 4])])
+        got = {r.part_id: r.n_triangles for r in REG["rel_triangle_parts"].fn(spark, sf).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_repeated_part_in_order_no_self_edge(self, spark, tmp_path):
+        # the same part twice in one order must not create a self-edge
+        # or phantom triangle (u < v strict)
+        sf = _write_lineitem(spark, tmp_path, [(1, [5, 5, 6])])
+        assert REG["rel_triangle_parts"].fn(spark, sf).count() == 0
