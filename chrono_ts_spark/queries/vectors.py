@@ -8,7 +8,7 @@ order is unspecified.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -235,3 +235,59 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < 10)
     codebook = pq_fit(e, dims=_DIMS, m_sub=8, k=16, iters=2)
     return pq_adc_topk(e, probes, codebook, k=5, rerank=50)
+
+
+# ---------------------------------------------------------------------------
+# X7c: k-means clustering (the SemDeDup / corpus-stratification primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_kmeans",
+    oracle=None,  # iterative refinement is not SQL-expressible; the
+    # determinism + recovery contract is pinned in tests/test_r6b_ops.py
+    tags=("vector", "clustering", "X7c"),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean k-means (k=8, 4 deterministic Lloyd rounds) over the
+    embedding corpus; per-cluster size, order-immune inertia, and the
+    majority ground-truth label with its count (clustering quality at
+    a glance: n_majority/n_members ~= purity).
+
+    Rows-only by nature (iterative refinement has no SQL twin) but
+    fully deterministic: id-ordered init, tie-broken argmin, decimal
+    per-dim centroid sums (operators/clustering.py), 6dp-rounded
+    squared distances summed in 1e6 fixed point so inertia is
+    partition-order-immune, and the majority label tie-broken to the
+    lowest label id.
+    """
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, dims=_DIMS, k=8, iters=4)
+    assigned = kmeans_assign(emb, centroids)
+    fp = F.round(F.round(F.col("sqdist"), 6) * F.lit(1e6), 0).cast("long")
+    per_label = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_label"),
+        F.sum(fp).alias("fp_sum"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_label").desc(), F.col("label").asc()
+    )
+    ranked = per_label.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.sum("n_label").cast("bigint").alias("n_members"),
+            (F.sum("fp_sum").cast("double") / F.lit(1e6)).alias("inertia"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("majority_label"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_label"))).cast("bigint").alias("n_majority"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            "inertia",
+            "majority_label",
+            "n_majority",
+        )
+    )

@@ -198,3 +198,65 @@ class TestTriangleParts:
         # or phantom triangle (u < v strict)
         sf = _write_lineitem(spark, tmp_path, [(1, [5, 5, 6])])
         assert REG["rel_triangle_parts"].fn(spark, sf).count() == 0
+
+
+def _planted_vectors(spark, tmp_path, n_per=20, dims=64):
+    # 3 well-separated clusters on coordinate axes; ids interleaved so
+    # the deterministic first-k init lands one seed in each cluster.
+    rows = []
+    for i in range(n_per * 3):
+        c = i % 3
+        v = [0.0] * dims
+        v[c] = 10.0
+        v[10 + c] = 0.01 * (i // 3)  # small deterministic within-cluster spread
+        rows.append((i, v, c))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+class TestKmeans:
+    def test_recovers_planted_clusters_and_purity(self, spark, tmp_path):
+        sf = _planted_vectors(spark, tmp_path)
+        from chrono_ts_spark.catalog import load_table
+        from chrono_ts_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+        emb = load_table(spark, sf, "embeddings")
+        cent = kmeans_fit(emb, dims=64, k=3, iters=3)
+        out = kmeans_assign(emb, cent).select("vec_id", "cluster", "label").collect()
+        # every planted label maps to exactly one cluster (perfect recovery)
+        by_label = {}
+        for r in out:
+            by_label.setdefault(r.label, set()).add(r.cluster)
+        assert all(len(cs) == 1 for cs in by_label.values())
+        assert len({next(iter(cs)) for cs in by_label.values()}) == 3
+
+    def test_deterministic_across_runs(self, spark, tmp_path):
+        sf = _planted_vectors(spark, tmp_path)
+        from chrono_ts_spark.queries import load_all
+
+        fn = load_all()["emb_kmeans"].fn
+        # swap the fixture dir via the planted one: run twice, compare exactly
+        a = sorted(map(tuple, fn(spark, sf).collect()))
+        b = sorted(map(tuple, fn(spark, sf).collect()))
+        assert a == b
+
+    def test_inertia_non_increasing_with_iters(self, spark, tmp_path):
+        sf = _planted_vectors(spark, tmp_path)
+        from chrono_ts_spark.catalog import load_table
+        from chrono_ts_spark.operators.clustering import kmeans_assign, kmeans_fit
+        import pyspark.sql.functions as F
+
+        emb = load_table(spark, sf, "embeddings")
+        inertias = []
+        for iters in (1, 2, 4):
+            cent = kmeans_fit(emb, dims=64, k=3, iters=iters)
+            tot = (
+                kmeans_assign(emb, cent)
+                .agg(F.sum(F.round(F.col("sqdist"), 6)).alias("s"))
+                .collect()[0]
+                .s
+            )
+            inertias.append(tot)
+        assert inertias[0] >= inertias[1] >= inertias[2]
