@@ -420,3 +420,45 @@ def sf_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("host_rev_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise — scalar ops + grouped bit-aggregates (all integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_bitwise_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS k_and,
+       o_orderkey | 16 AS k_or,
+       xor(o_orderkey, 85) AS k_xor,
+       (o_orderkey % 16) << 3 AS k_shl,
+       o_orderkey >> 2 AS k_shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS k_popcount,
+       ~o_orderkey AS k_not,
+       CAST(o_orderkey & (o_orderkey - 1) = 0 AND o_orderkey > 0 AS INTEGER)
+           AS is_pow2
+FROM orders
+""",
+    tags=("scalar", "bitwise"),
+)
+def sf_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount/not plus the
+    power-of-two trick — integer-exact end to end (note the SQL
+    dialect trap: `^` is XOR in Spark SQL but POWER in DuckDB, so the
+    oracle spells `xor()`)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(16)).alias("k_or"),
+        k.bitwiseXOR(F.lit(85)).alias("k_xor"),
+        F.shiftleft(k % 16, 3).cast("bigint").alias("k_shl"),
+        F.shiftright(k, 2).cast("bigint").alias("k_shr"),
+        F.bit_count(k).alias("k_popcount"),
+        F.bitwise_not(k).alias("k_not"),
+        ((k.bitwiseAND(k - 1) == 0) & (k > 0)).cast("int").alias("is_pow2"),
+    )

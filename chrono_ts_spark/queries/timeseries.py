@@ -2359,3 +2359,54 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("d"))
         .alias("symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling actives, sketch path: the documented 100 TB swap-in for
+# ts_rolling_actives — HLL partials instead of exact (day, user) dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_actives_approx",
+    oracle=None,  # Datasketches HLL is engine-specific; accuracy vs the
+    # exact twin is pinned in tests/test_r6b_ops.py (<=5% per day)
+    tags=("tsdb", "A2", "sketch", "scale-twin"),
+)
+def ts_rolling_actives_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users via mergeable HLL sketches: one
+    sketch per day (the only pass over raw events), exploded to the <=7
+    target days it contributes to, then hll_union_agg + estimate.
+
+    This is the scale path named in ts_rolling_actives' docstring: the
+    shuffle carries ONE fixed-size sketch per (day, offset) — bytes per
+    day, not the (day, user) pair set — so cost is independent of user
+    cardinality. Deterministic for fixed input (Datasketches HLL is
+    seedless): same lgK, same registers, same estimate every run.
+    Rows-only because no DuckDB twin exists; the accuracy contract
+    against the exact query is a pytest gate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(time_bucket("ts", 86400).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    obs = daily.select("day")
+    ex = daily.select(
+        "day", "sk", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros("day") + F.col("o") * F.lit(86_400_000_000)
+        ).alias("day"),
+        "sk",
+    )
+    return (
+        ex.join(obs, "day")
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("usk"))
+        .select(
+            ts_str("day").alias("day_s"),
+            F.hll_sketch_estimate("usk").cast("bigint").alias("wau_approx"),
+        )
+    )

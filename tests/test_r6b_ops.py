@@ -260,3 +260,27 @@ class TestKmeans:
             )
             inertias.append(tot)
         assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+class TestRollingActivesApprox:
+    def test_within_5pct_of_exact(self, spark):
+        # fixture gate: the HLL(lgK=14) estimate must track the exact
+        # twin within 5% (at fixture cardinalities it is in fact exact)
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            r.day_s: r.wau for r in REG["ts_rolling_actives"].fn(spark, sf).collect()
+        }
+        approx = {
+            r.day_s: r.wau_approx
+            for r in REG["ts_rolling_actives_approx"].fn(spark, sf).collect()
+        }
+        assert set(exact) == set(approx)
+        for d, w in exact.items():
+            assert abs(approx[d] - w) <= max(2, 0.05 * w), (d, w, approx[d])
+
+    def test_deterministic(self, spark):
+        sf = "/root/testdata/sf0.001"
+        fn = REG["ts_rolling_actives_approx"].fn
+        assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
+            map(tuple, fn(spark, sf).collect())
+        )
