@@ -113,3 +113,18 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.replay import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
+
+
+@query("stream_upsert_counts", oracle=None, tags=("streaming", "ST7b", "no-oracle"))
+def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7b (r6 late): UPDATE-mode window counts merged into a keyed
+    parquet store via foreachBatch (generation-dir MERGE; Delta MERGE
+    is the production swap-in). Final state == batch aggregation and
+    batch re-application is a no-op — both pinned in
+    tests/test_r6b_ops.py."""
+    import tempfile
+
+    from ..streaming.upsert import run_upsert_counts
+
+    root = tempfile.mkdtemp(prefix="chrono_upsert_state_")
+    return run_upsert_counts(spark, sf_dir, root)

@@ -10,6 +10,8 @@ from __future__ import annotations
 import statistics
 from datetime import datetime, timedelta
 
+import pyspark.sql.functions as F
+
 from chrono_ts_spark.queries import load_all
 
 REG = load_all()
@@ -284,3 +286,103 @@ class TestRollingActivesApprox:
         assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
             map(tuple, fn(spark, sf).collect())
         )
+
+
+class TestUpsertSink:
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def _two_file_stream(self, spark, tmp_path):
+        # two single parquet FILES in one dir + maxFilesPerTrigger=1 ->
+        # two micro-batches, with the same 5-min window present in both
+        # so UPDATE mode re-emits a corrected row for an existing key.
+        import pathlib
+        import shutil
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+        batches = [
+            [(1, t(0), 1, "a", 1.0, "{}"), (2, t(1), 1, "a", 1.0, "{}"),
+             (3, t(0), 2, "a", 1.0, "{}")],
+            # second file: same (10:00 bucket, user 1) window again plus
+            # a new bucket -> the merge must CORRECT n_events 2 -> 3
+            [(4, t(2), 1, "a", 1.0, "{}"), (5, t(7), 2, "a", 1.0, "{}")],
+        ]
+        for i, rows in enumerate(batches):
+            staging = str(tmp_path / f"st_{i}")
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = next(pathlib.Path(staging).glob("part-*.parquet"))
+            shutil.copy(part, src / f"f{i}.parquet")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .withWatermark("ts", "10 minutes")
+        )
+        all_rows = [r for b in batches for r in b]
+        return stream, spark.createDataFrame(all_rows, self.SCHEMA)
+
+    def test_final_state_equals_batch_agg_across_batches(self, spark, tmp_path):
+        import os
+
+        from chrono_ts_spark.functions import time_bucket, ts_str
+        from chrono_ts_spark.streaming.upsert import (
+            read_state,
+            run_upsert_sink,
+            windowed_counts,
+        )
+
+        stream, batch = self._two_file_stream(spark, tmp_path)
+        root = str(tmp_path / "state")
+        run_upsert_sink(windowed_counts(stream), root)
+        got = sorted(map(tuple, read_state(spark, root).collect()))
+        want = sorted(
+            map(
+                tuple,
+                batch.groupBy(
+                    ts_str(time_bucket("ts", 300)).alias("bucket_ts"), "user_id"
+                )
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .collect(),
+            )
+        )
+        # the corrected key holds the FINAL count (3), not a duplicate
+        assert got == want
+        assert ("2024-01-01 10:00:00", 1, 3) in got
+        # at least two generations -> both micro-batches really merged
+        gens = [p for p in os.listdir(root) if p.startswith("gen=")]
+        assert len(gens) >= 2
+
+    def test_reapplying_a_batch_is_a_noop(self, spark, tmp_path):
+        from chrono_ts_spark.streaming.upsert import (
+            read_state,
+            run_upsert_sink,
+            upsert_batch,
+            windowed_counts,
+        )
+
+        stream, _ = self._two_file_stream(spark, tmp_path)
+        root = str(tmp_path / "state")
+        run_upsert_sink(windowed_counts(stream), root)
+        before = sorted(map(tuple, read_state(spark, root).collect()))
+        # crash-replay simulation: merge the ENTIRE current state back
+        # in as if a batch were re-delivered -> must converge unchanged
+        upsert_batch(
+            read_state(spark, root),
+            root,
+            keys=["bucket_ts", "user_id"],
+            seq_col="n_events",
+        )
+        after = sorted(map(tuple, read_state(spark, root).collect()))
+        assert before == after
+
+    def test_registry_query_runs_on_fixture(self, spark):
+        out = REG["stream_upsert_counts"].fn(spark, "/root/testdata/sf0.001")
+        assert out.count() > 0
+        assert out.columns == ["bucket_ts", "user_id", "n_events"]
