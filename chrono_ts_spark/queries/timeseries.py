@@ -2410,3 +2410,70 @@ def ts_rolling_actives_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("usk").cast("bigint").alias("wau_approx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DTW elastic distance between event-type series (operators/dtw.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_dtw_pairs",
+    oracle=None,  # sequential DP has no SQL twin; exactness pinned in
+    # tests/test_r6b_ops.py vs a pure-Python reference DP
+    tags=("tsdb", "dtw", "similarity"),
+)
+def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW distance (Sakoe-Chiba r=24h, L1 cost) between every
+    pair of event-type hourly series — the shift-tolerant complement
+    to ts_series_corr's aligned Pearson.
+
+    Series are exact integer cents per hour; the DP stays integer in
+    float64 cells, so the distance is bit-deterministic however the
+    pairs partition (docs/scale.md: pairs are the scale axis, the DP
+    per pair is O(n*r) numpy inside the sanctioned sequential
+    boundary)."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    hourly = (
+        ev.select(time_bucket("ts", 3600).alias("bucket"), "event_type", cents.alias("c"))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    ta = hourly.select(F.col("event_type").alias("type_a")).distinct()
+    tb = hourly.select(F.col("event_type").alias("type_b")).distinct()
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b"))
+    side_a = pairs.join(
+        hourly.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", F.lit(0).alias("side"), "bucket", "v")
+    side_b = pairs.join(
+        hourly.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", F.lit(1).alias("side"), "bucket", "v")
+    data = side_a.unionByName(side_b)
+
+    def _dtw(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from chrono_ts_spark.operators.dtw import dtw_banded
+
+        pdf = pdf.sort_values(["side", "bucket"], kind="mergesort")
+        a = pdf.loc[pdf["side"] == 0, "v"].to_numpy(dtype=np.int64)
+        b = pdf.loc[pdf["side"] == 1, "v"].to_numpy(dtype=np.int64)
+        d = dtw_banded(a, b, band=24)
+        return pd.DataFrame(
+            {
+                "type_a": [pdf["type_a"].iloc[0]],
+                "type_b": [pdf["type_b"].iloc[0]],
+                "n_a": [len(a)],
+                "n_b": [len(b)],
+                "dtw": [d],
+            }
+        )
+
+    return data.groupBy("type_a", "type_b").applyInPandas(
+        _dtw, schema="type_a string, type_b string, n_a long, n_b long, dtw long"
+    )

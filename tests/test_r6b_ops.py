@@ -386,3 +386,68 @@ class TestUpsertSink:
         out = REG["stream_upsert_counts"].fn(spark, "/root/testdata/sf0.001")
         assert out.count() > 0
         assert out.columns == ["bucket_ts", "user_id", "n_events"]
+
+
+def _dtw_reference(a, b, band):
+    """Unbanded-checkable pure-Python DTW (full O(n*m) table, L1)."""
+    import math
+
+    n, m = len(a), len(b)
+    D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if abs(i - j) > band:
+                continue
+            c = abs(a[i - 1] - b[j - 1])
+            D[i][j] = c + min(D[i - 1][j - 1], D[i - 1][j], D[i][j - 1])
+    return D[n][m]
+
+
+class TestDtw:
+    def test_vs_reference_dp(self):
+        from chrono_ts_spark.operators.dtw import dtw_banded
+        import numpy as np
+
+        a = np.array([1, 3, 4, 9, 8, 2, 1, 5, 7, 3], dtype=np.int64)
+        b = np.array([2, 3, 5, 8, 7, 3, 2, 6, 6, 4], dtype=np.int64)
+        for band in (1, 2, 5, 9):
+            assert dtw_banded(a, b, band) == _dtw_reference(list(a), list(b), band)
+
+    def test_shifted_series_cheaper_than_euclidean(self):
+        # a one-step shifted copy: DTW absorbs the shift (cost only at
+        # the edges), Euclidean (band=0) pays at every step.
+        from chrono_ts_spark.operators.dtw import dtw_banded
+        import numpy as np
+
+        base = np.array([0, 10, 0, 0, 10, 0, 0, 10, 0, 0], dtype=np.int64)
+        shifted = np.roll(base, 1)
+        assert dtw_banded(base, shifted, band=2) < dtw_banded(base, shifted, band=0)
+
+    def test_identical_series_zero(self):
+        from chrono_ts_spark.operators.dtw import dtw_banded
+        import numpy as np
+
+        a = np.array([5, 1, 4, 4, 2], dtype=np.int64)
+        assert dtw_banded(a, a.copy(), band=3) == 0
+
+    def test_band_disconnect_returns_minus1(self):
+        from chrono_ts_spark.operators.dtw import dtw_banded
+        import numpy as np
+
+        assert dtw_banded(np.arange(10), np.arange(3), band=2) == -1
+
+    def test_query_on_planted_events(self, spark, tmp_path):
+        # two types with identical series -> dtw 0; third wildly off
+        rows, eid = [], 0
+        for h in range(6):
+            for typ, v in (("a", 1.0 * h), ("b", 1.0 * h), ("c", 50.0)):
+                eid += 1
+                rows.append((eid, D0 + timedelta(hours=h), 1, typ, v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            (r.type_a, r.type_b): r.dtw
+            for r in REG["ts_dtw_pairs"].fn(spark, sf).collect()
+        }
+        assert got[("a", "b")] == 0
+        assert got[("a", "c")] > 0 and got[("b", "c")] > 0
