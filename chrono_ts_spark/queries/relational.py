@@ -1751,3 +1751,110 @@ def rel_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("part_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# O4b: stratified sampling — exactly n per stratum, deterministic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_stratified_sample",
+    oracle="""
+WITH r AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+           ) AS rk
+    FROM orders
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 20
+""",
+    tags=("relational", "O4b", "sampling"),
+)
+def rel_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 orders per priority stratum, chosen by md5 order —
+    the RNG-free stratified sample (every engine, every partitioning,
+    every rerun picks the same rows; contrast rel_sample's engine-
+    specific seeded Bernoulli).
+
+    The rank filter compiles to WindowGroupLimit (top-k per group
+    pushdown, audited for ts_topk_users): each stratum keeps 20 rows
+    per partition BEFORE the shuffle, so the sort never sees the full
+    stratum — the property that makes hash-ordered stratified sampling
+    safe on arbitrarily large strata.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6: unpivot / melt — wide metrics to long layout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_unpivot_metric_stats",
+    oracle=f"""
+WITH long AS (
+    SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('val')} AS sum_val,
+       {sql_davg('val')} AS avg_val
+FROM long GROUP BY l_returnflag, metric
+""",
+    tags=("relational", "P6", "unpivot"),
+)
+def rel_unpivot_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four wide metric columns into (metric, val) long layout
+    (`DataFrame.unpivot`, the inverse of A9's pivot), then aggregate
+    per (returnflag, metric) with decimal-exact sums.
+
+    Unpivot is a map-side generator (no shuffle, no join): the 4x row
+    amplification happens inside the scan stage and feeds the ONE
+    hash aggregation; at 100 TB this beats four separate aggregations
+    by reading the table once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    metric = F.regexp_replace(F.col("metric"), "^l_", "")
+    metric = F.when(metric == "extendedprice", "extendedprice").otherwise(metric)
+    return (
+        long.select("l_returnflag", metric.alias("metric"), "val")
+        .groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("val").alias("sum_val"),
+            davg("val").alias("avg_val"),
+        )
+    )

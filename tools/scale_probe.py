@@ -90,6 +90,28 @@ def build_documents(spark, path: str, docs: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
+def build_embeddings(spark, path: str, vecs: int, dims: int = 64) -> None:
+    """Synthetic embeddings: 8 well-separated hash-jittered clusters."""
+    df = (
+        spark.range(vecs)
+        .withColumn("vec_id", F.col("id"))
+        .withColumn("label", (F.col("id") % 8).cast("int"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: (
+                    F.when(d == (F.col("id") % 8).cast("int") * 8, F.lit(10.0)).otherwise(0.0)
+                    + F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000)).cast("double")
+                    / 1000.0
+                ).cast("float"),
+            ),
+        )
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     users = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
@@ -130,7 +152,17 @@ def main() -> None:
         "ts_m4_downsample",
         "ts_seasonal_baseline",
         "ts_holt_linear",
+        # late round-6 additions
+        "ts_rolling_actives",
+        "ts_rolling_actives_approx",
+        "ts_sax_symbols",
+        "ts_dtw_pairs",
     ]
+    if rows <= 2_000_000:
+        # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
+        # is ~5e9 — outside the bounded-series contract this operator
+        # documents. Probe it at <=2M rows (docs/scale.md).
+        names.append("ts_theil_sen")
     timings = {}
     for n in names:
         t0 = time.time()
@@ -143,6 +175,13 @@ def main() -> None:
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
+    n_vecs = max(50_000, rows // 20)
+    if not Path(f"{path}/embeddings.parquet").exists():
+        build_embeddings(spark, path, n_vecs)
+    t0 = time.time()
+    reg["emb_kmeans"].fn(spark, path).write.mode("overwrite").format("noop").save()
+    timings["emb_kmeans"] = round(time.time() - t0, 2)
+    print(f"  emb_kmeans: {timings['emb_kmeans']}s ({n_vecs} vecs)", file=sys.stderr)
     print(json.dumps({"rows": rows, "users": users, "docs": n_docs, "queries": timings}))
     spark.stop()
 
