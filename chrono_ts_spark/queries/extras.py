@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
-from ..functions import dsum, sql_dsum
+from ..functions import dsum, sql_dsum, sql_time_bucket, sql_ts_str, time_bucket
 from ..operators.topk import top_k_per_group
 from . import query
 
@@ -1115,3 +1115,130 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content"),
     )
     return byte_features(named)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (alpha=0.3, beta=0.1,
+# gamma=0.2, m=24 hourly season) per event-type series — the seasonal
+# step up from ts_holt_linear (r6 late). The recursive-CTE oracle
+# carries the 24-slot seasonal ring buffer as a DOUBLE[] column,
+# updating one slot per row with list_transform; every float op is
+# mirrored bit-for-bit (all six smoothing constants are exact doubles;
+# l_new is recomputed inline wherever later expressions need it, the
+# ts_holt_linear trick). Seeds: level = first y, trend = 0, seasonals
+# = 0 (the first cycle behaves like Holt linear while gamma fills the
+# ring). Oracle sf ceiling: recursion depth = per-type bucket count
+# (~720 at every SF — hourly calendar, not row count).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+WITH RECURSIVE seq AS (
+    SELECT event_type, bucket, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+    FROM (
+        SELECT event_type, {sql_time_bucket('ts', 3600)} AS bucket,
+               CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    )
+),
+hw AS (
+    SELECT event_type, bucket, y, rn,
+           y AS lvl, CAST(0 AS DOUBLE) AS trd,
+           list_transform(range(1, 25), i -> CAST(0 AS DOUBLE)) AS slist
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.bucket, s.y, s.rn,
+           CAST(0.3 AS DOUBLE) * (s.y - h.slist[((s.rn - 1) % 24) + 1])
+               + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd) AS lvl,
+           CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * (s.y - h.slist[((s.rn - 1) % 24) + 1])
+                   + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+               + CAST(0.9 AS DOUBLE) * h.trd AS trd,
+           list_transform(range(1, 25), i ->
+               CASE WHEN i = ((s.rn - 1) % 24) + 1
+                    THEN CAST(0.2 AS DOUBLE)
+                         * (s.y - (CAST(0.3 AS DOUBLE)
+                                   * (s.y - h.slist[((s.rn - 1) % 24) + 1])
+                                   + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd)))
+                         + CAST(0.8 AS DOUBLE) * h.slist[((s.rn - 1) % 24) + 1]
+                    ELSE h.slist[i] END) AS slist
+    FROM hw h JOIN seq s ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, {sql_ts_str('bucket')} AS bucket_ts, y,
+       lvl AS level, trd AS trend,
+       slist[((rn - 1) % 24) + 1] AS seasonal,
+       lvl + trd + slist[(rn % 24) + 1] AS forecast_next
+FROM hw
+""",
+    tags=("tsdb", "forecast", "W8", "seasonal"),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (level + trend + 24-hour seasonality) over
+    each event-type's hourly cents series; emits level/trend/seasonal
+    and the one-step-ahead forecast level+trend+s_{t+1-m}.
+
+    Same sanctioned-sequential-boundary contract as ts_holt_linear:
+    one shuffle on event_type into applyInPandas, numpy scalar loop
+    with a 24-slot ring buffer; series length is calendar-bounded so
+    the sequential cost is fixed while the series COUNT scales out.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    hourly = (
+        ev.select("event_type", time_bucket("ts", 3600).alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").cast("double").alias("y"))
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["bucket"], kind="mergesort").reset_index(drop=True)
+        ys = pdf["y"].to_numpy(dtype="float64")
+        n = len(ys)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        sea = np.empty(n)
+        fc = np.empty(n)
+        ring = np.zeros(24)
+        l = b = 0.0
+        for i in range(n):
+            y = ys[i]
+            ph = i % 24
+            if i == 0:
+                l, b = y, 0.0
+                sea[i] = ring[ph]  # 0.0, ring untouched (oracle base row)
+            else:
+                s_old = ring[ph]
+                nl = 0.3 * (y - s_old) + 0.7 * (l + b)
+                b = 0.1 * (nl - l) + 0.9 * b
+                s_new = 0.2 * (y - nl) + 0.8 * s_old
+                l = nl
+                ring[ph] = s_new
+                sea[i] = s_new
+            lvl[i] = l
+            trd[i] = b
+            fc[i] = l + b + ring[(i + 1) % 24]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "bucket_ts": pdf["bucket"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "y": ys,
+                "level": lvl,
+                "trend": trd,
+                "seasonal": sea,
+                "forecast_next": fc,
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        run,
+        "event_type string, bucket_ts string, y double, level double, "
+        "trend double, seasonal double, forecast_next double",
+    )

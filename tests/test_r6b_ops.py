@@ -451,3 +451,62 @@ class TestDtw:
         }
         assert got[("a", "b")] == 0
         assert got[("a", "c")] > 0 and got[("b", "c")] > 0
+
+
+def _hw_reference(ys, alpha=0.3, beta=0.1, gamma=0.2, m=24):
+    """Independent pure-Python Holt-Winters additive recursion."""
+    ring = [0.0] * m
+    out = []
+    l = b = 0.0
+    for i, y in enumerate(ys):
+        ph = i % m
+        if i == 0:
+            l, b = y, 0.0
+            sea = ring[ph]
+        else:
+            s_old = ring[ph]
+            nl = alpha * (y - s_old) + (1 - alpha) * (l + b)
+            b = beta * (nl - l) + (1 - beta) * b
+            sea = gamma * (y - nl) + (1 - gamma) * s_old
+            l = nl
+            ring[ph] = sea
+        out.append((l, b, sea, l + b + ring[(i + 1) % m]))
+    return out
+
+
+class TestHoltWinters:
+    def test_vs_pure_python_on_fixture(self, spark):
+        # the query's own hourly series, re-derived independently; the
+        # Spark result must match the reference recursion bit-for-bit
+        sf = "/root/testdata/sf0.001"
+        rows = REG["ts_holt_winters"].fn(spark, sf).collect()
+        by_type = {}
+        for r in sorted(rows, key=lambda r: (r.event_type, r.bucket_ts)):
+            by_type.setdefault(r.event_type, []).append(r)
+        assert len(by_type) == 5
+        for typ, series in by_type.items():
+            ref = _hw_reference([r.y for r in series])
+            for r, (l, b, s, f) in zip(series, ref):
+                assert (r.level, r.trend, r.seasonal, r.forecast_next) == (l, b, s, f)
+
+    def test_seasonal_signal_captured(self, spark, tmp_path):
+        # planted: value spikes every 24h at hour 0 for 6 cycles ->
+        # after warmup the hour-0 seasonal component is strongly
+        # positive and other hours' is not
+        rows, eid = [], 0
+        for d in range(6):
+            for h in range(24):
+                eid += 1
+                v = 100.0 if h == 0 else 10.0
+                rows.append((eid, D0 + timedelta(days=d, hours=h), 1, "a", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_holt_winters"].fn(spark, sf).collect(),
+            key=lambda r: r.bucket_ts,
+        )
+        last_cycle = out[-24:]
+        spike = [r for r in last_cycle if r.bucket_ts.endswith("00:00:00")]
+        others = [r for r in last_cycle if not r.bucket_ts.endswith("00:00:00")]
+        assert len(spike) == 1
+        assert spike[0].seasonal > 1000  # cents scale: spike >> baseline
+        assert all(abs(r.seasonal) < spike[0].seasonal / 3 for r in others)
