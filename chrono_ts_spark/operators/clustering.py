@@ -11,16 +11,17 @@ pq_fit (operators/similarity.py:179, operators/pq.py:56):
 - assignment = Arrow pandas_udf, argmin squared L2 with ties broken to
   the lowest centroid id (BLAS matmul per batch, vectors never leave
   executors);
-- update = posexplode to (cluster, dim) and DECIMAL-exact per-dim sums
-  so centroids are shuffle-order-immune; only the k x dims sum matrix
-  ever reaches the driver (the sanctioned bounded collect);
+- update = mapInPandas partial sums: one k x dims matrix of 1e-9
+  fixed-point int64 coordinate sums per Arrow batch (addition-order-
+  immune, so centroids are bit-deterministic under any partitioning);
+  only k x dims x batches tiny rows shuffle and only the k x dims
+  merged matrix reaches the driver (the sanctioned bounded collect);
 - empty clusters keep their previous centroid (no resample — RNG-free).
 
-Scale: each Lloyd round is one shuffle of (cluster, dim, val) triples
-— dims x row amplification, the pq_fit precedent; the mapInPandas
-partial-sum variant (one (k x dims) matrix per partition, then a tiny
-final agg) is the documented swap-in when dims x rows dominates the
-shuffle at full corpus scale.
+Scale: each Lloyd round shuffles O(k x dims x batches) integers —
+independent of row count. (The first cut exploded (cluster, dim, val)
+triples, a dims x row amplification; replacing it with these partials
+took the 500k x 64 fit from 187 s to 15 s — BASELINE.md.)
 """
 
 from __future__ import annotations
@@ -80,18 +81,15 @@ def kmeans_fit(
     centroids = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
 
     for _ in range(iters):
-        assign = _assign_euclid_udf(centroids)
-        assigned = df.select(
-            assign(F.col(vec_col)).alias("cluster"),
-            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-                "pos", "val"
-            ),
+        partials = df.select(vec_col).mapInPandas(
+            _partial_sums_fn(centroids, dims, vec_col),
+            schema="cluster int, pos int, s long, n long",
         )
         sums = (
-            assigned.groupBy("cluster", "pos")
+            partials.groupBy("cluster", "pos")
             .agg(
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("s"),
+                F.sum("n").alias("n"),
             )
             .collect()
         )
@@ -100,11 +98,58 @@ def kmeans_fit(
         cnt: dict[int, int] = {}
         for r in sums:
             acc.setdefault(r.cluster, np.zeros(dims))[r.pos] = r.s
-            cnt[r.cluster] = r.cnt
+            cnt[r.cluster] = r.n
         for cid, vec in acc.items():
-            new[cid] = vec / cnt[cid]
+            new[cid] = vec / 1e9 / cnt[cid]
         centroids = new
     return centroids
+
+
+def _partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
+    """One Lloyd round's map side: per ARROW BATCH, assign every vector
+    (BLAS argmin) and accumulate a k x dims matrix of 1e-9 fixed-point
+    coordinate sums plus per-cluster counts; emit k*dims tiny rows.
+
+    The shuffle therefore carries O(k * dims * batches) integers, not
+    O(rows * dims) exploded values — the mapInPandas partial-sum shape
+    promised in the module docstring (measured at 500k x 64: 187 s
+    with the exploded shuffle -> 15 s with this path; BASELINE.md).
+    Integer partials are addition-order-immune, so centroids stay bit-deterministic under any partitioning;
+    the 1e-9 quantization matches the decimal(18,9) discipline of
+    pq_fit. Overflow headroom: |coord| <= ~1e3 -> per-batch sums
+    <= ~1e12 * rows_per_batch; the driver-side merge re-widens to
+    decimal(38,0).
+    """
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(axis=1)
+    k = len(c)
+
+    def fn(it):
+        for pdf in it:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            if mat.size == 0:
+                continue
+            cl = np.argmin(-2.0 * (mat @ c.T) + c_sq, axis=1)
+            q = np.round(mat * 1e9).astype(np.int64)
+            sums = np.zeros((k, dims), dtype=np.int64)
+            np.add.at(sums, cl, q)
+            cnt = np.bincount(cl, minlength=k)
+            present = np.nonzero(cnt)[0]
+            n_rows = len(present) * dims
+            out = pd.DataFrame(
+                {
+                    "cluster": np.repeat(present, dims).astype(np.int32),
+                    "pos": np.tile(np.arange(dims, dtype=np.int32), len(present)),
+                    "s": sums[present].reshape(n_rows),
+                    "n": np.repeat(cnt[present], dims),
+                }
+            )
+            yield out
+
+    return fn
 
 
 def kmeans_assign(

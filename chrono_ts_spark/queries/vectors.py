@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import davg, vec_double, vec_norm_sq
+from ..functions import davg, vec_cosine, vec_double, vec_norm_sq
 from ..operators.similarity import brute_force_topk, lsh_bucket_topk
 from . import query
 
@@ -290,4 +290,70 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "majority_label",
             "n_majority",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6d: SemDeDup — semantic dedup via cluster-then-prune (the embedding
+# twin of MinHash-LSH: clustering bounds the candidate set so the
+# all-pairs cosine explosion never happens)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_semdedup",
+    oracle=None,  # inherits emb_kmeans' iterative no-SQL-twin nature;
+    # dup-dropping semantics pinned on planted data in tests
+    tags=("vector", "dedup", "X6d"),
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the corpus, then inside each cluster
+    drop every vector with a cosine >= 0.95 neighbor of lower vec_id
+    (the canonical-survivor rule — deterministic, no RNG). Returns the
+    kept rows with their cluster id.
+
+    Scale shape: k scales with the corpus (~512 vectors per cluster)
+    so the per-cluster pairwise term is constant, and the pairwise
+    cosine runs INSIDE applyInPandas as one c x c BLAS matmul per
+    cluster — only the c member rows ever shuffle, never the c^2 pair
+    set (the same no-materialization discipline as MinHash banding).
+    Measured: 500k x 64 vectors in 43 s end to end (BASELINE.md).
+    """
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # ~512 members per cluster: recall needs dup families to share a
+    # cluster, so k must not exceed the natural grouping scale
+    k = max(2, min(4096, n // 512))
+    centroids = kmeans_fit(emb, dims=_DIMS, k=k, iters=2)
+    assigned = kmeans_assign(emb, centroids).select(
+        "vec_id", "label", "cluster", "embedding"
+    )
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((mat**2).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        c = len(pdf)
+        # drop j if any i < j (lower vec_id after the sort) has sim >= tau
+        iu = np.triu_indices(c, k=1)
+        drop = np.zeros(c, dtype=bool)
+        hits = sims[iu] >= 0.95
+        np.logical_or.at(drop, iu[1][hits], True)
+        keep = pdf.loc[~drop, ["vec_id", "label", "cluster"]]
+        return keep
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id long, label int, cluster int"
     )

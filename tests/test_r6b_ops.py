@@ -510,3 +510,37 @@ class TestHoltWinters:
         assert len(spike) == 1
         assert spike[0].seasonal > 1000  # cents scale: spike >> baseline
         assert all(abs(r.seasonal) < spike[0].seasonal / 3 for r in others)
+
+
+class TestSemDedup:
+    def test_planted_duplicates_dropped_keep_lowest_id(self, spark, tmp_path):
+        # clusters of near-identical vectors: within each, only the
+        # lowest vec_id survives; distinct vectors all survive
+        rows = []
+        dims = 64
+        for i in range(30):
+            c = i % 3
+            v = [0.0] * dims
+            v[c] = 10.0
+            v[20 + c] = 0.0001 * (i // 3)  # cosine ~1 within the triple
+            rows.append((i, v, c))
+        # one clearly distinct singleton
+        v = [0.0] * dims
+        v[40] = 10.0
+        rows.append((100, v, 7))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+        out = REG["emb_semdedup"].fn(spark, str(tmp_path)).collect()
+        kept = sorted(r.vec_id for r in out)
+        # lowest id of each of the 3 dup families (0, 1, 2) + singleton
+        assert kept == [0, 1, 2, 100]
+
+    def test_deterministic(self, spark):
+        sf = "/root/testdata/sf0.001"
+        fn = REG["emb_semdedup"].fn
+        assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
+            map(tuple, fn(spark, sf).collect())
+        )
