@@ -123,3 +123,60 @@ def cusum(
         return res
 
     return joined.groupBy(*keys).applyInPandas(run, out_schema)
+
+
+def pelt_l2(xs, beta: float):
+    """PELT changepoint detection, L2 (piecewise-constant-mean) cost.
+
+    Exact optimal-partition solver (Killick et al. 2012, public
+    algorithm): minimizes sum of segment SSEs + beta per changepoint,
+    with the pruning rule that keeps the candidate set ~O(1) for
+    stationary data (worst case O(n), still exact). Segment SSE comes
+    from prefix sums/sum-of-squares in O(1): sse = q - s*s/len, all
+    float64 from exact-integer inputs, same op order every run —
+    deterministic. Ties in the argmin break to the SMALLEST candidate
+    (earliest changepoint), pinned in tests against the unpruned O(n^2)
+    DP, which PELT must equal exactly.
+
+    Returns the sorted list of changepoint indices (each the first
+    index of a new segment; [] = no change).
+    """
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.float64)
+    n = len(xs)
+    if n == 0:
+        return []
+    ps = np.concatenate([[0.0], np.cumsum(xs)])
+    pq = np.concatenate([[0.0], np.cumsum(xs * xs)])
+
+    def sse(i: int, j: int) -> float:  # cost of xs[i:j], j exclusive
+        ln = j - i
+        s = ps[j] - ps[i]
+        return (pq[j] - pq[i]) - s * s / ln
+
+    F = np.empty(n + 1)
+    F[0] = -beta
+    prev = np.full(n + 1, 0, dtype=np.int64)
+    cands = [0]
+    for t in range(1, n + 1):
+        best = None
+        best_s = 0
+        for s in cands:
+            v = F[s] + sse(s, t) + beta
+            if best is None or v < best:
+                best, best_s = v, s
+        F[t] = best
+        prev[t] = best_s
+        # pruning: drop s that can never win again
+        cands = [s for s in cands if F[s] + sse(s, t) <= F[t]]
+        cands.append(t)
+    # backtrack
+    cps = []
+    t = n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)

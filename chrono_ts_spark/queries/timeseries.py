@@ -2477,3 +2477,107 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data.groupBy("type_a", "type_b").applyInPandas(
         _dtw, schema="type_a string, type_b string, n_a long, n_b long, dtw long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PELT optimal changepoint segmentation (operators/changepoint.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_pelt_segments",
+    oracle=None,  # exact optimal segmentation is a pruned sequential DP
+    # with no SQL twin; exactness is pinned in tests vs the unpruned
+    # O(n^2) DP (which PELT provably equals)
+    tags=("tsdb", "changepoint", "anomaly"),
+)
+def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal piecewise-constant-mean segmentation of each user's
+    value series via PELT (L2 cost, penalty 2*var*ln n) — the offline
+    exact complement to the online CUSUM alarms.
+
+    One shuffle on user_id into the sanctioned sequential boundary;
+    the pruned DP is ~O(n) per series (worst case O(n^2), still
+    exact). Emits one row per segment with its exact integer-cents
+    bounds and mean.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def run(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from chrono_ts_spark.operators.changepoint import pelt_l2
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
+        n = len(xs)
+        var = float(np.var(xs))
+        beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
+        bounds = [0] + pelt_l2(xs, beta) + [n]
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            rows.append(
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "seg_idx": i,
+                    "start_ts_s": pdf["ts"].iloc[lo].strftime("%Y-%m-%d %H:%M:%S"),
+                    "end_ts_s": pdf["ts"].iloc[hi - 1].strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_pts": hi - lo,
+                    "mean_cents": float(xs[lo:hi].sum() / (hi - lo)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        run,
+        "user_id bigint, seg_idx int, start_ts_s string, end_ts_s string, "
+        "n_pts long, mean_cents double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly activity profile: (day-of-week x hour) heatmap (A6 family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_weekly_profile",
+    oracle=f"""
+SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("tsdb", "A6", "profile"),
+)
+def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ops heatmap: event count and decimal-exact value sum
+    per (day-of-week, hour-of-day) cell. DOW convention 0=Monday on
+    both sides (Spark weekday() == DuckDB isodow()-1 — engines
+    disagree on dayofweek()'s anchor, so the oracle pins the ISO one).
+    One map-side projection + one 168-cell hash agg; scale-trivial.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.weekday("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

@@ -544,3 +544,72 @@ class TestSemDedup:
         assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
             map(tuple, fn(spark, sf).collect())
         )
+
+
+def _opt_segmentation_bruteforce(xs, beta):
+    """Unpruned O(n^2) optimal-partition DP — the ground truth PELT
+    must equal exactly (same cost, same tie-break to smallest s)."""
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.float64)
+    n = len(xs)
+    ps = np.concatenate([[0.0], np.cumsum(xs)])
+    pq = np.concatenate([[0.0], np.cumsum(xs * xs)])
+
+    def sse(i, j):
+        ln = j - i
+        s = ps[j] - ps[i]
+        return (pq[j] - pq[i]) - s * s / ln
+
+    F = [0.0] * (n + 1)
+    F[0] = -beta
+    prev = [0] * (n + 1)
+    for t in range(1, n + 1):
+        best, best_s = None, 0
+        for s in range(t):
+            v = F[s] + sse(s, t) + beta
+            if best is None or v < best:
+                best, best_s = v, s
+        F[t], prev[t] = best, best_s
+    cps, t = [], n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+class TestPelt:
+    def test_equals_unpruned_dp(self):
+        from chrono_ts_spark.operators.changepoint import pelt_l2
+
+        # deterministic wiggly series with real shifts
+        xs = [((i * 37) % 11) + (20 if 25 <= i < 55 else 0) + (50 if i >= 80 else 0)
+              for i in range(100)]
+        for beta in (10.0, 100.0, 1000.0):
+            assert pelt_l2(xs, beta) == _opt_segmentation_bruteforce(xs, beta)
+
+    def test_planted_shifts_recovered(self, spark, tmp_path):
+        rows, eid = [], 0
+        means = [10.0, 40.0, 5.0]
+        for seg, m in enumerate(means):
+            for i in range(30):
+                eid += 1
+                rows.append(
+                    (eid, D0 + timedelta(minutes=seg * 30 + i), 3, "a", m, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_pelt_segments"].fn(spark, sf).collect(), key=lambda r: r.seg_idx
+        )
+        assert [r.n_pts for r in out] == [30, 30, 30]
+        assert [r.mean_cents for r in out] == [1000.0, 4000.0, 500.0]
+
+    def test_constant_series_single_segment(self, spark, tmp_path):
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 3, "a", 7.0, "{}") for i in range(40)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_pelt_segments"].fn(spark, sf).collect()
+        assert len(out) == 1 and out[0].n_pts == 40
