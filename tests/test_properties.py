@@ -257,3 +257,103 @@ def test_m4_envelope_and_count(spark, pts):
             dt = datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
             assert b0 <= dt < b0 + timedelta(seconds=900)
         assert r.t_first <= r.t_last
+
+
+# ---------------------------------------------------------------------------
+# Late-r6 operator invariants (pure-Python cores, so hypothesis can
+# hammer them without a Spark job per example)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=60),
+    band=st.integers(min_value=0, max_value=10),
+)
+def test_dtw_symmetry_and_identity(xs, band):
+    """DTW(a,b) == DTW(b,a); DTW(a,a) == 0; non-negative."""
+    import numpy as np
+
+    from chrono_ts_spark.operators.dtw import dtw_banded
+
+    a = np.array(xs, dtype=np.int64)
+    b = np.array(list(reversed(xs)), dtype=np.int64)
+    dab = dtw_banded(a, b, band)
+    dba = dtw_banded(b, a, band)
+    assert dab == dba
+    assert dtw_banded(a, a.copy(), band) == 0
+    assert dab >= -1  # -1 only for band disconnect (equal lengths: never)
+    assert dab >= 0
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=-500, max_value=500), min_size=3, max_size=40),
+    beta=st.sampled_from([5.0, 50.0, 500.0]),
+)
+def test_pelt_partition_validity_and_optimality(xs, beta):
+    """PELT breakpoints form a valid partition and the objective equals
+    the unpruned optimum (imported from its own test module)."""
+    import numpy as np
+
+    from chrono_ts_spark.operators.changepoint import pelt_l2
+    from tests.test_r6b_ops import _opt_segmentation_bruteforce
+
+    cps = pelt_l2(xs, beta)
+    assert cps == sorted(set(cps))
+    assert all(0 < c < len(xs) for c in cps)
+    assert cps == _opt_segmentation_bruteforce(xs, beta)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day index
+            st.integers(min_value=0, max_value=5),  # user
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_actives_bounds_pure(days):
+    """WAU bounds, checked on a pure-Python twin of the dedup-explode
+    shape: dau(d) <= wau(d) <= sum of the window's daus; wau equals
+    distinct union of the window's user sets."""
+    pairs = set(days)
+    by_day = {}
+    for d, u in pairs:
+        by_day.setdefault(d, set()).add(u)
+    for d, users in by_day.items():
+        window = [by_day.get(x, set()) for x in range(d - 6, d + 1)]
+        wau = set().union(*window)
+        dau = users
+        assert dau <= wau
+        assert len(wau) <= sum(len(w) for w in window)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10000, max_value=10000), min_size=9, max_size=48
+    ),
+    a=st.sampled_from([1, 2, 5]),
+    b=st.integers(min_value=-100, max_value=100),
+)
+def test_sax_affine_invariance_pure(vals, a, b):
+    """SAX symbols are invariant under positive affine transforms of the
+    series (z-normalization cancels scale and shift) — checked on the
+    pure-Python reference twin of ts_sax_symbols."""
+    from tests.test_r6b_ops import _sax_reference
+
+    if len(set(vals)) < 2:
+        return  # zero variance: both sides drop the series
+    base = _sax_reference([v / 100 for v in vals])
+    scaled = _sax_reference([(a * v + b) / 100 for v in vals])
+    for (_, zb, sb), (_, zs, ss) in zip(base.values(), scaled.values()):
+        # exact in real arithmetic; float sqrt can move z by an ulp, so
+        # tolerate a symbol flip only when z sits ON a breakpoint
+        if ss != sb:
+            assert min(abs(abs(zb) - 0.6745), abs(zb)) < 1e-5, (zb, zs, sb, ss)
+        else:
+            assert abs(zb - zs) < 1e-4
