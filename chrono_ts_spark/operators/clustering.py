@@ -163,3 +163,69 @@ def kmeans_assign(
     sqd = _sqdist_udf(centroids)
     out = df.withColumn("cluster", assign(F.col(vec_col)))
     return out.withColumn("sqdist", sqd(F.col(vec_col), F.col("cluster")))
+
+
+def covariance_matrix(
+    df: DataFrame, dims: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed (mean, covariance, n) of a vector column.
+
+    Same partial-sum shape as the k-means update: each Arrow batch
+    emits ONE flattened d x d int128-safe Gram partial (1e-6 fixed
+    point for the outer products, 1e-9 for the first moment) — the
+    shuffle carries O(d^2 x batches) integers, never rows. The driver
+    assembles cov = G/n - mean mean^T on the merged exact sums, so the
+    result is addition-order-immune. d is the bounded axis (64 here):
+    d^2 = 4096 cells per batch, trivially collectable; rows scale out.
+    """
+
+    def fn(it):
+        for pdf in it:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            if mat.size == 0:
+                continue
+            q = np.round(mat * 1e3).astype(np.int64)  # 1e-3 fixed point
+            gram = q.T @ q  # (d, d) int64; |coord| ~1e4 -> safe for ~1e10 rows/batch
+            s = q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(dims * dims + dims, dtype=np.int64),
+                    "v": np.concatenate([gram.reshape(dims * dims), s]),
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(fn, schema="pos long, v long")
+    rows = (
+        partials.groupBy("pos")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).cast("double").alias("v"))
+        .collect()
+    )
+    total_n = df.count()
+    flat = np.zeros(dims * dims + dims)
+    for r in rows:
+        flat[int(r.pos)] = r.v
+    gram = flat[: dims * dims].reshape(dims, dims) / 1e6  # (1e3)^2
+    s = flat[dims * dims :] / 1e3
+    mean = s / total_n
+    cov = gram / total_n - np.outer(mean, mean)
+    return mean, cov, total_n
+
+
+def pca_components(cov: np.ndarray, top: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Eigendecomposition of the (bounded d x d) covariance on the
+    driver; returns (explained_variance desc, components rows). Sign
+    convention: each component's largest-|coordinate| entry is made
+    positive, so the output is deterministic (eigh fixes magnitude and
+    order, not sign)."""
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:top]
+    vals = vals[order]
+    comps = vecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return vals, comps

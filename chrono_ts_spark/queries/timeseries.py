@@ -2581,3 +2581,45 @@ def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware local-day aggregation (DST-correct calendar bucketing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_local_day_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('day',
+           ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'),
+           '%Y-%m-%d') AS local_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("tsdb", "A6", "timezone"),
+)
+def ts_local_day_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LOCAL-calendar-day rollup in America/New_York — the
+    DST-correct day bucket (a local day is 23 h on spring-forward and
+    25 h on fall-back; fixed-width epoch buckets get both wrong).
+
+    Both engines resolve the zone through the IANA tzdb: Spark
+    `from_utc_timestamp` and DuckDB's double `AT TIME ZONE` produce
+    the same local wall clock (spring-forward boundary pinned in a
+    planted test — the fixture itself spans January only). Scale: same
+    map-side projection + tiny hash agg as any day rollup; the tz
+    conversion is a pure per-row function, pushdown-neutral.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return (
+        ev.select(F.date_format(F.date_trunc("day", local), "yyyy-MM-dd").alias("local_day"), "value")
+        .groupBy("local_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

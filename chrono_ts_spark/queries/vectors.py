@@ -357,3 +357,44 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").applyInPandas(
         prune, schema="vec_id long, label int, cluster int"
     )
+
+
+# ---------------------------------------------------------------------------
+# X7d: PCA — distributed covariance, driver eigensolve (d is bounded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_pca_variance",
+    oracle=None,  # eigendecomposition has no SQL twin; spectrum pinned
+    # on planted low-rank data + vs numpy full-data PCA in tests
+    tags=("vector", "pca", "X7d"),
+)
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA of the embedding corpus: per component, explained
+    variance and its share of total variance (the embedding-quality /
+    dimensionality diagnostic; also the whitening front-end for the
+    PQ codebooks).
+
+    Distributed part = one mapInPandas pass emitting d^2-cell Gram
+    partials in fixed point (addition-order-immune, O(d^2 x batches)
+    on the shuffle — row count never); driver part = 64 x 64 eigh
+    (bounded). Deterministic: exact integer sums, eigh on the same
+    matrix, sign fixed by largest-|coordinate|-positive.
+    """
+    from ..operators.clustering import covariance_matrix, pca_components
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cov, n = covariance_matrix(emb, dims=_DIMS)
+    vals, _comps = pca_components(cov, top=8)
+    total = float(cov.trace())
+    rows = [
+        (i, round(float(v), 6), round(float(v / total), 6))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance double, var_share double"
+    )

@@ -613,3 +613,82 @@ class TestPelt:
         sf = _write_events(spark, tmp_path, rows)
         out = REG["ts_pelt_segments"].fn(spark, sf).collect()
         assert len(out) == 1 and out[0].n_pts == 40
+
+
+class TestLocalDayAgg:
+    def test_dst_spring_forward_boundary(self, spark, tmp_path):
+        # America/New_York springs forward 2024-03-10 at 02:00 EST
+        # (07:00 UTC). Events at 06:59 and 07:01 UTC are BOTH local
+        # 2024-03-10 (01:59 EST / 03:01 EDT); local midnight after the
+        # 23-hour day is 04:00 UTC, so 03:59 UTC on 03-11 (23:59 EDT
+        # 03-10) is still local 03-10 while 04:01 UTC rolls to 03-11.
+        rows = [
+            (1, datetime(2024, 3, 10, 6, 59), 1, "a", 1.0, "{}"),
+            (2, datetime(2024, 3, 10, 7, 1), 1, "a", 1.0, "{}"),
+            (3, datetime(2024, 3, 11, 3, 59), 1, "a", 1.0, "{}"),
+            (4, datetime(2024, 3, 11, 4, 1), 1, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.local_day: r.n_events for r in REG["ts_local_day_agg"].fn(spark, sf).collect()}
+        assert got == {"2024-03-10": 3, "2024-03-11": 1}
+        # and the oracle agrees on the same planted file
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+        )
+        want = dict(
+            con.execute(REG["ts_local_day_agg"].oracle).df()[
+                ["local_day", "n_events"]
+            ].itertuples(index=False, name=None)
+        )
+        assert got == want
+
+
+class TestPca:
+    def test_vs_numpy_full_pca_and_planted_rank(self, spark, tmp_path):
+        import numpy as np
+
+        # planted rank-3 data + small isotropic noise: top-3 variance
+        # captures nearly everything, and the distributed covariance
+        # must match numpy's full-data covariance to fixed-point
+        # precision
+        rng_free = lambda i, d: (((i * 2654435761 + d * 40503) % 1000) / 1000.0 - 0.5)
+        rows = []
+        mats = []
+        for i in range(400):
+            v = [0.0] * 64
+            v[i % 3] = 5.0 + rng_free(i, 0)
+            for d in range(64):
+                v[d] += 0.01 * rng_free(i, d)
+            rows.append((i, [float(x) for x in v], i % 3))
+            mats.append(v)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(3).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+        from chrono_ts_spark.catalog import load_table
+        from chrono_ts_spark.operators.clustering import covariance_matrix
+
+        emb = load_table(spark, str(tmp_path), "embeddings")
+        mean, cov, n = covariance_matrix(emb, dims=64)
+        assert n == 400
+        # float32 storage: compare against numpy cov of the float32 data
+        mat = np.asarray(mats, dtype=np.float32).astype(np.float64)
+        np.testing.assert_allclose(mean, mat.mean(axis=0), atol=2e-3)
+        np.testing.assert_allclose(
+            cov, np.cov(mat.T, bias=True), atol=5e-3
+        )
+        out = REG["emb_pca_variance"].fn(spark, str(tmp_path)).collect()
+        shares = [r.var_share for r in sorted(out, key=lambda r: r.component)]
+        assert sum(shares[:3]) > 0.99
+        assert shares == sorted(shares, reverse=True)
+
+    def test_deterministic(self, spark):
+        fn = REG["emb_pca_variance"].fn
+        sf = "/root/testdata/sf0.001"
+        assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
+            map(tuple, fn(spark, sf).collect())
+        )
