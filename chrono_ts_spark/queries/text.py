@@ -2290,3 +2290,173 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")).alias("rnk"),
     )
     return out.filter(F.col("rnk") <= 50)
+
+
+# ---------------------------------------------------------------------------
+# X8j: PMI bigram collocations (corpus co-occurrence statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_pmi_bigrams",
+    oracle=r"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+ntok AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bg AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+    FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS a,
+               unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS b
+        FROM toks
+    ) GROUP BY a, b
+),
+nbg AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bg)
+SELECT bg.a, bg.b, bg.cab,
+       round(ln((CAST(bg.cab AS DOUBLE) / CAST(nbg.n AS DOUBLE))
+             / ((CAST(ua.c AS DOUBLE) / CAST(ntok.n AS DOUBLE))
+                * (CAST(ub.c AS DOUBLE) / CAST(ntok.n AS DOUBLE)))), 6) AS pmi
+FROM bg
+CROSS JOIN nbg
+CROSS JOIN ntok
+JOIN uni ua ON ua.w = bg.a
+JOIN uni ub ON ub.w = bg.b
+WHERE bg.cab >= 5
+""",
+    tags=("text", "X8j", "collocation"),
+)
+def doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs with
+    support >= 5 — the classic collocation detector (and the
+    building block of PPMI embedding matrices).
+
+    Determinism: every count is an exact integer; the PMI expression
+    is one identical double op sequence on both engines with the
+    single ln() rounded to 6dp (the libm rule). Scale: unigram and
+    bigram counts are two hash aggs over exploded tokens (pairs only,
+    never documents, on the shuffle); the two marginal joins key on
+    the word — the standard skew caveat for stop words rides on the
+    cab >= 5 support floor plus the same broadcast-threshold logic as
+    TF-IDF's vocabulary join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    toks = d.select(t.alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ntok = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("a"),
+                        F.element_at(F.col("t"), i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bg = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    nbg = bg.agg(F.sum("cab").cast("bigint").alias("n_bg"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("n_bg").cast("double"))
+            / (
+                (F.col("ca").cast("double") / F.col("n_tok").cast("double"))
+                * (F.col("cb").cast("double") / F.col("n_tok").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        bg.filter(F.col("cab") >= 5)
+        .crossJoin(F.broadcast(nbg))
+        .crossJoin(F.broadcast(ntok))
+        .join(ua, "a")
+        .join(ub, "b")
+        .select("a", "b", "cab", pmi.alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8k: sentence segmentation + per-document sentence statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_sentence_stats",
+    oracle=r"""
+WITH sents AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[.!?]+\s*'), s -> trim(s) <> '')
+               AS ss
+    FROM documents
+),
+per AS (
+    SELECT doc_id,
+           CAST(len(ss) AS BIGINT) AS n_sentences,
+           list_transform(ss,
+               s -> CAST(len(list_filter(string_split_regex(s, '\s+'),
+                                         x -> x <> '')) AS BIGINT)) AS wlens
+    FROM sents
+)
+SELECT doc_id, n_sentences,
+       CAST(list_sum(wlens) AS BIGINT) AS n_words,
+       CAST(list_max(wlens) AS BIGINT) AS max_sentence_words,
+       CASE WHEN n_sentences > 0
+            THEN CAST(list_sum(wlens) AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+            END AS avg_sentence_words
+FROM per
+""",
+    tags=("text", "X8k", "segmentation"),
+)
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sentence segmentation ([.!?]+ boundaries) with per-doc
+    sentence count, word totals, and longest/average sentence length —
+    the structural text-quality signals (wall-of-text and telegraphic
+    docs both show up here).
+
+    Pure higher-order functions on both sides — identical regex
+    semantics (character classes only), integer counts, one double
+    division. Map-side, shuffle-free, codegen-friendly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s*"), lambda s: F.trim(s) != ""
+    )
+    wlens = F.transform(
+        F.col("ss"),
+        lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda x: x != "")).cast(
+            "bigint"
+        ),
+    )
+    per = d.select("doc_id", ss.alias("ss")).select(
+        "doc_id",
+        F.size("ss").cast("bigint").alias("n_sentences"),
+        wlens.alias("wlens"),
+    )
+    n_words = F.aggregate(
+        F.col("wlens"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return per.select(
+        "doc_id",
+        "n_sentences",
+        n_words.alias("n_words"),
+        F.array_max("wlens").cast("bigint").alias("max_sentence_words"),
+        F.when(
+            F.col("n_sentences") > 0,
+            n_words.cast("double") / F.col("n_sentences").cast("double"),
+        ).alias("avg_sentence_words"),
+    )
