@@ -117,3 +117,144 @@ def ngrams(tokens: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (Porter 1980 — public-domain algorithm), pure Python.
+# The canonical suffix-stripping normalizer for sparse retrieval /
+# vocabulary compaction; deterministic by construction. Vectors from
+# the published algorithm description are pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """The m in [C](VC)^m[V]: number of VC transitions."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if not v and prev_vowel:
+            m += 1
+        prev_vowel = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _double_cons(w: str) -> bool:
+    return (
+        len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+    )
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    if not (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+    ):
+        return False
+    return w[-1] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w

@@ -1858,3 +1858,49 @@ def rel_unpivot_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("val").alias("avg_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U3: relational division — "customers who ordered under EVERY priority"
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_division_all_priorities",
+    oracle="""
+WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+cov AS (
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_pri
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, CAST(cov.n_pri AS BIGINT) AS n_priorities
+FROM cov
+JOIN customer c ON c.c_custkey = cov.o_custkey
+WHERE cov.n_pri = (SELECT COUNT(*) FROM pr)
+""",
+    tags=("relational", "U3", "division"),
+)
+def rel_division_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FOR ALL quantifier): customers whose
+    orders cover EVERY distinct order priority. Implemented as the
+    count-cover reduction — distinct-count per candidate equals the
+    divisor's cardinality — which turns the classic double-NOT-EXISTS
+    into two hash aggregates and one broadcast scalar, the
+    shuffle-minimal form at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    total = o.select("o_orderpriority").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    cov = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_pri")
+    )
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .filter(F.col("n_pri") == F.col("n_total"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", F.col("n_pri").cast("bigint").alias("n_priorities")
+        )
+    )

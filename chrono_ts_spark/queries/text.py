@@ -2460,3 +2460,50 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_words.cast("double") / F.col("n_sentences").cast("double"),
         ).alias("avg_sentence_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8l: Porter-stemmed vocabulary (suffix-stripping normalization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_stemmed_terms",
+    oracle=None,  # the Porter algorithm has no SQL twin; pinned vs the
+    # published algorithm's vectors in tests/test_r6b_ops.py
+    tags=("text", "X8l", "stemming"),
+)
+def doc_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary after Porter stemming: stem -> total count and
+    number of distinct surface forms collapsed into it (the vocabulary-
+    compaction measurement that motivates stemming in sparse
+    retrieval).
+
+    The stemmer is the published Porter 1980 algorithm
+    (operators/textfns.py:porter_stem), applied inside an Arrow
+    pandas_udf over exploded tokens; aggregation is two exact hash
+    counts. Deterministic by construction.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def stem_udf(words: pd.Series) -> pd.Series:
+        from chrono_ts_spark.operators.textfns import porter_stem
+
+        return words.map(porter_stem)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    stemmed = toks.select(F.col("w"), stem_udf(F.col("w")).alias("stem"))
+    return stemmed.groupBy("stem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_surface_forms"),
+    )

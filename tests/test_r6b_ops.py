@@ -692,3 +692,64 @@ class TestPca:
         assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
             map(tuple, fn(spark, sf).collect())
         )
+
+
+class TestPorterAndDivision:
+    def test_porter_published_vectors(self):
+        from chrono_ts_spark.operators.textfns import porter_stem
+
+        vectors = {
+            "caresses": "caress", "ponies": "poni", "cats": "cat",
+            "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+            "hopping": "hop", "falling": "fall", "happy": "happi",
+            "sky": "sky", "relational": "relat", "conditional": "condit",
+            "digitizer": "digit", "operator": "oper", "goodness": "good",
+            "hopeful": "hope", "electrical": "electr", "adjustable": "adjust",
+            "replacement": "replac", "activate": "activ", "probate": "probat",
+            "rate": "rate", "controll": "control", "roll": "roll",
+            "sized": "size", "filing": "file", "conflated": "conflat",
+            "troubled": "troubl", "tanned": "tan", "hissing": "hiss",
+            "generalization": "gener", "oscillators": "oscil",
+        }
+        got = {w: porter_stem(w) for w in vectors}
+        assert got == vectors
+
+    def test_stemmed_terms_compaction(self, spark, tmp_path):
+        docs = [
+            (1, "connect connected connecting connection connections", "en", "s", 50),
+            (2, "run runs running", "en", "s", 20),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {r.stem: (r.n_tokens, r.n_surface_forms)
+               for r in REG["doc_stemmed_terms"].fn(spark, str(tmp_path)).collect()}
+        assert out["connect"] == (5, 5)
+        # "running" -> step1b "runn" -> double consonant (not l/s/z)
+        # drops to "run": all three surface forms collapse
+        assert out["run"] == (3, 3)
+        assert "running" not in out
+
+    def test_division_planted(self, spark, tmp_path):
+        # customer 1 covers both priorities; customer 2 only one
+        orders = [
+            (1, 1, "O", 10.0, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 10.0, datetime(2024, 1, 2), "2-HIGH"),
+            (3, 2, "O", 10.0, datetime(2024, 1, 3), "1-URGENT"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        custs = [(1, "Alice", "addr", 1, "p", 0.0, "mkt", "c"),
+                 (2, "Bob", "addr", 1, "p", 0.0, "mkt", "c")]
+        spark.createDataFrame(
+            custs,
+            "c_custkey long, c_name string, c_address string, c_nationkey long, "
+            "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+        out = REG["rel_division_all_priorities"].fn(spark, str(tmp_path)).collect()
+        assert [(r.c_custkey, r.n_priorities) for r in out] == [(1, 2)]
