@@ -1904,3 +1904,109 @@ def rel_division_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.col("n_pri").cast("bigint").alias("n_priorities")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# O5: 2-D skyline (Pareto frontier) — cheapest-and-earliest orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_skyline_orders",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+    FROM orders
+),
+b AS (SELECT *, cents // 1000000 AS band FROM o),
+w AS (
+    SELECT o_orderkey, cents, d, band,
+           MIN(d) OVER (PARTITION BY band ORDER BY cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_d_cheaper_in_band,
+           MIN(d) OVER (PARTITION BY band, cents) AS best_d_same
+    FROM b
+),
+band_mins AS (
+    SELECT band, MIN(d) AS band_min_d FROM b GROUP BY band
+),
+prior AS (
+    SELECT a.band, MIN(p.band_min_d) AS best_d_prior_bands
+    FROM band_mins a LEFT JOIN band_mins p ON p.band < a.band
+    GROUP BY a.band
+)
+SELECT w.o_orderkey, w.cents, w.d
+FROM w JOIN prior ON prior.band = w.band
+WHERE (w.best_d_cheaper_in_band IS NULL OR w.d < w.best_d_cheaper_in_band)
+  AND w.d = w.best_d_same
+  AND (prior.best_d_prior_bands IS NULL OR w.d < prior.best_d_prior_bands)
+""",
+    tags=("relational", "O5", "skyline"),
+)
+def rel_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D skyline: orders not dominated on (price, date) — no
+    other order has <= price and <= date with one strictly smaller.
+    The classic multi-criteria operator (O5), with NO pairwise
+    dominance join and NO global window: prices are banded (integer
+    cents div 1e6), each band computes its local skyline with
+    PARTITIONED range/partition windows, and cross-band domination
+    reduces to a running min over the per-band minimum dates,
+    computed as a broadcast theta self-join of the tiny (#bands-row)
+    aggregate — no global window anywhere, keeping the registry-wide
+    unpartitioned-window audit clean (the W6 prefix-sum precedent). Points in a lower band are strictly cheaper than any
+    point in a higher band, so band_min_d carries exactly the needed
+    dominance information.
+
+    Exactness: integer cents and epoch days throughout — RANGE frame
+    bounds are only cross-engine-stable on integers.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias("cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").cast("bigint").alias("d"),
+    )
+    b = o.withColumn("band", F.expr("cents div 1000000"))
+    w_cheaper = (
+        Window.partitionBy("band")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("band", "cents")
+    w = b.select(
+        "o_orderkey",
+        "cents",
+        "d",
+        "band",
+        F.min("d").over(w_cheaper).alias("best_d_cheaper_in_band"),
+        F.min("d").over(w_same).alias("best_d_same"),
+    )
+    band_mins = b.groupBy("band").agg(F.min("d").alias("band_min_d"))
+    # cross-band running min WITHOUT a global window: the per-band
+    # aggregate is tiny (#bands rows), so a broadcast theta self-join
+    # is both audit-clean and effectively free
+    bm_a = band_mins.select(F.col("band"))
+    bm_p = band_mins.select(
+        F.col("band").alias("p_band"), F.col("band_min_d").alias("p_min_d")
+    )
+    prior = (
+        bm_a.join(F.broadcast(bm_p), F.col("p_band") < F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.min("p_min_d").alias("best_d_prior_bands"))
+    )
+    return (
+        w.join(F.broadcast(prior), "band")
+        .filter(
+            (
+                F.col("best_d_cheaper_in_band").isNull()
+                | (F.col("d") < F.col("best_d_cheaper_in_band"))
+            )
+            & (F.col("d") == F.col("best_d_same"))
+            & (
+                F.col("best_d_prior_bands").isNull()
+                | (F.col("d") < F.col("best_d_prior_bands"))
+            )
+        )
+        .select("o_orderkey", "cents", "d")
+    )

@@ -753,3 +753,37 @@ class TestPorterAndDivision:
         ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
         out = REG["rel_division_all_priorities"].fn(spark, str(tmp_path)).collect()
         assert [(r.c_custkey, r.n_priorities) for r in out] == [(1, 2)]
+
+
+class TestSkyline:
+    def _write_orders(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        return str(tmp_path)
+
+    def test_vs_bruteforce_dominance(self, spark, tmp_path):
+        # deterministic scatter incl. cross-band points, ties, duplicates
+        pts = [((i * 37) % 23 * 700.0 + 10, (i * 59) % 31) for i in range(60)]
+        pts += [pts[5], pts[17]]  # exact duplicates: both survive or both fall
+        rows = [
+            (i, 1, "O", p, D0 + timedelta(days=int(d)), "1-URGENT")
+            for i, (p, d) in enumerate(pts)
+        ]
+        sf = self._write_orders(spark, tmp_path, rows)
+        got = sorted(r.o_orderkey for r in REG["rel_skyline_orders"].fn(spark, sf).collect())
+        # brute force dominance on the same integer domains
+        cents = [round(p * 100) for p, _ in pts]
+        days = [int(d) for _, d in pts]
+        want = sorted(
+            i
+            for i in range(len(pts))
+            if not any(
+                (cents[j] <= cents[i] and days[j] <= days[i])
+                and (cents[j] < cents[i] or days[j] < days[i])
+                for j in range(len(pts))
+            )
+        )
+        assert got == want
