@@ -95,13 +95,19 @@ def windowed_counts(stream: DataFrame, width_seconds: int = 300) -> DataFrame:
     )
 
 
-def run_upsert_sink(agg: DataFrame, root: str) -> None:
+def run_upsert_sink(agg: DataFrame, root: str, ckpt: str | None = None) -> None:
     """Drive an UPDATE-mode aggregation into the keyed store at ``root``
-    (availableNow; one merge per micro-batch)."""
+    (availableNow; one merge per micro-batch). Pass a stable ``ckpt``
+    to resume a previous run: Structured Streaming's offset log then
+    skips already-committed source files, and the sink's idempotent
+    merge absorbs any batch replayed from an uncommitted epoch — the
+    two halves of the exactly-once story."""
     import shutil
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="chrono_upsert_ckpt_")
+    own_ckpt = ckpt is None
+    if own_ckpt:
+        ckpt = tempfile.mkdtemp(prefix="chrono_upsert_ckpt_")
     q = (
         agg.writeStream.outputMode("update")
         .foreachBatch(
@@ -115,7 +121,8 @@ def run_upsert_sink(agg: DataFrame, root: str) -> None:
     )
     q.awaitTermination()
     q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    if own_ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_upsert_counts(

@@ -787,3 +787,62 @@ class TestSkyline:
             )
         )
         assert got == want
+
+
+class TestUpsertRestart:
+    def test_checkpoint_restart_processes_only_new_files(self, spark, tmp_path):
+        import pathlib
+        import shutil
+
+        from chrono_ts_spark.streaming.upsert import (
+            read_state,
+            run_upsert_sink,
+            windowed_counts,
+        )
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        root = str(tmp_path / "state")
+
+        def write_file(name, rows):
+            staging = str(tmp_path / ("st_" + name))
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = next(pathlib.Path(staging).glob("part-*.parquet"))
+            shutil.copy(part, src / name)
+
+        def stream():
+            return (
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .load(str(src))
+                .withWatermark("ts", "10 minutes")
+            )
+
+        t = lambda m: datetime(2024, 1, 1, 10, m)
+        write_file("f0.parquet", [(1, t(0), 1, "a", 1.0, "{}"),
+                                  (2, t(1), 1, "a", 1.0, "{}")])
+        run_upsert_sink(windowed_counts(stream()), root, ckpt=ckpt)
+        first = {(r.bucket_ts, r.user_id): r.n_events
+                 for r in read_state(spark, root).collect()}
+        assert first == {("2024-01-01 10:00:00", 1): 2}
+
+        # RESTART with the same checkpoint after new data lands: the
+        # offset log must skip f0 (no double count) and the window key
+        # must be CORRECTED to 3, not duplicated
+        write_file("f1.parquet", [(3, t(2), 1, "a", 1.0, "{}"),
+                                  (4, t(7), 2, "a", 1.0, "{}")])
+        run_upsert_sink(windowed_counts(stream()), root, ckpt=ckpt)
+        second = {(r.bucket_ts, r.user_id): r.n_events
+                  for r in read_state(spark, root).collect()}
+        assert second == {
+            ("2024-01-01 10:00:00", 1): 3,
+            ("2024-01-01 10:05:00", 2): 1,
+        }
