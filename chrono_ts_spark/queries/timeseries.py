@@ -2623,3 +2623,53 @@ def ts_local_day_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential patterns: event-type trigram frequencies (order mining lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_event_trigrams",
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+    tags=("tsdb", "sequence", "W2"),
+)
+def ts_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency of consecutive event-type triples per the per-user
+    (ts, event_id) order — the sequential-pattern-mining primitive
+    behind funnels and behavioral n-gram features (count + distinct
+    users exhibiting each path).
+
+    One user-keyed sort window produces both leads; the agg is exact
+    integer counts. The alphabet is small (5 types -> <=125 trigram
+    keys), so the final agg is broadcast-tiny at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
