@@ -2010,3 +2010,124 @@ def rel_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "cents", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# ML1: closed-form OLS (normal equations + Cramer) — fully oracled
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_ols_coefficients",
+    oracle="""
+WITH x AS (
+    SELECT CAST(CAST(round(l_quantity * 100.0) AS BIGINT) AS HUGEINT) AS q,
+           CAST(CAST(round(l_discount * 100.0) AS BIGINT) AS HUGEINT) AS d,
+           CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(q) AS sq, SUM(d) AS sd, SUM(y) AS sy,
+           SUM(q * q) AS sqq, SUM(q * d) AS sqd, SUM(d * d) AS sdd,
+           SUM(q * y) AS sqy, SUM(d * y) AS sdy
+    FROM x
+),
+det AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                - CAST(sqd AS DOUBLE) * CAST(sqd AS DOUBLE))
+         - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                - CAST(sqd AS DOUBLE) * CAST(sd AS DOUBLE))
+         + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                - CAST(sqq AS DOUBLE) * CAST(sd AS DOUBLE))
+               AS dt
+    FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CAST(sy AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                    - CAST(sqd AS DOUBLE) * CAST(sqd AS DOUBLE))
+            - CAST(sq AS DOUBLE) * (CAST(sqy AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                    - CAST(sqd AS DOUBLE) * CAST(sdy AS DOUBLE))
+            + CAST(sd AS DOUBLE) * (CAST(sqy AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                    - CAST(sqq AS DOUBLE) * CAST(sdy AS DOUBLE)))
+             / dt, 6) AS beta0,
+       round((CAST(n AS DOUBLE) * (CAST(sqy AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                    - CAST(sqd AS DOUBLE) * CAST(sdy AS DOUBLE))
+            - CAST(sy AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                    - CAST(sqd AS DOUBLE) * CAST(sd AS DOUBLE))
+            + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdy AS DOUBLE)
+                                    - CAST(sqy AS DOUBLE) * CAST(sd AS DOUBLE)))
+             / dt, 6) AS beta_q,
+       round((CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdy AS DOUBLE)
+                                    - CAST(sqy AS DOUBLE) * CAST(sqd AS DOUBLE))
+            - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdy AS DOUBLE)
+                                    - CAST(sqy AS DOUBLE) * CAST(sd AS DOUBLE))
+            + CAST(sy AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                    - CAST(sqq AS DOUBLE) * CAST(sd AS DOUBLE)))
+             / dt, 6) AS beta_d
+FROM det
+""",
+    tags=("relational", "ML1", "regression"),
+)
+def rel_ols_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression in closed form: extendedprice ~
+    quantity + discount, solved by the normal equations with Cramer's
+    rule — the whole fit is ONE aggregation (nine exact integer
+    moments) plus scalar double arithmetic, so unlike iterative
+    solvers it is fully SQL-oracled.
+
+    Exactness: inputs quantized to integer cents, all nine moments
+    accumulate in decimal(38,0)/HUGEINT (order-immune); the 3x3
+    determinant expansion is written once and mirrored token-for-token
+    on both engines, with the final coefficients rounded 6dp. Scale:
+    one map-side projection + one 9-cell agg — the Gram-partial
+    pattern (emb_pca_variance) specialized to p=2 features; for wide
+    p the same partials feed a driver-side solve instead of Cramer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    cents = lambda col: F.round(F.col(col) * F.lit(100.0)).cast("bigint")
+    x = li.select(
+        d38(cents("l_quantity")).alias("q"),
+        d38(cents("l_discount")).alias("d"),
+        d38(cents("l_extendedprice")).alias("y"),
+    )
+    m = x.agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("y")).alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    D = lambda c: F.col(c).cast("double")
+    dt = (
+        D("n") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sqd") - D("sqq") * D("sd"))
+    )
+    beta0 = (
+        D("sy") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sqy") * D("sdd") - D("sqd") * D("sdy"))
+        + D("sd") * (D("sqy") * D("sqd") - D("sqq") * D("sdy"))
+    ) / dt
+    beta_q = (
+        D("n") * (D("sqy") * D("sdd") - D("sqd") * D("sdy"))
+        - D("sy") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sdy") - D("sqy") * D("sd"))
+    ) / dt
+    beta_d = (
+        D("n") * (D("sqq") * D("sdy") - D("sqy") * D("sqd"))
+        - D("sq") * (D("sq") * D("sdy") - D("sqy") * D("sd"))
+        + D("sy") * (D("sq") * D("sqd") - D("sqq") * D("sd"))
+    ) / dt
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(beta0, 6).alias("beta0"),
+        F.round(beta_q, 6).alias("beta_q"),
+        F.round(beta_d, 6).alias("beta_d"),
+    )

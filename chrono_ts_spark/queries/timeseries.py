@@ -2673,3 +2673,113 @@ def ts_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test per series (A3c) — the
+# distribution-shape complement to ts_value_drift_psi's binned PSI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ks_drift",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           CAST(round(value * 100.0) AS BIGINT) AS c,
+           CASE WHEN epoch_us(ts) * 2 <= mn + mx THEN 1 ELSE 0 END AS is_a
+    FROM events,
+         (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events)
+),
+n AS (
+    SELECT event_type,
+           CAST(SUM(is_a) AS BIGINT) AS na,
+           CAST(SUM(1 - is_a) AS BIGINT) AS nb
+    FROM b GROUP BY event_type
+),
+cum AS (
+    SELECT event_type, c,
+           SUM(is_a) OVER w AS ca,
+           SUM(1 - is_a) OVER w AS cb
+    FROM b
+    WINDOW w AS (PARTITION BY event_type ORDER BY c
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+    SELECT cum.event_type,
+           MAX(abs(CAST(cum.ca AS HUGEINT) * n.nb
+                   - CAST(cum.cb AS HUGEINT) * n.na)) AS ks_num
+    FROM cum JOIN n ON n.event_type = cum.event_type
+    GROUP BY cum.event_type
+)
+SELECT d.event_type, n.na, n.nb,
+       CAST(d.ks_num AS BIGINT) AS ks_num,
+       round(CAST(d.ks_num AS DOUBLE)
+             / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)), 6) AS ks
+FROM d JOIN n ON n.event_type = d.event_type
+""",
+    tags=("tsdb", "A3c", "drift", "anomaly"),
+)
+def ts_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic per event type between the first and
+    second half of the time range (split at the global midpoint):
+    D = max_x |F_first(x) - F_second(x)| — the binning-free drift
+    detector next to PSI.
+
+    Exactness end to end: cents are integers, the empirical-CDF gap is
+    maximized as the CROSS-MULTIPLIED integer |ca*nb - cb*na| (exact
+    in decimal38/HUGEINT; ties handled by the RANGE frame, which
+    includes all equal values — precisely the <= of an ECDF), and only
+    the final reported D divides. One partitioned sort window + two
+    tiny aggs; nothing global, nothing collected.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    b = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("c"),
+        (F.unix_micros("ts") * 2 <= F.col("mn") + F.col("mx"))
+        .cast("int")
+        .alias("is_a"),
+    )
+    n = b.groupBy("event_type").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "event_type",
+        F.sum("is_a").over(w).alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).over(w).alias("cb"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    d = (
+        cum.join(n, "event_type")
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            F.abs(d38(F.col("ca")) * d38(F.col("nb")) - d38(F.col("cb")) * d38(F.col("na"))).alias(
+                "gap"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.max("gap").alias("ks_num"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+    )
+    return d.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        F.round(
+            F.col("ks_num").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("ks"),
+    )

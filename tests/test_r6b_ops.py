@@ -846,3 +846,98 @@ class TestUpsertRestart:
             ("2024-01-01 10:00:00", 1): 3,
             ("2024-01-01 10:05:00", 2): 1,
         }
+
+
+class TestOls:
+    def test_vs_numpy_lstsq_on_planted_data(self, spark, tmp_path):
+        import numpy as np
+
+        # y = 3 + 2*q - 5*d + deterministic wiggle (cents-exact inputs)
+        rows = []
+        for i in range(200):
+            q = ((i * 7) % 50) / 1.0
+            d = ((i * 13) % 40) / 100.0
+            wiggle = (((i * 31) % 11) - 5) / 100.0
+            y = 3.0 + 2.0 * q - 5.0 * d + wiggle
+            rows.append(
+                (i, i % 20, 1, 1, q, round(y, 2), round(d, 2), 0.0, "N", "O",
+                 datetime(2024, 1, 1))
+            )
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        out = REG["rel_ols_coefficients"].fn(spark, str(tmp_path)).collect()[0]
+        # numpy ground truth in the SAME cents domain
+        q = np.array([round(r[4] * 100) for r in rows], dtype=np.float64)
+        d = np.array([round(r[6] * 100) for r in rows], dtype=np.float64)
+        y = np.array([round(r[5] * 100) for r in rows], dtype=np.float64)
+        X = np.column_stack([np.ones_like(q), q, d])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert out.n == 200
+        assert abs(out.beta0 - beta[0]) < 1e-4
+        assert abs(out.beta_q - beta[1]) < 1e-4
+        assert abs(out.beta_d - beta[2]) < 1e-4
+        # and the fit recovers the planted generator (cents domain:
+        # y_c = 300 + 2*q_c - 5*d_c)
+        assert abs(out.beta_q - 2.0) < 0.01
+        assert abs(out.beta_d - (-5.0)) < 0.05
+
+
+class TestKsDrift:
+    def test_identical_halves_zero_and_disjoint_one(self, spark, tmp_path):
+        rows, eid = [], 0
+        # type "same": identical value multiset in both halves -> D = 0
+        for half, base in ((0, 0), (1, 48)):
+            for i in range(24):
+                eid += 1
+                rows.append(
+                    (eid, D0 + timedelta(hours=base + i), 1, "same",
+                     float(i % 6), "{}")
+                )
+        # type "shift": halves fully disjoint in value -> D = 1
+        for half, base, lo in ((0, 0, 0.0), (1, 48, 100.0)):
+            for i in range(24):
+                eid += 1
+                rows.append(
+                    (eid, D0 + timedelta(hours=base + i), 1, "shift",
+                     lo + i, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.event_type: r for r in REG["ts_ks_drift"].fn(spark, sf).collect()}
+        assert out["same"].ks == 0.0
+        assert out["shift"].ks == 1.0
+        assert out["same"].na == 24 and out["same"].nb == 24
+
+    def test_vs_scipy_style_reference(self, spark, tmp_path):
+        # hand ECDF reference on deterministic data
+        import numpy as np
+
+        rows, eid = [], 0
+        va, vb = [], []
+        for i in range(40):
+            v = float((i * 37) % 17)
+            va.append(round(v * 100))
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=i), 1, "x", v, "{}"))
+        for i in range(30):
+            v = float((i * 29) % 23) + 3.0
+            vb.append(round(v * 100))
+            eid += 1
+            rows.append((eid, D0 + timedelta(days=30, minutes=i), 1, "x", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_ks_drift"].fn(spark, sf).collect()[0]
+        xs = sorted(set(va + vb))
+        a = np.array(sorted(va))
+        b = np.array(sorted(vb))
+        D = max(
+            abs(
+                np.searchsorted(a, x, "right") / len(a)
+                - np.searchsorted(b, x, "right") / len(b)
+            )
+            for x in xs
+        )
+        assert abs(r.ks - D) < 1e-6
