@@ -2783,3 +2783,154 @@ def ts_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3d: Welch's t between every pair of event-type value distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_welch_t_pairs",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT)) AS HUGEINT) AS s,
+           SUM(CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT)
+               * CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT)) AS q
+    FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+       round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / SQRT(
+                 (CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                  / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)))
+                     / CAST(a.n AS DOUBLE)
+               + (CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+                  / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)))
+                     / CAST(b.n AS DOUBLE)), 6) AS t_welch
+FROM m a JOIN m b ON a.event_type < b.event_type
+WHERE a.n > 1 AND b.n > 1
+  AND a.n * a.q - a.s * a.s + (b.n * b.q - b.s * b.s) > 0
+""",
+    tags=("tsdb", "A3d", "abtest"),
+)
+def ts_welch_t_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between every pair of
+    event-type value distributions — the A/B-test primitive on series
+    values (mean difference scaled by independent standard errors).
+
+    All moments are exact integers (cents, decimal38/HUGEINT); the t
+    expression is one mirrored double sequence with a single
+    IEEE-exact SQRT, rounded 6dp. Degenerate guard (pooled variance
+    numerator 0 or n<=1) is integer-exact, pre-division. The pair
+    join runs on the 5-row moments table — free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    cents = d38(F.round(F.col("value") * F.lit(100.0)).cast("bigint"))
+    m = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("an"), F.col("s").alias("as_"), F.col("q").alias("aq"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("bn"), F.col("s").alias("bs"), F.col("q").alias("bq"),
+    )
+    D = lambda c: c.cast("double")
+    var_num_a = F.col("an") * F.col("aq") - F.col("as_") * F.col("as_")
+    var_num_b = F.col("bn") * F.col("bq") - F.col("bs") * F.col("bs")
+    t = (
+        D(F.col("as_")) / D(F.col("an")) - D(F.col("bs")) / D(F.col("bn"))
+    ) / F.sqrt(
+        (D(var_num_a) / (D(F.col("an")) * D(F.col("an") - 1))) / D(F.col("an"))
+        + (D(var_num_b) / (D(F.col("bn")) * D(F.col("bn") - 1))) / D(F.col("bn"))
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .filter(
+            (F.col("an") > 1)
+            & (F.col("bn") > 1)
+            & (var_num_a + var_num_b > 0)
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("an").cast("bigint").alias("na"),
+            F.col("bn").cast("bigint").alias("nb"),
+            F.round(t, 6).alias("t_welch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral cohort overlap: Jaccard of user sets between event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_type_user_jaccard",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, na.n AS n_a, nb.n AS n_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE)
+             / CAST(na.n + nb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN n na ON na.event_type = i.type_a
+JOIN n nb ON nb.event_type = i.type_b
+""",
+    tags=("tsdb", "cohort", "setsim"),
+)
+def ts_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the USER sets behind every pair of event
+    types — the behavioral-cohort similarity matrix (who clicks also
+    buys?). Dedup to (type, user) first (the only data-sized shuffle),
+    then the intersection join runs on deduped pairs keyed by user;
+    sizes come from exact distinct counts. Same dedup-first discipline
+    as ts_rolling_actives.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    n = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
