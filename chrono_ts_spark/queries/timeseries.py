@@ -2934,3 +2934,71 @@ def ts_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed alert-rule pipeline: three detectors, one declarative plan
+# ---------------------------------------------------------------------------
+
+from . import REGISTRY as _REG  # noqa: E402  (registered above in this module)
+
+
+@query(
+    "pipeline_alert_rules",
+    oracle=f"""
+SELECT 'burst' AS rule, CAST(user_id AS VARCHAR) AS entity,
+       bucket_ts AS at, CAST(cnt AS DOUBLE) AS score
+FROM ({_REG['ts_burst_detect'].oracle}) WHERE is_burst = 1
+UNION ALL
+SELECT 'sla_downtime', CAST(user_id AS VARCHAR), '',
+       round(availability, 6)
+FROM ({_REG['ts_sla_availability'].oracle}) WHERE n_downtimes > 0
+UNION ALL
+SELECT 'mad_outliers', event_type, '', CAST(n_outliers AS DOUBLE)
+FROM ({_REG['ts_mad_outliers'].oracle}) WHERE n_outliers > 0
+""",
+    tags=("tsdb", "pipeline", "alerting"),
+)
+def pipeline_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alert-rule engine shape: three independent detectors —
+    trailing-baseline bursts, heartbeat-gap SLA violations, MAD
+    robust outliers — evaluated and UNIONed into one normalized
+    (rule, entity, at, score) stream in a single declarative plan.
+
+    Built by composing the registered detector queries (their fns AND
+    their oracle SQL nest verbatim), so this pipeline inherits each
+    component's exactness proof; Catalyst still fuses and prunes each
+    branch independently, and the union is append-cheap at any scale
+    (the production form points the same plan at the streaming tier).
+    """
+    burst = (
+        _REG["ts_burst_detect"].fn(spark, sf_dir)
+        .filter(F.col("is_burst") == 1)
+        .select(
+            F.lit("burst").alias("rule"),
+            F.col("user_id").cast("string").alias("entity"),
+            F.col("bucket_ts").alias("at"),
+            F.col("cnt").cast("double").alias("score"),
+        )
+    )
+    sla = (
+        _REG["ts_sla_availability"].fn(spark, sf_dir)
+        .filter(F.col("n_downtimes") > 0)
+        .select(
+            F.lit("sla_downtime").alias("rule"),
+            F.col("user_id").cast("string").alias("entity"),
+            F.lit("").alias("at"),
+            F.round(F.col("availability"), 6).alias("score"),
+        )
+    )
+    mad = (
+        _REG["ts_mad_outliers"].fn(spark, sf_dir)
+        .filter(F.col("n_outliers") > 0)
+        .select(
+            F.lit("mad_outliers").alias("rule"),
+            F.col("event_type").alias("entity"),
+            F.lit("").alias("at"),
+            F.col("n_outliers").cast("double").alias("score"),
+        )
+    )
+    return burst.unionByName(sla).unionByName(mad)
