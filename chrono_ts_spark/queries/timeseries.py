@@ -3002,3 +3002,125 @@ def pipeline_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return burst.unionByName(sla).unionByName(mad)
+
+
+# ---------------------------------------------------------------------------
+# Storage analytics: Gorilla-style delta-of-delta size estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_gorilla_size_estimate",
+    oracle="""
+WITH s AS (
+    SELECT user_id,
+           epoch_us(ts) // 1000000 AS t,
+           CAST(round(value * 100.0) AS BIGINT) AS c,
+           ROW_NUMBER() OVER w AS rn,
+           lag(epoch_us(ts) // 1000000, 1) OVER w AS t1,
+           lag(epoch_us(ts) // 1000000, 2) OVER w AS t2,
+           lag(CAST(round(value * 100.0) AS BIGINT), 1) OVER w AS c1,
+           lag(CAST(round(value * 100.0) AS BIGINT), 2) OVER w AS c2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bits AS (
+    SELECT user_id,
+           CASE WHEN rn = 1 THEN 64
+                WHEN rn = 2 THEN 27
+                ELSE CASE
+                    WHEN (t - t1) - (t1 - t2) = 0 THEN 1
+                    WHEN (t - t1) - (t1 - t2) BETWEEN -63 AND 64 THEN 9
+                    WHEN (t - t1) - (t1 - t2) BETWEEN -255 AND 256 THEN 12
+                    WHEN (t - t1) - (t1 - t2) BETWEEN -2047 AND 2048 THEN 16
+                    ELSE 36 END END AS t_bits,
+           CASE WHEN rn = 1 THEN 64
+                WHEN rn = 2 THEN 27
+                ELSE CASE
+                    WHEN (c - c1) - (c1 - c2) = 0 THEN 1
+                    WHEN (c - c1) - (c1 - c2) BETWEEN -63 AND 64 THEN 9
+                    WHEN (c - c1) - (c1 - c2) BETWEEN -255 AND 256 THEN 12
+                    WHEN (c - c1) - (c1 - c2) BETWEEN -2047 AND 2048 THEN 16
+                    ELSE 36 END END AS v_bits
+    FROM s
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(t_bits) AS BIGINT) AS ts_bits,
+       CAST(SUM(v_bits) AS BIGINT) AS val_bits,
+       CAST((SUM(t_bits) + SUM(v_bits) + 7) // 8 AS BIGINT) AS bytes_total,
+       CAST((SUM(t_bits) + SUM(v_bits)) * 1000000 // (COUNT(*) * 8)
+            AS DOUBLE) / 1000000.0 AS bytes_per_point
+FROM bits GROUP BY user_id
+""",
+    tags=("tsdb", "storage", "compression"),
+)
+def ts_gorilla_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style (Facebook 2015, public paper) delta-of-delta size
+    estimate per series: the bit cost of each point's timestamp (epoch
+    seconds) and value (cents) under the paper's dod bucket widths
+    {0:1, +-64:9, +-256:12, +-2048:16, else:36}, with 64-bit headers
+    and 27-bit first deltas. The what-if query behind retention/tier
+    sizing — how small would this series be in a compressed TSDB
+    block store?
+
+    Pure integer arithmetic end to end (the only division is the final
+    reported bytes/point); one user-keyed sort window produces all
+    four lags. The same plan over the rollup tiers estimates each
+    tier's footprint.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    s = ev.select(
+        "user_id",
+        t.alias("t"),
+        c.alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.lag(t, 1).over(w).alias("t1"),
+        F.lag(t, 2).over(w).alias("t2"),
+        F.lag(c, 1).over(w).alias("c1"),
+        F.lag(c, 2).over(w).alias("c2"),
+    )
+
+    def dod_bits(cur, l1, l2):
+        dod = (F.col(cur) - F.col(l1)) - (F.col(l1) - F.col(l2))
+        return (
+            F.when(F.col("rn") == 1, 64)
+            .when(F.col("rn") == 2, 27)
+            .otherwise(
+                F.when(dod == 0, 1)
+                .when(dod.between(-63, 64), 9)
+                .when(dod.between(-255, 256), 12)
+                .when(dod.between(-2047, 2048), 16)
+                .otherwise(36)
+            )
+        )
+
+    bits = s.select(
+        "user_id",
+        dod_bits("t", "t1", "t2").alias("t_bits"),
+        dod_bits("c", "c1", "c2").alias("v_bits"),
+    )
+    total = F.sum("t_bits") + F.sum("v_bits")
+    return bits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.sum("t_bits").cast("bigint").alias("ts_bits"),
+        F.sum("v_bits").cast("bigint").alias("val_bits"),
+        F.expr("CAST((sum(t_bits) + sum(v_bits) + 7) div 8 AS BIGINT)").alias(
+            "bytes_total"
+        ),
+        # bits/8/n is a dyadic rational that can land EXACTLY on the
+        # 6dp round-half boundary (seen at sf0.1: 8.3171875), where the
+        # engines' round-half modes differ — so fix the precision by
+        # integer floor division instead (midpoint rule,
+        # docs/determinism.md)
+        (
+            F.expr(
+                "CAST((sum(t_bits) + sum(v_bits)) * 1000000 "
+                "div (count(1) * 8) AS DOUBLE)"
+            )
+            / F.lit(1000000.0)
+        ).alias("bytes_per_point"),
+    )
