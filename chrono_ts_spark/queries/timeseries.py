@@ -3124,3 +3124,127 @@ def ts_gorilla_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("bytes_per_point"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag discovery: best cross-correlation lag between series pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_xcorr_best_lag",
+    oracle=f"""
+WITH hourly AS (
+    SELECT {sql_time_bucket('ts', 3600)} AS bucket, event_type,
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY bucket, event_type
+),
+shifted AS (
+    SELECT h.event_type, l.l,
+           h.bucket - to_microseconds(l.l * 3600000000) AS k,
+           h.v
+    FROM hourly h CROSS JOIN (SELECT unnest(range(-6, 7)) AS l) l
+),
+pairs AS (
+    SELECT a.event_type AS type_a, s.event_type AS type_b, s.l,
+           CAST(a.v AS HUGEINT) AS x, CAST(s.v AS HUGEINT) AS y
+    FROM hourly a JOIN shifted s ON a.bucket = s.k
+    WHERE a.event_type < s.event_type
+),
+m AS (
+    SELECT type_a, type_b, l, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs GROUP BY type_a, type_b, l
+),
+c AS (
+    SELECT type_a, type_b, l, CAST(n AS BIGINT) AS n_buckets,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM m
+    WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY abs(corr) DESC, l ASC) AS rk
+    FROM c
+)
+SELECT type_a, type_b, CAST(l AS INTEGER) AS best_lag_hours, n_buckets, corr
+FROM r WHERE rk = 1
+""",
+    tags=("tsdb", "corr", "leadlag"),
+)
+def ts_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every series pair, the hour lag in [-6, 6] that maximizes
+    |corr(x_t, y_{t+lag})| — lead-lag discovery (does one metric
+    anticipate another?), the shifted generalization of
+    ts_series_corr.
+
+    Shape: events collapse ONCE to the tiny hourly table; the 13-lag
+    expansion applies to that table, not to events, so the join and
+    moment aggs run on (buckets x types x lags) rows — thousands, at
+    any corpus size. Same integer-moment exactness and degenerate
+    guards as ts_series_corr; argmax tie-breaks to the smallest lag
+    deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    hourly = (
+        ev.select(time_bucket("ts", 3600).alias("bucket"), "event_type", cents.alias("c"))
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    shifted = hourly.select(
+        "event_type", "v", "bucket",
+        F.explode(F.sequence(F.lit(-6), F.lit(6))).alias("l"),
+    ).select(
+        F.col("event_type").alias("type_b"),
+        F.col("l"),
+        F.timestamp_micros(
+            F.unix_micros("bucket") - F.col("l").cast("bigint") * F.lit(3_600_000_000)
+        ).alias("k"),
+        F.col("v").alias("y"),
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), F.col("bucket").alias("k"), F.col("v").alias("x")
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")
+    m = (
+        a.join(shifted, "k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "l")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("x"))).alias("sx"),
+            F.sum(d38(F.col("y"))).alias("sy"),
+            F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+            F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+            F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+        )
+    )
+    n = d38(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    c = m.filter((F.col("n") >= 24) & (denx > 0) & (deny > 0)).select(
+        "type_a",
+        "type_b",
+        "l",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        (num / F.sqrt(denx.cast("double") * deny.cast("double"))).alias("corr"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.col("corr")).desc(), F.col("l").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("l").cast("int").alias("best_lag_hours"),
+            "n_buckets",
+            "corr",
+        )
+    )

@@ -941,3 +941,23 @@ class TestKsDrift:
             for x in xs
         )
         assert abs(r.ks - D) < 1e-6
+
+
+class TestXcorrBestLag:
+    def test_planted_lag_recovered(self, spark, tmp_path):
+        # type "b" repeats type "a"'s hourly pattern exactly 2 hours
+        # later: corr(x_t, y_{t+2}) == 1 at lag 2 -> best_lag == 2
+        rows, eid = [], 0
+        pat = [float((i * 37) % 50) + 1 for i in range(72)]
+        for i, v in enumerate(pat):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=i), 1, "a", v, "{}"))
+        for i, v in enumerate(pat):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=i + 2), 1, "b", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_xcorr_best_lag"].fn(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.type_a, r.type_b, r.best_lag_hours) == ("a", "b", 2)
+        assert abs(r.corr - 1.0) < 1e-12
