@@ -128,3 +128,39 @@ def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="chrono_upsert_state_")
     return run_upsert_counts(spark, sf_dir, root)
+
+
+@query("stream_alert_burst", oracle=None, tags=("streaming", "ST7b", "alerting", "no-oracle"))
+def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end streaming alert pipeline: events replay through
+    the UPDATE-mode windowed aggregation into the keyed upsert store
+    (the serving tier), and the burst rule — count > 3x the mean of
+    the user's previous 12 active buckets — evaluates over that tier.
+    Because the tier holds exactly the batch per-(user, bucket) counts
+    (stream_upsert_counts' equivalence proof), the emitted alerts are
+    pinned EQUAL to the batch ts_burst_detect rows in tests.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.upsert import run_upsert_counts
+
+    root = tempfile.mkdtemp(prefix="chrono_alert_state_")
+    state = run_upsert_counts(spark, sf_dir, root)  # bucket_ts, user_id, n_events
+    w = Window.partitionBy("user_id").orderBy("bucket_ts").rowsBetween(-12, -1)
+    t = state.select(
+        "user_id",
+        "bucket_ts",
+        F.col("n_events").alias("cnt"),
+        F.sum("n_events").over(w).alias("trail"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return t.filter(F.col("n_trail") == 12).select(
+        "user_id",
+        "bucket_ts",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("trail").cast("bigint").alias("trail"),
+        (F.col("cnt") * 12 > F.col("trail") * 3).cast("int").alias("is_burst"),
+    )

@@ -961,3 +961,16 @@ class TestXcorrBestLag:
         r = out[0]
         assert (r.type_a, r.type_b, r.best_lag_hours) == ("a", "b", 2)
         assert abs(r.corr - 1.0) < 1e-12
+
+
+class TestStreamAlertBurst:
+    def test_equals_batch_burst_detect(self, spark):
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            map(tuple, REG["stream_alert_burst"].fn(spark, sf).collect())
+        )
+        want = sorted(
+            map(tuple, REG["ts_burst_detect"].fn(spark, sf).collect())
+        )
+        assert len(got) > 0
+        assert got == want
