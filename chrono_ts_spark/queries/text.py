@@ -2507,3 +2507,135 @@ def doc_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.countDistinct("w").cast("bigint").alias("n_surface_forms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8m: Zipf-law fit of the corpus term-frequency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_zipf_fit",
+    oracle=r"""
+WITH tf AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+banded AS (
+    SELECT w, f, CAST(length(CAST(f AS VARCHAR)) AS BIGINT) AS band FROM tf
+),
+within AS (
+    SELECT f, band,
+           ROW_NUMBER() OVER (PARTITION BY band ORDER BY f DESC, w ASC) AS rw
+    FROM banded
+),
+bn AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt FROM banded GROUP BY band),
+off AS (
+    SELECT a.band, CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS offset
+    FROM bn a LEFT JOIN bn h ON h.band > a.band
+    GROUP BY a.band
+),
+ranked AS (
+    SELECT w2.f, o.offset + w2.rw AS r
+    FROM within w2 JOIN off o ON o.band = w2.band
+),
+pts AS (
+    SELECT CAST(round(round(ln(CAST(r AS DOUBLE)), 6) * 1000000.0, 0) AS BIGINT) AS x,
+           CAST(round(round(ln(CAST(f AS DOUBLE)), 6) * 1000000.0, 0) AS BIGINT) AS y
+    FROM ranked
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                                   * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+FROM m
+""",
+    tags=("text", "X8m", "zipf"),
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(freq) ~ ln(rank) over the corpus term
+    distribution — the Zipf exponent (slope ~ -1 for natural language;
+    synthetic word-soup corpora flag themselves by deviating), a
+    corpus-health diagnostic.
+
+    The global frequency rank is computed WITHOUT a global window
+    (registry audit): terms band by the DIGIT COUNT of their frequency
+    (integer-exact on both engines, and band(f1) > band(f2) implies
+    f1 > f2), each band ranks with a PARTITIONED window (ties: freq
+    desc, term asc), and cross-band offsets come from a theta join on
+    the tiny per-band count table — the skyline/W6 prefix-sum pattern.
+    Both ln() outputs round 6dp into 1e6 fixed point (libm rule), so
+    the five regression moments are exact integer sums and the
+    closed-form slope is one mirrored double expression
+    (rel_ols_coefficients, p=1).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    banded = tf.withColumn(
+        "band", F.length(F.col("f").cast("string")).cast("bigint")
+    )
+    w_in = Window.partitionBy("band").orderBy(F.col("f").desc(), F.col("w").asc())
+    within = banded.select("f", "band", F.row_number().over(w_in).alias("rw"))
+    bn = banded.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    off = (
+        bn.select("band")
+        .join(
+            F.broadcast(
+                bn.select(F.col("band").alias("h_band"), F.col("cnt").alias("h_cnt"))
+            ),
+            F.col("h_band") > F.col("band"),
+            "left",
+        )
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("h_cnt"), F.lit(0)).cast("bigint").alias("offset"))
+    )
+    ranked = within.join(F.broadcast(off), "band").select(
+        "f", (F.col("offset") + F.col("rw")).alias("r")
+    )
+    fp6 = lambda c: F.round(F.round(F.log(c.cast("double")), 6) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    pts = ranked.select(fp6(F.col("r")).alias("x"), fp6(F.col("f")).alias("y"))
+    m = pts.agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+    )
+    D = lambda c: c.cast("double")
+    slope = D(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / D(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (
+        (D(F.col("sy")) - slope * D(F.col("sx"))) / D(F.col("n")) / F.lit(1e6)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept_ln"),
+    )

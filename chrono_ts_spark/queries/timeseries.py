@@ -3248,3 +3248,68 @@ def ts_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Information content: Shannon entropy of each series' value histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_entropy_by_type",
+    oracle="""
+WITH h AS (
+    SELECT event_type,
+           CAST(round(value * 100.0) AS BIGINT) // 500 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY event_type)
+SELECT h.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       n.n AS n_events,
+       CAST(SUM(CAST(round(round(
+               -(CAST(h.cnt AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * ln(CAST(h.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 9) * 1000000000.0, 0)
+             AS BIGINT)) AS DOUBLE) / 1000000000.0 AS entropy_nats
+FROM h JOIN n ON n.event_type = h.event_type
+GROUP BY h.event_type, n.n
+""",
+    tags=("tsdb", "entropy", "A3"),
+)
+def ts_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each event type's value distribution
+    over fixed $5 bins — the information-content / spread diagnostic
+    (uniform vs spiky value profiles).
+
+    Each bin's -p ln p term is rounded 9dp then carried as 1e9
+    fixed-point integers so the per-type sum is addition-order-immune
+    (the PSI discipline: libm rule + round-before-integer-cast rule
+    combined). Two hash aggs; the bin histogram is the only shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 100.0) AS BIGINT) div 500").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    n = h.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term_fp = F.round(F.round(-p * F.log(p), 9) * F.lit(1e9), 0).cast("long")
+    return (
+        h.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            (F.sum(term_fp).cast("double") / F.lit(1e9)).alias("entropy_nats"),
+        )
+        .select(
+            "event_type",
+            "n_bins",
+            F.col("n").alias("n_events"),
+            "entropy_nats",
+        )
+    )
