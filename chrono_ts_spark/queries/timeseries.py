@@ -3313,3 +3313,69 @@ def ts_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-order diagnostics: arrival-vs-event-time concordance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_order_inversions",
+    oracle="""
+WITH p AS (
+    SELECT a.user_id,
+           CAST(CASE WHEN (epoch_us(b.ts) - epoch_us(a.ts)) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS conc,
+           CAST(CASE WHEN (epoch_us(b.ts) - epoch_us(a.ts)) < 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS disc
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS n_concordant,
+       CAST(SUM(disc) AS BIGINT) AS n_discordant,
+       round(CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS kendall_tau
+FROM p GROUP BY user_id
+""",
+    tags=("tsdb", "ingest", "ordering"),
+)
+def ts_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion diagnostics per series: Kendall's tau
+    between ARRIVAL order (event_id — the ingest sequence) and EVENT
+    time. tau = 1 means perfectly in-order arrival; every discordant
+    pair is a late event that a watermark must absorb — the statistic
+    behind choosing `withWatermark` bounds.
+
+    Same bounded-series pairwise shape as ts_theil_sen (one user_id
+    co-partitioned self-join, O(n_s^2) per series with constant
+    per-series density; the merge-sort inversion counter is the
+    documented swap-in for unbounded series). Integer-exact counts;
+    one final division, rounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    a = base.alias("a")
+    b = base.alias("b")
+    dt = F.col("b.t") - F.col("a.t")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (dt > 0).cast("bigint").alias("conc"),
+        (dt < 0).cast("bigint").alias("disc"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("n_concordant"),
+        F.sum("disc").cast("bigint").alias("n_discordant"),
+        F.round(
+            (F.sum("conc") - F.sum("disc")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("kendall_tau"),
+    )

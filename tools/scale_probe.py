@@ -157,6 +157,12 @@ def main() -> None:
         "ts_rolling_actives_approx",
         "ts_sax_symbols",
         "ts_dtw_pairs",
+        "ts_gorilla_size_estimate",
+        "ts_xcorr_best_lag",
+        "ts_ks_drift",
+        "ts_weekly_profile",
+        "ts_pelt_segments",
+        "ts_holt_winters",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
@@ -170,7 +176,8 @@ def main() -> None:
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
     for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
-              "doc_inverted_index", "doc_bm25"]:
+              "doc_inverted_index", "doc_bm25", "doc_pmi_bigrams",
+              "doc_sentence_stats", "doc_zipf_fit"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
