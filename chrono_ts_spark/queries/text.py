@@ -2639,3 +2639,81 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("intercept_ln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8e2: incremental inverted-index maintenance (merge new docs into an
+# existing index without rebuilding; r6 late)
+# ---------------------------------------------------------------------------
+
+
+def merge_index(state: DataFrame | None, delta_docs: DataFrame,
+                n_shards: int = _INV_SHARDS) -> DataFrame:
+    """Merge a batch of (new or re-delivered) documents into an
+    existing sharded index: per (token, shard), postings =
+    sorted(distinct(old ++ new)) — set union, so re-delivering a doc
+    is a no-op (the idempotency contract shared with the upsert sink).
+    Per-token df totals are recomputed from the merged shard sizes
+    (df is NOT incrementable independently: min_df filtering must see
+    the post-merge totals). Returns the merged index with min_df
+    applied at READ time, matching inverted_index's output contract.
+
+    Scale: the join keys on (token, shard) — the same bounded-reducer
+    sharding as the build path; only touched shards change, and the
+    delta side carries only the new docs' postings.
+    """
+    delta = inverted_index(delta_docs, n_shards, min_df=1).select(
+        "token", "shard", F.col("postings").alias("new_postings")
+    )
+    if state is None:
+        merged = delta.select(
+            "token", "shard", F.col("new_postings").alias("postings")
+        )
+    else:
+        old = state.select("token", "shard", F.col("postings").alias("old_postings"))
+        empty = F.array().cast("array<bigint>")
+        merged = old.join(delta, ["token", "shard"], "full_outer").select(
+            "token",
+            "shard",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("old_postings"), empty),
+                        F.coalesce(F.col("new_postings"), empty),
+                    )
+                )
+            ).alias("postings"),
+        )
+    shards = merged.select(
+        "token", "shard", F.size("postings").cast("bigint").alias("df_shard"), "postings"
+    )
+    totals = shards.groupBy("token").agg(F.sum("df_shard").cast("bigint").alias("df"))
+    return shards.join(F.broadcast(totals), "token").select(
+        "token", "shard", "df", "df_shard", "postings"
+    )
+
+
+from . import REGISTRY as _TEXT_REG  # noqa: E402  (registered above)
+
+
+@query(
+    "doc_index_incremental",
+    oracle=_TEXT_REG["doc_inverted_index"].oracle,
+    tags=("text", "X8e2", "incremental"),
+)
+def doc_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index INCREMENTALLY — first the even doc_ids,
+    then merge the odd ones in (with an overlap slice re-delivered to
+    exercise idempotency) — and emit the result in doc_inverted_index's
+    exact output contract. The oracle IS the full-rebuild SQL, so the
+    driver's hash compare doubles as the incremental-maintenance
+    correctness proof (the ts_tier_routed_daily trick).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    first = d.filter(F.col("doc_id") % 2 == 0)
+    second = d.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0))
+    state = merge_index(None, first)
+    merged = merge_index(state, second)
+    out = merged.filter(F.col("df") >= 5)
+    # match doc_inverted_index's projection (postings as sorted list)
+    return out.select("token", "shard", "df", "df_shard", "postings")

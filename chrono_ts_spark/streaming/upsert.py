@@ -42,11 +42,30 @@ def _current_gen(root: str) -> int:
         return int(f.read().strip())
 
 
-def read_state(spark: SparkSession, root: str) -> DataFrame | None:
-    gen = _current_gen(root)
-    if gen < 0:
+def read_state(
+    spark: SparkSession, root: str, gen: int | None = None
+) -> DataFrame | None:
+    """Read the live generation, or — time travel — any retained
+    earlier generation by number (every committed merge leaves its
+    full-state snapshot behind until compaction, exactly the
+    table-format version-history contract; `list_generations` below
+    enumerates them)."""
+    if gen is None:
+        gen = _current_gen(root)
+    if gen < 0 or not os.path.isdir(os.path.join(root, f"gen={gen}")):
         return None
     return spark.read.parquet(os.path.join(root, f"gen={gen}"))
+
+
+def list_generations(root: str) -> list[int]:
+    """All retained snapshot generations, oldest first."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(p.split("=", 1)[1])
+        for p in os.listdir(root)
+        if p.startswith("gen=")
+    )
 
 
 def upsert_batch(

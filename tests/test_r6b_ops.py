@@ -974,3 +974,28 @@ class TestStreamAlertBurst:
         )
         assert len(got) > 0
         assert got == want
+
+
+class TestUpsertTimeTravel:
+    def test_earlier_generation_readable(self, spark, tmp_path):
+        from chrono_ts_spark.streaming.upsert import (
+            list_generations,
+            read_state,
+            run_upsert_sink,
+            windowed_counts,
+        )
+
+        stream, _ = TestUpsertSink()._two_file_stream(spark, tmp_path)
+        root = str(tmp_path / "state")
+        run_upsert_sink(windowed_counts(stream), root)
+        gens = list_generations(root)
+        assert len(gens) >= 2
+        # gen 0 = state after the FIRST micro-batch only: the 10:00
+        # window for user 1 still reads 2 there, 3 at the live head
+        g0 = {(r.bucket_ts, r.user_id): r.n_events
+              for r in read_state(spark, root, gen=gens[0]).collect()}
+        head = {(r.bucket_ts, r.user_id): r.n_events
+                for r in read_state(spark, root).collect()}
+        assert g0[("2024-01-01 10:00:00", 1)] == 2
+        assert head[("2024-01-01 10:00:00", 1)] == 3
+        assert read_state(spark, root, gen=999) is None
