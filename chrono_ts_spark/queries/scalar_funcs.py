@@ -462,3 +462,61 @@ def sf_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(k).alias("k_not"),
         ((k.bitwiseAND(k - 1) == 0) & (k > 0)).cast("int").alias("is_pow2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Governance: deterministic column masking / pseudonymization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_masking_funcs",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_token,
+       CASE WHEN length(c_name) >= 4
+            THEN repeat('*', CAST(length(c_name) - 4 AS INTEGER))
+                 || right(c_name, 4)
+            ELSE c_name END AS name_masked,
+       left(c_name, 1) || repeat('*', CAST(length(c_name) - 1 AS INTEGER))
+           AS name_redacted,
+       CAST(round(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_bucket,
+       md5(CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment) AS segment_token,
+       c_mktsegment
+FROM customer
+""",
+    tags=("scalar", "governance", "masking"),
+)
+def sf_masking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance masking surface: md5 pseudonymization (stable
+    join-able token), last-4 partial masking, first-char redaction,
+    coarse value bucketing, and a salted composite token — each a
+    deterministic pure projection, so masked tables stay joinable on
+    the tokens and aggregable on the buckets while the raw identifier
+    never leaves the scan stage. Map-side only, codegen-friendly.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_token"),
+        F.when(
+            F.length("c_name") >= 4,
+            F.concat(
+                F.repeat(F.lit("*"), F.length("c_name") - 4),
+                F.substring(F.col("c_name"), -4, 4),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_masked"),
+        F.concat(
+            F.left(F.col("c_name"), F.lit(1)),
+            F.repeat(F.lit("*"), F.length("c_name") - 1),
+        ).alias("name_redacted"),
+        (F.round(F.col("c_acctbal") / F.lit(1000.0)) * 1000)
+        .cast("bigint")
+        .alias("acctbal_bucket"),
+        F.md5(
+            F.concat(F.col("c_custkey").cast("string"), F.lit("|"), F.col("c_mktsegment"))
+        ).alias("segment_token"),
+        "c_mktsegment",
+    )

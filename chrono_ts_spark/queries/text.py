@@ -2717,3 +2717,57 @@ def doc_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merged.filter(F.col("df") >= 5)
     # match doc_inverted_index's projection (postings as sorted list)
     return out.select("token", "shard", "df", "df_shard", "postings")
+
+
+# ---------------------------------------------------------------------------
+# X5b: canonicalized near-exact dedup (normalization + hash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_canonical_dedup",
+    oracle=r"""
+WITH canon AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ch
+    FROM documents
+),
+g AS (
+    SELECT ch, CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keeper
+    FROM canon GROUP BY ch
+)
+SELECT ch AS canonical_hash, n_variants, keeper
+FROM g
+""",
+    tags=("text", "X5b", "dedup"),
+)
+def doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup by CANONICAL text hash: lowercase, strip
+    punctuation, collapse whitespace, then md5 — catches the trivial
+    variants (case, spacing, punctuation) that byte-exact dedup
+    (doc_dedup_stats) misses while staying a pure hash groupBy (the
+    16-byte-digest shuffle discipline). Keeper = lowest doc_id,
+    deterministic. The normalization regexes use only character
+    classes — identical semantics in Java regex and RE2.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select("doc_id", canon.alias("ch"))
+        .groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .select(F.col("ch").alias("canonical_hash"), "n_variants", "keeper")
+    )
