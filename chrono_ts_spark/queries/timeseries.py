@@ -3379,3 +3379,144 @@ def ts_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchases credited to the nearest preceding
+# click within 24h (the as-of join's marquee application)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_attribution_last_touch",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+j AS (
+    SELECT p.user_id, p.event_id, p.ts, c.click_id, c.click_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.ts
+     AND epoch_us(p.ts) - epoch_us(c.click_ts) <= CAST(86400 AS BIGINT) * 1000000
+)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_attributed,
+       CAST((SELECT COUNT(*) FROM purchases p2 WHERE p2.user_id = j.user_id)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN rk = 1
+                THEN epoch_us(ts) - epoch_us(click_ts) ELSE 0 END) AS BIGINT)
+           AS total_lag_us
+FROM j GROUP BY user_id
+""",
+    tags=("tsdb", "J6", "attribution"),
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase is credited to
+    the user's nearest PRECEDING click within a 24-hour window — the
+    as-of join's marquee application (asof_join with
+    tolerance_seconds). Emits per-user attributed counts, total
+    purchases, and the exact integer click-to-purchase lag sum.
+
+    The operator path is the audited union+carry as-of join (one
+    shuffle, no range explosion); the oracle expresses the same
+    semantics as a windowed argmax so the hash compare cross-proves
+    the carry implementation against a direct specification.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id"],
+        tolerance_seconds=86400,
+    )
+    n_purch = purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    agg = j.groupBy("user_id").agg(
+        F.sum(F.col("click_id_r").isNotNull().cast("int")).cast("bigint").alias(
+            "n_attributed"
+        ),
+        F.sum(
+            F.when(
+                F.col("click_id_r").isNotNull(),
+                F.unix_micros("ts") - F.unix_micros("click_ts_r"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("total_lag_us"),
+    )
+    return (
+        agg.join(n_purch, "user_id")
+        .filter(F.col("n_attributed") > 0)
+        .select("user_id", "n_attributed", "n_purchases", "total_lag_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest debounce: drop same-type repeats within a refractory window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_debounce",
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_type, event_id, ts,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev_us
+    FROM events
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                 AND epoch_us(ts) - prev_us < CAST(3600 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+       CAST(COUNT(*) - SUM(CASE WHEN prev_us IS NOT NULL
+                 AND epoch_us(ts) - prev_us < CAST(3600 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM s GROUP BY user_id, event_type
+""",
+    tags=("tsdb", "ingest", "dedup"),
+)
+def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce accounting: per (user, type), how many events fall
+    within one hour of the previous same-type event (the refractory
+    window an ingest pipeline would suppress — double-clicks, retry
+    storms) vs how many survive. Note the chain semantics: each event
+    compares to its immediate predecessor, so a burst collapses to its
+    first event plus any gap > 1h — lag-based, one partitioned sort
+    window, integer epoch-us throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    is_dup = (
+        F.col("prev_us").isNotNull()
+        & ((F.col("us") - F.col("prev_us")) < F.lit(3_600_000_000).cast("bigint"))
+    ).cast("int")
+    return s.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(is_dup).cast("bigint").alias("n_debounced"),
+        (F.count(F.lit(1)) - F.sum(is_dup)).cast("bigint").alias("n_kept"),
+    )
