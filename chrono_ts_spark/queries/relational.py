@@ -2131,3 +2131,45 @@ def rel_ols_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta_q, 6).alias("beta_q"),
         F.round(beta_d, 6).alias("beta_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O2b: top-k WITH TIES (RANK-based — the "keep co-leaders" semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_topk_with_ties",
+    oracle="""
+WITH r AS (
+    SELECT l_partkey, l_quantity, l_orderkey, l_linenumber,
+           RANK() OVER (PARTITION BY l_partkey ORDER BY l_quantity DESC) AS rk
+    FROM lineitem
+)
+SELECT l_partkey, l_quantity, l_orderkey, l_linenumber, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+    tags=("relational", "O2b", "ranking"),
+)
+def rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items by quantity per part, KEEPING TIES: RANK (not
+    ROW_NUMBER) means co-leaders all survive and the result size is
+    data-dependent — the WITH TIES semantics of SQL:2008 FETCH FIRST.
+    Contrast rel_top_orders_per_cust (row_number, exact k). Still
+    compiles to WindowGroupLimit: rank-based group limits push the cut
+    below the sort exactly like row_number ones.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select("l_partkey", "l_quantity", "l_orderkey", "l_linenumber")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "l_partkey",
+            "l_quantity",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

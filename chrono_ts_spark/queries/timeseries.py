@@ -3520,3 +3520,77 @@ def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_dup).cast("bigint").alias("n_debounced"),
         (F.count(F.lit(1)) - F.sum(is_dup)).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral analysis: dominant period per series via FFT periodogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_dominant_period",
+    oracle=None,  # FFT has no SQL twin; planted-period recovery and
+    # determinism pinned in tests/test_r6b_ops.py
+    tags=("tsdb", "spectral", "seasonality"),
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant cycle length per event type: the hourly cents series is
+    mean-removed and the periodogram peak (numpy rFFT, excluding the
+    DC bin) picked deterministically (ties -> lowest frequency). The
+    seasonality DISCOVERY step that ts_seasonal_baseline and
+    ts_holt_winters assume as given (period=24h).
+
+    Same collapsed-series discipline as DTW/xcorr: one bucket agg
+    shuffles events down to (type, hour) rows; the FFT runs on the
+    tiny aligned series inside applyInPandas (calendar-bounded length,
+    series count scales out). Gaps are zero-filled on the regular
+    hourly grid — the standard periodogram convention, deterministic.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("double").alias("y"))
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        h0, h1 = int(pdf["h"].iloc[0]), int(pdf["h"].iloc[-1])
+        grid = np.zeros(h1 - h0 + 1)
+        grid[(pdf["h"].to_numpy(dtype=np.int64) - h0)] = pdf["y"].to_numpy()
+        n = len(grid)
+        x = grid - grid.mean()
+        power = np.abs(np.fft.rfft(x)) ** 2
+        if len(power) > 1:
+            k = 1 + int(np.argmax(power[1:]))  # skip DC; argmax -> first max
+            period = n / k
+            peak = float(power[k])
+        else:
+            period, peak = float("nan"), 0.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [n],
+                "dominant_period_hours": [round(float(period), 3)],
+                "peak_power_ratio": [
+                    round(peak / float(power[1:].sum()), 6) if len(power) > 1 else 0.0
+                ],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        run,
+        "event_type string, n_hours long, dominant_period_hours double, "
+        "peak_power_ratio double",
+    )

@@ -999,3 +999,29 @@ class TestUpsertTimeTravel:
         assert g0[("2024-01-01 10:00:00", 1)] == 2
         assert head[("2024-01-01 10:00:00", 1)] == 3
         assert read_state(spark, root, gen=999) is None
+
+
+class TestDominantPeriod:
+    def test_planted_24h_cycle_recovered(self, spark, tmp_path):
+        import math
+
+        rows, eid = [], 0
+        # 10 days of hourly events with a clean 24h value cycle
+        for h in range(240):
+            eid += 1
+            v = 50.0 + 40.0 * math.sin(2 * math.pi * h / 24)
+            rows.append((eid, D0 + timedelta(hours=h), 1, "cyc", round(v, 2), "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_dominant_period"].fn(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_hours == 240
+        assert abs(r.dominant_period_hours - 24.0) < 0.01
+        assert r.peak_power_ratio > 0.9  # nearly all non-DC power at 24h
+
+    def test_deterministic(self, spark):
+        fn = REG["ts_dominant_period"].fn
+        sf = "/root/testdata/sf0.001"
+        assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
+            map(tuple, fn(spark, sf).collect())
+        )
