@@ -1025,3 +1025,95 @@ class TestDominantPeriod:
         assert sorted(map(tuple, fn(spark, sf).collect())) == sorted(
             map(tuple, fn(spark, sf).collect())
         )
+
+
+class TestWelchAndJaccard:
+    def test_welch_vs_reference_formula(self, spark, tmp_path):
+        import math
+
+        # two planted distributions with known moments
+        a_vals = [10.0, 12.0, 14.0, 16.0, 18.0]          # mean 14, var 10
+        b_vals = [20.0, 20.0, 26.0, 26.0]                # mean 23, var 12
+        rows, eid = [], 0
+        for v in a_vals:
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "aa", v, "{}"))
+        for v in b_vals:
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "bb", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_welch_t_pairs"].fn(spark, sf).collect()[0]
+        # reference Welch on the cents domain
+        ca = [v * 100 for v in a_vals]
+        cb = [v * 100 for v in b_vals]
+        ma, mb = sum(ca) / len(ca), sum(cb) / len(cb)
+        va = sum((x - ma) ** 2 for x in ca) / (len(ca) - 1)
+        vb = sum((x - mb) ** 2 for x in cb) / (len(cb) - 1)
+        t_ref = (ma - mb) / math.sqrt(va / len(ca) + vb / len(cb))
+        assert (r.type_a, r.type_b, r.na, r.nb) == ("aa", "bb", 5, 4)
+        assert abs(r.t_welch - t_ref) < 1e-6
+
+    def test_jaccard_planted_overlap(self, spark, tmp_path):
+        # type a users {1,2,3}; type b users {2,3,4,5} -> inter 2, union 5
+        rows, eid = [], 0
+        for u in (1, 2, 3):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), u, "a", 1.0, "{}"))
+        for u in (2, 3, 4, 5):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), u, "b", 1.0, "{}"))
+        # duplicate activity must not inflate the sets
+        rows.append((99, D0 + timedelta(hours=2), 2, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_type_user_jaccard"].fn(spark, sf).collect()[0]
+        assert (r.n_a, r.n_b, r.n_inter) == (3, 4, 2)
+        assert r.jaccard == 0.4
+
+
+class TestMiscLateR6:
+    def test_event_trigrams_planted_path(self, spark, tmp_path):
+        rows = [
+            (1, D0 + timedelta(minutes=0), 1, "view", 1.0, "{}"),
+            (2, D0 + timedelta(minutes=1), 1, "click", 1.0, "{}"),
+            (3, D0 + timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+            (4, D0 + timedelta(minutes=3), 1, "view", 1.0, "{}"),
+            # user 2 repeats the same opening path
+            (5, D0 + timedelta(minutes=0), 2, "view", 1.0, "{}"),
+            (6, D0 + timedelta(minutes=1), 2, "click", 1.0, "{}"),
+            (7, D0 + timedelta(minutes=2), 2, "purchase", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            (r.t1, r.t2, r.t3): (r.n, r.n_users)
+            for r in REG["ts_event_trigrams"].fn(spark, sf).collect()
+        }
+        assert got[("view", "click", "purchase")] == (2, 2)
+        assert got[("click", "purchase", "view")] == (1, 1)
+        assert len(got) == 2
+
+    def test_debounce_chain_semantics(self, spark, tmp_path):
+        # three same-type events 10 min apart: events 2 and 3 each fall
+        # within 1h of their immediate predecessor -> both debounced
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(minutes=10), 1, "a", 1.0, "{}"),
+            (3, D0 + timedelta(minutes=20), 1, "a", 1.0, "{}"),
+            (4, D0 + timedelta(hours=2), 1, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_debounce"].fn(spark, sf).collect()[0]
+        assert (r.n_events, r.n_debounced, r.n_kept) == (4, 2, 2)
+
+    def test_attribution_planted(self, spark, tmp_path):
+        rows = [
+            (1, D0, 7, "click", 1.0, "{}"),
+            (2, D0 + timedelta(hours=1), 7, "purchase", 1.0, "{}"),   # attributed, lag 1h
+            (3, D0 + timedelta(days=3), 7, "purchase", 1.0, "{}"),    # outside 24h window
+            (4, D0 + timedelta(days=3, hours=1), 8, "purchase", 1.0, "{}"),  # no click at all
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.user_id: r for r in REG["ts_attribution_last_touch"].fn(spark, sf).collect()}
+        assert 8 not in out  # zero attributed -> filtered
+        r = out[7]
+        assert (r.n_attributed, r.n_purchases) == (1, 2)
+        assert r.total_lag_us == 3_600_000_000
