@@ -1242,3 +1242,116 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket_ts string, y double, level double, "
         "trend double, seasonal double, forecast_next double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Conformal forecast intervals: q90 of |one-step error| per series,
+# selected as an ORDER STATISTIC (no interpolation -> no percentile
+# ulp class at all; r6 late)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_forecast_intervals",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+hw AS (
+    SELECT user_id, event_id, ts, value, rn,
+           value AS lvl, CAST(0 AS DOUBLE) AS trd
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+           CAST(0.3 AS DOUBLE) * s.value
+               + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd) AS lvl,
+           CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * s.value
+                   + CAST(0.7 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+               + CAST(0.9 AS DOUBLE) * h.trd AS trd
+    FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+),
+err AS (
+    SELECT user_id,
+           CAST(floor(abs(value - LAG(lvl + trd) OVER
+                (PARTITION BY user_id ORDER BY rn)) * 1000000) AS BIGINT) AS ae_fp
+    FROM hw
+),
+ranked AS (
+    SELECT user_id, ae_fp,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ae_fp) AS rk,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM err WHERE ae_fp IS NOT NULL
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_forecasts,
+       CAST(ae_fp AS DOUBLE) / 1000000.0 AS q90_abs_err,
+       CAST(ae_fp AS DOUBLE) * 2.0 / 1000000.0 AS interval_width
+FROM ranked
+WHERE rk = (9 * n + 9) // 10
+""",
+    tags=("tsdb", "forecast", "conformal"),
+)
+def ts_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformal-style prediction intervals for the Holt one-step
+    forecaster: the 90th-percentile absolute error per series, taken
+    as the ceil(0.9 n)-th ORDER STATISTIC of the integer fixed-point
+    errors — pure integer selection, so the whole percentile-ulp
+    hazard class (interpolation, round-half) is structurally absent
+    (index = (9n+9) div 10, integer ceiling). Interval = +-q90 around
+    the forecast, the standard split-conformal width.
+
+    Holt recursion + error fixed-point are ts_forecast_backtest's
+    exactly-proven machinery; this query adds only integer ranking on
+    top (one user-keyed sort window).
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a, b1, g, g1 = 0.3, 1.0 - 0.3, 0.1, 1.0 - 0.1
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = pdf["value"].to_numpy(dtype="float64")
+        n = len(xs)
+        errs = []
+        l = t = 0.0
+        for i in range(n):
+            x = xs[i]
+            if i == 0:
+                l, t = x, 0.0
+            else:
+                errs.append(int(math.floor(abs(x - (l + t)) * 1000000)))
+                nl = a * x + b1 * (l + t)
+                t = g * (nl - l) + g1 * t
+                l = nl
+        if not errs:
+            return pd.DataFrame(
+                columns=["user_id", "n_forecasts", "q90_abs_err", "interval_width"]
+            )
+        errs.sort()
+        m = len(errs)
+        q = errs[(9 * m + 9) // 10 - 1]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_forecasts": [m],
+                "q90_abs_err": [q / 1000000.0],
+                "interval_width": [q * 2.0 / 1000000.0],
+            }
+        )
+
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        run,
+        "user_id bigint, n_forecasts bigint, q90_abs_err double, "
+        "interval_width double",
+    )

@@ -2771,3 +2771,43 @@ def doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ch").alias("canonical_hash"), "n_variants", "keeper")
     )
+
+
+# ---------------------------------------------------------------------------
+# O4c: deterministic weighted sampling (Efraimidis-Spirakis A-ES keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=None,  # the A-ES key u^(1/w) involves pow(): cross-engine
+    # last-ulp order flips near equal keys make an exact oracle
+    # unsound; determinism + weighting bias are pinned in tests
+    tags=("text", "O4c", "sampling"),
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k=50, weight = n_chars:
+    the Efraimidis-Spirakis one-pass trick — key_i = u_i^(1/w_i) with
+    u_i a uniform derived from md5(doc_id), take the top-k keys.
+    RNG-free (the hash IS the randomness, same rationale as
+    doc_split_assign): reruns, retries, and repartitions all pick the
+    same sample, yet inclusion probability scales with weight — the
+    standard quality-weighted corpus subsampling primitive.
+
+    Scale: TakeOrderedAndProject over a map-side key — no shuffle
+    beyond the top-k reduction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # md5-u32 -> uniform in (0,1): (h + 1) / (2^32 + 1) keeps u strictly
+    # inside the open interval so pow/ln never sees 0
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (
+        d.select("doc_id", "n_chars", "lang", key.alias("aes_key"))
+        .orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+        .limit(50)
+    )

@@ -1117,3 +1117,23 @@ class TestMiscLateR6:
         r = out[7]
         assert (r.n_attributed, r.n_purchases) == (1, 2)
         assert r.total_lag_us == 3_600_000_000
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, spark):
+        sf = "/root/testdata/sf0.01"
+        fn = REG["doc_weighted_sample"].fn
+        s1 = [r.doc_id for r in fn(spark, sf).collect()]
+        s2 = [r.doc_id for r in fn(spark, sf).collect()]
+        assert s1 == s2 and len(s1) == 50 == len(set(s1))
+        # heavier docs must be over-represented: sampled mean n_chars
+        # above the corpus mean
+        sampled_mean = (
+            sum(r.n_chars for r in fn(spark, sf).collect()) / 50
+        )
+        corpus_mean = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .agg(F.avg("n_chars"))
+            .collect()[0][0]
+        )
+        assert sampled_mean > corpus_mean
