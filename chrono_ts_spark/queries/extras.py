@@ -1355,3 +1355,252 @@ def ts_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, n_forecasts bigint, q90_abs_err double, "
         "interval_width double",
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ1: data-quality expectation suite (dbt-test-style validation report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+SELECT 'orders.fk_custkey_valid' AS check_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem.fk_orderkey_valid',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer.pk_unique',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+UNION ALL
+SELECT 'events.ts_in_range',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE ts IS NULL OR ts < TIMESTAMP '2000-01-01'
+           OR ts >= TIMESTAMP '2030-01-01')
+UNION ALL
+SELECT 'documents.n_chars_matches_text',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE n_chars IS NULL OR length(text) != n_chars)
+UNION ALL
+SELECT 'orders.status_accepted',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+""",
+    tags=("dq", "DQ1", "validation"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation report — the dbt-tests / Great
+    Expectations shape: one row per check with checked/violation
+    counts. Referential integrity (two FK checks as anti-join counts),
+    primary-key uniqueness, timestamp range, derived-column
+    consistency (n_chars == length(text)), accepted-value domain.
+
+    Each check is one aggregate over its table (FK checks are
+    broadcast/shuffle anti-joins — never row-by-row lookups); the
+    report is a 6-row union. At 100 TB each check is an independent
+    scan-and-agg a scheduler can run concurrently; nothing here
+    collects or loops.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def report(name: str, n_checked: DataFrame, n_viol: DataFrame) -> DataFrame:
+        a = n_checked.select(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+        b = n_viol.select(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        return a.join(b).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    checks = [
+        report(
+            "orders.fk_custkey_valid",
+            o,
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        report(
+            "lineitem.fk_orderkey_valid",
+            li,
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        # pk_unique: violations = rows - distinct keys (count-based, not
+        # a count-of-anti-join, so build it directly
+        c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+            .cast("bigint")
+            .alias("n_violations"),
+        ).select(F.lit("customer.pk_unique").alias("check_name"), "n_checked", "n_violations"),
+        report(
+            "events.ts_in_range",
+            ev,
+            ev.filter(
+                F.col("ts").isNull()
+                | (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+            ),
+        ),
+        report(
+            "documents.n_chars_matches_text",
+            d,
+            d.filter(
+                F.col("n_chars").isNull() | (F.length("text") != F.col("n_chars"))
+            ),
+        ),
+        report(
+            "orders.status_accepted",
+            o,
+            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DQ2: shuffle-key skew diagnostics (histogram math, no global sort)
+# ---------------------------------------------------------------------------
+
+
+_SKEW_SQL_ONE = """
+SELECT '{label}' AS key_name, n_keys, n_rows, max_size, p50_size, p99_size,
+       round(CAST(max_size AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+       round(CAST(2 * s1 - (n_keys + 1) * n_rows AS DOUBLE)
+             / CAST(n_keys * n_rows AS DOUBLE), 6) AS gini
+FROM (
+    WITH sizes AS (
+        SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS sz FROM {table} GROUP BY {key}
+    ),
+    hist AS (
+        SELECT sz, CAST(COUNT(*) AS BIGINT) AS k_s FROM sizes GROUP BY sz
+    ),
+    cum AS (
+        SELECT h.sz, h.k_s,
+               (SELECT COALESCE(SUM(h2.k_s), 0) FROM hist h2 WHERE h2.sz <= h.sz)
+                   AS cum_k
+        FROM hist h
+    ),
+    tot AS (
+        SELECT CAST(SUM(k_s) AS BIGINT) AS n_keys,
+               CAST(SUM(sz * k_s) AS BIGINT) AS n_rows,
+               CAST(MAX(sz) AS BIGINT) AS max_size,
+               CAST(SUM(sz * (k_s * (cum_k - k_s)
+                              + (k_s * (k_s + 1)) / 2)) AS BIGINT) AS s1
+        FROM cum
+    )
+    SELECT n_keys, n_rows, max_size, s1,
+           (SELECT MIN(sz) FROM cum, tot
+            WHERE cum_k * 2 >= n_keys) AS p50_size,
+           (SELECT MIN(sz) FROM cum, tot
+            WHERE cum_k * 100 >= 99 * n_keys) AS p99_size
+    FROM tot
+)
+"""
+
+
+@query(
+    "diag_key_skew",
+    oracle=(
+        _SKEW_SQL_ONE.format(label="events.user_id", key="user_id", table="events")
+        + " UNION ALL "
+        + _SKEW_SQL_ONE.format(
+            label="lineitem.l_partkey", key="l_partkey", table="lineitem"
+        )
+    ),
+    tags=("dq", "DQ2", "skew"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for two join/agg keys (events.user_id,
+    lineitem.l_partkey): key count, row count, largest key, exact
+    median and p99 group size, the top-1 key's row share, and the Gini
+    coefficient of the size distribution — the planning statistic that
+    decides salting / AQE skew-join before a 100 TB shuffle.
+
+    Exact order statistics WITHOUT any global sort: group sizes
+    collapse to a SIZE HISTOGRAM (bounded by max group size, tiny),
+    cumulative counts come from a broadcast theta self-join over the
+    histogram, and p50/p99 read off the cumulative table. The Gini
+    rank-sum uses the same histogram: keys of size s occupy ranks
+    (K_before, K_before + k_s], so sum(rank*size) = sum_s s*(k_s*K_before
+    + k_s(k_s+1)/2) — all integer arithmetic, one final division.
+    """
+    D = lambda c: c.cast("double")
+
+    def one(df: DataFrame, key: str, label: str) -> DataFrame:
+        sizes = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+        hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).cast("bigint").alias("k_s"))
+        cum = (
+            hist.join(
+                F.broadcast(
+                    hist.select(F.col("sz").alias("o_sz"), F.col("k_s").alias("o_k"))
+                ),
+                F.col("o_sz") <= F.col("sz"),
+            )
+            .groupBy("sz", "k_s")
+            .agg(F.sum("o_k").cast("bigint").alias("cum_k"))
+        )
+        tot = cum.agg(
+            F.sum("k_s").cast("bigint").alias("n_keys"),
+            F.sum(F.col("sz") * F.col("k_s")).cast("bigint").alias("n_rows"),
+            F.max("sz").cast("bigint").alias("max_size"),
+            F.sum(
+                F.col("sz")
+                * (
+                    F.col("k_s") * (F.col("cum_k") - F.col("k_s"))
+                    + F.expr("(k_s * (k_s + 1)) div 2")
+                )
+            )
+            .cast("bigint")
+            .alias("s1"),
+        )
+        p50 = (
+            cum.join(F.broadcast(tot.select("n_keys")))
+            .filter(F.col("cum_k") * 2 >= F.col("n_keys"))
+            .agg(F.min("sz").cast("bigint").alias("p50_size"))
+        )
+        p99 = (
+            cum.join(F.broadcast(tot.select("n_keys")))
+            .filter(F.col("cum_k") * 100 >= F.col("n_keys") * 99)
+            .agg(F.min("sz").cast("bigint").alias("p99_size"))
+        )
+        return (
+            tot.join(F.broadcast(p50))
+            .join(F.broadcast(p99))
+            .select(
+                F.lit(label).alias("key_name"),
+                "n_keys",
+                "n_rows",
+                "max_size",
+                "p50_size",
+                "p99_size",
+                F.round(D(F.col("max_size")) / D(F.col("n_rows")), 6).alias(
+                    "top1_share"
+                ),
+                F.round(
+                    D(F.lit(2) * F.col("s1") - (F.col("n_keys") + 1) * F.col("n_rows"))
+                    / D(F.col("n_keys") * F.col("n_rows")),
+                    6,
+                ).alias("gini"),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return one(ev, "user_id", "events.user_id").unionAll(
+        one(li, "l_partkey", "lineitem.l_partkey")
+    )

@@ -2173,3 +2173,196 @@ def rel_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ML2: market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_market_basket",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_total AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item AS (
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item
+    FROM baskets GROUP BY p_brand
+),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       round(CAST(n_pair AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+       round(CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS conf_ab,
+       round(CAST(n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6) AS conf_ba,
+       round(CAST(n_pair * n AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN item ia ON pairs.brand_a = ia.p_brand
+JOIN item ib ON pairs.brand_b = ib.p_brand
+CROSS JOIN n_total
+WHERE n_pair >= 50
+""",
+    tags=("relational", "ML2", "association"),
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand pairs across order baskets with the three classic
+    association-rule measures: support (pair share of baskets),
+    confidence both directions (P(b|a), P(a|b)) and lift
+    (observed / independence). lift > 1 = brands bought together more
+    often than chance — the recommender / cross-sell primitive.
+
+    Scale shape: DISTINCT (order, brand) first, so the pair self-join
+    is bounded by sum(basket_size^2) with basket_size <= |brands| = 25
+    — never items^2 — and the item-frequency side is a 25-row broadcast.
+    Every ratio is a single division of exact integers (deterministic,
+    order-immune), rounded 6dp on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_total = baskets.select(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 50)
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    D = lambda c: c.cast("double")
+    return (
+        pairs.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .join(F.broadcast(n_total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(D(F.col("n_pair")) / D(F.col("n")), 6).alias("support"),
+            F.round(D(F.col("n_pair")) / D(F.col("n_a")), 6).alias("conf_ab"),
+            F.round(D(F.col("n_pair")) / D(F.col("n_b")), 6).alias("conf_ba"),
+            F.round(
+                D(F.col("n_pair") * F.col("n")) / D(F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML3: RFM customer segmentation (banded global rank, no global window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_rfm_segments",
+    oracle="""
+WITH day0 AS (
+    SELECT CAST(MAX(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS maxday
+    FROM orders
+),
+cust AS (
+    SELECT o_custkey,
+           CAST(maxday - MAX(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders CROSS JOIN day0
+    GROUP BY o_custkey, maxday
+),
+n_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+ranked AS (
+    SELECT o_custkey, monetary_cents,
+           row_number() OVER (ORDER BY recency_days ASC, o_custkey ASC) AS rr,
+           row_number() OVER (ORDER BY frequency ASC, o_custkey ASC) AS rf,
+           row_number() OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS rm
+    FROM cust
+),
+scored AS (
+    SELECT CAST(4 - ((rr - 1) * 4) // n AS BIGINT) AS r_score,
+           CAST(1 + ((rf - 1) * 4) // n AS BIGINT) AS f_score,
+           CAST(1 + ((rm - 1) * 4) // n AS BIGINT) AS m_score,
+           monetary_cents
+    FROM ranked CROSS JOIN n_c
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(monetary_cents) AS DOUBLE) / 100.0, 2) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+    tags=("relational", "ML3", "segmentation"),
+)
+def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored 1-4 on Recency
+    (days since last order, most recent = 4), Frequency (order count)
+    and Monetary (lifetime spend), then the 64 (r,f,m) cells counted —
+    the classic CRM segmentation grid.
+
+    Quartiles come from GLOBAL ranks computed with the banded-rank
+    operator (operators/rank.py — digit-count bands + partitioned
+    windows + broadcast offsets), so no relation ever funnels through a
+    single-partition sort; score = 1 + (rank-1)*4 div n is pure integer
+    arithmetic, deterministic with the custkey tiebreak, and mirrored
+    verbatim in the oracle (which may use a plain global window — the
+    hash compare then proves the banded rank IS the global rank).
+    Monetary is summed in exact cents.
+    """
+    from ..operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    day0 = o.select(F.max(day).cast("bigint").alias("maxday"))
+    cust = (
+        o.join(F.broadcast(day0))
+        .groupBy("o_custkey", "maxday")
+        .agg(
+            (F.col("maxday") - F.max(day)).cast("bigint").alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select("o_custkey", "recency_days", "frequency", "monetary_cents")
+    )
+    n_c = cust.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = global_rank(cust, "recency_days", ["o_custkey"], out="rr")
+    r = global_rank(r, "frequency", ["o_custkey"], out="rf")
+    r = global_rank(r, "monetary_cents", ["o_custkey"], out="rm")
+    # Spark's `/` on ints is double division; `div` is exact integer
+    # division, mirroring DuckDB's `//` with no float in the path.
+    scored = r.join(F.broadcast(n_c)).select(
+        F.expr("CAST(4 - ((rr - 1) * 4) div n AS BIGINT)").alias("r_score"),
+        F.expr("CAST(1 + ((rf - 1) * 4) div n AS BIGINT)").alias("f_score"),
+        F.expr("CAST(1 + ((rm - 1) * 4) div n AS BIGINT)").alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary_cents").cast("double") / 100.0, 2).alias(
+            "total_monetary"
+        ),
+    )

@@ -3594,3 +3594,159 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_hours long, dominant_period_hours double, "
         "peak_power_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# W13: gaps-and-islands — daily activity streaks per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+    FROM events
+),
+isl AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+),
+runs AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_days
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(run_days) AS BIGINT) AS longest_streak,
+       CAST(SUM(run_days) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+""",
+    tags=("tsdb", "W13", "sessionize"),
+)
+def ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the classic
+    gaps-and-islands reduction: distinct active days, island id =
+    day_number - row_number (constant within a consecutive run), one
+    count per island, then per-user streak stats (count / longest /
+    total active days). The engagement-analytics staple.
+
+    Scale: the events table collapses to DISTINCT (user, day) FIRST
+    (bounded by users x calendar, not events); the only window is
+    partitioned by user over that collapsed table. Integer epoch-day
+    arithmetic end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_days")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("run_days").cast("bigint").alias("longest_streak"),
+        F.sum("run_days").cast("bigint").alias("active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO2: multi-window error-budget burn rate (SRE fast-burn alert shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_burn_rate",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS fails
+    FROM events GROUP BY event_type, h
+),
+win AS (
+    SELECT event_type, h, total, fails,
+           CAST(SUM(total) OVER w AS BIGINT) AS total_6h,
+           CAST(SUM(fails) OVER w AS BIGINT) AS fails_6h
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h, total, fails, total_6h, fails_6h,
+       round(CAST(fails AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rate_1h,
+       round(CAST(fails_6h AS DOUBLE) / CAST(total_6h AS DOUBLE), 6) AS rate_6h,
+       CAST(CASE WHEN fails * 1000 >= 2 * 200 * total
+                  AND fails_6h * 1000 >= 200 * total_6h
+             THEN 1 ELSE 0 END AS INTEGER) AS fast_burn
+FROM win
+""",
+    tags=("tsdb", "SLO2", "alerting"),
+)
+def ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rate per event type (the SRE
+    workbook's fast-burn rule): failure = value > 300, budget = 20%;
+    alert when the 1-hour failure rate burns at >= 2x budget AND the
+    trailing 6-hour rate is over budget — the two-window AND that
+    suppresses blips (short window alone) and stale alerts (long
+    window alone).
+
+    One (type, hour) agg collapses events to the calendar-bounded
+    hourly table; the 6h lookback is a RANGE frame over the integer
+    hour index (gap-correct — missing hours shrink the window, a ROWS
+    frame would silently stretch it), partitioned by type. The alert
+    predicate compares cross-multiplied integers — no float threshold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            (F.col("value") > 300.0).cast("int").alias("is_fail"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum("is_fail").cast("bigint").alias("fails"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    win = hourly.select(
+        "event_type",
+        "h",
+        "total",
+        "fails",
+        F.sum("total").over(w).cast("bigint").alias("total_6h"),
+        F.sum("fails").over(w).cast("bigint").alias("fails_6h"),
+    )
+    D = lambda c: c.cast("double")
+    return win.select(
+        "event_type",
+        "h",
+        "total",
+        "fails",
+        "total_6h",
+        "fails_6h",
+        F.round(D(F.col("fails")) / D(F.col("total")), 6).alias("rate_1h"),
+        F.round(D(F.col("fails_6h")) / D(F.col("total_6h")), 6).alias("rate_6h"),
+        (
+            (F.col("fails") * 1000 >= 2 * 200 * F.col("total"))
+            & (F.col("fails_6h") * 1000 >= 200 * F.col("total_6h"))
+        )
+        .cast("int")
+        .alias("fast_burn"),
+    )

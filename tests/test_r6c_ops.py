@@ -1,0 +1,309 @@
+"""Fourth round-6 continuation block, planted-data tests: market-basket
+measure algebra, banded global rank vs the sorted() reference (band
+boundaries + ties), RFM quartile assignment, and gaps-and-islands
+streak edges — cases the fixture tables can't force.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from chrono_ts_spark.operators.rank import global_rank
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+D0 = datetime(2024, 3, 1)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestMarketBasket:
+    def test_planted_lift(self, spark, tmp_path):
+        # 100 baskets: 60 contain brands A+B, 20 only A, 20 only B.
+        # n_pair=60, n_a=n_b=80 -> support .6, conf .75, lift 0.9375.
+        li, pt = [], []
+        pt.append((1, "p1", "Brand#A", "t", 1, 1.0))
+        pt.append((2, "p2", "Brand#B", "t", 1, 1.0))
+        for ok in range(1, 101):
+            if ok <= 60:
+                li.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+                li.append((ok, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+            elif ok <= 80:
+                li.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+            else:
+                li.append((ok, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            pt,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        rows = REG["rel_market_basket"].fn(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.brand_a, r.brand_b) == ("Brand#A", "Brand#B")
+        assert (r.n_pair, r.n_a, r.n_b) == (60, 80, 80)
+        assert r.support == 0.6
+        assert r.conf_ab == 0.75 and r.conf_ba == 0.75
+        assert r.lift == 0.9375
+
+    def test_duplicate_lines_count_once(self, spark, tmp_path):
+        # The same brand twice in one order must not inflate pair counts
+        # (DISTINCT-first contract). 50 orders with A twice + B once.
+        li = []
+        for ok in range(1, 51):
+            li.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+            li.append((ok, 1, 1, 2, 2.0, 1.0, 0.0, 0.0, "N", "O", D0))
+            li.append((ok, 2, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "p1", "Brand#A", "t", 1, 1.0), (2, "p2", "Brand#B", "t", 1, 1.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        r = REG["rel_market_basket"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.n_pair, r.n_a, r.n_b) == (50, 50, 50)
+        assert r.lift == 1.0 and r.support == 1.0
+
+
+class TestGlobalRank:
+    def test_matches_sorted_reference_across_bands(self, spark):
+        # Values straddle digit-count band boundaries (9|10, 99|100) and
+        # include ties resolved by the tiebreak column.
+        vals = [3, 9, 10, 10, 11, 99, 100, 100, 101, 5, 10, 1000, 0]
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            (r.k, r.v): r.r
+            for r in global_rank(df, "v", ["k"], out="r").collect()
+        }
+        expect = {
+            (k, v): i + 1
+            for i, (v, k) in enumerate(sorted((v, k) for k, v in rows))
+        }
+        assert got == expect
+
+    def test_descending(self, spark):
+        rows = [(1, 7), (2, 70), (3, 7), (4, 700)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r.k: r.r
+            for r in global_rank(df, "v", ["k"], ascending=False, out="r").collect()
+        }
+        assert got == {4: 1, 2: 2, 1: 3, 3: 4}
+
+
+class TestRFM:
+    def test_planted_scores(self, spark, tmp_path):
+        # 8 customers, one order each, constructed so all three metric
+        # rankings coincide with custkey order.  n=8: ranks 1-2 -> bottom
+        # quartile, 3-4, 5-6, 7-8 (score = 1 + (rank-1)*4 div 8).
+        orders = []
+        for c in range(1, 9):
+            # customer c orders on day c (recency rank: c=8 most recent),
+            # spend 100*c (monetary rank asc = custkey order).
+            for k in range(c):  # frequency = c orders
+                orders.append(
+                    (
+                        c * 100 + k,
+                        c,
+                        "O",
+                        100.0 * c / c,  # per-order spend: total = 100*c
+                        D0 + timedelta(days=c),
+                        "1-URGENT",
+                    )
+                )
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        cells = REG["rel_rfm_segments"].fn(spark, str(tmp_path)).collect()
+        # customer c: recency_days = 8-c (asc rank = 9-c), freq rank = c,
+        # monetary rank = c.  r_score = 4 - (rank_r-1)*4 div 8 where
+        # rank_r = 9-c; f_score = m_score = 1 + (c-1)*4 div 8.
+        expect = {}
+        for c in range(1, 9):
+            r_s = 4 - ((9 - c) - 1) * 4 // 8
+            fm_s = 1 + (c - 1) * 4 // 8
+            key = (r_s, fm_s, fm_s)
+            n, tot = expect.get(key, (0, 0.0))
+            expect[key] = (n + 1, tot + 100.0 * c)
+        got = {
+            (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_monetary)
+            for r in cells
+        }
+        assert got == {k: (n, round(t, 2)) for k, (n, t) in expect.items()}
+
+
+class TestActivityStreaks:
+    def test_planted_islands(self, spark, tmp_path):
+        # user 1: days 0,1,2,5,7,8 -> streaks (3,1,2); user 2: day 4 only.
+        rows, eid = [], 0
+        for d in [0, 1, 2, 5, 7, 8]:
+            eid += 1
+            rows.append((eid, D0 + timedelta(days=d, hours=3), 1, "a", 1.0, "{}"))
+        # two events same day must collapse to one active day
+        rows.append((98, D0 + timedelta(days=0, hours=9), 1, "b", 1.0, "{}"))
+        rows.append((99, D0 + timedelta(days=4), 2, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+            for r in REG["ts_activity_streaks"].fn(spark, sf).collect()
+        }
+        assert got == {1: (3, 3, 6), 2: (1, 1, 1)}
+
+    def test_midnight_boundary(self, spark, tmp_path):
+        # 23:59 and next-day 00:00 are different days -> one 2-day streak.
+        rows = [
+            (1, D0 + timedelta(hours=23, minutes=59), 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(days=1), 1, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = REG["ts_activity_streaks"].fn(spark, sf).collect()
+        assert (got[0].n_streaks, got[0].longest_streak, got[0].active_days) == (
+            1,
+            2,
+            2,
+        )
+
+
+class TestDQExpectations:
+    def test_planted_violations(self, spark, tmp_path):
+        # order 2 -> nonexistent customer; doc 2 lies about n_chars;
+        # order 3 has a bad status; lineitem 9 orphaned.
+        spark.createDataFrame(
+            [(1, "c1", 0, 1.0, "SEG")],
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+        spark.createDataFrame(
+            [
+                (1, 1, "O", 10.0, D0, "1-URGENT"),
+                (2, 999, "F", 10.0, D0, "1-URGENT"),
+                (3, 1, "X", 10.0, D0, "1-URGENT"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            [
+                (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0),
+                (9, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, D0, 1, "a", 1.0, "{}"), (2, datetime(1999, 1, 1), 1, "a", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        spark.createDataFrame(
+            [(1, "abc", "en", "s", 3), (2, "abc", "en", "s", 99)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r.check_name: (r.n_checked, r.n_violations)
+            for r in REG["dq_expectations"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            "orders.fk_custkey_valid": (3, 1),
+            "lineitem.fk_orderkey_valid": (2, 1),
+            "customer.pk_unique": (1, 0),
+            "events.ts_in_range": (2, 1),
+            "documents.n_chars_matches_text": (2, 1),
+            "orders.status_accepted": (3, 1),
+        }
+
+
+class TestKeySkew:
+    def test_planted_distribution(self, spark, tmp_path):
+        # user sizes: [1, 1, 2, 4] -> n_keys=4, n_rows=8, max=4,
+        # p50 = 1 (cum 2/4 >= .5), p99 = 4, top1 = .5,
+        # gini: sorted x=[1,1,2,4], S1=1+2+6+16=25,
+        #   G = (2*25 - 5*8)/(4*8) = 10/32 = 0.3125
+        rows, eid = [], 0
+        for u, n in [(1, 1), (2, 1), (3, 2), (4, 4)]:
+            for i in range(n):
+                eid += 1
+                rows.append((eid, D0 + timedelta(minutes=eid), u, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        # the query also reads lineitem — give it a trivial one
+        spark.createDataFrame(
+            [(1, 7, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0)],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            r.key_name: r
+            for r in REG["diag_key_skew"].fn(spark, sf).collect()
+        }
+        r = got["events.user_id"]
+        assert (r.n_keys, r.n_rows, r.max_size) == (4, 8, 4)
+        assert (r.p50_size, r.p99_size) == (1, 4)
+        assert r.top1_share == 0.5
+        assert r.gini == 0.3125
+        # single uniform key -> gini 0
+        ru = got["lineitem.l_partkey"]
+        assert (ru.n_keys, ru.gini) == (1, 0.0)
+
+
+class TestBurnRate:
+    def test_threshold_boundary(self, spark, tmp_path):
+        # budget 20%, fast burn needs 1h rate >= 40% AND 6h rate >= 20%.
+        # hour 0: 2 fails / 5 = 40% -> fires (>= is inclusive).
+        # hour 1: 1 fail  / 5 = 20% -> 1h gate fails, no alert.
+        rows, eid = [], 0
+        for h, fails in [(0, 2), (1, 1)]:
+            for i in range(5):
+                eid += 1
+                v = 400.0 if i < fails else 10.0
+                rows.append(
+                    (eid, D0 + timedelta(hours=h, minutes=i), 1, "api", v, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.h: r for r in REG["ts_burn_rate"].fn(spark, sf).collect()}
+        h0 = min(out)
+        assert out[h0].fast_burn == 1
+        assert out[h0].rate_1h == 0.4
+        assert out[h0 + 1].fast_burn == 0
+        assert out[h0 + 1].rate_6h == 0.3  # 3 fails / 10 over both hours
+
+    def test_range_window_skips_gaps(self, spark, tmp_path):
+        # events in hour 0 and hour 10: the 6h trailing window at hour 10
+        # must NOT include hour 0 (a ROWS frame would).
+        rows = [
+            (1, D0, 1, "api", 400.0, "{}"),
+            (2, D0 + timedelta(hours=10), 1, "api", 10.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_burn_rate"].fn(spark, sf).collect(), key=lambda r: r.h
+        )
+        assert out[1].total_6h == 1 and out[1].fails_6h == 0
