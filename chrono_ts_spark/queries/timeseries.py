@@ -3750,3 +3750,184 @@ def ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("fast_burn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W14: rolling median (robust smoothing; exact integer midpoint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_median",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT user_id, event_id, ts, cents,
+           list_sort(list(cents) OVER win) AS frame
+    FROM c
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, cents,
+       CAST(len(frame) AS INTEGER) AS n_win,
+       CAST(frame[(len(frame) + 1) // 2]
+            + frame[len(frame) // 2 + 1] AS BIGINT) AS median_cents_x2,
+       CAST(frame[(len(frame) + 1) // 2]
+            + frame[len(frame) // 2 + 1] AS DOUBLE) / 2.0 / 100.0
+           AS rolling_median
+FROM w
+""",
+    tags=("tsdb", "W14", "robust"),
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event rolling median per user — the robust smoother
+    that ignores spikes a rolling mean would chase. The frame is
+    collected, sorted, and the median read off as the SUM of the two
+    middle order statistics (equal for odd frames): pure integer cents,
+    so the even-frame midpoint (the classic cross-engine round-half
+    hazard) never exists — the only division is the final exact-by-2
+    then one /100, the same two IEEE ops on both engines.
+
+    Scale: the frame is ROWS-bounded (7 ints on the heap per row, not
+    a percentile over the partition); one user-partitioned sort window,
+    identical partitioning to the other per-series operators.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(win)).alias("frame"),
+    )
+    n = F.size("frame")
+    lo = F.element_at("frame", ((n + 1) / 2).cast("int"))
+    hi = F.element_at("frame", (n / 2).cast("int") + 1)
+    return w.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "cents",
+        n.cast("int").alias("n_win"),
+        (lo + hi).cast("bigint").alias("median_cents_x2"),
+        ((lo + hi).cast("double") / 2.0 / 100.0).alias("rolling_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15: scalar Kalman filter (random-walk model; recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+# Same sanctioned-sequential-boundary contract as ts_holt_linear: the
+# numpy scalar loop and the DuckDB recursive CTE execute the IDENTICAL
+# IEEE op sequence (gain inlined everywhere it appears — the CTE cannot
+# alias intra-SELECT, and re-evaluating the same expression yields the
+# same bits). Q=1.0, R=4.0, seeds x=first value, P=R: all constants
+# exact doubles. Oracle sf ceiling: the ts_ema recursive-join note.
+
+
+@query(
+    "ts_kalman_filter",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+kf AS (
+    SELECT user_id, event_id, ts, value, rn,
+           value AS x, CAST(4.0 AS DOUBLE) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+           k.x + ((k.p + CAST(1.0 AS DOUBLE))
+                  / ((k.p + CAST(1.0 AS DOUBLE)) + CAST(4.0 AS DOUBLE)))
+                 * (s.value - k.x) AS x,
+           (CAST(1.0 AS DOUBLE)
+            - ((k.p + CAST(1.0 AS DOUBLE))
+               / ((k.p + CAST(1.0 AS DOUBLE)) + CAST(4.0 AS DOUBLE))))
+               * (k.p + CAST(1.0 AS DOUBLE)) AS p
+    FROM kf k JOIN seq s ON s.user_id = k.user_id AND s.rn = k.rn + 1
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+       x AS kalman, p AS err_var
+FROM kf
+""",
+    tags=("tsdb", "W15", "statespace"),
+)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter per user over the (ts, event_id) order —
+    random-walk state model with process noise Q=1 and observation
+    noise R=4: predict P+Q, gain K=(P+Q)/(P+Q+R), update
+    x += K*(z-x), P = (1-K)(P+Q). Unlike the fixed-alpha EMA, the
+    smoothing weight ADAPTS: high after seeding (trust data), settling
+    to the steady-state gain — the state-space denoiser.
+
+    Scale: the stateful.batch_ema contract — one shuffle on user_id
+    into the sanctioned applyInPandas boundary, numpy scalar loop,
+    cross-series fan-out is the parallelism; the streaming twin would
+    carry (x, P) per key exactly like stream_holt carries (level,
+    trend).
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        zs = pdf["value"].to_numpy(dtype="float64")
+        n = len(zs)
+        xs = np.empty(n)
+        ps = np.empty(n)
+        x = p = 0.0
+        for i in range(n):
+            z = zs[i]
+            if i == 0:
+                x, p = z, 4.0
+            else:
+                pp = p + 1.0
+                k = pp / (pp + 4.0)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            xs[i] = x
+            ps[i] = p
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts_s": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": pdf["value"],
+                "kalman": xs,
+                "err_var": ps,
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            run,
+            "user_id bigint, event_id bigint, ts_s string, value double, "
+            "kalman double, err_var double",
+        )
+    )

@@ -398,3 +398,129 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance double, var_share double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X7e: embedding outliers — distance-to-centroid 2-sigma gate, exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_outliers",
+    oracle="""
+WITH cent AS (
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+    GROUP BY label, pos
+),
+dist AS (
+    SELECT e.vec_id, e.label,
+           CAST(SUM(CAST(round(round((CAST(embedding[g.pos] AS DOUBLE) - c.c)
+                                     * (CAST(embedding[g.pos] AS DOUBLE) - c.c), 9)
+                               * 1e9, 0) AS BIGINT)) AS BIGINT) AS d2_fp
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+    JOIN cent c ON c.label = e.label AND c.pos = g.pos
+    GROUP BY e.vec_id, e.label
+),
+dfp AS (
+    SELECT vec_id, label,
+           CAST(round(round(sqrt(CAST(d2_fp AS DOUBLE) / 1e9), 6) * 1e6, 0)
+                AS BIGINT) AS d_fp
+    FROM dist
+),
+mom AS (
+    SELECT label,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(d_fp AS HUGEINT)) AS HUGEINT) AS s1,
+           SUM(CAST(d_fp AS HUGEINT) * CAST(d_fp AS HUGEINT)) AS s2,
+           CAST(MAX(d_fp) AS BIGINT) AS max_fp
+    FROM dfp GROUP BY label
+)
+SELECT d.label,
+       CAST(m.n AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN m.n * d.d_fp - m.s1 > 0
+                      AND (m.n * d.d_fp - m.s1) * (m.n * d.d_fp - m.s1)
+                          > 4 * (m.n * m.s2 - m.s1 * m.s1)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE) / 1e6, 6) AS mean_dist,
+       round(CAST(m.max_fp AS DOUBLE) / 1e6, 6) AS max_dist
+FROM dfp d JOIN mom m ON d.label = m.label
+GROUP BY d.label, m.n, m.s1, m.max_fp
+""",
+    tags=("vectors", "X7e", "outliers"),
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier report: each vector's L2 distance to
+    its label centroid, flagged when distance > mean + 2*sigma within
+    the label — the embedding-space QA pass that catches mislabeled /
+    corrupted vectors before training.
+
+    Exactness chain: centroid dims are round-6dp decimal averages (the
+    emb_label_centroids contract); squared-diff terms round 9dp into
+    1e9 fixed point so the per-vector sum is order-immune integers;
+    distances round 6dp into 1e6 fixed point after one IEEE-exact sqrt;
+    and the 2-sigma gate is the INTEGER cross-multiplied inequality
+    (n*d - s1)^2 > 4*(n*s2 - s1^2) in decimal38/HUGEINT — no float
+    threshold anywhere.
+
+    Scale: centroids are a (labels x 64)-row broadcast; the explode
+    shuffles (vec_id, pos) terms, aggregates per vector, then per
+    label — two bounded hash aggs, no pairwise anything.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "val"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = exploded.groupBy("label", "pos").agg(
+        F.round(davg("val", 18, 9), 6).alias("c")
+    )
+    diff = exploded.join(F.broadcast(cent), ["label", "pos"])
+    term = F.round(
+        F.round((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 9)
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    dist = diff.groupBy("vec_id", "label").agg(
+        F.sum(term).cast("bigint").alias("d2_fp")
+    )
+    dfp = dist.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.round(F.sqrt(F.col("d2_fp").cast("double") / F.lit(1e9)), 6)
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("d_fp"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    mom = dfp.groupBy("label").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum(d38(F.col("d_fp"))).alias("s1"),
+        F.sum(d38(F.col("d_fp")) * d38(F.col("d_fp"))).alias("s2"),
+        F.max("d_fp").cast("bigint").alias("max_fp"),
+    )
+    j = dfp.join(F.broadcast(mom), "label")
+    lhs = F.col("n") * d38(F.col("d_fp")) - F.col("s1")
+    is_out = (
+        (lhs > 0)
+        & (lhs * lhs > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+    ).cast("int")
+    D = lambda c: c.cast("double")
+    return j.groupBy("label", "n", "s1", "max_fp").agg(
+        F.sum(is_out).cast("bigint").alias("n_outliers")
+    ).select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        "n_outliers",
+        F.round(D(F.col("s1")) / D(F.col("n")) / F.lit(1e6), 6).alias("mean_dist"),
+        F.round(D(F.col("max_fp")) / F.lit(1e6), 6).alias("max_dist"),
+    )

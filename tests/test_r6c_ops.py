@@ -307,3 +307,113 @@ class TestBurnRate:
             REG["ts_burn_rate"].fn(spark, sf).collect(), key=lambda r: r.h
         )
         assert out[1].total_6h == 1 and out[1].fails_6h == 0
+
+
+class TestRollingMedian:
+    def test_planted_frames(self, spark, tmp_path):
+        # values 1..5 then a 100x spike: the trailing-7 median must not
+        # chase the spike (robustness), the mean would.
+        vals = [10.0, 20.0, 30.0, 40.0, 50.0, 5000.0]
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_rolling_median"].fn(spark, sf).collect(),
+            key=lambda r: r.event_id,
+        )
+        meds = [r.rolling_median for r in out]
+        # frames: [10] [10,20] [10..30] [10..40] [10..50] [10..50,5000]
+        assert meds == [10.0, 15.0, 20.0, 25.0, 30.0, 35.0]
+        assert out[1].median_cents_x2 == 1000 + 2000  # even frame: sum of mids
+        assert out[5].n_win == 6
+
+    def test_window_caps_at_seven(self, spark, tmp_path):
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 1, "a", float(i + 1), "{}")
+            for i in range(10)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_rolling_median"].fn(spark, sf).collect(),
+            key=lambda r: r.event_id,
+        )
+        assert out[-1].n_win == 7
+        assert out[-1].rolling_median == 7.0  # median of 4..10
+
+
+class TestKalmanFilter:
+    def test_matches_python_reference(self, spark, tmp_path):
+        vals = [10.0, 12.0, 9.5, 11.0, 10.5, 30.0, 10.0]
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_kalman_filter"].fn(spark, sf).collect(),
+            key=lambda r: r.event_id,
+        )
+        x = p = 0.0
+        for i, z in enumerate(vals):
+            if i == 0:
+                x, p = z, 4.0
+            else:
+                pp = p + 1.0
+                k = pp / (pp + 4.0)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            assert out[i].kalman == x  # bit-exact
+            assert out[i].err_var == p
+
+    def test_gain_converges(self, spark, tmp_path):
+        # err_var must converge monotonically to the steady-state
+        # P* solving P = (1-K)(P+Q):  P* = (-Q + sqrt(Q^2+4QR))/2 ~ 1.56
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 1, "a", 5.0, "{}")
+            for i in range(30)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(
+            REG["ts_kalman_filter"].fn(spark, sf).collect(),
+            key=lambda r: r.event_id,
+        )
+        ps = [r.err_var for r in out]
+        assert all(ps[i + 1] <= ps[i] for i in range(1, len(ps) - 1))
+        steady = (-1.0 + (1.0 + 16.0) ** 0.5) / 2.0
+        assert abs(ps[-1] - steady) < 1e-6
+        assert all(r.kalman == 5.0 for r in out)  # constant signal passthrough
+
+
+class TestEmbOutliers:
+    def _write_emb(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_planted_outlier(self, spark, tmp_path):
+        # 20 vectors near the origin, one far away -> exactly 1 outlier.
+        rows = []
+        for i in range(20):
+            v = [0.0] * 64
+            v[i % 4] = 0.1 if i % 2 == 0 else -0.1
+            rows.append((i, [float(x) for x in v], 0))
+        far = [3.0] * 64
+        rows.append((99, [float(x) for x in far], 0))
+        sf = self._write_emb(spark, tmp_path, rows)
+        out = REG["emb_outliers"].fn(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_vectors, r.n_outliers) == (21, 1)
+        assert r.max_dist > 20.0  # ~ sqrt(64*9)
+
+    def test_zero_variance_no_outliers(self, spark, tmp_path):
+        # identical vectors: sigma = 0 and every distance = mean -> the
+        # strict > gate must flag nothing (no divide-by-zero path).
+        rows = [(i, [1.0] * 64, 7) for i in range(5)]
+        sf = self._write_emb(spark, tmp_path, rows)
+        out = REG["emb_outliers"].fn(spark, sf).collect()
+        assert out[0].n_outliers == 0
+        assert out[0].mean_dist == 0.0
