@@ -1604,3 +1604,71 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one(ev, "user_id", "events.user_id").unionAll(
         one(li, "l_partkey", "lineitem.l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# S5b: small-file compaction (storage maintenance; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 8 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Compact a parquet directory to ~target-sized files: size the
+    output file count from the INPUT's on-disk bytes (sum of part
+    files), then rewrite with one round-robin repartition. Returns
+    (files_before, files_after).
+
+    The OPTIMIZE/compaction maintenance op every long-lived table
+    needs: streaming sinks and fine-grained partitions accrete small
+    files, and at 100 TB scan cost is dominated by per-file overhead
+    (footer reads, scheduling) once files drop below ~a few MB. The
+    rewrite is one shuffle-free-scan + repartition write; at scale it
+    runs per-partition-directory so only small-file partitions pay.
+    """
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil div
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    after = [
+        f for r, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
+    ]
+    return len(files), len(after)
+
+
+@query("io_compaction", oracle=None, tags=("io", "S5b", "maintenance", "no-oracle"))
+def io_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5b: fragment events into 50 small files, compact to ~8 MB
+    targets, and report the accounting: file counts plus content
+    checksums (row count, event_id sum, exact cents sum) proving the
+    rewrite is lossless. Rows-only by nature (file counts depend on
+    the filesystem); the checksum identity vs the source table and the
+    file-count reduction are pinned in tests/test_r6c_ops.py.
+    """
+    frag = _roundtrip_dir(sf_dir, "frag", "events")
+    comp = _roundtrip_dir(sf_dir, "compact", "events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(50).write.mode("overwrite").parquet(frag)
+    files_before, files_after = compact_parquet(spark, frag, comp)
+    back = spark.read.parquet(comp)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).select(
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+        "rows",
+        "sum_event_id",
+        "sum_cents",
+    )

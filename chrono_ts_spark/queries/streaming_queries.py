@@ -164,3 +164,13 @@ def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trail").cast("bigint").alias("trail"),
         (F.col("cnt") * 12 > F.col("trail") * 3).cast("int").alias("is_burst"),
     )
+
+
+@query("stream_kalman", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op (r6 late): per-user scalar Kalman filter via
+    applyInPandasWithState — the streaming twin of ts_kalman_filter,
+    equivalence-tested bit-for-bit in tests/test_r6c_ops.py."""
+    from ..streaming.stateful import run_kalman_stream
+
+    return run_kalman_stream(spark, sf_dir)

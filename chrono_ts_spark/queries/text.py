@@ -2811,3 +2811,140 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aes_key").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# X8n: RAKE keyword extraction (stopword-delimited phrases, degree/freq)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "the of and a to in is it that for on with as was at by an be this are "
+    "or from not".split()
+)
+
+
+@query(
+    "doc_rake_keywords",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                        ' ') AS ws
+    FROM documents
+),
+w AS (
+    SELECT doc_id, u.p AS pos, u.w AS word
+    FROM base,
+         UNNEST(list_transform(ws, (x, i) -> {{'w': x, 'p': i}})) AS one(u)
+    WHERE u.w != ''
+),
+ns AS (
+    SELECT doc_id, pos, word,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM w
+    WHERE word NOT IN ({", ".join("'" + s + "'" for s in _RAKE_STOP)})
+),
+ph AS (
+    SELECT doc_id, grp, pos, word,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+    FROM ns
+),
+member AS (SELECT * FROM ph WHERE plen <= 4),
+ws AS (
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS degree
+    FROM member GROUP BY word
+),
+occ AS (
+    SELECT m.doc_id, m.grp,
+           string_agg(m.word, ' ' ORDER BY m.pos) AS phrase,
+           CAST(MAX(m.plen) AS BIGINT) AS n_words,
+           CAST(SUM((s.degree * 1000000) // s.freq) AS BIGINT) AS score_fp
+    FROM member m JOIN ws s ON m.word = s.word
+    GROUP BY m.doc_id, m.grp
+),
+agg AS (
+    SELECT phrase,
+           CAST(MAX(n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MAX(score_fp) AS BIGINT) AS score_fp
+    FROM occ GROUP BY phrase
+)
+SELECT phrase, n_words, n_occ,
+       round(CAST(score_fp AS DOUBLE) / 1e6, 6) AS rake_score
+FROM agg
+ORDER BY score_fp DESC, phrase ASC
+LIMIT 20
+""",
+    tags=("text", "X8n", "keywords"),
+)
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs (the gaps-and-islands trick on
+    word positions — no cross-engine regex-split semantics to match),
+    each word scores degree/frequency over phrases of <= 4 words, and
+    a phrase scores the sum of its word scores. Top-20 corpus keywords
+    with deterministic (score, phrase) ordering.
+
+    Exactness: word scores are INTEGER fixed-point (degree*1e6 div
+    freq — integer division, no float ratio), phrase scores integer
+    sums of those, so ordering and values are engine-identical; the
+    single float appears in the final display division.
+
+    Scale: everything is (doc, pos)-partitioned windows and word-keyed
+    hash aggs; the top-20 is TakeOrderedAndProject over the bounded
+    distinct-phrase table, never a global sort of members.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
+    w = (
+        d.select("doc_id", F.posexplode(F.split(clean, " ")).alias("pos0", "word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    ns = w.filter(~F.col("word").isin(_RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = ns.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")).cast("bigint"),
+    )
+    member = ph.filter(F.col("plen") <= 4)
+    wstats = member.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = member.join(wstats, "word").withColumn(
+        "w_score_fp", F.expr("(degree * 1000000) div freq").cast("bigint")
+    )
+    occ = scored.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.max("plen").cast("bigint").alias("n_words"),
+        F.sum("w_score_fp").cast("bigint").alias("score_fp"),
+    )
+    agg = occ.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.max("score_fp").cast("bigint").alias("score_fp"),
+    )
+    return (
+        agg.orderBy(F.col("score_fp").desc(), F.col("phrase").asc())
+        .limit(20)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            F.round(F.col("score_fp").cast("double") / F.lit(1e6), 6).alias(
+                "rake_score"
+            ),
+        )
+    )

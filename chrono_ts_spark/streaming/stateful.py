@@ -234,6 +234,87 @@ def run_holt_stream(
     return _run_to_memory(holt, spark, output_mode="append")
 
 
+_KALMAN_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("kalman", T.DoubleType()),
+        T.StructField("err_var", T.DoubleType()),
+    ]
+)
+_KALMAN_STATE = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+def kalman_update_fn(q: float, r_noise: float):
+    """applyInPandasWithState update for the scalar Kalman filter
+    (ST6): state = (x, P, position); identical IEEE op sequence as the
+    batch twin (queries/timeseries.ts_kalman_filter), so stream ==
+    batch bit-for-bit in arrival order. Same closure/late-data
+    contract as holt_update_fn."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        x, p, last_ts, last_id = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for row in batch.itertuples():
+            z = row.value
+            if x is None:
+                x, p = z, r_noise
+            else:
+                pp = p + q
+                k = pp / (pp + r_noise)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            last_ts, last_id = int(row.ts.value // 1000), int(row.event_id)
+            out.append(
+                (
+                    key[0],
+                    row.event_id,
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    z,
+                    x,
+                    p,
+                )
+            )
+        state.update((x, p, last_ts, last_id))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_s", "value", "kalman", "err_var"],
+        )
+
+    return update
+
+
+def run_kalman_stream(
+    spark: SparkSession, sf_dir: str, q: float = 1.0, r_noise: float = 4.0
+) -> DataFrame:
+    """ST6: per-user scalar Kalman filter over the replayed stream."""
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    kf = ev.groupBy("user_id").applyInPandasWithState(
+        kalman_update_fn(q, r_noise),
+        outputStructType=_KALMAN_OUT,
+        stateStructType=_KALMAN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(kf, spark, output_mode="append")
+
+
 def run_sliding_counts_stream(
     spark: SparkSession, sf_dir: str, width_s: int = 600, slide_s: int = 300
 ) -> DataFrame:

@@ -417,3 +417,60 @@ class TestEmbOutliers:
         out = REG["emb_outliers"].fn(spark, sf).collect()
         assert out[0].n_outliers == 0
         assert out[0].mean_dist == 0.0
+
+
+class TestRakeKeywords:
+    def _write_docs(self, spark, tmp_path, texts):
+        rows = [
+            (i + 1, t, "en", "test", len(t)) for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_planted_scores(self, spark, tmp_path):
+        # "red apple" twice, "apple" alone once, stopwords delimit.
+        # freq(red)=2 deg(red)=4; freq(apple)=3 deg(apple)=5.
+        # score(red)=2.0, score(apple)=5/3 -> phrase "red apple" =
+        # 2.0 + 1.666666 = 3.666666 (integer fixed point, floor div).
+        sf = self._write_docs(
+            spark,
+            tmp_path,
+            ["red apple on the red apple", "the apple is good"],
+        )
+        out = {r.phrase: r for r in REG["doc_rake_keywords"].fn(spark, sf).collect()}
+        assert out["red apple"].n_occ == 2
+        assert out["red apple"].n_words == 2
+        assert out["red apple"].rake_score == 3.666666
+        assert out["apple"].rake_score == 1.666666
+        assert out["good"].rake_score == 1.0
+
+    def test_long_runs_excluded(self, spark, tmp_path):
+        # a 5-word stopword-free run must not produce a candidate phrase
+        sf = self._write_docs(spark, tmp_path, ["one two three four five"])
+        out = REG["doc_rake_keywords"].fn(spark, sf).collect()
+        assert out == []
+
+    def test_punctuation_splits_words(self, spark, tmp_path):
+        # punctuation is a word separator, not part of a word
+        sf = self._write_docs(spark, tmp_path, ["fast,car the fast car"])
+        out = {r.phrase: r for r in REG["doc_rake_keywords"].fn(spark, sf).collect()}
+        assert out["fast car"].n_occ == 2
+
+
+class TestCompaction:
+    def test_lossless_and_fewer_files(self, spark):
+        sf = "/root/testdata/sf0.001"
+        r = REG["io_compaction"].fn(spark, sf).collect()[0]
+        assert r.files_before == 50
+        assert r.files_after < r.files_before
+        src = spark.read.parquet(f"{sf}/events.parquet")
+        import pyspark.sql.functions as F
+
+        exp = src.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("event_id").alias("se"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sc"),
+        ).collect()[0]
+        assert (r.rows, r.sum_event_id, r.sum_cents) == (exp.rows, exp.se, exp.sc)

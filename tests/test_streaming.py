@@ -525,3 +525,16 @@ def test_m4_stream_equals_batch(spark):
         "t_max", "v_max", "t_last", "v_last", "n_events",
     ]
     assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+def test_kalman_stream_equals_batch(spark):
+    # r6 late: the stream replays the identical IEEE Kalman recurrence
+    # (state = x, P per key), so estimates and error variances match
+    # the batch twin bit-for-bit on the in-order replay.
+    batch = REG["ts_kalman_filter"].fn(spark, SF_SMOKE)
+    stream = REG["stream_kalman"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "event_id", "ts_s", "value", "kalman", "err_var"]
+    s_rows = as_sorted_rows(stream, cols)
+    b_rows = as_sorted_rows(batch, cols)
+    assert len(s_rows) == len(b_rows)
+    assert s_rows == b_rows
