@@ -2366,3 +2366,85 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_monetary"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML4: cohort lifetime-value matrix (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_cohort_ltv",
+    oracle="""
+WITH o2 AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+               AS midx,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+cohort AS (
+    SELECT o_custkey, MIN(midx) AS cohort_idx FROM o2 GROUP BY o_custkey
+),
+cell AS (
+    SELECT c.cohort_idx,
+           o2.midx - c.cohort_idx AS age_months,
+           CAST(COUNT(DISTINCT o2.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(o2.cents) AS BIGINT) AS rev_cents
+    FROM o2 JOIN cohort c ON o2.o_custkey = c.o_custkey
+    GROUP BY c.cohort_idx, o2.midx - c.cohort_idx
+)
+SELECT printf('%04d-%02d', cohort_idx // 12, cohort_idx % 12 + 1) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       n_active,
+       round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(SUM(rev_cents) OVER (PARTITION BY cohort_idx
+                                       ORDER BY age_months) AS DOUBLE)
+             / 100.0, 2) AS cum_revenue
+FROM cell
+""",
+    tags=("relational", "ML4", "cohort"),
+)
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, each (cohort, months-since-first) cell reporting active
+    customers, revenue, and CUMULATIVE revenue — the LTV curve per
+    acquisition cohort that ts_cohort_retention (activity counts)
+    doesn't price.
+
+    Month arithmetic is the integer index year*12 + month-1 on both
+    engines — months_between and its day-fraction conventions (the
+    documented cross-engine divergence, docs/determinism.md) never
+    appear. Exact cents throughout; the cumulative window partitions
+    by cohort over the tiny (cohort x age) cell table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o2 = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("midx"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cohort = o2.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    cell = (
+        o2.join(cohort, "o_custkey")
+        .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_idx").orderBy("age_months")
+    D = lambda c: c.cast("double")
+    return cell.select(
+        F.format_string(
+            "%04d-%02d",
+            F.expr("cohort_idx div 12").cast("int"),
+            (F.col("cohort_idx") % 12 + 1).cast("int"),
+        ).alias("cohort_month"),
+        F.col("age_months").cast("bigint").alias("age_months"),
+        "n_active",
+        F.round(D(F.col("rev_cents")) / 100.0, 2).alias("revenue"),
+        F.round(D(F.sum("rev_cents").over(w)) / 100.0, 2).alias("cum_revenue"),
+    )

@@ -3931,3 +3931,170 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kalman double, err_var double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6f: multi-resolution rollup — 1h/6h/24h tiers from ONE raw scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_multi_resolution",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, h
+)
+SELECT CAST(3600 AS BIGINT) AS width_s, event_type, h AS bucket,
+       cents, n
+FROM hourly
+UNION ALL
+SELECT CAST(21600 AS BIGINT), event_type, h // 6,
+       CAST(SUM(cents) AS BIGINT), CAST(SUM(n) AS BIGINT)
+FROM hourly GROUP BY event_type, h // 6
+UNION ALL
+SELECT CAST(86400 AS BIGINT), event_type, h // 24,
+       CAST(SUM(cents) AS BIGINT), CAST(SUM(n) AS BIGINT)
+FROM hourly GROUP BY event_type, h // 24
+""",
+    tags=("tsdb", "A6f", "rollup"),
+)
+def ts_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three serving tiers (1h / 6h / 24h) materialized in ONE
+    query: the raw table shuffles exactly once (into the hourly agg);
+    the 6h and 24h tiers re-aggregate FROM the hourly tier by integer
+    bucket division — the tier-algebra contract ts_tier_routed_daily
+    proves pairwise, here as the single-pass materialization a rollup
+    scheduler would run. Exact cents sums make tier equality
+    bit-checkable.
+
+    Scale: the naive alternative (explode each event into 3 width
+    rows, or 3 separate scans) triples scan or shuffle volume; this
+    shape pays raw->hourly once and the coarser tiers aggregate
+    calendar-bounded inputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("c").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    hourly = hourly.persist()
+    t1 = hourly.select(
+        F.lit(3600).cast("bigint").alias("width_s"),
+        "event_type",
+        F.col("h").alias("bucket"),
+        "cents",
+        "n",
+    )
+
+    def tier(div: int, width: int) -> DataFrame:
+        return (
+            hourly.groupBy("event_type", F.expr(f"h div {div}").alias("bucket"))
+            .agg(
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.sum("n").cast("bigint").alias("n"),
+            )
+            .select(
+                F.lit(width).cast("bigint").alias("width_s"),
+                "event_type",
+                "bucket",
+                "cents",
+                "n",
+            )
+        )
+
+    return t1.unionAll(tier(6, 21600)).unionAll(tier(24, 86400))
+
+
+# ---------------------------------------------------------------------------
+# A6g: STL-lite seasonal decomposition (trend MA + hour-of-day profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, h
+),
+tr AS (
+    SELECT event_type, h, cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trend_x25,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+    SELECT event_type, h % 24 AS hod,
+           25 * cents - trend_x25 AS d_x25
+    FROM tr WHERE n_win = 25
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       round(CAST(SUM(d_x25) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 25.0 / 100.0, 4) AS seasonal_component
+FROM det GROUP BY event_type, hod
+""",
+    tags=("tsdb", "A6g", "seasonality"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition, classical-STL-lite: trend =
+    centered 25-hour moving average of the hourly cents series (only
+    COMPLETE windows — edges have no defined trend), detrended =
+    series - trend, and the seasonal component = mean detrended value
+    per hour-of-day per type — the day-shape profile with the
+    multi-day trend removed, unlike ts_weekly_profile's raw means.
+
+    Integer-exact core: the centered MA over a full window is
+    sum/25, so detrended×25 = 25·cents − window_sum stays integer
+    until the final display division (sum/n/25/100 — four mirrored
+    IEEE ops). RANGE frame over the hour index: calendar gaps shrink
+    n_win below 25 and those rows drop out rather than silently
+    averaging a shorter window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-12, 12)
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("trend_x25"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )
+    det = tr.filter(F.col("n_win") == 25).select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        (F.lit(25) * F.col("cents") - F.col("trend_x25")).alias("d_x25"),
+    )
+    D = lambda c: c.cast("double")
+    return det.groupBy("event_type", F.col("hod").cast("bigint").alias("hod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            D(F.sum("d_x25")) / D(F.count(F.lit(1))) / F.lit(25.0) / F.lit(100.0),
+            4,
+        ).alias("seasonal_component"),
+    )

@@ -474,3 +474,83 @@ class TestCompaction:
             F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sc"),
         ).collect()[0]
         assert (r.rows, r.sum_event_id, r.sum_cents) == (exp.rows, exp.se, exp.sc)
+
+
+class TestMultiResolution:
+    def test_tier_algebra(self, spark, tmp_path):
+        # planted events across 2 days; every coarser bucket must equal
+        # the sum of its finer children, and all tiers the same total.
+        rows, eid = [], 0
+        for h in [0, 1, 5, 7, 23, 24, 30, 47]:
+            for k in range(h % 3 + 1):
+                eid += 1
+                rows.append(
+                    (eid, D0 + timedelta(hours=h, minutes=k), 1, "a",
+                     float(h + 1), "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_multi_resolution"].fn(spark, sf).collect()
+        tiers = {}
+        for r in out:
+            tiers.setdefault(r.width_s, {})[r.bucket] = (r.cents, r.n)
+        assert set(tiers) == {3600, 21600, 86400}
+        for coarse, div in [(21600, 6), (86400, 24)]:
+            for b, (c, n) in tiers[coarse].items():
+                fine_c = sum(v[0] for h, v in tiers[3600].items() if h // div == b)
+                fine_n = sum(v[1] for h, v in tiers[3600].items() if h // div == b)
+                assert (c, n) == (fine_c, fine_n)
+        totals = {w: sum(v[1] for v in d.values()) for w, d in tiers.items()}
+        assert len(set(totals.values())) == 1
+
+
+class TestSeasonalDecompose:
+    def test_constant_series_zero_seasonal(self, spark, tmp_path):
+        rows = [
+            (h + 1, D0 + timedelta(hours=h), 1, "a", 10.0, "{}")
+            for h in range(72)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_seasonal_decompose"].fn(spark, sf).collect()
+        assert len(out) > 0
+        assert all(r.seasonal_component == 0.0 for r in out)
+
+    def test_planted_spike_hour(self, spark, tmp_path):
+        # hour-of-day 5 always 10x: its seasonal component must be the
+        # unique positive one, others negative; components sum ~ 0.
+        rows = []
+        for h in range(24 * 7):
+            v = 100.0 if h % 24 == 5 else 10.0
+            rows.append((h + 1, D0 + timedelta(hours=h), 1, "a", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.hod: r.seasonal_component for r in
+               REG["ts_seasonal_decompose"].fn(spark, sf).collect()}
+        assert len(out) == 24
+        assert out[5] == max(out.values()) and out[5] > 50
+        assert all(v < 0 for h, v in out.items() if h != 5)
+        assert abs(sum(out.values())) < 1.0
+
+
+class TestCohortLTV:
+    def test_planted_cells(self, spark, tmp_path):
+        # cust 1: orders in 2024-01 ($10), 2024-03 ($20)
+        # cust 2: orders in 2024-03 ($5, $7)
+        orders = [
+            (1, 1, "O", 10.0, datetime(2024, 1, 15), "1-URGENT"),
+            (2, 1, "O", 20.0, datetime(2024, 3, 2), "1-URGENT"),
+            (3, 2, "O", 5.0, datetime(2024, 3, 10), "1-URGENT"),
+            (4, 2, "O", 7.0, datetime(2024, 3, 20), "1-URGENT"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {
+            (r.cohort_month, r.age_months): (r.n_active, r.revenue, r.cum_revenue)
+            for r in REG["rel_cohort_ltv"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            ("2024-01", 0): (1, 10.0, 10.0),
+            ("2024-01", 2): (1, 20.0, 30.0),
+            ("2024-03", 0): (1, 12.0, 12.0),
+        }
