@@ -2948,3 +2948,79 @@ def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X6e: containment similarity (Broder's asymmetric measure)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_containment_adjacent",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       CAST(len(list_distinct(a.sh)) AS BIGINT) AS n_a,
+       CAST(len(list_distinct(b.sh)) AS BIGINT) AS n_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(a.sh)) AS DOUBLE), 6) AS containment_ab,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(b.sh)) AS DOUBLE), 6) AS containment_ba
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+WHERE len(list_distinct(a.sh)) > 0 AND len(list_distinct(b.sh)) > 0
+""",
+    tags=("text", "X6e", "containment"),
+)
+def doc_containment_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT between adjacent docs: |A∩B|/|A| and
+    |A∩B|/|B| over 5-gram shingle sets — the asymmetric companion to
+    Jaccard that resemblance misses: a short doc fully quoted inside a
+    long one scores containment ~1 one way while Jaccard stays low
+    (the quote-detection / sub-document-dup measure).
+
+    Integer set sizes with single rounded divisions; the adjacent-id
+    pairing keeps the oracle exact — the production pairing comes from
+    the MinHash-LSH candidate generator exactly as doc_minhash's
+    verify stage does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", shingles(tokenize(F.col("text")), 5).alias("sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    j = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    na = F.size(F.array_distinct("sh_a")).cast("bigint")
+    nb = F.size(F.array_distinct("sh_b")).cast("bigint")
+    D = lambda c: c.cast("double")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(D(F.col("n_common")) / D(F.col("n_a")), 6).alias(
+                "containment_ab"
+            ),
+            F.round(D(F.col("n_common")) / D(F.col("n_b")), 6).alias(
+                "containment_ba"
+            ),
+        )
+    )

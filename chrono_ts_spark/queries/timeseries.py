@@ -3989,7 +3989,10 @@ def ts_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
-    hourly = hourly.persist()
+    # No persist: the three tier branches share the hourly agg's
+    # identical Exchange subplan, so Spark reuses the shuffle
+    # (ReusedExchange x2 in the physical plan — verified) and the raw
+    # table is scanned once, with nothing pinned in executor memory.
     t1 = hourly.select(
         F.lit(3600).cast("bigint").alias("width_s"),
         "event_type",
@@ -4097,4 +4100,103 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.sum("d_x25")) / D(F.count(F.lit(1))) / F.lit(25.0) / F.lit(100.0),
             4,
         ).alias("seasonal_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W16: day-over-day top movers (change ranking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_top_movers",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, d
+),
+ch AS (
+    SELECT event_type, d, cents,
+           lag(cents) OVER (PARTITION BY event_type ORDER BY d) AS prev_cents,
+           lag(d) OVER (PARTITION BY event_type ORDER BY d) AS prev_d
+    FROM daily
+),
+mv AS (
+    SELECT event_type, d, cents, prev_cents,
+           round(CAST(cents - prev_cents AS DOUBLE)
+                 / CAST(prev_cents AS DOUBLE), 6) AS pct_change,
+           abs(cents * 1000000 // prev_cents - 1000000) AS move_fp
+    FROM ch
+    WHERE prev_d = d - 1 AND prev_cents > 0
+)
+SELECT d, event_type, cents, prev_cents, pct_change,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY d
+                                 ORDER BY move_fp DESC, event_type) AS rnk
+    FROM mv
+)
+WHERE rnk <= 3
+""",
+    tags=("tsdb", "W16", "ranking"),
+)
+def ts_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 day-over-day movers per day: series ranked by the
+    magnitude of their relative change vs the PREVIOUS CALENDAR day
+    (a lag row from an older day is not a day-over-day move — the
+    prev_d = d-1 guard), the dashboard staple for spotting which
+    series jumped.
+
+    The ranking key is integer fixed point (|cents*1e6 div prev - 1e6|
+    — floor-div, engine-identical) so order never depends on a float
+    compare; the display pct_change is one rounded division. Windows:
+    per-series lag, then per-day rank over <= |series| rows
+    (WindowGroupLimit applies).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    ch = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.lag("cents").over(wl).alias("prev_cents"),
+        F.lag("d").over(wl).alias("prev_d"),
+    )
+    mv = ch.filter(
+        (F.col("prev_d") == F.col("d") - 1) & (F.col("prev_cents") > 0)
+    ).select(
+        "event_type",
+        "d",
+        "cents",
+        "prev_cents",
+        F.round(
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents").cast("double"),
+            6,
+        ).alias("pct_change"),
+        F.abs(F.expr("cents * 1000000 div prev_cents - 1000000")).alias("move_fp"),
+    )
+    wr = Window.partitionBy("d").orderBy(F.col("move_fp").desc(), "event_type")
+    return (
+        mv.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "d",
+            "event_type",
+            "cents",
+            "prev_cents",
+            "pct_change",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

@@ -524,3 +524,59 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(D(F.col("s1")) / D(F.col("n")) / F.lit(1e6), 6).alias("mean_dist"),
         F.round(D(F.col("max_fp")) / F.lit(1e6), 6).alias("max_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7f: ANN quality evaluation — recall@k of the LSH index vs exact
+# ---------------------------------------------------------------------------
+
+
+@query("emb_recall_eval", oracle=None, tags=("vectors", "X7f", "eval", "no-oracle"))
+def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN index against the exact cosine
+    top-5, per probe — the evaluation operator an ANN deployment runs
+    continuously (index drift, parameter tuning). Joins the two
+    registry paths on (probe, neighbor) and counts hits; rows-only by
+    nature (the LSH bucketing is engine-specific), with the aggregate
+    recall floor pinned in tests/test_r6c_ops.py.
+
+    Scale: both sides are probe-bounded (k rows per probe); the
+    evaluation join keys on (probe_id, neighbor_id) — never touches
+    the corpus.
+    """
+    from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, probes, k=5).select(
+        F.col("query_id"), F.col("neighbor_id")
+    )
+    approx = lsh_bucket_topk(
+        e, probes, dims=_DIMS, k=5, n_planes=6, n_tables=8
+    ).select(F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.a_query)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
+            ),
+        )
+    )

@@ -554,3 +554,58 @@ class TestCohortLTV:
             ("2024-01", 2): (1, 20.0, 30.0),
             ("2024-03", 0): (1, 12.0, 12.0),
         }
+
+
+class TestContainment:
+    def test_subset_doc_full_containment(self, spark, tmp_path):
+        # doc 2's shingles are a strict subset of doc 1's -> the
+        # asymmetry Jaccard can't see: containment_ba = 1.0.
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        short = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, long, "en", "s", len(long)),
+            (2, short, "en", "s", len(short)),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = REG["doc_containment_adjacent"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.containment_ba == 1.0  # short fully inside long
+        assert r.containment_ab < 1.0
+        assert r.n_common == r.n_b
+
+
+class TestTopMovers:
+    def test_planted_moves_and_gap_guard(self, spark, tmp_path):
+        # day 0: a=100, b=100; day 1: a=150 (+50%), b=90 (-10%);
+        # day 3 (after a gap): a=999 -> NOT a day-over-day move.
+        rows = [
+            (1, D0, 1, "a", 100.0, "{}"),
+            (2, D0, 1, "b", 100.0, "{}"),
+            (3, D0 + timedelta(days=1), 1, "a", 150.0, "{}"),
+            (4, D0 + timedelta(days=1), 1, "b", 90.0, "{}"),
+            (5, D0 + timedelta(days=3), 1, "a", 999.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_top_movers"].fn(spark, sf).collect()
+        d1 = min(r.d for r in out)
+        got = {(r.d, r.event_type): (r.pct_change, r.rnk) for r in out}
+        assert got == {(d1, "a"): (0.5, 1), (d1, "b"): (-0.1, 2)}
+        # the post-gap day must not appear at all
+        assert all(r.d == d1 for r in out)
+
+
+class TestRecallEval:
+    def test_arithmetic_and_fixture_floor(self, spark):
+        # strict >= 0.9 recall pins live on clustered data in
+        # test_dedup_similarity; the fixture embeddings are near-uniform
+        # so here we pin the report's internal consistency + a loose floor.
+        rows = REG["emb_recall_eval"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r.n_exact == 5
+            assert 0 <= r.n_hits <= r.n_exact
+            assert r.recall == round(r.n_hits / r.n_exact, 6)
+        assert sum(r.recall for r in rows) / len(rows) >= 0.1
