@@ -74,3 +74,56 @@ def global_rank(
         .withColumn(out, (F.col("__off") + F.col("__rw")).cast("bigint"))
         .drop("__band", "__rw", "__off")
     )
+
+
+def banded_prefix_sum(
+    df: DataFrame,
+    key: str,
+    tiebreak: list[str],
+    value: str,
+    *,
+    ascending: bool = True,
+    out: str = "cum",
+) -> DataFrame:
+    """Append column ``out`` = running SUM of ``value`` over the global
+    (``key``, ``tiebreak``) order — inclusive of the current row — with
+    no global window: within-band running sums plus a broadcast
+    theta-join of whole-band totals (the same decomposition as
+    global_rank, applied to a sum instead of a count).
+
+    The Pareto/ABC cumulative-share primitive: at scale a global
+    cumulative sum is otherwise a single-partition sort.
+    """
+    banded = df.withColumn(
+        "__band", F.length(F.col(key).cast("string")).cast("bigint")
+    )
+    key_order: Column = F.col(key).asc() if ascending else F.col(key).desc()
+    w_in = (
+        Window.partitionBy("__band")
+        .orderBy(key_order, *[F.col(c).asc() for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = banded.withColumn("__run", F.sum(value).over(w_in))
+    bt = banded.groupBy("__band").agg(F.sum(value).alias("__tot"))
+    before = F.col("__o_band") < F.col("__band") if ascending else (
+        F.col("__o_band") > F.col("__band")
+    )
+    off = (
+        bt.select("__band")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("__band").alias("__o_band"), F.col("__tot").alias("__o_tot")
+                )
+            ),
+            before,
+            "left",
+        )
+        .groupBy("__band")
+        .agg(F.coalesce(F.sum("__o_tot"), F.lit(0)).alias("__off"))
+    )
+    return (
+        within.join(F.broadcast(off), "__band")
+        .withColumn(out, F.col("__off") + F.col("__run"))
+        .drop("__band", "__run", "__off")
+    )

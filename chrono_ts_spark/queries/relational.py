@@ -2448,3 +2448,82 @@ def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(D(F.col("rev_cents")) / 100.0, 2).alias("revenue"),
         F.round(D(F.sum("rev_cents").over(w)) / 100.0, 2).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML5: ABC / Pareto analysis (banded prefix sum, no global window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_abc_analysis",
+    oracle="""
+WITH pr AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS total FROM pr),
+c AS (
+    SELECT l_partkey, rev_e4,
+           CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey ASC) AS BIGINT)
+               AS cum
+    FROM pr
+),
+cls AS (
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           rev_e4
+    FROM c CROSS JOIN tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(rev_e4) AS DOUBLE) / 10000.0, 2) AS revenue,
+       round(CAST(SUM(rev_e4) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+           AS revenue_share
+FROM cls CROSS JOIN tot GROUP BY abc_class
+""",
+    tags=("relational", "ML5", "pareto"),
+)
+def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = parts inside the top 80% of cumulative revenue, B = to
+    95%, C = the tail — the 80/20 analysis behind stocking and
+    curation priority decisions.
+
+    The global CUMULATIVE revenue comes from the banded prefix-sum
+    operator (operators/rank.py banded_prefix_sum — within-band
+    running sums + broadcast band-total offsets), so the classic
+    single-partition ORDER BY cum-sum never appears; the oracle uses
+    the plain global window, making the hash compare the proof that
+    the decomposition IS the global prefix sum. Class boundaries are
+    integer cross-multiplied (cum*100 <= total*80) on exact e4
+    fixed-point revenue.
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum((_rev() * 10000).cast("bigint")).cast("bigint").alias("rev_e4")
+    )
+    tot = pr.agg(F.sum("rev_e4").cast("bigint").alias("total"))
+    c = banded_prefix_sum(
+        pr, "rev_e4", ["l_partkey"], "rev_e4", ascending=False, out="cum"
+    )
+    cls = c.join(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_e4",
+        "total",
+    )
+    D = lambda c_: c_.cast("double")
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(D(F.sum("rev_e4")) / F.lit(10000.0), 2).alias("revenue"),
+        F.round(D(F.sum("rev_e4")) / D(F.max("total")), 6).alias("revenue_share"),
+    )

@@ -520,3 +520,54 @@ def sf_masking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("segment_token"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# Struct (nested record navigation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_struct_funcs",
+    oracle="""
+SELECT o_orderkey,
+       ({'inn': {'cust': o_custkey, 'price': o_totalprice},
+         'st': o_orderstatus}).inn.cust AS cust_via_struct,
+       ({'inn': {'cust': o_custkey, 'price': o_totalprice},
+         'st': o_orderstatus}).st AS st_via_struct,
+       CASE WHEN ({'inn': {'cust': o_custkey, 'price': o_totalprice},
+                   'st': o_orderstatus}).inn.price > 100000.0
+            THEN 'big' ELSE 'small' END AS price_bucket,
+       CAST({'c': o_custkey} = {'c': o_custkey} AS INTEGER) AS self_eq
+FROM orders
+""",
+    tags=("scalar", "struct"),
+)
+def sf_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: create, nest, field-path navigation, struct
+    equality, struct fields in CASE — the nested-record surface that
+    completes the scalar grid (array/map/json already covered). Every
+    output reduces to a scalar so the oracle boundary never serializes
+    a struct (engines disagree on struct-to-text formatting).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nested = F.struct(
+        F.struct(
+            F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+        ).alias("inn"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    return o.select(
+        "o_orderkey",
+        nested.getField("inn").getField("cust").alias("cust_via_struct"),
+        nested.getField("st").alias("st_via_struct"),
+        F.when(nested.getField("inn").getField("price") > 100000.0, "big")
+        .otherwise("small")
+        .alias("price_bucket"),
+        (
+            F.struct(F.col("o_custkey").alias("c"))
+            == F.struct(F.col("o_custkey").alias("c"))
+        )
+        .cast("int")
+        .alias("self_eq"),
+    )

@@ -580,3 +580,106 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7g: label-affinity matrix (centroid separation diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_label_affinity",
+    oracle="""
+WITH cent AS (
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+    GROUP BY label, pos
+),
+norm AS (
+    SELECT label,
+           CAST(SUM(CAST(round(round(c * c, 9) * 1e9, 0) AS BIGINT)) AS BIGINT)
+               AS n_fp
+    FROM cent GROUP BY label
+),
+dot AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM(CAST(round(round(a.c * b.c, 9) * 1e9, 0) AS BIGINT)) AS BIGINT)
+               AS d_fp
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round((CAST(d_fp AS DOUBLE) / 1e9)
+             / sqrt((CAST(na.n_fp AS DOUBLE) / 1e9)
+                    * (CAST(nb.n_fp AS DOUBLE) / 1e9)), 6) AS centroid_cosine,
+       round(sqrt((CAST(na.n_fp AS DOUBLE) / 1e9)
+                  + (CAST(nb.n_fp AS DOUBLE) / 1e9)
+                  - 2.0 * (CAST(d_fp AS DOUBLE) / 1e9)), 6) AS centroid_l2
+FROM dot
+JOIN norm na ON na.label = dot.label_a
+JOIN norm nb ON nb.label = dot.label_b
+""",
+    tags=("vectors", "X7g", "clustering"),
+)
+def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-pair affinity matrix: cosine and L2 distance between
+    LABEL CENTROIDS — the cluster-separation diagnostic that tells a
+    classifier/dedup pipeline which classes are confusable before any
+    pairwise vector work.
+
+    Built entirely from the (labels x 64)-row centroid table (the
+    emb_label_centroids contract): dot and norm terms round 9dp into
+    1e9 fixed point so sums are order-immune; the two sqrt/divide
+    expressions are mirrored verbatim. |labels|^2/2 output rows — the
+    corpus is touched once, for the centroids.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = exploded.groupBy("label", "pos").agg(
+        F.round(davg("val", 18, 9), 6).alias("c")
+    )
+    fp9 = lambda c: F.round(F.round(c, 9) * F.lit(1e9), 0).cast("bigint")
+    norm = cent.groupBy("label").agg(
+        F.sum(fp9(F.col("c") * F.col("c"))).cast("bigint").alias("n_fp")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    dot = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(fp9(F.col("ca") * F.col("cb"))).cast("bigint").alias("d_fp"))
+    )
+    na = norm.select(F.col("label").alias("label_a"), F.col("n_fp").alias("na_fp"))
+    nb = norm.select(F.col("label").alias("label_b"), F.col("n_fp").alias("nb_fp"))
+    D = lambda c: c.cast("double")
+    return (
+        dot.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                (D(F.col("d_fp")) / F.lit(1e9))
+                / F.sqrt(
+                    (D(F.col("na_fp")) / F.lit(1e9))
+                    * (D(F.col("nb_fp")) / F.lit(1e9))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(
+                    (D(F.col("na_fp")) / F.lit(1e9))
+                    + (D(F.col("nb_fp")) / F.lit(1e9))
+                    - F.lit(2.0) * (D(F.col("d_fp")) / F.lit(1e9))
+                ),
+                6,
+            ).alias("centroid_l2"),
+        )
+    )

@@ -609,3 +609,77 @@ class TestRecallEval:
             assert 0 <= r.n_hits <= r.n_exact
             assert r.recall == round(r.n_hits / r.n_exact, 6)
         assert sum(r.recall for r in rows) / len(rows) >= 0.1
+
+
+class TestBandedPrefixSum:
+    def test_matches_python_reference(self, spark):
+        from chrono_ts_spark.operators.rank import banded_prefix_sum
+
+        vals = [(1, 9, 10), (2, 10, 20), (3, 10, 30), (4, 100, 5), (5, 7, 1),
+                (6, 1000, 2), (7, 99, 4)]
+        df = spark.createDataFrame(vals, "k long, key long, v long")
+        got = {
+            r.k: r.cum
+            for r in banded_prefix_sum(
+                df, "key", ["k"], "v", ascending=False, out="cum"
+            ).collect()
+        }
+        order = sorted(vals, key=lambda t: (-t[1], t[0]))
+        run, expect = 0, {}
+        for k, _, v in order:
+            run += v
+            expect[k] = run
+        assert got == expect
+
+
+class TestLabelAffinity:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_orthogonal_and_identical_clusters(self, spark, tmp_path):
+        # labels 0 and 1 on orthogonal axes -> cosine 0; label 2 is a
+        # copy of label 0 -> cosine 1, l2 0.
+        e0 = [1.0] + [0.0] * 63
+        e1 = [0.0, 1.0] + [0.0] * 62
+        rows = (
+            [(i, e0, 0) for i in range(3)]
+            + [(10 + i, e1, 1) for i in range(3)]
+            + [(20 + i, e0, 2) for i in range(3)]
+        )
+        sf = self._write(spark, tmp_path, rows)
+        got = {
+            (r.label_a, r.label_b): (r.centroid_cosine, r.centroid_l2)
+            for r in REG["emb_label_affinity"].fn(spark, sf).collect()
+        }
+        assert got[(0, 1)][0] == 0.0
+        assert got[(0, 2)] == (1.0, 0.0)
+        assert got[(1, 2)][0] == 0.0
+        assert abs(got[(0, 1)][1] - 2 ** 0.5) < 1e-6
+
+
+class TestABCAnalysis:
+    def test_planted_pareto(self, spark, tmp_path):
+        # revenues 80, 15, 3, 2 (no discount): cum shares 80/95/98/100
+        # -> A={p1}, B={p2}, C={p3,p4} with boundary <= inclusive.
+        li = []
+        for pk, price in [(1, 80.0), (2, 15.0), (3, 3.0), (4, 2.0)]:
+            li.append((pk, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            r.abc_class: (r.n_parts, r.revenue, r.revenue_share)
+            for r in REG["rel_abc_analysis"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            "A": (1, 80.0, 0.8),
+            "B": (1, 15.0, 0.15),
+            "C": (2, 5.0, 0.05),
+        }

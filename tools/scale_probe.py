@@ -163,6 +163,14 @@ def main() -> None:
         "ts_weekly_profile",
         "ts_pelt_segments",
         "ts_holt_winters",
+        # fourth-continuation additions
+        "ts_kalman_filter",
+        "ts_rolling_median",
+        "ts_burn_rate",
+        "ts_activity_streaks",
+        "ts_multi_resolution",
+        "ts_seasonal_decompose",
+        "ts_top_movers",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
@@ -177,7 +185,7 @@ def main() -> None:
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
     for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
               "doc_inverted_index", "doc_bm25", "doc_pmi_bigrams",
-              "doc_sentence_stats", "doc_zipf_fit"]:
+              "doc_sentence_stats", "doc_zipf_fit", "doc_rake_keywords"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
