@@ -3024,3 +3024,62 @@ def doc_containment_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X8o: n-gram novelty scoring (corpus-order content novelty)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT DISTINCT doc_id, sh
+    FROM (SELECT doc_id, unnest({_SQL_SHINGLES.replace('toks', 'toks')}) AS sh
+          FROM t)
+), owner AS (
+    SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM s JOIN owner o ON s.sh = o.sh
+GROUP BY s.doc_id
+""",
+    tags=("text", "X8o", "novelty"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content NOVELTY in corpus order: the fraction of a
+    doc's distinct 5-gram shingles whose FIRST owner (min doc_id) is
+    the doc itself — 1.0 = entirely new material, ~0 = re-statement of
+    earlier content. The curation signal between exact dedup (all or
+    nothing) and near-dup clustering (pairwise): a ranking of how much
+    each document adds.
+
+    Scale: distinct (doc, shingle) pairs shuffle once to find first
+    owners (16-byte-class keys, the chunk-dedup contract), join back
+    on shingle, and roll up per doc — no pairwise comparisons anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(shingles(tokenize(F.col("text")), 5)).alias("sh"),
+        )
+        .distinct()
+    )
+    owner = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = s.join(owner, "sh")
+    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    D = lambda c: c.cast("double")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(is_novel).cast("bigint").alias("n_novel"),
+        F.round(D(F.sum(is_novel)) / D(F.count(F.lit(1))), 6).alias("novelty"),
+    )

@@ -4200,3 +4200,108 @@ def ts_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J5b: interval union / coverage (merge overlapping intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_interval_coverage",
+    oracle="""
+WITH iv AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS e_us,
+           event_id
+    FROM events
+),
+m AS (
+    SELECT user_id, s_us, e_us, event_id,
+           MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM iv
+),
+isl AS (
+    SELECT user_id, s_us, e_us,
+           CAST(SUM(CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS island
+    FROM m
+),
+merged AS (
+    SELECT user_id, island,
+           MIN(s_us) AS m_start, MAX(e_us) AS m_end
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(m_end - m_start) AS BIGINT) AS covered_us,
+       CAST(MAX(m_end - m_start) AS BIGINT) AS longest_us
+FROM merged GROUP BY user_id
+""",
+    tags=("tsdb", "J5b", "intervals"),
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user: each event claims [ts, ts+30min),
+    overlapping/adjacent-overlapping claims merge, and the output is
+    the merged-interval count, total covered time, and longest merged
+    span — the coverage/uptime algebra (billing sessions, maintenance
+    windows, GPU occupancy) that point-event queries can't express.
+
+    The sweep is the classic running-max trick: a new merged interval
+    starts exactly when an interval's start exceeds the max end of ALL
+    earlier intervals (ROWS UNBOUNDED..1 PRECEDING — not lag: an
+    earlier long interval can swallow several later ones), island ids
+    are the running sum of those starts, then one agg per island. All
+    integer epoch-us; two user-partitioned windows over one Exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000).cast("bigint")).alias("e_us"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.max("e_us").over(w_prev).alias("prev_max_e"),
+    )
+    new_isl = (
+        F.col("prev_max_e").isNull() | (F.col("s_us") > F.col("prev_max_e"))
+    ).cast("int")
+    # both windows order by (s_us, event_id): duplicate timestamps are
+    # real at scale and a tie-ambiguous island numbering would diverge
+    # between engines
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = m.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum(new_isl).over(w_run).cast("bigint").alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("m_start"), F.max("e_us").alias("m_end")
+    )
+    span = F.col("m_end") - F.col("m_start")
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(span).cast("bigint").alias("covered_us"),
+        F.max(span).cast("bigint").alias("longest_us"),
+    )

@@ -683,3 +683,86 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_l2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7h: MMR diversification re-ranking (retrieval diversity)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_mmr_diversify", oracle=None, tags=("vectors", "X7h", "retrieval", "no-oracle"))
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over
+    each probe's exact top-20 cosine candidates: greedily pick 5
+    results maximizing lambda*relevance - (1-lambda)*max_sim_to_already
+    _selected (lambda=0.5) — the diversification step a RAG/retrieval
+    stack runs so near-duplicate hits don't crowd out coverage.
+
+    The greedy argmax is inherently sequential PER PROBE (5 steps over
+    20 candidates) — the sanctioned boundary at its smallest: the
+    probe-bounded candidate pool (20 rows + vectors) enters
+    applyInPandas, probes fan out. Ties break to the lowest
+    neighbor_id; pure-Python reference equality and a planted
+    two-cluster diversity test pin it. Rows-only: the greedy trace has
+    no SQL twin.
+    """
+    from ..operators.similarity import brute_force_topk
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    cand = brute_force_topk(e, probes, k=20).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    vecs = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec_double(F.col("embedding")).alias("nv"),
+    )
+    pool = cand.join(vecs, "neighbor_id")
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(pdf["nv"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        sim = Vn @ Vn.T
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        lam = 0.5
+        selected: list[int] = []
+        out = []
+        avail = list(range(len(pdf)))
+        for step in range(1, min(5, len(avail)) + 1):
+            best_i, best_score = None, None
+            for i in avail:
+                penalty = max(sim[i, j] for j in selected) if selected else 0.0
+                score = lam * rel[i] - (1 - lam) * penalty
+                # ties -> lowest neighbor_id (avail is id-sorted, strict >)
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            avail.remove(best_i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    step,
+                    int(ids[best_i]),
+                    round(float(rel[best_i]), 6),
+                    round(float(best_score), 6),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "sel_rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        run,
+        "query_id bigint, sel_rank int, neighbor_id bigint, relevance double, "
+        "mmr_score double",
+    )

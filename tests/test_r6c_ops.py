@@ -683,3 +683,134 @@ class TestABCAnalysis:
             "B": (1, 15.0, 0.15),
             "C": (2, 5.0, 0.05),
         }
+
+
+class TestNgramNovelty:
+    def _write_docs(self, spark, tmp_path, texts):
+        rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_planted_novelty(self, spark, tmp_path):
+        # doc 1: fresh; doc 2: identical copy -> novelty 0;
+        # doc 3: half doc-1 material, half new.
+        t1 = "a b c d e f g h i j"            # 6 shingles, all novel
+        t3 = "a b c d e x y z w v u"          # shares 'a b c d e' start
+        sf = self._write_docs(spark, tmp_path, [t1, t1, t3])
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+            for r in REG["doc_ngram_novelty"].fn(spark, sf).collect()
+        }
+        assert got[1] == (6, 6, 1.0)
+        assert got[2] == (6, 0, 0.0)
+        n3, k3, nov3 = got[3]
+        assert n3 == 7 and k3 == 6  # only shingle "a b c d e" is owned by doc 1
+        assert nov3 == round(6 / 7, 6)
+
+
+class TestIntervalCoverage:
+    def test_planted_merge(self, spark, tmp_path):
+        # user 1: events at 0min and 10min (overlap -> one 40-min span),
+        # then 120min (separate). user 2: one event.
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(minutes=10), 1, "a", 1.0, "{}"),
+            (3, D0 + timedelta(minutes=120), 1, "a", 1.0, "{}"),
+            (4, D0, 2, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r.user_id: (r.n_merged, r.covered_us, r.longest_us)
+            for r in REG["ts_interval_coverage"].fn(spark, sf).collect()
+        }
+        m40 = 40 * 60 * 1_000_000
+        m30 = 30 * 60 * 1_000_000
+        assert got[1] == (2, m40 + m30, m40)
+        assert got[2] == (1, m30, m30)
+
+    def test_swallowed_interval(self, spark, tmp_path):
+        # lag-based merging fails here: event B starts inside A's span
+        # and ends before A-extended C starts; the running-max catches
+        # that A swallows B and chains into C.
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),                        # [0, 30)
+            (2, D0 + timedelta(minutes=5), 1, "a", 1.0, "{}"), # [5, 35)
+            (3, D0 + timedelta(minutes=33), 1, "a", 1.0, "{}"),# [33, 63)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_interval_coverage"].fn(spark, sf).collect()[0]
+        assert r.n_merged == 1
+        assert r.covered_us == 63 * 60 * 1_000_000
+
+
+class TestMMRDiversify:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_matches_python_reference(self, spark):
+        import numpy as np
+
+        sf = "/root/testdata/sf0.001"
+        out = REG["emb_mmr_diversify"].fn(spark, sf).collect()
+        # recompute the greedy trace for one probe in pure python
+        from chrono_ts_spark.operators.similarity import brute_force_topk
+        from chrono_ts_spark.queries import load_all as _la
+        from chrono_ts_spark.catalog import load_table as _lt
+        from chrono_ts_spark.functions import vec_double
+        import pyspark.sql.functions as F
+
+        e = _lt(spark, sf, "embeddings")
+        probes = e.filter(F.col("vec_id") == 0)
+        cand = brute_force_topk(e, probes, k=20).select(
+            "query_id", "neighbor_id", "cosine"
+        )
+        vecs = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            vec_double(F.col("embedding")).alias("nv"),
+        )
+        pdf = cand.join(vecs, "neighbor_id").toPandas().sort_values(
+            "neighbor_id"
+        ).reset_index(drop=True)
+        V = np.stack(pdf["nv"].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1)[:, None]
+        sim = Vn @ Vn.T
+        rel = pdf["cosine"].to_numpy()
+        sel, avail, expect = [], list(range(len(pdf))), []
+        for step in range(1, 6):
+            best_i, best = None, None
+            for i in avail:
+                pen = max(sim[i, j] for j in sel) if sel else 0.0
+                sc = 0.5 * rel[i] - 0.5 * pen
+                if best is None or sc > best:
+                    best_i, best = i, sc
+            sel.append(best_i)
+            avail.remove(best_i)
+            expect.append((step, int(pdf["neighbor_id"].iloc[best_i])))
+        got = sorted(
+            [(r.sel_rank, r.neighbor_id) for r in out if r.query_id == 0]
+        )
+        assert got == expect
+
+    def test_diversity_on_planted_clusters(self, spark, tmp_path):
+        # probe near cluster A; candidates: 10 identical A-clones (high
+        # rel, mutual sim 1.0) and 3 B-vectors tilted AWAY from A (so
+        # sim(A,B) < rel(B) and the diversity term can actually win).
+        # Plain top-5 = all A; MMR must mix B in.
+        a = [1.0, -0.1] + [0.0] * 62
+        b = [0.6, 0.8] + [0.0] * 62
+        rows = [(0, [1.0, 0.0] + [0.0] * 62, 0)]
+        for i in range(10):
+            rows.append((1 + i, [float(x) for x in a], 0))
+        for i in range(3):
+            rows.append((50 + i, [float(x) for x in b], 1))
+        sf = self._write(spark, tmp_path, rows)
+        out = [r for r in REG["emb_mmr_diversify"].fn(spark, sf).collect()
+               if r.query_id == 0]
+        picked = {r.neighbor_id for r in out}
+        assert any(n >= 50 for n in picked), picked  # a B made the cut
+        assert any(1 <= n < 50 for n in picked)
