@@ -2527,3 +2527,63 @@ def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(D(F.sum("rev_e4")) / F.lit(10000.0), 2).alias("revenue"),
         F.round(D(F.sum("rev_e4")) / D(F.max("total")), 6).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC1: change-log compaction (latest state per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_cdc_compact",
+    oracle="""
+WITH v AS (
+    SELECT user_id, event_type, value, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+    FROM events
+)
+SELECT user_id, event_type,
+       value AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM v WHERE rn = 1
+""",
+    tags=("relational", "CDC1", "compaction"),
+)
+def rel_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: the events table read as a CDC stream
+    keyed by (user, type) — latest version wins (ts, then event_id:
+    deterministic even for same-microsecond updates), emitting the
+    CURRENT-state table plus version counts. The batch equivalent of
+    Kafka log compaction / a MERGE-maintained latest-state view (the
+    streaming twin is stream_upsert_counts' keyed store).
+
+    One key-partitioned window; the rn=1 filter compiles to
+    WindowGroupLimit so version history is cut before the full sort
+    materializes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_versions"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_versions",
+        )
+    )

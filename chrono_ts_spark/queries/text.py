@@ -3083,3 +3083,105 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_novel).cast("bigint").alias("n_novel"),
         F.round(D(F.sum(is_novel)) / D(F.count(F.lit(1))), 6).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8p: bigram-LM quality proxy (conditional cross-entropy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_bigram_lm",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, u.p AS pos, u.w AS w
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+         UNNEST(list_transform(toks, (x, i) -> {{'w': x, 'p': i}})) AS one(u)
+),
+bg AS (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+bgn AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+bc AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM bgn GROUP BY w1, w2
+),
+uc AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(round(ln(CAST(bc.c12 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)), 6)
+                      * 1000000, 0) AS BIGINT) AS lp_fp
+    FROM bgn b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN uc ON b.w1 = uc.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp_fp) AS BIGINT) AS sum_logprob_fp,
+       CAST(SUM(lp_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) AS mean_logprob
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "X8p", "quality", "lm"),
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy: mean conditional log-probability
+    ln P(w2|w1) of each document's bigrams under the corpus MLE bigram
+    model — the order-sensitive step up from doc_unigram_logprob: a
+    shuffled-word document keeps its unigram score but craters here,
+    so the PAIR of scores separates rare-vocabulary from broken-syntax
+    documents.
+
+    Same libm discipline as the unigram twin: each ln rounds 6dp into
+    1e6 fixed point before the order-immune integer sum; P(w2|w1) =
+    c(w1,w2)/c(w1) with the denominator summed FROM the bigram counts
+    (so conditionals sum to exactly 1 per w1 — last tokens of docs
+    never skew the marginal). MLE needs no smoothing: scoring corpus =
+    training corpus, every scored bigram has count >= 1.
+
+    Scale: one doc-partitioned lead window, bigram-keyed hash aggs,
+    join back on (w1, w2) — pairs-only shuffles, no vocabulary^2
+    materialization beyond observed bigrams.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = tok.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bc = bgn.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    lp = (
+        bgn.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.round(
+                    F.log(F.col("c12").cast("double") / F.col("c1").cast("double")),
+                    6,
+                )
+                * F.lit(1000000),
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_fp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_fp").cast("bigint").alias("sum_logprob_fp"),
+        (
+            F.sum("lp_fp").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_logprob"),
+    )

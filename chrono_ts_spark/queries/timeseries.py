@@ -4305,3 +4305,65 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span).cast("bigint").alias("covered_us"),
         F.max(span).cast("bigint").alias("longest_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seq2: first-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_markov_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+tc AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+rt AS (
+    SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+    FROM tc GROUP BY from_type
+)
+SELECT tc.from_type, tc.to_type, tc.n, rt.row_total,
+       round(CAST(tc.n AS DOUBLE) / CAST(rt.row_total AS DOUBLE), 6) AS p
+FROM tc JOIN rt ON tc.from_type = rt.from_type
+""",
+    tags=("tsdb", "Seq2", "markov"),
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next=to | current=from) with exact transition counts
+    — the behavioral model behind next-action prediction and anomaly
+    scoring of improbable paths (complements ts_event_pattern's regex
+    matching and ts_event_trigrams' fixed patterns with the full
+    |types|^2 probability matrix).
+
+    One user-partitioned lead window, two hash aggs, a |types|-row
+    broadcast for row totals; probabilities are single divisions of
+    exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tc = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = tc.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return tc.join(F.broadcast(rt), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.round(
+            F.col("n").cast("double") / F.col("row_total").cast("double"), 6
+        ).alias("p"),
+    )

@@ -814,3 +814,79 @@ class TestMMRDiversify:
         picked = {r.neighbor_id for r in out}
         assert any(n >= 50 for n in picked), picked  # a B made the cut
         assert any(1 <= n < 50 for n in picked)
+
+
+class TestMarkovTransitions:
+    def test_planted_chain(self, spark, tmp_path):
+        # user path a->b->a->b->c : transitions ab, ba, ab, bc
+        types = ["a", "b", "a", "b", "c"]
+        rows = [
+            (i + 1, D0 + timedelta(minutes=i), 1, t, 1.0, "{}")
+            for i, t in enumerate(types)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            (r.from_type, r.to_type): (r.n, r.row_total, r.p)
+            for r in REG["ts_markov_transitions"].fn(spark, sf).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 2, 1.0),
+            ("b", "a"): (1, 2, 0.5),
+            ("b", "c"): (1, 2, 0.5),
+        }
+
+    def test_no_cross_user_transitions(self, spark, tmp_path):
+        # last event of user 1 must not chain into user 2's first
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(minutes=1), 2, "b", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        assert REG["ts_markov_transitions"].fn(spark, sf).collect() == []
+
+
+class TestCDCCompact:
+    def test_latest_wins_with_tiebreak(self, spark, tmp_path):
+        # same-microsecond updates: event_id breaks the tie (higher wins)
+        t = D0
+        rows = [
+            (1, t, 1, "a", 10.0, "{}"),
+            (2, t, 1, "a", 20.0, "{}"),          # same ts, higher id
+            (3, t + timedelta(minutes=-5), 1, "a", 99.0, "{}"),  # older
+            (4, t, 1, "b", 7.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            (r.user_id, r.event_type): (r.last_value, r.n_versions)
+            for r in REG["rel_cdc_compact"].fn(spark, sf).collect()
+        }
+        assert got == {(1, "a"): (20.0, 3), (1, "b"): (7.0, 1)}
+
+
+class TestBigramLM:
+    def _write_docs(self, spark, tmp_path, texts):
+        rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_deterministic_sequence_scores_zero(self, spark, tmp_path):
+        # corpus where every w1 has exactly one successor: all
+        # conditionals are 1 -> mean_logprob exactly 0.
+        sf = self._write_docs(spark, tmp_path, ["a b c d", "a b c d"])
+        out = REG["doc_bigram_lm"].fn(spark, sf).collect()
+        assert all(r.mean_logprob == 0.0 for r in out)
+        assert all(r.n_bigrams == 3 for r in out)
+
+    def test_order_sensitivity_vs_unigram(self, spark, tmp_path):
+        import math
+
+        # doc 1 = fluent repetition of "x y"; doc 2 = same tokens,
+        # broken order. Same unigram profile, doc 2 must score lower.
+        sf = self._write_docs(
+            spark, tmp_path, ["x y x y x y x y", "x x y y x y y x"]
+        )
+        got = {r.doc_id: r.mean_logprob for r in
+               REG["doc_bigram_lm"].fn(spark, sf).collect()}
+        assert got[2] < got[1] < 0.0  # P(y|x)<1 because doc2 adds x->x
