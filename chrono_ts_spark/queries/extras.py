@@ -1672,3 +1672,65 @@ def io_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_event_id",
         "sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# S2c: nested-JSON roundtrip (complex-type IO)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_nested_json",
+    oracle=f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents_total,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open
+FROM orders GROUP BY o_custkey
+""",
+    tags=("io", "S2c", "json"),
+)
+def io_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON IO roundtrip: orders are re-shaped into nested
+    records ({key, customer, detail: {price, status}, tags: [...]}),
+    written as JSON lines, read back WITH an explicit nested schema,
+    flattened, and re-aggregated — proving struct fields, array
+    columns, and numeric fidelity survive the text format. The oracle
+    aggregates the ORIGINAL table, so the hash compare is the
+    losslessness proof (the io_csv_scan contract, nested edition).
+
+    Cents survive exactly: the price crosses JSON as a number and the
+    comparison rounds to integer cents on both sides. Schema-on-read
+    (no inference) is the 100 TB discipline — inference is a full
+    extra scan.
+    """
+    path = _roundtrip_dir(sf_dir, "njson", "orders")
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("customer"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("detail"),
+        F.array(F.col("o_orderpriority"), F.lit("order")).alias("tags"),
+    )
+    nested.write.mode("overwrite").json(path)
+    schema = (
+        "key bigint, customer bigint, "
+        "detail struct<price: double, status: string>, tags array<string>"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy(F.col("customer").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.round(F.col("detail.price") * 100, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents_total"),
+        F.sum((F.col("detail.status") == "O").cast("int"))
+        .cast("bigint")
+        .alias("n_open"),
+    )

@@ -2587,3 +2587,72 @@ def rel_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dim1: generated calendar dimension + coverage anti-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_calendar_coverage",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(MIN(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS d0,
+           CAST(MAX(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS d1
+    FROM orders
+),
+cal AS (
+    SELECT unnest(generate_series(d0, d1)) AS d FROM bounds
+),
+od AS (
+    SELECT DISTINCT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+    FROM orders
+)
+SELECT CAST((cal.d * 86400) // 2629746 AS BIGINT) AS month_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN od.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_with_orders,
+       CAST(SUM(CASE WHEN od.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_without
+FROM cal LEFT JOIN od ON cal.d = od.d
+GROUP BY month_bucket
+""",
+    tags=("relational", "Dim1", "calendar"),
+)
+def rel_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension coverage: a GENERATED day dimension spanning
+    [min, max] order date, left-joined against actual order days, and
+    rolled up per (epoch-second div mean-month) bucket — the missing-
+    data report that point queries structurally can't produce (absent
+    rows don't exist to count). The generated-dimension pattern is how
+    a warehouse gets its date table without ingesting one.
+
+    The dimension comes from sequence()/generate_series on both
+    engines over the integer day index — no date-arithmetic dialect in
+    the join key; the fixed 2629746 s mean-month keeps the bucket
+    engine-portable (calendar month() of a generated day would be
+    fine too, but the integer form keeps the whole query in epoch
+    space).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    bounds = o.agg(
+        F.min(day).cast("bigint").alias("d0"), F.max(day).cast("bigint").alias("d1")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    od = o.select(day.cast("bigint").alias("d")).distinct()
+    j = cal.join(od.withColumn("has", F.lit(1)), "d", "left")
+    return j.groupBy(
+        F.expr("(d * 86400) div 2629746").cast("bigint").alias("month_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.coalesce(F.col("has"), F.lit(0))).cast("bigint").alias(
+            "days_with_orders"
+        ),
+        F.sum((F.col("has").isNull()).cast("int")).cast("bigint").alias(
+            "days_without"
+        ),
+    )

@@ -571,3 +571,44 @@ def sf_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("self_eq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding (base64 / hex / codepoint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_encoding_funcs",
+    oracle="""
+SELECT p_partkey,
+       base64(encode(p_name)) AS name_b64,
+       hex(p_name) AS name_hex,
+       ascii(p_name) AS first_codepoint,
+       chr(65 + p_size % 26) AS size_letter,
+       CAST(length(decode(from_base64(base64(encode(p_name)))))
+            AS BIGINT) AS roundtrip_len,
+       CAST(length(decode(from_base64(base64(encode(p_name)))))
+            = length(p_name) AS INTEGER) AS roundtrip_ok
+FROM part
+""",
+    tags=("scalar", "encoding"),
+)
+def sf_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding family: base64 encode + decode roundtrip, hex of the
+    UTF-8 bytes (uppercase on both engines — probed), codepoint <->
+    char. Rounds out the scalar grid's binary-text boundary (the hash
+    family covers digest hex; this covers reversible encodings).
+    """
+    p = load_table(spark, sf_dir, "part")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    rt_len = F.length(F.unbase64(b64).cast("string")).cast("bigint")
+    return p.select(
+        "p_partkey",
+        b64.alias("name_b64"),
+        F.hex(F.col("p_name")).alias("name_hex"),
+        F.ascii("p_name").alias("first_codepoint"),
+        F.expr("char(65 + p_size % 26)").alias("size_letter"),
+        rt_len.alias("roundtrip_len"),
+        (rt_len == F.length("p_name")).cast("int").alias("roundtrip_ok"),
+    )

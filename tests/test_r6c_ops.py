@@ -890,3 +890,59 @@ class TestBigramLM:
         got = {r.doc_id: r.mean_logprob for r in
                REG["doc_bigram_lm"].fn(spark, sf).collect()}
         assert got[2] < got[1] < 0.0  # P(y|x)<1 because doc2 adds x->x
+
+
+class TestEncodingFuncs:
+    def test_roundtrip_always_ok(self, spark):
+        out = REG["sf_encoding_funcs"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert all(r.roundtrip_ok == 1 for r in out)
+        import base64
+
+        r0 = out[0]
+        # python reference agreement on one row
+        # (hex is the UTF-8 bytes uppercased)
+        orig = base64.b64decode(r0.name_b64).decode()
+        assert r0.name_hex == orig.encode().hex().upper()
+
+
+class TestNestedJSON:
+    def test_roundtrip_vs_source(self, spark):
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.o_custkey: (r.n_orders, r.cents_total, r.n_open)
+            for r in REG["io_nested_json"].fn(spark, sf).collect()
+        }
+        src = spark.read.parquet(f"{sf}/orders.parquet")
+        exp = {
+            r.o_custkey: (r.n, r.c, r.o)
+            for r in src.groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("c"),
+                F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("o"),
+            )
+            .collect()
+        }
+        assert got == exp
+
+
+class TestCalendarCoverage:
+    def test_planted_gap_days(self, spark, tmp_path):
+        # orders on days 0, 1, 4 of one month: calendar spans 5 days,
+        # 2 uncovered.
+        orders = [
+            (1, 1, "O", 1.0, D0, "p"),
+            (2, 1, "O", 1.0, D0 + timedelta(days=1), "p"),
+            (3, 1, "O", 1.0, D0 + timedelta(days=4), "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = REG["rel_calendar_coverage"].fn(spark, str(tmp_path)).collect()
+        assert sum(r.n_days for r in out) == 5
+        assert sum(r.days_with_orders for r in out) == 3
+        assert sum(r.days_without for r in out) == 2
