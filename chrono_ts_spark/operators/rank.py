@@ -84,6 +84,7 @@ def banded_prefix_sum(
     *,
     ascending: bool = True,
     out: str = "cum",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Append column ``out`` = running SUM of ``value`` over the global
     (``key``, ``tiebreak``) order — inclusive of the current row — with
@@ -93,37 +94,42 @@ def banded_prefix_sum(
 
     The Pareto/ABC cumulative-share primitive: at scale a global
     cumulative sum is otherwise a single-partition sort.
+
+    ``partition_by`` restarts the running sum per group (weighted
+    medians per category): bands become (group, digit-band) and the
+    offset join adds an equality condition on the group columns.
     """
+    pby = list(partition_by or [])
     banded = df.withColumn(
         "__band", F.length(F.col(key).cast("string")).cast("bigint")
     )
     key_order: Column = F.col(key).asc() if ascending else F.col(key).desc()
     w_in = (
-        Window.partitionBy("__band")
+        Window.partitionBy(*pby, "__band")
         .orderBy(key_order, *[F.col(c).asc() for c in tiebreak])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = banded.withColumn("__run", F.sum(value).over(w_in))
-    bt = banded.groupBy("__band").agg(F.sum(value).alias("__tot"))
+    bt = banded.groupBy(*pby, "__band").agg(F.sum(value).alias("__tot"))
     before = F.col("__o_band") < F.col("__band") if ascending else (
         F.col("__o_band") > F.col("__band")
     )
+    other = bt.select(
+        *[F.col(c).alias(f"__o_{c}") for c in pby],
+        F.col("__band").alias("__o_band"),
+        F.col("__tot").alias("__o_tot"),
+    )
+    cond = before
+    for c in pby:
+        cond = cond & (F.col(f"__o_{c}") == F.col(c))
     off = (
-        bt.select("__band")
-        .join(
-            F.broadcast(
-                bt.select(
-                    F.col("__band").alias("__o_band"), F.col("__tot").alias("__o_tot")
-                )
-            ),
-            before,
-            "left",
-        )
-        .groupBy("__band")
+        bt.select(*pby, "__band")
+        .join(F.broadcast(other), cond, "left")
+        .groupBy(*pby, "__band")
         .agg(F.coalesce(F.sum("__o_tot"), F.lit(0)).alias("__off"))
     )
     return (
-        within.join(F.broadcast(off), "__band")
+        within.join(F.broadcast(off), [*pby, "__band"])
         .withColumn(out, F.col("__off") + F.col("__run"))
         .drop("__band", "__run", "__off")
     )

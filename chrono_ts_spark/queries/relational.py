@@ -2656,3 +2656,112 @@ def rel_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_without"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4c: exact weighted median (banded prefix sums per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_weighted_median",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+           CAST(l_quantity AS BIGINT) AS w,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, cents, w,
+           CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                             ORDER BY cents, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw
+    FROM c
+),
+tot AS (
+    SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw
+    FROM c GROUP BY l_returnflag
+),
+lo AS (
+    SELECT cum.l_returnflag, MIN(cents) AS lo_cents
+    FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+    WHERE cw * 2 >= tw GROUP BY cum.l_returnflag
+),
+hi AS (
+    SELECT cum.l_returnflag, MIN(cents) AS hi_cents
+    FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+    WHERE cw * 2 > tw GROUP BY cum.l_returnflag
+)
+SELECT t.l_returnflag, t.tw AS total_weight,
+       lo.lo_cents, hi.hi_cents,
+       CAST(lo.lo_cents + hi.hi_cents AS DOUBLE) / 2.0 / 100.0
+           AS weighted_median
+FROM tot t
+JOIN lo ON t.l_returnflag = lo.l_returnflag
+JOIN hi ON t.l_returnflag = hi.l_returnflag
+""",
+    tags=("relational", "A4c", "robust"),
+)
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price at which half the total QUANTITY (not row count) has been
+    seen — the inventory-weighted center rel_median_mode's unweighted
+    median can't express. lo/hi are the standard lower/upper weighted
+    medians (equal unless the half-point falls exactly between rows);
+    the reported value is their exact-dyadic midpoint in cents.
+
+    The per-flag cumulative weight comes from banded_prefix_sum with
+    partition_by (operators/rank.py) — per-group running sums without
+    any per-group single-partition sort; the oracle's plain windows
+    prove the decomposition. All comparisons are integer
+    cross-multiplications (cw*2 vs tw).
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = banded_prefix_sum(
+        c,
+        "cents",
+        ["l_orderkey", "l_linenumber"],
+        "w",
+        ascending=True,
+        out="cw",
+        partition_by=["l_returnflag"],
+    )
+    tot = c.groupBy("l_returnflag").agg(F.sum("w").cast("bigint").alias("tw"))
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    lo = (
+        j.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("lo_cents"))
+    )
+    hi = (
+        j.filter(F.col("cw") * 2 > F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("hi_cents"))
+    )
+    return (
+        tot.join(lo, "l_returnflag")
+        .join(hi, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            "lo_cents",
+            "hi_cents",
+            (
+                (F.col("lo_cents") + F.col("hi_cents")).cast("double")
+                / 2.0
+                / 100.0
+            ).alias("weighted_median"),
+        )
+    )

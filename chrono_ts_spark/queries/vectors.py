@@ -766,3 +766,146 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, sel_rank int, neighbor_id bigint, relevance double, "
         "mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X7i: Johnson-Lindenstrauss random projection (data-independent, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_rp_project",
+    oracle="""
+WITH dims AS (
+    SELECT i, j,
+           CASE WHEN substr(md5('rp-' || CAST(j AS VARCHAR) || '-'
+                             || CAST(i AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE -1 END AS sgn
+    FROM (SELECT unnest(generate_series(1, 64)) AS i),
+         (SELECT unnest(generate_series(1, 16)) AS j)
+),
+terms AS (
+    SELECT e.vec_id, d.j,
+           CAST(round(CAST(sgn AS DOUBLE)
+                      * CAST(embedding[d.i] AS DOUBLE) * 1e9, 0) AS BIGINT)
+               AS t_fp
+    FROM embeddings e JOIN dims d ON d.i <= len(embedding)
+)
+SELECT vec_id, CAST(j AS INTEGER) AS j,
+       round(CAST(SUM(t_fp) AS DOUBLE) / 1e9 / 4.0, 6) AS proj
+FROM terms GROUP BY vec_id, j
+""",
+    tags=("vectors", "X7i", "projection"),
+)
+def emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64 -> 16 dims:
+    out_j = (1/sqrt(16)) * sum_i sign(i,j) * v_i with signs derived
+    from md5("rp-j-i") — DATA-INDEPENDENT dimension reduction (the
+    streaming/ingest-time counterpart to emb_pca_variance, which
+    needs a fit pass) with the JL distance-preservation guarantee.
+
+    Determinism: signs are a pure function of (i, j) via md5 hex (both
+    engines lowercase); each signed component rounds into 1e9 fixed
+    point so the 64-term sum is integer; sqrt(16) = 4 exactly, so the
+    final scaling is two exact-or-single-rounded IEEE ops. Map-side
+    except one (vec_id, j) agg; the 1024-row sign matrix broadcasts.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ij = (
+        e.sparkSession.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            e.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rp-"),
+                            F.col("j").cast("string"),
+                            F.lit("-"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    exploded = e.select(
+        "vec_id", F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("i"), "val")
+    terms = exploded.join(F.broadcast(ij), "i").select(
+        "vec_id",
+        "j",
+        F.round(F.col("sgn").cast("double") * F.col("val") * F.lit(1e9), 0)
+        .cast("bigint")
+        .alias("t_fp"),
+    )
+    return terms.groupBy("vec_id", "j").agg(
+        F.round(
+            F.sum("t_fp").cast("double") / F.lit(1e9) / F.lit(4.0), 6
+        ).alias("proj")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7j: Matryoshka truncation evaluation (prefix-dim retrieval quality)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_matryoshka_eval", oracle=None, tags=("vectors", "X7j", "eval", "no-oracle"))
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style evaluation: run the same exact top-5 cosine
+    retrieval with only the FIRST 16 of 64 dimensions and report
+    per-probe overlap with the full-dimension result — the measurement
+    behind prefix-truncation serving decisions (4x cheaper scan for
+    how much quality?). Probe-bounded like emb_recall_eval; rows-only
+    (a ranking-overlap trace), internal consistency + a
+    prefix-dominant planted case pinned in tests.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    full = brute_force_topk(e, probes, k=5).select("query_id", "neighbor_id")
+    trunc_corpus = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding"), "label"
+    )
+    trunc_probes = trunc_corpus.filter(F.col("vec_id") < 10)
+    trunc = brute_force_topk(trunc_corpus, trunc_probes, k=5).select(
+        F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor")
+    )
+    hits = full.join(
+        trunc,
+        (full.query_id == trunc.t_query) & (full.neighbor_id == trunc.t_neighbor),
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    base = full.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_full")
+    )
+    return (
+        base.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "k_full",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_at_5",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("k_full").cast("double"), 6
+            ),
+        )
+    )

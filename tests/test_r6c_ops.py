@@ -946,3 +946,95 @@ class TestCalendarCoverage:
         assert sum(r.n_days for r in out) == 5
         assert sum(r.days_with_orders for r in out) == 3
         assert sum(r.days_without for r in out) == 2
+
+
+class TestWeightedMedian:
+    def test_planted_weights(self, spark, tmp_path):
+        # prices (cents): 100 w=1, 200 w=8, 300 w=1  -> half of 10 is
+        # reached inside the 200 block: lo = hi = 200.
+        # Then equal split: 100 w=5, 300 w=5 -> lo=100 (2*5>=10),
+        # hi=300 (first 2*cw>10) -> median 200.
+        li = []
+        for i, (price, w) in enumerate([(1.0, 1), (2.0, 8), (3.0, 1)]):
+            li.append((1, 1, 1, i + 1, float(w), price, 0.0, 0.0, "A", "O", D0))
+        for i, (price, w) in enumerate([(1.0, 5), (3.0, 5)]):
+            li.append((2, 1, 1, i + 1, float(w), price, 0.0, 0.0, "B", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            r.l_returnflag: (r.lo_cents, r.hi_cents, r.weighted_median)
+            for r in REG["rel_weighted_median"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got["A"] == (200, 200, 2.0)
+        assert got["B"] == (100, 300, 2.0)
+
+
+class TestRandomProjection:
+    def test_jl_distance_preservation(self, spark, tmp_path):
+        import math
+        import random
+
+        rnd = random.Random(11)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(64)], 0) for i in range(12)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = REG["emb_rp_project"].fn(spark, str(tmp_path)).collect()
+        proj = {}
+        for r in out:
+            proj.setdefault(r.vec_id, {})[r.j] = r.proj
+        vecs = {i: v for i, v, _ in rows}
+        import itertools
+
+        ratios = []
+        for a, b in itertools.combinations(range(12), 2):
+            d_full = math.dist(vecs[a], vecs[b])
+            pa = [proj[a][j] for j in sorted(proj[a])]
+            pb = [proj[b][j] for j in sorted(proj[b])]
+            d_proj = math.dist(pa, pb)
+            ratios.append(d_proj / d_full)
+        mean_r = sum(ratios) / len(ratios)
+        # JL with k=16: expected ratio 1, spread bounded; loose gates
+        assert 0.6 < mean_r < 1.4, mean_r
+        assert all(0.2 < r < 2.2 for r in ratios), ratios
+
+    def test_linearity(self, spark, tmp_path):
+        # projection is linear: proj(2v) = 2*proj(v) (up to rounding)
+        v = [0.5] * 64
+        rows = [(1, v, 0), (2, [2 * x for x in v], 0)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = REG["emb_rp_project"].fn(spark, str(tmp_path)).collect()
+        p1 = {r.j: r.proj for r in out if r.vec_id == 1}
+        p2 = {r.j: r.proj for r in out if r.vec_id == 2}
+        for j in p1:
+            assert abs(p2[j] - 2 * p1[j]) < 1e-5
+
+
+class TestMatryoshkaEval:
+    def test_consistency_and_prefix_dominant(self, spark, tmp_path):
+        # vectors whose information lives entirely in the first 16 dims:
+        # truncation must preserve the full ranking (overlap 1.0).
+        import random
+
+        rnd = random.Random(5)
+        rows = []
+        for i in range(30):
+            head = [rnd.uniform(-1, 1) for _ in range(16)]
+            rows.append((i, head + [0.0] * 48, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = REG["emb_matryoshka_eval"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r.k_full == 5
+            assert r.overlap_at_5 == 1.0
