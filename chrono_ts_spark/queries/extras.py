@@ -1734,3 +1734,58 @@ def io_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S7c: recursive CTE through the SQL entry (graph reachability)
+# ---------------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH RECURSIVE baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+reach (seed, part, hop) AS (
+    SELECT l_partkey AS seed, l_partkey AS part, 0 AS hop
+    FROM (SELECT DISTINCT l_partkey FROM lineitem
+          WHERE l_partkey <= 5)
+    UNION ALL
+    SELECT r.seed, e.dst, r.hop + 1
+    FROM reach r JOIN edges e ON r.part = e.src
+    WHERE r.hop < 2
+)
+SELECT seed,
+       CAST(COUNT(DISTINCT CASE WHEN hop <= 1 THEN part END) - 1 AS BIGINT)
+           AS n_within_1,
+       CAST(COUNT(DISTINCT part) - 1 AS BIGINT) AS n_within_2
+FROM reach
+GROUP BY seed
+"""
+
+
+@query(
+    "sql_recursive_reach",
+    oracle=_REACH_SQL,
+    tags=("sql-entry", "S7c", "graph", "recursive"),
+)
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7c: WITH RECURSIVE through the SQL entry (Spark 4 recursive
+    CTE support — probed, works): 2-hop reachability over the part
+    co-order graph from seed parts (partkey <= 5), counting distinct
+    parts within 1 and within 2 hops (seed excluded). The IDENTICAL
+    SQL text runs on both engines — the strongest S7 parity statement
+    in the registry: not just the same semantics, the same query
+    string exercising the same recursion feature.
+
+    The recursion is depth-BOUNDED (hop < 2 guard), so the iteration
+    count is constant regardless of data size; the working set per
+    iteration is seeds x frontier, never the whole graph.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_REACH_SQL)

@@ -2765,3 +2765,112 @@ def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_median"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rep1: period-over-period growth (MoM / YoY via self-join, no window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_growth_rates",
+    oracle="""
+WITH m AS (
+    SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+               AS midx,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY midx
+)
+SELECT cur.midx,
+       printf('%04d-%02d', cur.midx // 12, cur.midx % 12 + 1) AS month_label,
+       round(CAST(cur.cents AS DOUBLE) / 100.0, 2) AS revenue,
+       cur.n_orders,
+       round(CAST(cur.cents - mom.cents AS DOUBLE) / CAST(mom.cents AS DOUBLE),
+             6) AS mom_growth,
+       round(CAST(cur.cents - yoy.cents AS DOUBLE) / CAST(yoy.cents AS DOUBLE),
+             6) AS yoy_growth
+FROM m cur
+LEFT JOIN m mom ON mom.midx = cur.midx - 1
+LEFT JOIN m yoy ON yoy.midx = cur.midx - 12
+""",
+    tags=("relational", "Rep1", "growth"),
+)
+def rel_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    reporting staple — computed WITHOUT any window: the monthly
+    aggregate (calendar-bounded, tiny) self-joins on midx-1 and
+    midx-12. A lag window over a global month ordering would be the
+    habitual form; the join form has no single-partition sort, no
+    partition-less window for the audit to flag, and handles calendar
+    gaps by construction (a missing prior month yields NULL growth,
+    not the previous ACTIVE month's — the ts_top_movers guard, free).
+    Integer month index keeps months_between out (docs/determinism.md).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+            .cast("bigint")
+            .alias("midx"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("midx")
+        .agg(
+            F.sum("c").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    mom = m.select((F.col("midx") + 1).alias("midx"), F.col("cents").alias("mom_c"))
+    yoy = m.select((F.col("midx") + 12).alias("midx"), F.col("cents").alias("yoy_c"))
+    D = lambda c: c.cast("double")
+    return (
+        m.join(F.broadcast(mom), "midx", "left")
+        .join(F.broadcast(yoy), "midx", "left")
+        .select(
+            "midx",
+            F.format_string(
+                "%04d-%02d",
+                F.expr("midx div 12").cast("int"),
+                (F.col("midx") % 12 + 1).cast("int"),
+            ).alias("month_label"),
+            F.round(D(F.col("cents")) / 100.0, 2).alias("revenue"),
+            "n_orders",
+            F.round((D(F.col("cents") - F.col("mom_c"))) / D(F.col("mom_c")), 6).alias(
+                "mom_growth"
+            ),
+            F.round((D(F.col("cents") - F.col("yoy_c"))) / D(F.col("yoy_c")), 6).alias(
+                "yoy_growth"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4d: built-in approximate percentiles (the sketch swap for A4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_approx_percentiles",
+    oracle=None,  # algorithm-specific (Greenwald-Khanna vs t-digest);
+    # accuracy vs the exact interpolated percentiles pinned in pytest
+    tags=("relational", "A4d", "sketch", "no-oracle"),
+)
+def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in approx_percentile (Greenwald-Khanna, accuracy 10000)
+    for p50/p95/p99 of extended price per return flag — the documented
+    100 TB swap for rel_price_percentiles' exact interpolation (exact
+    percentiles need a per-group sort; GK summaries merge map-side in
+    fixed memory). rel_approx_distinct is the HLL twin of this row.
+    Rows-only: sketch internals are engine-specific; the <=0.1% rank
+    error vs the exact values is pinned in tests/test_r6c_ops.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )

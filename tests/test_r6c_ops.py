@@ -1038,3 +1038,76 @@ class TestMatryoshkaEval:
         for r in out:
             assert r.k_full == 5
             assert r.overlap_at_5 == 1.0
+
+
+class TestRecursiveReach:
+    def test_planted_chain_graph(self, spark, tmp_path):
+        # co-order graph: orders {1:(1,10), 2:(10,20), 3:(20,30)} makes
+        # the chain 1-10-20-30. Seed part 1: 1 hop -> {10}, 2 hops ->
+        # {10, 20}; part 30 stays out of reach.
+        li = []
+        for ok, (a, b) in [(1, (1, 10)), (2, (10, 20)), (3, (20, 30))]:
+            li.append((ok, a, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+            li.append((ok, b, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            r.seed: (r.n_within_1, r.n_within_2)
+            for r in REG["sql_recursive_reach"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got == {1: (1, 2)}
+
+
+class TestGrowthRates:
+    def test_planted_growth_and_gap(self, spark, tmp_path):
+        # months: 2024-01 $100, 2024-02 $150 (+50% MoM), 2024-04 $80
+        # (gap: no 2024-03 -> MoM NULL, not vs Feb), 2025-02 $300
+        # (YoY vs 2024-02 = +100%).
+        orders = [
+            (1, 1, "O", 100.0, datetime(2024, 1, 10), "p"),
+            (2, 1, "O", 150.0, datetime(2024, 2, 10), "p"),
+            (3, 1, "O", 80.0, datetime(2024, 4, 10), "p"),
+            (4, 1, "O", 300.0, datetime(2025, 2, 10), "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {
+            r.month_label: (r.mom_growth, r.yoy_growth)
+            for r in REG["rel_growth_rates"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got["2024-02"] == (0.5, None)
+        assert got["2024-04"] == (None, None)  # gap month: no MoM claim
+        assert got["2025-02"] == (None, 1.0)
+
+
+class TestApproxPercentiles:
+    def test_error_vs_exact(self, spark):
+        import duckdb
+
+        sf = "/root/testdata/sf0.01"
+        out = {
+            r.l_returnflag: r
+            for r in REG["rel_approx_percentiles"].fn(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        exact = con.sql(
+            f"""SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) p50,
+                   quantile_cont(l_extendedprice, 0.95) p95,
+                   quantile_cont(l_extendedprice, 0.99) p99
+                FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag"""
+        ).df()
+        for _, e in exact.iterrows():
+            a = out[e.l_returnflag]
+            for col, ref in [("p50_approx", e.p50), ("p95_approx", e.p95),
+                             ("p99_approx", e.p99)]:
+                rel_err = abs(getattr(a, col) - ref) / ref
+                assert rel_err < 0.01, (e.l_returnflag, col, rel_err)
