@@ -2874,3 +2874,141 @@ def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# For1: Benford first-digit analysis (forensic accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_benford_law",
+    oracle="""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+)
+SELECT obs.digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_t.n AS DOUBLE), 6) AS observed_share,
+       round(log10(1.0 + 1.0 / CAST(obs.digit AS DOUBLE)), 6) AS benford_share,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_t.n AS DOUBLE)
+             - round(log10(1.0 + 1.0 / CAST(obs.digit AS DOUBLE)), 6), 6)
+           AS deviation
+FROM obs CROSS JOIN n_t
+""",
+    tags=("relational", "For1", "forensic"),
+)
+def rel_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit analysis of order totals — the forensic
+    accounting screen: naturally-occurring amounts follow
+    P(d) = log10(1 + 1/d); fabricated or systematically-generated
+    values (like this synthetic fixture, usefully) deviate, and the
+    per-digit deviation column quantifies it.
+
+    The first digit comes from the CENTS integer's decimal string
+    (substr of a cast — integer-exact, no float log to find the
+    leading digit); the Benford reference is one libm log10 rounded
+    6dp (the established ln rule), and deviation subtracts the two
+    ROUNDED quantities so the output is a function of already-pinned
+    doubles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    n_t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    D = lambda c: c.cast("double")
+    benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / D(F.col("digit"))), 6)
+    share = F.round(D(F.col("n_obs")) / D(F.col("n")), 6)
+    return obs.join(F.broadcast(n_t)).select(
+        "digit",
+        "n_obs",
+        share.alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(D(F.col("n_obs")) / D(F.col("n")) - benford, 6).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1b: null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_nullsafe_join",
+    oracle="""
+WITH k AS (
+    SELECT c_custkey, c_mktsegment,
+           NULLIF(c_nationkey % 5, 3) AS nk
+    FROM customer
+)
+SELECT a.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_nullsafe_pairs,
+       CAST(SUM(CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eq_pairs,
+       CAST(SUM(CASE WHEN a.nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_pairs
+FROM k a JOIN k b
+  ON a.c_mktsegment = b.c_mktsegment
+ AND a.nk IS NOT DISTINCT FROM b.nk
+ AND a.c_custkey < b.c_custkey
+GROUP BY a.c_mktsegment
+""",
+    tags=("relational", "J1b", "null-semantics"),
+)
+def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join semantics (<=> / IS NOT DISTINCT FROM):
+    customers pair within a segment on a nullable derived key where
+    NULL must match NULL — the CDC/SCD reconciliation join that plain
+    `=` silently drops (every NULL-keyed row vanishes from an inner
+    join). The output counts null-safe pairs vs the strict-equality
+    subset vs the NULL-NULL pairs that only <=> finds, making the
+    semantic difference a checked number rather than a footnote.
+
+    Spark's eqNullSafe compiles to the same hash-join family as `=`
+    (NULL becomes an ordinary key value); pair explosion is bounded by
+    (segment, key) group sizes — the record-linkage blocking bound.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("nk"),
+    )
+    a = k.select(
+        F.col("c_custkey").alias("ck_a"),
+        F.col("c_mktsegment"),
+        F.col("nk").alias("nk_a"),
+    )
+    b = k.select(
+        F.col("c_custkey").alias("ck_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("nk").alias("nk_b"),
+    )
+    j = a.join(
+        b,
+        (a.c_mktsegment == b.seg_b)
+        & a.nk_a.eqNullSafe(b.nk_b)
+        & (a.ck_a < b.ck_b),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nullsafe_pairs"),
+        F.sum((F.col("nk_a") == F.col("nk_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_eq_pairs"),
+        F.sum(F.col("nk_a").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_pairs"),
+    )

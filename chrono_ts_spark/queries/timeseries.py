@@ -4367,3 +4367,93 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("row_total").cast("double"), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J6c: linear multi-touch attribution (complement to last-touch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_attribution_linear",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+),
+touch AS (
+    SELECT p.user_id, p.p_id, p.cents, c.c_id
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_us <= p.p_us
+     AND c.c_us > p.p_us - CAST(86400 AS BIGINT) * 1000000
+),
+n_t AS (
+    SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM touch GROUP BY p_id
+),
+credit AS (
+    SELECT t.user_id, t.c_id,
+           CAST((t.cents * 1000000) // n.n_touches AS BIGINT) AS credit_fp
+    FROM touch t JOIN n_t n ON t.p_id = n.p_id
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_credited_clicks,
+       CAST(SUM(credit_fp) AS BIGINT) AS credit_fp_total,
+       round(CAST(SUM(credit_fp) AS DOUBLE) / 1e6 / 100.0, 4) AS credited_revenue
+FROM credit GROUP BY user_id
+""",
+    tags=("tsdb", "J6c", "attribution"),
+)
+def ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's revenue splits
+    EQUALLY across all of the user's clicks in the preceding 24 h —
+    the multi-touch complement to ts_attribution_last_touch (argmax).
+    Per-user totals of credited clicks and revenue.
+
+    Credit is integer fixed point: cents*1e6 div n_touches (floor —
+    the pennies lost to integer division are the deterministic,
+    auditable convention; a double 1/n would drift with addition
+    order). The touch join is the bucketed range-join family shape
+    (bounded 24 h lookback); n_touches is a purchase-keyed agg joined
+    back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_us <= p.p_us)
+        & (c.c_us > p.p_us - F.lit(86_400_000_000).cast("bigint")),
+    ).select("user_id", "p_id", "cents", "c_id")
+    n_t = touch.groupBy("p_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches")
+    )
+    credit = touch.join(n_t, "p_id").select(
+        "user_id",
+        "c_id",
+        F.expr("(cents * 1000000) div n_touches").cast("bigint").alias("credit_fp"),
+    )
+    D = lambda x: x.cast("double")
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("c_id").cast("bigint").alias("n_credited_clicks"),
+        F.sum("credit_fp").cast("bigint").alias("credit_fp_total"),
+        F.round(D(F.sum("credit_fp")) / F.lit(1e6) / F.lit(100.0), 4).alias(
+            "credited_revenue"
+        ),
+    )

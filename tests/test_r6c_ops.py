@@ -1111,3 +1111,83 @@ class TestApproxPercentiles:
                              ("p99_approx", e.p99)]:
                 rel_err = abs(getattr(a, col) - ref) / ref
                 assert rel_err < 0.01, (e.l_returnflag, col, rel_err)
+
+
+class TestLinearAttribution:
+    def test_planted_split(self, spark, tmp_path):
+        # purchase of $3.00 with 3 clicks in window -> each click gets
+        # exactly $1.00 (300 cents * 1e6 / 3); one click outside 24h
+        # gets nothing; a purchase with no clicks vanishes.
+        rows = [
+            (1, D0 - timedelta(hours=25), 1, "click", 1.0, "{}"),   # too old
+            (2, D0 - timedelta(hours=2), 1, "click", 1.0, "{}"),
+            (3, D0 - timedelta(hours=1), 1, "click", 1.0, "{}"),
+            (4, D0 - timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (5, D0, 1, "purchase", 3.0, "{}"),
+            (6, D0, 2, "purchase", 9.99, "{}"),                     # no clicks
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.user_id: r for r in
+               REG["ts_attribution_linear"].fn(spark, sf).collect()}
+        assert set(out) == {1}
+        r = out[1]
+        assert r.n_credited_clicks == 3
+        assert r.credit_fp_total == 300 * 1_000_000
+        assert r.credited_revenue == 3.0
+
+    def test_floor_division_pennies(self, spark, tmp_path):
+        # $1.00 split 3 ways: 33333333 fp each, total 99999999 —
+        # the floored penny is the documented convention.
+        rows = [
+            (1, D0 - timedelta(hours=1), 1, "click", 1.0, "{}"),
+            (2, D0 - timedelta(minutes=30), 1, "click", 1.0, "{}"),
+            (3, D0 - timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (4, D0, 1, "purchase", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_attribution_linear"].fn(spark, sf).collect()[0]
+        assert r.credit_fp_total == 3 * (100 * 1_000_000 // 3)
+
+
+class TestBenford:
+    def test_planted_benford_exact(self, spark, tmp_path):
+        # amounts with known first digits of the CENTS value:
+        # 1.00->"100" d=1, 2.50->"250" d=2, 0.19->"19" d=1, 9.99->"999" d=9
+        orders = [
+            (1, 1, "O", 1.00, D0, "p"),
+            (2, 1, "O", 2.50, D0, "p"),
+            (3, 1, "O", 0.19, D0, "p"),
+            (4, 1, "O", 9.99, D0, "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.digit: (r.n_obs, r.observed_share, r.benford_share)
+               for r in REG["rel_benford_law"].fn(spark, str(tmp_path)).collect()}
+        import math
+
+        assert got[1][:2] == (2, 0.5)
+        assert got[2][:2] == (1, 0.25)
+        assert got[9][:2] == (1, 0.25)
+        assert got[1][2] == round(math.log10(2.0), 6)
+
+
+class TestNullSafeJoin:
+    def test_null_null_pairs_counted(self, spark, tmp_path):
+        # nationkey%5==3 -> NULL key. Two NULL-keyed + two 1-keyed
+        # customers in one segment: nullsafe = 2 pairs, eq = 1, null = 1.
+        cust = [
+            (1, "a", 3, 0.0, "SEG"),   # nk NULL
+            (2, "b", 8, 0.0, "SEG"),   # nk NULL (8%5=3)
+            (3, "c", 1, 0.0, "SEG"),   # nk 1
+            (4, "d", 6, 0.0, "SEG"),   # nk 1
+        ]
+        spark.createDataFrame(
+            cust,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+        r = REG["rel_nullsafe_join"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.n_nullsafe_pairs, r.n_eq_pairs, r.n_null_pairs) == (2, 1, 1)
