@@ -3012,3 +3012,75 @@ def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rep2: moving annual total (rolling 12-month window, join form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_moving_annual_total",
+    oracle="""
+WITH m AS (
+    SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+               AS midx,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY midx
+)
+SELECT cur.midx,
+       printf('%04d-%02d', cur.midx // 12, cur.midx % 12 + 1) AS month_label,
+       round(CAST(cur.cents AS DOUBLE) / 100.0, 2) AS revenue,
+       CAST(COUNT(w.midx) AS BIGINT) AS months_in_window,
+       round(CAST(SUM(w.cents) AS DOUBLE) / 100.0, 2) AS mat_revenue
+FROM m cur JOIN m w
+  ON w.midx BETWEEN cur.midx - 11 AND cur.midx
+GROUP BY cur.midx, cur.cents
+""",
+    tags=("relational", "Rep2", "growth"),
+)
+def rel_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving annual total (MAT): each month's trailing-12-month
+    revenue — the seasonality-free trend line reporting teams overlay
+    on monthly revenue. months_in_window < 12 marks the warm-up months
+    where the MAT is not yet a full year (left visible, not silently
+    comparable).
+
+    Shape: the monthly aggregate is calendar-bounded (tiny), so the
+    trailing window is a broadcast theta self-join on the integer
+    month index — no global-ordering window, gaps handled by
+    construction (a missing month contributes no row, and
+    months_in_window says so). Exact cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+            .cast("bigint")
+            .alias("midx"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("midx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = m.select(F.col("midx").alias("w_midx"), F.col("cents").alias("w_cents"))
+    j = m.join(
+        F.broadcast(w),
+        (F.col("w_midx") >= F.col("midx") - 11) & (F.col("w_midx") <= F.col("midx")),
+    )
+    D = lambda c: c.cast("double")
+    return j.groupBy("midx", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("months_in_window"),
+        F.round(D(F.sum("w_cents")) / 100.0, 2).alias("mat_revenue"),
+    ).select(
+        "midx",
+        F.format_string(
+            "%04d-%02d",
+            F.expr("midx div 12").cast("int"),
+            (F.col("midx") % 12 + 1).cast("int"),
+        ).alias("month_label"),
+        F.round(D(F.col("cents")) / 100.0, 2).alias("revenue"),
+        "months_in_window",
+        "mat_revenue",
+    )

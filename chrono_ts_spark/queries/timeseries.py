@@ -4457,3 +4457,72 @@ def ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO3: Apdex score (satisfied/tolerating/frustrated classification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_apdex",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS satisfied,
+           CAST(SUM(CASE WHEN value > 100.0 AND value <= 400.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tolerating
+    FROM events GROUP BY event_type, d
+)
+SELECT event_type, d, total, satisfied, tolerating,
+       CAST(total - satisfied - tolerating AS BIGINT) AS frustrated,
+       round(CAST(2 * satisfied + tolerating AS DOUBLE)
+             / CAST(2 * total AS DOUBLE), 6) AS apdex
+FROM b
+""",
+    tags=("tsdb", "SLO3", "alerting"),
+)
+def ts_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Apdex per event type (value as the latency proxy:
+    satisfied <= T=100, tolerating <= 4T=400, else frustrated):
+    apdex = (satisfied + tolerating/2) / total — the user-satisfaction
+    index that complements ts_burn_rate's error budget (which counts
+    failures; Apdex weights degraded-but-working). Computed as
+    (2s + t) / 2n so the only division is one exact-integer ratio.
+    One (type, day) hash agg; conditional counts are map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+            (F.col("value") <= 100.0).cast("int").alias("sat"),
+            ((F.col("value") > 100.0) & (F.col("value") <= 400.0))
+            .cast("int")
+            .alias("tol"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum("sat").cast("bigint").alias("satisfied"),
+            F.sum("tol").cast("bigint").alias("tolerating"),
+        )
+    )
+    return b.select(
+        "event_type",
+        "d",
+        "total",
+        "satisfied",
+        "tolerating",
+        (F.col("total") - F.col("satisfied") - F.col("tolerating"))
+        .cast("bigint")
+        .alias("frustrated"),
+        F.round(
+            (2 * F.col("satisfied") + F.col("tolerating")).cast("double")
+            / (2 * F.col("total")).cast("double"),
+            6,
+        ).alias("apdex"),
+    )

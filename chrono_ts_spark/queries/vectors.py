@@ -909,3 +909,84 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7k: embedding centroid drift (distribution shift in vector space)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_centroid_drift",
+    oracle="""
+WITH halves AS (
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+           CAST(embedding[pos] AS DOUBLE) AS val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+),
+cent AS (
+    SELECT label, half, pos,
+           round(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM halves GROUP BY label, half, pos
+),
+diff AS (
+    SELECT r.label,
+           CAST(SUM(CAST(round(round((r.c - q.c) * (r.c - q.c), 9) * 1e9, 0)
+                         AS BIGINT)) AS BIGINT) AS d2_fp
+    FROM cent r JOIN cent q
+      ON r.label = q.label AND r.pos = q.pos
+     AND r.half = 'ref' AND q.half = 'cur'
+    GROUP BY r.label
+)
+SELECT label,
+       round(sqrt(CAST(d2_fp AS DOUBLE) / 1e9), 6) AS centroid_shift_l2
+FROM diff
+""",
+    tags=("vectors", "X7k", "drift"),
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift per label: L2 distance between the
+    reference-half and current-half centroids (split by vec_id parity
+    as the deterministic stand-in for time/batch provenance) — the
+    vector-space member of the drift family (ts_value_drift_psi and
+    ts_ks_drift cover scalars). A retrained or corrupted encoder shows
+    up here before any downstream metric moves.
+
+    Exactness: the emb_outliers chain — decimal centroid averages
+    rounded 6dp, squared diffs into 1e9 fixed point, one IEEE-exact
+    sqrt. One corpus pass; everything after is (labels x 64)-sized.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    halves = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias("half"),
+        F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "val"),
+    ).select("label", "half", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = halves.groupBy("label", "half", "pos").agg(
+        F.round(davg("val", 18, 9), 6).alias("c")
+    )
+    r = cent.filter(F.col("half") == "ref").select(
+        "label", "pos", F.col("c").alias("cr")
+    )
+    q = cent.filter(F.col("half") == "cur").select(
+        "label", "pos", F.col("c").alias("cq")
+    )
+    fp9 = lambda c: F.round(F.round(c, 9) * F.lit(1e9), 0).cast("bigint")
+    diff = (
+        r.join(q, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(fp9((F.col("cr") - F.col("cq")) * (F.col("cr") - F.col("cq"))))
+            .cast("bigint")
+            .alias("d2_fp")
+        )
+    )
+    return diff.select(
+        "label",
+        F.round(F.sqrt(F.col("d2_fp").cast("double") / F.lit(1e9)), 6).alias(
+            "centroid_shift_l2"
+        ),
+    )

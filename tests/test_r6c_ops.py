@@ -1191,3 +1191,57 @@ class TestNullSafeJoin:
         ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
         r = REG["rel_nullsafe_join"].fn(spark, str(tmp_path)).collect()[0]
         assert (r.n_nullsafe_pairs, r.n_eq_pairs, r.n_null_pairs) == (2, 1, 1)
+
+
+class TestMovingAnnualTotal:
+    def test_planted_window_and_warmup(self, spark, tmp_path):
+        # 13 consecutive months of $100: month 13 MAT = 1200 (months
+        # 2-13), month 12 MAT = 1200, month 1 MAT = 100 (warm-up 1).
+        orders = []
+        for i in range(13):
+            y, mth = 2024 + (i // 12), (i % 12) + 1
+            orders.append((i + 1, 1, "O", 100.0, datetime(y, mth, 5), "p"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.month_label: (r.months_in_window, r.mat_revenue)
+               for r in REG["rel_moving_annual_total"].fn(spark, str(tmp_path)).collect()}
+        assert got["2024-01"] == (1, 100.0)
+        assert got["2024-12"] == (12, 1200.0)
+        assert got["2025-01"] == (12, 1200.0)
+
+
+class TestCentroidDrift:
+    def test_planted_shift(self, spark, tmp_path):
+        # label 0: even-id vectors at origin-ish, odd-id shifted by
+        # exactly (3,4,0,...) -> centroid shift = 5. label 1: no shift.
+        base = [0.0] * 64
+        shift = [3.0, 4.0] + [0.0] * 62
+        rows = []
+        for i in range(10):
+            v = base if i % 2 == 0 else shift
+            rows.append((i, [float(x) for x in v], 0))
+        for i in range(10, 20):
+            rows.append((i, [1.0] * 64, 1))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        got = {r.label: r.centroid_shift_l2
+               for r in REG["emb_centroid_drift"].fn(spark, tmp_path.as_posix()).collect()}
+        assert got[0] == 5.0
+        assert got[1] == 0.0
+
+
+class TestApdex:
+    def test_classification_boundaries(self, spark, tmp_path):
+        # exactly-at-T (100) is satisfied; exactly-at-4T (400) is
+        # tolerating; above is frustrated.
+        vals = [50.0, 100.0, 100.01, 400.0, 400.01, 999.0]
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "api", v, "{}")
+                for i, v in enumerate(vals)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_apdex"].fn(spark, sf).collect()[0]
+        assert (r.satisfied, r.tolerating, r.frustrated) == (2, 2, 2)
+        assert r.apdex == 0.5  # (2 + 2/2) / 6
