@@ -1789,3 +1789,144 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Gov2: right-to-erasure on the keyed store (delete + vacuum)
+# ---------------------------------------------------------------------------
+
+
+@query("gov_forget_user", oracle=None, tags=("governance", "Gov2", "no-oracle"))
+def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gov2: the right-to-erasure workflow on the keyed upsert store —
+    build per-(user, day) state from events, DELETE every row for the
+    erasure set (user_id % 17 == 0) as a committed generation, then
+    VACUUM older generations (time-travel retention is exactly what a
+    deletion request must also erase — the snapshot that still holds
+    the data). Returns the audit row a compliance run would log:
+    counts before/after, and leak_rows = rows for erased users across
+    ALL retained generations, which must be 0.
+
+    Rows-only by nature (filesystem generations); the zero-leak and
+    exact-removal invariants are pinned in tests/test_r6c_ops.py.
+    """
+    import tempfile
+
+    from ..streaming.upsert import (
+        delete_keys,
+        list_generations,
+        read_state,
+        upsert_batch,
+        vacuum_generations,
+    )
+
+    root = tempfile.mkdtemp(prefix="chrono_gov_forget_")
+    ev = load_table(spark, sf_dir, "events")
+    state0 = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        "event_id",
+    ).groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("event_id").cast("bigint").alias("seq"),
+    )
+    upsert_batch(state0, root, keys=["user_id", "d"], seq_col="seq")
+    before = read_state(spark, root)
+    rows_before = before.count()
+    # materialize the erasure set: its lazy plan is rooted in the gen-0
+    # snapshot, which the vacuum below physically removes (an erasure
+    # request list is small by nature — this collect is the workflow's
+    # actual input, not a data-sized pull)
+    forget_ids = [
+        r.user_id
+        for r in before.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 17 == 0)
+        .collect()
+    ]
+    n_forgotten = len(forget_ids)
+    forget = spark.createDataFrame(
+        [(u,) for u in forget_ids], "user_id long"
+    )
+    delete_keys(spark, root, "user_id", forget)
+    vacuumed = vacuum_generations(root, keep_last=1)
+    leak = 0
+    for g in list_generations(root):
+        snap = read_state(spark, root, gen=g)
+        leak += snap.join(forget, "user_id", "left_semi").count()
+    after = read_state(spark, root)
+    rows_after = after.count()
+    return spark.createDataFrame(
+        [
+            (
+                rows_before,
+                rows_after,
+                rows_before - rows_after,
+                n_forgotten,
+                vacuumed,
+                len(list_generations(root)),
+                leak,
+            )
+        ],
+        "rows_before long, rows_after long, rows_removed long, "
+        "n_forgotten_users long, n_vacuumed_gens long, n_gens_retained long, "
+        "leak_rows long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diag3: parquet footer introspection (storage metadata, no data scan)
+# ---------------------------------------------------------------------------
+
+
+@query("io_footer_stats", oracle=None, tags=("io", "Diag3", "no-oracle"))
+def io_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diag3: per-file parquet FOOTER statistics for the events table —
+    row counts, row-group counts, byte sizes, and the ts column's
+    min/max from column-chunk statistics, read via pyarrow WITHOUT
+    scanning data pages. This is the metadata a scan planner prunes
+    with (ts_zorder_values pins the pruning effect; this query exposes
+    the stats themselves as a relation — the "SELECT * FROM
+    parquet_metadata(...)" surface).
+
+    Driver-side work is bounded by file COUNT (footers only; at scale
+    this runs as a distributed mapPartitions over file paths). The
+    row-count and min/max agreement with a real scan is pinned in
+    tests/test_r6c_ops.py.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = sorted(_glob.glob(os.path.join(src, "*.parquet"))) or [src]
+    rows = []
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        md = pf.metadata
+        ts_idx = next(
+            i for i in range(md.schema.to_arrow_schema().names.__len__())
+            if md.schema.to_arrow_schema().names[i] == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        fmt = lambda v: str(v)[:19].replace("T", " ")
+        rows.append(
+            (
+                os.path.basename(fp),
+                int(md.num_rows),
+                int(md.num_row_groups),
+                int(os.path.getsize(fp)),
+                fmt(min(mins)) if mins else None,
+                fmt(max(maxs)) if maxs else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_name string, n_rows long, n_row_groups long, size_bytes long, "
+        "ts_min_s string, ts_max_s string",
+    )

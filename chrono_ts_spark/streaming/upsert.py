@@ -158,3 +158,40 @@ def run_upsert_counts(
     state = read_state(spark, root)
     assert state is not None
     return state
+
+
+def delete_keys(
+    spark: SparkSession, root: str, key_col: str, values: DataFrame
+) -> None:
+    """Targeted delete: commit a new generation WITHOUT any row whose
+    ``key_col`` appears in ``values`` (single-column DataFrame) — the
+    MERGE ... WHEN MATCHED THEN DELETE shape on the generation store.
+    """
+    state = read_state(spark, root)
+    if state is None:
+        return
+    remaining = state.join(
+        values.select(F.col(values.columns[0]).alias(key_col)), key_col, "left_anti"
+    )
+    gen = _current_gen(root) + 1
+    remaining.write.mode("overwrite").parquet(os.path.join(root, f"gen={gen}"))
+    tmp = os.path.join(root, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(gen))
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def vacuum_generations(root: str, keep_last: int = 1) -> int:
+    """Physically remove all but the newest ``keep_last`` generation
+    snapshots; returns how many were deleted. Time travel is a
+    RETENTION feature — a deletion request is only honored once the
+    generations that still contain the data are vacuumed (the
+    Delta VACUUM / GDPR interaction, reproduced on the stand-in).
+    """
+    import shutil
+
+    gens = list_generations(root)
+    victims = gens[:-keep_last] if keep_last > 0 else gens
+    for g in victims:
+        shutil.rmtree(os.path.join(root, f"gen={g}"), ignore_errors=True)
+    return len(victims)

@@ -1245,3 +1245,47 @@ class TestApdex:
         r = REG["ts_apdex"].fn(spark, sf).collect()[0]
         assert (r.satisfied, r.tolerating, r.frustrated) == (2, 2, 2)
         assert r.apdex == 0.5  # (2 + 2/2) / 6
+
+
+class TestForgetUser:
+    def test_zero_leak_and_exact_removal(self, spark, tmp_path):
+        # users 17 and 34 are in the erasure set; 1 and 2 are not.
+        rows, eid = [], 0
+        for u in [1, 2, 17, 34]:
+            for d in range(3):
+                eid += 1
+                rows.append(
+                    (eid, D0 + timedelta(days=d), u, "a", 1.0, "{}")
+                )
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["gov_forget_user"].fn(spark, sf).collect()[0]
+        assert r.rows_before == 12  # 4 users x 3 days
+        assert r.n_forgotten_users == 2
+        assert r.rows_removed == 6
+        assert r.rows_after == 6
+        assert r.leak_rows == 0
+        assert r.n_gens_retained == 1  # pre-delete snapshot vacuumed
+
+    def test_no_erasure_targets_is_noop(self, spark, tmp_path):
+        rows = [(1, D0, 5, "a", 1.0, "{}")]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["gov_forget_user"].fn(spark, sf).collect()[0]
+        assert (r.rows_removed, r.leak_rows) == (0, 0)
+
+
+class TestFooterStats:
+    def test_agrees_with_scan(self, spark):
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        out = REG["io_footer_stats"].fn(spark, sf).collect()
+        tbl = spark.read.parquet(f"{sf}/events.parquet")
+        exp = tbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("lo"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("hi"),
+        ).collect()[0]
+        assert sum(r.n_rows for r in out) == exp.n
+        assert min(r.ts_min_s for r in out) == exp.lo
+        assert max(r.ts_max_s for r in out) == exp.hi
+        assert all(r.size_bytes > 0 and r.n_row_groups >= 1 for r in out)
