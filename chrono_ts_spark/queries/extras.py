@@ -1930,3 +1930,74 @@ def io_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name string, n_rows long, n_row_groups long, size_bytes long, "
         "ts_min_s string, ts_max_s string",
     )
+
+
+# ---------------------------------------------------------------------------
+# S2d: CSV dialect roundtrip (delimiter/quote/escape/null options)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_csv_dialect",
+    oracle="""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents_total,
+       CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_type,
+       CAST(SUM(length(p_name)) AS BIGINT) AS name_chars
+FROM (
+    SELECT p_brand,
+           CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_type END AS p_type,
+           p_retailprice,
+           p_name || '|quoted,"tricky"' AS p_name
+    FROM part
+) GROUP BY p_brand
+""",
+    tags=("io", "S2d", "csv"),
+)
+def io_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT roundtrip: values containing the delimiter, double
+    quotes, and embedded quote characters, plus explicit NULLs, are
+    written with a non-default dialect (| delimiter, " quote, \\
+    escape, \\N null marker) and read back with the same options — the
+    option surface (sep/quote/escape/nullValue) that separates "reads
+    a CSV" from "survives real CSV". The oracle computes from the
+    SOURCE table with the same injected values, so the hash compare
+    proves the dialect roundtrip is lossless — including that \\N came
+    back as NULL, not the string.
+    """
+    path = _roundtrip_dir(sf_dir, "csvdialect", "part")
+    p = load_table(spark, sf_dir, "part")
+    tricky = p.select(
+        "p_brand",
+        F.when(F.col("p_size") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("p_type"))
+        .alias("p_type"),
+        "p_retailprice",
+        F.concat(F.col("p_name"), F.lit('|quoted,"tricky"')).alias("p_name"),
+    )
+    opts = {
+        "sep": "|",
+        "quote": '"',
+        "escape": "\\",
+        "nullValue": "\\N",
+        "header": "true",
+    }
+    tricky.write.mode("overwrite").options(**opts).csv(path)
+    back = (
+        spark.read.options(**opts)
+        .schema("p_brand string, p_type string, p_retailprice double, p_name string")
+        .csv(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_total"),
+        F.sum(F.col("p_type").isNull().cast("int")).cast("bigint").alias(
+            "n_null_type"
+        ),
+        F.sum(F.length("p_name")).cast("bigint").alias("name_chars"),
+    )

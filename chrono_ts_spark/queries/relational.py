@@ -3084,3 +3084,106 @@ def rel_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "months_in_window",
         "mat_revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# W17: clamped running balance (floor-at-zero prefix sum, sequential)
+# ---------------------------------------------------------------------------
+# max(0, prev + delta) is NOT a plain prefix sum: the clamp makes it
+# non-associative (order-dependent state), the credit-ledger /
+# inventory-level recurrence. Sanctioned sequential boundary (numpy
+# loop per customer); the recursive-CTE oracle replays it — and since
+# the whole recursion is INTEGER cents, there is no IEEE sequencing
+# concern at all, just exact arithmetic.
+
+
+@query(
+    "rel_clamped_balance",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderstatus = 'F'
+                THEN -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS delta,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+bal AS (
+    SELECT o_custkey, o_orderkey, delta, rn,
+           CAST(GREATEST(CAST(0 AS BIGINT), delta) AS BIGINT) AS balance,
+           CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS INTEGER) AS clamped
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.o_custkey, s.o_orderkey, s.delta, s.rn,
+           CAST(GREATEST(CAST(0 AS BIGINT), b.balance + s.delta) AS BIGINT),
+           CAST(CASE WHEN b.balance + s.delta < 0 THEN 1 ELSE 0 END AS INTEGER)
+    FROM bal b JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+)
+SELECT o_custkey, o_orderkey, delta AS delta_cents, balance AS balance_cents,
+       clamped
+FROM bal
+""",
+    tags=("relational", "W17", "sequential"),
+)
+def rel_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per customer: open orders credit,
+    finalized orders debit, and the balance CLAMPS at zero (credits
+    can't go negative) — the ledger/inventory recurrence
+    b_i = max(0, b_{i-1} + delta_i). The clamp destroys associativity,
+    so no window frame computes it: this is the sanctioned sequential
+    boundary (batch_ema contract — one user shuffle, numpy loop,
+    series fan-out is the parallelism), and the entire recursion is
+    INTEGER cents, so oracle equality is exact by construction.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    o = load_table(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderstatus") == "F",
+            -F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+        )
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .alias("delta"),
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        deltas = pdf["delta"].to_numpy(dtype="int64")
+        bal = np.empty(len(deltas), dtype="int64")
+        clamped = np.zeros(len(deltas), dtype="int32")
+        b = 0
+        for i, d in enumerate(deltas):
+            b = b + int(d)
+            if b < 0:
+                b = 0
+                clamped[i] = 1
+            bal[i] = b
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "delta_cents": pdf["delta"],
+                "balance_cents": bal,
+                "clamped": clamped,
+            }
+        )
+
+    return (
+        seq.groupBy("o_custkey")
+        .applyInPandas(
+            run,
+            "o_custkey bigint, o_orderkey bigint, delta_cents bigint, "
+            "balance_cents bigint, clamped int",
+        )
+    )

@@ -4526,3 +4526,78 @@ def ts_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("apdex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3f: burstiness index over inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+WITH g AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+    FROM events
+),
+m AS (
+    SELECT user_id, event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n,
+           CAST(SUM(gap) AS HUGEINT) AS s1,
+           SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n,
+       CAST(s1 AS BIGINT) AS sum_gap_us,
+       round(CASE WHEN n >= 2 AND n * s2 - s1 * s1 >= 0 THEN
+           (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+           / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE))
+       END, 6) AS burstiness
+FROM m WHERE n >= 2
+""",
+    tags=("tsdb", "A3f", "burstiness"),
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness index per (user, type):
+    B = (sigma - mu) / (sigma + mu) over inter-arrival gaps — B -> -1
+    for a metronome, 0 for Poisson arrivals, -> +1 for extreme bursts.
+    The single-number traffic-shape summary that tells an ingest
+    planner whether provisioning for the MEAN rate is safe
+    (complements ts_burst_detect, which finds WHEN bursts happen).
+
+    Algebra: with exact integer gap moments, n*sigma^2 scaled by n
+    gives n^2 sigma^2 = n*s2 - s1^2, so B = (sqrt(n*s2 - s1^2) - s1)
+    / (sqrt(n*s2 - s1^2) + s1) — population sigma, integers under one
+    IEEE-exact sqrt and a single mirrored division (decimal38/HUGEINT
+    carry the squares).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")
+    m = g.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1_b"),
+        F.sum(d38(F.col("gap")) * d38(F.col("gap"))).alias("s2"),
+    )
+    m = m.filter(F.col("n") >= 2)
+    D = lambda c: c.cast("double")
+    disc = d38(F.col("n")) * F.col("s2") - d38(F.col("s1_b")) * d38(F.col("s1_b"))
+    root = F.sqrt(D(disc))
+    return m.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.col("s1_b").alias("sum_gap_us"),
+        F.round(
+            F.when(disc >= 0, (root - D(F.col("s1_b"))) / (root + D(F.col("s1_b")))),
+            6,
+        ).alias("burstiness"),
+    )

@@ -1289,3 +1289,57 @@ class TestFooterStats:
         assert min(r.ts_min_s for r in out) == exp.lo
         assert max(r.ts_max_s for r in out) == exp.hi
         assert all(r.size_bytes > 0 and r.n_row_groups >= 1 for r in out)
+
+
+class TestBurstiness:
+    def test_metronome_vs_burst(self, spark, tmp_path):
+        # metronome: equal gaps -> sigma=0 -> B = -1.
+        # bursty: gaps [1s, 1s, 10000s] -> B near +... sigma>mu -> B>0.
+        rows, eid = [], 0
+        for i in range(5):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=10 * i), 1, "tick", 1.0, "{}"))
+        for sec in [0, 1, 2, 10002]:
+            eid += 1
+            rows.append((eid, D0 + timedelta(seconds=sec), 2, "burst", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {(r.user_id, r.event_type): r.burstiness
+               for r in REG["ts_burstiness"].fn(spark, sf).collect()}
+        assert got[(1, "tick")] == -1.0
+        # gaps [1, 1, 10000]: mu=3334, sigma=4714 -> B = 0.171 exactly
+        # (small n bounds sigma/mu; the sign and the metronome's exact
+        # -1 are the discriminating checks)
+        assert got[(2, "burst")] == 0.171427
+
+
+class TestCSVDialect:
+    def test_nulls_and_quotes_survive(self, spark):
+        # covered by the oracle at three SFs; here assert the NULL
+        # marker really produced NULLs (not the literal string).
+        out = REG["io_csv_dialect"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert sum(r.n_null_type for r in out) > 0
+        assert all(r.name_chars > 0 for r in out)
+
+
+class TestClampedBalance:
+    def test_planted_clamps(self, spark, tmp_path):
+        # deltas (cents): +500 (O), -800 (F -> clamps to 0), +200,
+        # -200 (exactly zero: NOT clamped), -100 (clamps).
+        orders = [
+            (1, 1, "O", 5.0, D0, "p"),
+            (2, 1, "F", 8.0, D0 + timedelta(days=1), "p"),
+            (3, 1, "O", 2.0, D0 + timedelta(days=2), "p"),
+            (4, 1, "F", 2.0, D0 + timedelta(days=3), "p"),
+            (5, 1, "F", 1.0, D0 + timedelta(days=4), "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = sorted(
+            REG["rel_clamped_balance"].fn(spark, str(tmp_path)).collect(),
+            key=lambda r: r.o_orderkey,
+        )
+        assert [r.balance_cents for r in out] == [500, 0, 200, 0, 0]
+        assert [r.clamped for r in out] == [0, 1, 0, 0, 1]
