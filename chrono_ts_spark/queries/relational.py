@@ -3187,3 +3187,148 @@ def rel_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_cents bigint, clamped int",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J3b: NOT IN null trap vs NOT EXISTS (three-valued-logic semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_not_in_null_trap",
+    oracle="""
+WITH probe AS (
+    SELECT NULLIF(c_nationkey, 3) AS nk FROM customer
+)
+SELECT 'not_exists' AS variant,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.nk = n.n_nationkey)) AS n_rows
+UNION ALL
+SELECT 'not_in',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+        WHERE n.n_nationkey NOT IN (SELECT nk FROM probe))
+UNION ALL
+SELECT 'not_in_null_filtered',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+        WHERE n.n_nationkey NOT IN (SELECT nk FROM probe
+                                    WHERE nk IS NOT NULL))
+""",
+    tags=("relational", "J3b", "null-semantics"),
+)
+def rel_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap as a checked result: against a probe set
+    CONTAINING NULL (nationkey 3 nulled out), `NOT IN` returns ZERO
+    rows (x <> NULL is UNKNOWN, so no row ever satisfies the
+    predicate), while NOT EXISTS and the null-filtered NOT IN return
+    the real anti-join answer. Three-valued logic is where silent
+    full-result loss happens in production SQL; this query pins all
+    three counts so the engines' agreement on the trap itself is part
+    of the oracle.
+
+    Spark compiles NOT IN to NullAwareAntiJoin (the null-aware
+    variant is WHY the trap semantics survive distribution); NOT
+    EXISTS to a plain left-anti.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    probe = c.select(F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk"))
+    not_exists = n.join(
+        probe, n.n_nationkey == probe.nk, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        F.lit("not_exists").alias("variant"), "n_rows"
+    )
+    # real NOT IN through the SQL surface: compiles to Spark's
+    # null-aware anti-join, which implements the trap semantics
+    # (any NULL in the probe -> empty result) natively
+    probe.createOrReplaceTempView("__nit_probe")
+    n.createOrReplaceTempView("__nit_nation")
+    not_in = n.sparkSession.sql(
+        """SELECT 'not_in' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM __nit_nation x
+           WHERE x.n_nationkey NOT IN (SELECT nk FROM __nit_probe)"""
+    )
+    filtered = n.join(
+        probe.filter(F.col("nk").isNotNull()),
+        n.n_nationkey == probe.nk,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        F.lit("not_in_null_filtered").alias("variant"), "n_rows"
+    )
+    return not_exists.unionAll(not_in).unionAll(filtered)
+
+
+# ---------------------------------------------------------------------------
+# Rep3: ratio-to-report (two-level share-of-total)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_ratio_to_report",
+    oracle="""
+WITH nrev AS (
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+),
+rreg AS (
+    SELECT r_name, CAST(SUM(rev_e4) AS BIGINT) AS reg_e4 FROM nrev GROUP BY r_name
+),
+tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS tot_e4 FROM nrev)
+SELECT nrev.r_name, n_name,
+       round(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS revenue,
+       round(CAST(rev_e4 AS DOUBLE) / CAST(reg_e4 AS DOUBLE), 6)
+           AS share_of_region,
+       round(CAST(rev_e4 AS DOUBLE) / CAST(tot_e4 AS DOUBLE), 6)
+           AS share_of_total
+FROM nrev JOIN rreg ON nrev.r_name = rreg.r_name CROSS JOIN tot
+""",
+    tags=("relational", "Rep3", "share"),
+)
+def rel_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two levels: each nation's revenue as a share
+    of its region and of the world — the RATIO_TO_REPORT() window
+    function expressed as broadcast re-joins of the (tiny) aggregate
+    against its own rollups, the form that needs no window at all:
+    the fact table shuffles once into the nation aggregate; both
+    denominators are re-aggregations of that 25-row result. Exact e4
+    fixed-point revenue; shares are single divisions of exact ints.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum((_rev() * 10000).cast("bigint")).cast("bigint").alias("rev_e4"))
+    )
+    rreg = nrev.groupBy("r_name").agg(F.sum("rev_e4").cast("bigint").alias("reg_e4"))
+    tot = nrev.agg(F.sum("rev_e4").cast("bigint").alias("tot_e4"))
+    D = lambda x: x.cast("double")
+    return (
+        nrev.join(F.broadcast(rreg), "r_name")
+        .join(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            F.round(D(F.col("rev_e4")) / 10000.0, 2).alias("revenue"),
+            F.round(D(F.col("rev_e4")) / D(F.col("reg_e4")), 6).alias(
+                "share_of_region"
+            ),
+            F.round(D(F.col("rev_e4")) / D(F.col("tot_e4")), 6).alias(
+                "share_of_total"
+            ),
+        )
+    )

@@ -3185,3 +3185,70 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mean_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6f: Jaccard threshold calibration curve (dedup tuning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_jaccard_threshold_curve",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t
+), pairs AS (
+    SELECT a.doc_id AS doc_a,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_i,
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_u
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+)
+SELECT CAST(th AS BIGINT) AS threshold_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN n_i * 100 >= th * n_u THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_pairs,
+       round(CAST(SUM(CASE WHEN n_i * 100 >= th * n_u THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM pairs
+CROSS JOIN (SELECT unnest([10, 30, 50, 70, 90]) AS th)
+GROUP BY th
+""",
+    tags=("text", "X6f", "calibration"),
+)
+def doc_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold CALIBRATION curve: for five Jaccard thresholds,
+    how many candidate pairs would be declared duplicates — the table
+    a corpus owner reads before committing a near-dup threshold (too
+    low deletes content, too high ships duplicates). Candidate pairs
+    here are the adjacent-id set (the exactly-oracled stand-in for the
+    MinHash candidate stream, as in doc_containment_adjacent).
+
+    Threshold comparisons are integer cross-multiplications
+    (n_i*100 >= th*n_u — no float Jaccard in the decision), and the
+    five-threshold fan-out is a broadcast of a 5-row dimension, not a
+    re-scan per threshold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", shingles(tokenize(F.col("text")), 5).alias("sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, "doc_a")
+        .select(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("n_u"),
+        )
+        .filter(F.col("n_u") > 0)
+    )
+    th = spark.createDataFrame([(t,) for t in [10, 30, 50, 70, 90]], "th long")
+    j = pairs.crossJoin(F.broadcast(th))
+    is_dup = (F.col("n_i") * 100 >= F.col("th") * F.col("n_u")).cast("int")
+    D = lambda c: c.cast("double")
+    return j.groupBy(F.col("th").cast("bigint").alias("threshold_pct")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(is_dup).cast("bigint").alias("n_dup_pairs"),
+        F.round(D(F.sum(is_dup)) / D(F.count(F.lit(1))), 6).alias("dup_rate"),
+    )

@@ -1343,3 +1343,45 @@ class TestClampedBalance:
         )
         assert [r.balance_cents for r in out] == [500, 0, 200, 0, 0]
         assert [r.clamped for r in out] == [0, 1, 0, 0, 1]
+
+
+class TestJaccardThresholdCurve:
+    def test_monotone_and_planted(self, spark, tmp_path):
+        # pair 1-2: identical (J=1); pair 2-3: disjoint (J=0).
+        t1 = "a b c d e f g h"
+        t3 = "z y x w v u t s"
+        rows = [(1, t1, "en", "s", 1), (2, t1, "en", "s", 1), (3, t3, "en", "s", 1)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = sorted(
+            REG["doc_jaccard_threshold_curve"].fn(spark, str(tmp_path)).collect(),
+            key=lambda r: r.threshold_pct,
+        )
+        rates = [r.dup_rate for r in out]
+        assert all(r.n_pairs == 2 for r in out)
+        assert rates == sorted(rates, reverse=True)  # monotone non-increasing
+        assert all(r.n_dup_pairs == 1 for r in out)  # only the identical pair
+
+
+class TestNotInNullTrap:
+    def test_trap_counts(self, spark):
+        got = {r.variant: r.n_rows
+               for r in REG["rel_not_in_null_trap"].fn(spark, "/root/testdata/sf0.001").collect()}
+        assert got["not_in"] == 0          # the trap: NULL in probe set
+        assert got["not_exists"] == got["not_in_null_filtered"]
+        assert got["not_exists"] > 0
+
+
+class TestRatioToReport:
+    def test_shares_sum_to_one(self, spark):
+        out = REG["rel_ratio_to_report"].fn(spark, "/root/testdata/sf0.001").collect()
+        total = sum(r.share_of_total for r in out)
+        assert abs(total - 1.0) < 1e-4
+        from collections import defaultdict
+
+        per_region = defaultdict(float)
+        for r in out:
+            per_region[r.r_name] += r.share_of_region
+        for v in per_region.values():
+            assert abs(v - 1.0) < 1e-4
