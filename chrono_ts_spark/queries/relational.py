@@ -3332,3 +3332,89 @@ def rel_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A3g: categorical mix-shift chi-square (status distribution by month)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_mix_shift_chi2",
+    oracle="""
+WITH obs AS (
+    SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+               AS midx,
+           o_orderstatus AS s,
+           CAST(COUNT(*) AS BIGINT) AS o_ms
+    FROM orders GROUP BY midx, s
+),
+tm AS (SELECT midx, CAST(SUM(o_ms) AS BIGINT) AS t_m FROM obs GROUP BY midx),
+gs AS (SELECT s, CAST(SUM(o_ms) AS BIGINT) AS g_s FROM obs GROUP BY s),
+nt AS (SELECT CAST(SUM(o_ms) AS BIGINT) AS n FROM obs),
+terms AS (
+    SELECT obs.midx,
+           CAST(round(
+               CAST((CAST(o_ms AS HUGEINT) * n - CAST(t_m AS HUGEINT) * g_s)
+                    * (CAST(o_ms AS HUGEINT) * n - CAST(t_m AS HUGEINT) * g_s)
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * t_m * g_s AS DOUBLE), 6) * 1e6
+               AS BIGINT) AS term_fp
+    FROM obs
+    JOIN tm ON obs.midx = tm.midx
+    JOIN gs ON obs.s = gs.s
+    CROSS JOIN nt
+)
+SELECT midx,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       round(CAST(SUM(term_fp) AS DOUBLE) / 1e6, 4) AS chi2
+FROM terms GROUP BY midx
+""",
+    tags=("relational", "A3g", "drift"),
+)
+def rel_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-shift: the chi-square statistic of each month's
+    order-status distribution against the all-time distribution — the
+    CATEGORICAL member of the drift family (PSI and KS cover numeric
+    values; a status/priority/segment mix changing shape is a
+    different production failure). High chi2 months are where the mix
+    moved.
+
+    Exactness: each term (o*N − T*G)² / (N·T·G) has an exact HUGEINT/
+    decimal38 numerator under ONE double division, rounds 6dp into
+    fixed point, and sums as integers — the per-month sum is
+    order-immune even though it adds multiple float-derived terms.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+            .cast("bigint")
+            .alias("midx"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .groupBy("midx", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o_ms"))
+    )
+    tm = obs.groupBy("midx").agg(F.sum("o_ms").cast("bigint").alias("t_m"))
+    gs = obs.groupBy("s").agg(F.sum("o_ms").cast("bigint").alias("g_s"))
+    nt = obs.agg(F.sum("o_ms").cast("bigint").alias("n"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    j = (
+        obs.join(tm, "midx")
+        .join(F.broadcast(gs), "s")
+        .join(F.broadcast(nt))
+    )
+    num = d38(F.col("o_ms")) * d38(F.col("n")) - d38(F.col("t_m")) * d38(
+        F.col("g_s")
+    )
+    den = d38(F.col("n")) * d38(F.col("t_m")) * d38(F.col("g_s"))
+    D = lambda c: c.cast("double")
+    term_fp = F.round(F.round(D(num * num) / D(den), 6) * F.lit(1e6), 0).cast(
+        "bigint"
+    )
+    terms = j.select("midx", term_fp.alias("term_fp"))
+    return terms.groupBy("midx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.round(F.sum("term_fp").cast("double") / F.lit(1e6), 4).alias("chi2"),
+    )

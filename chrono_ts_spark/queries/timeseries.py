@@ -4601,3 +4601,75 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO4: incident extraction + MTTR from the burn-rate alert stream
+# ---------------------------------------------------------------------------
+
+from . import REGISTRY as _REGISTRY  # noqa: E402  (composition by reference)
+
+
+@query(
+    "ts_incident_mttr",
+    oracle=f"""
+WITH br AS ({{BURN}}),
+alerts AS (
+    SELECT event_type, h FROM br WHERE fails * 1000 >= 50 * total
+),
+isl AS (
+    SELECT event_type, h,
+           h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+    FROM alerts
+),
+runs AS (
+    SELECT event_type, grp,
+           CAST(COUNT(*) AS BIGINT) AS dur_h
+    FROM isl GROUP BY event_type, grp
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_incidents,
+       CAST(SUM(dur_h) AS BIGINT) AS total_alert_hours,
+       CAST(MAX(dur_h) AS BIGINT) AS max_duration_h,
+       round(CAST(SUM(dur_h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mttr_hours
+FROM runs GROUP BY event_type
+""".replace("{BURN}", _REGISTRY["ts_burn_rate"].oracle),
+    tags=("tsdb", "SLO4", "alerting", "composition"),
+)
+def ts_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident accounting over the burn-rate stream: consecutive
+    over-budget hours (rate_1h >= a 5% incident budget — stricter than
+    ts_burn_rate's paging budget, because incident REVIEW wants every
+    breach, pages want only the loud ones) collapse into INCIDENTS
+    (gaps-and-islands over the hour index), and each type reports
+    incident count, total breach time, longest incident, and MTTR —
+    the ops-review rollup one level above ts_burn_rate's per-hour
+    flags.
+
+    Composition by registry reference (the pipeline_alert_rules
+    contract): the Spark side CALLS ts_burn_rate's registered fn and
+    the oracle NESTS its oracle SQL verbatim, so this query inherits
+    the component's exactness proof and can never drift from it.
+    """
+    br = _REGISTRY["ts_burn_rate"].fn(spark, sf_dir)
+    # incident boundary = the 1x budget breach (rate_1h >= budget), not
+    # the 2x fast-burn page: an incident lasts while the budget burns,
+    # the page is just its loudest hour
+    alerts = br.filter(
+        F.col("fails") * 1000 >= 50 * F.col("total")
+    ).select("event_type", "h")
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = alerts.select(
+        "event_type", "h", (F.col("h") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dur_h")
+    )
+    D = lambda c: c.cast("double")
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incidents"),
+        F.sum("dur_h").cast("bigint").alias("total_alert_hours"),
+        F.max("dur_h").cast("bigint").alias("max_duration_h"),
+        F.round(D(F.sum("dur_h")) / D(F.count(F.lit(1))), 6).alias("mttr_hours"),
+    )

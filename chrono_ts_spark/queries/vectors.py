@@ -990,3 +990,44 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift_l2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diag4: LSH bucket-occupancy diagnostics (index health)
+# ---------------------------------------------------------------------------
+
+
+@query("diag_lsh_buckets", oracle=None, tags=("vectors", "Diag4", "no-oracle"))
+def diag_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diag4: occupancy statistics of the sign-LSH index per hash
+    table — bucket count, max/mean occupancy, top-bucket share, and
+    the expected number of candidates a random probe pays
+    (sum(sz^2)/n — occupancy-weighted). The index-health report that
+    says whether n_planes is sized right BEFORE queries start paying
+    hot-bucket scans (the diag_key_skew idea applied to the ANN
+    index's own key distribution).
+
+    Rows-only (bucket ids are engine-specific hashes); internal
+    consistency and the occupancy-sum identity are pinned in tests.
+    """
+    from ..operators.similarity import _bucket_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket_fn = _bucket_udf(dims=_DIMS, n_planes=6, n_tables=8, seed=7)
+    assigned = e.select(
+        F.posexplode(bucket_fn(F.col("embedding"))).alias("table_id", "bucket")
+    )
+    occ = assigned.groupBy("table_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    D = lambda c: c.cast("double")
+    return occ.groupBy("table_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.round(D(F.sum("sz")) / D(F.count(F.lit(1))), 6).alias("mean_bucket"),
+        F.round(D(F.max("sz")) / D(F.sum("sz")), 6).alias("top_bucket_share"),
+        F.round(
+            D(F.sum(F.col("sz") * F.col("sz"))) / D(F.sum("sz")), 6
+        ).alias("expected_candidates"),
+    )

@@ -1385,3 +1385,68 @@ class TestRatioToReport:
             per_region[r.r_name] += r.share_of_region
         for v in per_region.values():
             assert abs(v - 1.0) < 1e-4
+
+
+class TestIncidentMTTR:
+    def test_planted_incidents(self, spark, tmp_path):
+        # hours 0-1 breach (50%+ fail), hour 2 clean, hour 4 breaches:
+        # two incidents, durations 2 and 1 -> mttr 1.5.
+        rows, eid = [], 0
+        for h, fail_cnt in [(0, 2), (1, 2), (2, 0), (4, 2)]:
+            for i in range(4):
+                eid += 1
+                v = 400.0 if i < fail_cnt else 10.0
+                rows.append((eid, D0 + timedelta(hours=h, minutes=i), 1, "api", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_incident_mttr"].fn(spark, sf).collect()[0]
+        assert (r.n_incidents, r.total_alert_hours, r.max_duration_h) == (2, 3, 2)
+        assert r.mttr_hours == 1.5
+
+
+class TestMixShiftChi2:
+    def test_identical_mix_is_zero(self, spark, tmp_path):
+        # every month has the same status mix -> chi2 exactly 0.
+        orders, ok = [], 0
+        for m in range(1, 4):
+            for st, cnt in [("O", 4), ("F", 2)]:
+                for _ in range(cnt):
+                    ok += 1
+                    orders.append((ok, 1, st, 1.0, datetime(2024, m, 5), "p"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = REG["rel_mix_shift_chi2"].fn(spark, str(tmp_path)).collect()
+        assert all(r.chi2 == 0.0 for r in out)
+
+    def test_shifted_month_flags(self, spark, tmp_path):
+        # months 1-2 are all 'O'; month 3 all 'F' -> month 3 (and the
+        # others, mildly) deviate; month 3 chi2 must be the max.
+        orders, ok = [], 0
+        for m, st in [(1, "O"), (2, "O"), (3, "F")]:
+            for _ in range(6):
+                ok += 1
+                orders.append((ok, 1, st, 1.0, datetime(2024, m, 5), "p"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.midx: r.chi2 for r in
+               REG["rel_mix_shift_chi2"].fn(spark, str(tmp_path)).collect()}
+        m3 = max(got)
+        assert got[m3] == max(got.values()) and got[m3] > 0
+
+
+class TestLSHBucketDiag:
+    def test_occupancy_identities(self, spark):
+        sf = "/root/testdata/sf0.001"
+        out = REG["diag_lsh_buckets"].fn(spark, sf).collect()
+        n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        assert len(out) == 8  # one row per hash table
+        for r in out:
+            assert r.n_vectors == n_corpus
+            assert 1 <= r.n_buckets <= 64  # 6 planes -> at most 2^6
+            assert r.max_bucket >= r.mean_bucket
+            assert r.expected_candidates >= r.mean_bucket  # sz^2 weighting
