@@ -2001,3 +2001,99 @@ def io_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("p_name")).cast("bigint").alias("name_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ3: per-column profiling report (cardinality / nulls / top value)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+WITH top_status AS (
+    SELECT o_orderstatus AS v, COUNT(*) AS c FROM orders
+    GROUP BY v ORDER BY c DESC, v ASC LIMIT 1
+),
+top_prio AS (
+    SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders
+    GROUP BY v ORDER BY c DESC, v ASC LIMIT 1
+)
+SELECT 'o_orderstatus' AS column_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+           AS n_distinct,
+       (SELECT CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) FROM orders)
+           AS n_null,
+       (SELECT v FROM top_status) AS top_value,
+       (SELECT CAST(c AS BIGINT) FROM top_status) AS top_freq
+UNION ALL
+SELECT 'o_orderpriority',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) FROM orders),
+       (SELECT v FROM top_prio),
+       (SELECT CAST(c AS BIGINT) FROM top_prio)
+UNION ALL
+SELECT 'o_custkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders),
+       NULL,
+       NULL
+""",
+    tags=("dq", "DQ3", "profiling"),
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling report for the orders table — row count,
+    distinct cardinality, null count, and (for low-cardinality
+    columns) the modal value with its frequency, ties broken
+    lexicographically so "top value" is deterministic. The
+    source-onboarding profile every warehouse runs before modeling a
+    new feed; one row per profiled column.
+
+    Each column's stats are independent scan-aggs (concurrently
+    schedulable); the mode uses the deterministic (count desc, value
+    asc) cut, never an arbitrary first().
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def mode_of(col: str):
+        return (
+            o.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("v").asc())
+            .limit(1)
+        )
+
+    def profile(col: str, with_mode: bool) -> DataFrame:
+        base = o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_null"),
+        )
+        if with_mode:
+            m = mode_of(col).select(
+                F.col("v").alias("top_value"), F.col("c").cast("bigint").alias("top_freq")
+            )
+            base = base.join(F.broadcast(m))
+        else:
+            base = base.select(
+                "*",
+                F.lit(None).cast("string").alias("top_value"),
+                F.lit(None).cast("bigint").alias("top_freq"),
+            )
+        return base.select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            "n_null",
+            "top_value",
+            "top_freq",
+        )
+
+    return (
+        profile("o_orderstatus", True)
+        .unionAll(profile("o_orderpriority", True))
+        .unionAll(profile("o_custkey", False))
+    )

@@ -4673,3 +4673,119 @@ def ts_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dur_h").cast("bigint").alias("max_duration_h"),
         F.round(D(F.sum("dur_h")) / D(F.count(F.lit(1))), 6).alias("mttr_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML6: Kaplan-Meier survival curve (user retention lifetimes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_survival_km",
+    oracle="""
+WITH life AS (
+    SELECT user_id, event_type,
+           CAST(MAX(epoch_us(ts)) // 86400000000
+                - MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS t_u,
+           CAST(CASE WHEN MAX(epoch_us(ts)) // 86400000000
+                          < (SELECT MAX(epoch_us(ts)) // 86400000000 - 2
+                             FROM events)
+                THEN 1 ELSE 0 END AS INTEGER) AS died
+    FROM events GROUP BY user_id, event_type
+),
+dt AS (
+    SELECT t_u AS t, CAST(COUNT(*) AS BIGINT) AS d
+    FROM life WHERE died = 1 GROUP BY t_u
+),
+risk AS (
+    SELECT dt.t, dt.d,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM life WHERE t_u >= dt.t) AS n
+    FROM dt
+),
+haz AS (
+    SELECT t, d, n,
+           CASE WHEN d < n THEN
+               CAST(round(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)),
+                                6) * 1e6, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS ln_fp
+    FROM risk
+),
+cum AS (
+    SELECT t, d, n,
+           CAST(SUM(ln_fp) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c_fp
+    FROM haz
+)
+SELECT t AS t_days, n AS n_at_risk, d AS n_deaths,
+       CASE WHEN d = n THEN 0.0
+            ELSE round(exp(CAST(c_fp AS DOUBLE) / 1e6), 6) END AS survival
+FROM cum
+""",
+    tags=("tsdb", "ML6", "survival"),
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over (user, event-type) series
+    lifetimes: lifetime = days between a series' first and last event;
+    a series DIED (the user stopped doing that thing) if its last
+    event predates the corpus horizon by > 2 days, else it's
+    right-censored — the estimator that uses censored
+    users correctly instead of dropping them (the standard churn-curve
+    mistake). S(t) = prod over death times <= t of (1 - d_i/n_i).
+
+    The cumulative product is a prefix sum of 6dp-rounded ln terms
+    (the libm rule) in 1e6 fixed point, computed with
+    banded_prefix_sum — no global window — then one exp, rounded 6dp,
+    mirrored verbatim. d = n (everyone remaining dies) can only occur
+    at the last death time; that row's survival is exactly 0 by CASE,
+    so ln(0) never evaluates. The death-time table is bounded by the
+    calendar, not users.
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    horizon = ev.agg((F.max(day) - 2).cast("bigint").alias("hz"))
+    life = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            (F.max(day) - F.min(day)).cast("bigint").alias("t_u"),
+            F.max(day).cast("bigint").alias("last_d"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "t_u", (F.col("last_d") < F.col("hz")).cast("int").alias("died")
+        )
+    )
+    dt = (
+        life.filter(F.col("died") == 1)
+        .groupBy(F.col("t_u").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = life.groupBy(F.col("t_u").alias("th")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    risk = (
+        dt.join(F.broadcast(hist), F.col("th") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
+    D = lambda c: c.cast("double")
+    ln_fp = F.when(
+        F.col("d") < F.col("n"),
+        F.round(
+            F.round(F.log(F.lit(1.0) - D(F.col("d")) / D(F.col("n"))), 6)
+            * F.lit(1e6),
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    haz = risk.select("t", "d", "n", ln_fp.alias("ln_fp"))
+    cum = banded_prefix_sum(haz, "t", ["t"], "ln_fp", ascending=True, out="c_fp")
+    return cum.select(
+        F.col("t").alias("t_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.when(F.col("d") == F.col("n"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("c_fp").cast("double") / F.lit(1e6)), 6))
+        .alias("survival"),
+    )

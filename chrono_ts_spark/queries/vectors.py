@@ -1031,3 +1031,74 @@ def diag_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.sum(F.col("sz") * F.col("sz"))) / D(F.sum("sz")), 6
         ).alias("expected_candidates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7l: contrastive pair mining (positives + hard negatives)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_contrastive_pairs", oracle=None, tags=("vectors", "X7l", "training", "no-oracle"))
+def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor (vec_id < 50),
+    the POSITIVE is its nearest same-label vector and the NEGATIVE its
+    nearest different-label vector — hard-negative mining, the pair
+    construction contrastive/metric-learning pipelines feed on (easy
+    random negatives teach nothing; the nearest wrong-label point is
+    the decision boundary). margin = pos_cos - neg_cos is the
+    per-anchor difficulty score.
+
+    Anchors broadcast; the corpus is scanned map-side once (the
+    brute_force_topk shape), each side cut by WindowGroupLimit per
+    anchor. Rows-only (a ranking trace); planted-cluster semantics
+    pinned in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("a_id"),
+        vec_double(F.col("embedding")).alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"),
+        vec_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    scored = corpus.join(F.broadcast(anchors), F.col("c_id") != F.col("a_id")).select(
+        "a_id",
+        "a_label",
+        "c_id",
+        "c_label",
+        vec_cosine(F.col("av"), F.col("cv")).alias("cos"),
+    )
+    w_pos = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "c_id")
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            "a_label",
+            F.col("c_id").alias("pos_id"),
+            F.round(F.col("cos"), 6).alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.col("c_id").alias("neg_id"),
+            F.round(F.col("cos"), 6).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "a_id").select(
+        "a_id",
+        "a_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

@@ -1450,3 +1450,80 @@ class TestLSHBucketDiag:
             assert 1 <= r.n_buckets <= 64  # 6 planes -> at most 2^6
             assert r.max_bucket >= r.mean_bucket
             assert r.expected_candidates >= r.mean_bucket  # sz^2 weighting
+
+
+class TestColumnProfile:
+    def test_profile_vs_direct(self, spark):
+        import pyspark.sql.functions as F
+
+        sf = "/root/testdata/sf0.001"
+        got = {r.column_name: r for r in
+               REG["dq_column_profile"].fn(spark, sf).collect()}
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        assert got["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
+        assert got["o_orderstatus"].n_distinct == 3
+        top = (o.groupBy("o_orderstatus").count()
+               .orderBy(F.col("count").desc(), F.col("o_orderstatus")).collect()[0])
+        assert got["o_orderstatus"].top_value == top.o_orderstatus
+        assert got["o_orderstatus"].top_freq == top["count"]
+        assert got["o_custkey"].top_value is None
+
+
+class TestSurvivalKM:
+    def test_planted_curve(self, spark, tmp_path):
+        # 4 series, horizon: last day = 20, hz = 18.
+        # A: days 0..2 (t=2, died), B: days 0..2 (t=2, died),
+        # C: days 0..5 (t=5, died), D: days 0..20 (t=20, censored).
+        rows, eid = [], 0
+        series = [(1, "a", [0, 1, 2]), (2, "a", [0, 2]), (3, "a", [0, 5]),
+                  (4, "a", [0, 20])]
+        for u, t, days in series:
+            for d in days:
+                eid += 1
+                rows.append((eid, D0 + timedelta(days=d), u, t, 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.t_days: r for r in REG["ts_survival_km"].fn(spark, sf).collect()}
+        # deaths at t=2 (d=2, n=4 at risk) and t=5 (d=1, n=2)
+        assert out[2].n_deaths == 2 and out[2].n_at_risk == 4
+        assert out[5].n_deaths == 1 and out[5].n_at_risk == 2
+        assert abs(out[2].survival - 0.5) < 1e-4          # 1 - 2/4
+        assert abs(out[5].survival - 0.25) < 1e-4         # 0.5 * (1 - 1/2)
+
+    def test_all_die_reaches_zero(self, spark, tmp_path):
+        # two series both ending long before the horizon; a third keeps
+        # the horizon late. The last death time has d = n -> survival 0.
+        rows = [
+            (1, D0, 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(days=1), 1, "a", 1.0, "{}"),
+            (3, D0, 2, "a", 1.0, "{}"),
+            (4, D0 + timedelta(days=1), 2, "a", 1.0, "{}"),
+            (5, D0 + timedelta(days=30), 3, "b", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {r.t_days: r.survival for r in
+               REG["ts_survival_km"].fn(spark, sf).collect()}
+        # t=1: users 1,2 die (n at risk includes the 30-day... user 3's
+        # series has t=0); at t=1 d=2, n=2 -> survival 0
+        assert out[1] == 0.0
+
+
+class TestContrastivePairs:
+    def test_planted_clusters(self, spark, tmp_path):
+        # two tight clusters; anchors get same-label positives and the
+        # nearest other-cluster vector as negative, margin > 0.
+        rows = []
+        for i in range(5):
+            v = [1.0, 0.01 * i] + [0.0] * 62
+            rows.append((i, [float(x) for x in v], 0))
+        for i in range(5):
+            v = [0.0, 1.0 + 0.01 * i] + [0.0] * 62
+            rows.append((60 + i, [float(x) for x in v], 1))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = REG["emb_contrastive_pairs"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 5  # anchors: vec_id < 50 -> cluster 0 only
+        for r in out:
+            assert r.a_label == 0
+            assert r.pos_id < 50 and r.neg_id >= 60
+            assert r.margin > 0.5
