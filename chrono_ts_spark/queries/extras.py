@@ -2097,3 +2097,46 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile("o_orderpriority", True))
         .unionAll(profile("o_custkey", False))
     )
+
+
+# ---------------------------------------------------------------------------
+# S5c: dynamic partition overwrite (surgical backfill semantics)
+# ---------------------------------------------------------------------------
+
+
+@query("io_dynamic_overwrite", oracle=None, tags=("io", "S5c", "no-oracle"))
+def io_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5c: dynamic partition overwrite — the surgical-backfill
+    semantic: a corrected batch for ONE day replaces only that day's
+    partition (partitionOverwriteMode=dynamic), while static mode
+    would have wiped the whole table. The query writes events
+    partitioned by day, overwrites the earliest day with a corrected
+    copy (values doubled), and reports per-partition row counts and
+    the cents checksum so the output shows exactly one partition
+    changed and all others byte-identical.
+
+    Rows-only (filesystem semantics); invariants pinned in tests:
+    untouched partitions keep their original checksum, the corrected
+    one shows the doubled sum, total row count unchanged.
+    """
+    path = _roundtrip_dir(sf_dir, "dynover", "events")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    first_day = base.agg(F.min("day").alias("d")).collect()[0].d
+    corrected = base.filter(F.col("day") == first_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_sum"),
+    )

@@ -4789,3 +4789,190 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("c_fp").cast("double") / F.lit(1e6)), 6))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spec2: autocorrelation function (ACF table, lags 1..12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_acf",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+pairs AS (
+    SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+    FROM hourly a
+    CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS lag) l
+    JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+),
+m AS (
+    SELECT event_type, lag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    tags=("tsdb", "Spec2", "seasonality"),
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event type: Pearson correlation of
+    the hourly series with itself at lags 1..12 — the classic
+    pre-ARIMA diagnostic table (ts_xcorr_best_lag is the CROSS-series
+    twin; ts_rolling_autocorr the windowed single-lag one). Gap-aware:
+    pairs exist only where BOTH hours exist (no zero-fill bias in a
+    correlation).
+
+    The ts_series_corr exactness contract: integer moments in
+    decimal38/HUGEINT, one mirrored double expression with two
+    IEEE-exact sqrts, degenerate-variance rows filtered on both sides.
+    The 12-lag fan-out joins the hourly table to itself once per lag
+    on (type, h+lag) — calendar-bounded inputs, never raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    lags = spark.range(1, 13).select(F.col("id").cast("bigint").alias("lag"))
+    a = hourly.crossJoin(F.broadcast(lags))
+    b = hourly.select(
+        F.col("event_type").alias("et_b"),
+        F.col("h").alias("h_b"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("et_b") == F.col("event_type"))
+        & (F.col("h_b") == F.col("h") + F.col("lag")),
+    ).select("event_type", "lag", F.col("c").alias("x"), "y")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    m = pairs.groupBy("event_type", "lag").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"),
+    )
+    D = lambda c: c.cast("double")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(D(cov) / F.sqrt(D(vx)) / F.sqrt(D(vy)), 6).alias("acf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spec3: Haar wavelet energy decomposition (dyadic multi-resolution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_haar_energy",
+    oracle="""
+WITH base AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+h0 AS (SELECT event_type AS et0, MIN(h) AS hmin FROM base GROUP BY event_type),
+idx AS (
+    SELECT event_type, h - hmin AS i, c
+    FROM base JOIN h0 ON base.event_type = h0.et0
+),
+lv AS (SELECT unnest([1, 2, 3, 4]) AS k,
+              unnest([1, 2, 4, 8]) AS halfw),
+coeff AS (
+    SELECT idx.event_type, lv.k,
+           i // (2 * halfw) AS parent,
+           CAST(SUM(c * (CASE WHEN (i // halfw) % 2 = 0
+                         THEN 1 ELSE -1 END)) AS BIGINT) AS d
+    FROM idx CROSS JOIN lv
+    GROUP BY idx.event_type, lv.k, i // (2 * halfw)
+)
+SELECT event_type, CAST(k AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) / 1e8
+           AS energy
+FROM coeff GROUP BY event_type, k
+""",
+    tags=("tsdb", "Spec3", "wavelet"),
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy per dyadic level (1 = 2-hour detail up to
+    4 = 16-hour detail): each level-k coefficient is the signed sum of
+    hourly cents over a 2^k block (+ for the first half, - for the
+    second — the unnormalized Haar detail), and the level energy is
+    the sum of squared coefficients. Where the FFT periodogram
+    (ts_dominant_period) localizes frequency, the wavelet energy
+    profile localizes SCALE — which dyadic horizon carries the
+    variance, the multi-resolution screen before picking a rollup
+    tier.
+
+    Missing hours contribute zero on the grid anchored at each
+    series' first hour (the periodogram's zero-fill convention).
+    Entirely integer until the final display division: signs are
+    integer CASEs, coefficients exact sums, squares carried in
+    decimal38/HUGEINT. One agg per level over the calendar-bounded
+    hourly table, fanned out by a 4-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    h0 = base.groupBy(F.col("event_type").alias("et0")).agg(
+        F.min("h").alias("hmin")
+    )
+    idx = base.join(
+        F.broadcast(h0), F.col("event_type") == F.col("et0")
+    ).select("event_type", (F.col("h") - F.col("hmin")).alias("i"), "c")
+    lv = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 4), (4, 8)], "k long, halfw long"
+    )
+    j = idx.crossJoin(F.broadcast(lv))
+    sign = F.when(F.expr("(i div halfw) % 2") == 0, 1).otherwise(-1)
+    coeff = j.groupBy(
+        "event_type", "k", F.expr("i div (2 * halfw)").alias("parent")
+    ).agg(F.sum(F.col("c") * sign).cast("bigint").alias("d"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    return coeff.groupBy("event_type", F.col("k").cast("bigint").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+        (F.sum(d38(F.col("d")) * d38(F.col("d"))).cast("double") / F.lit(1e8)).alias(
+            "energy"
+        ),
+    )

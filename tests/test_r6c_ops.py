@@ -1527,3 +1527,66 @@ class TestContrastivePairs:
             assert r.a_label == 0
             assert r.pos_id < 50 and r.neg_id >= 60
             assert r.margin > 0.5
+
+
+class TestDynamicOverwrite:
+    def test_only_target_partition_changed(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        rows = [
+            (1, D0, 1, "a", 10.0, "{}"),
+            (2, D0, 2, "a", 20.0, "{}"),
+            (3, D0 + timedelta(days=1), 1, "a", 5.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.day: (r.n_events, r.cents_sum)
+               for r in REG["io_dynamic_overwrite"].fn(spark, sf).collect()}
+        # day 0 doubled (30.00 -> 60.00), day 1 untouched
+        assert got["2024-03-01"] == (2, 6000)
+        assert got["2024-03-02"] == (1, 500)
+
+
+class TestACF:
+    def test_planted_alternating_series(self, spark, tmp_path):
+        # alternating high/low hourly values: acf(lag1) ~ -1, acf(lag2) ~ +1
+        rows = []
+        for h in range(48):
+            v = 100.0 if h % 2 == 0 else 10.0
+            rows.append((h + 1, D0 + timedelta(hours=h), 1, "alt", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.lag: r.acf for r in REG["ts_acf"].fn(spark, sf).collect()}
+        assert got[1] < -0.99
+        assert got[2] > 0.99
+        assert got[3] < -0.99
+
+    def test_gap_awareness(self, spark, tmp_path):
+        # hours 0 and 2 only: lag-1 has no pair rows; lag-2 has one pair
+        # (degenerate variance -> filtered). Result must be empty, not
+        # wrong.
+        rows = [(1, D0, 1, "g", 1.0, "{}"),
+                (2, D0 + timedelta(hours=2), 1, "g", 2.0, "{}")]
+        sf = _write_events(spark, tmp_path, rows)
+        assert REG["ts_acf"].fn(spark, sf).collect() == []
+
+
+class TestHaarEnergy:
+    def test_constant_series_zero_energy(self, spark, tmp_path):
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "c", 10.0, "{}")
+                for h in range(32)]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_haar_energy"].fn(spark, sf).collect()
+        assert len(out) == 4
+        assert all(r.energy == 0.0 for r in out)
+
+    def test_period2_signal_concentrates_at_level1(self, spark, tmp_path):
+        # period-2 alternation is pure level-1 detail: higher levels'
+        # blocks contain equal +/- contributions and cancel.
+        rows = []
+        for h in range(32):
+            v = 100.0 if h % 2 == 0 else 0.0
+            rows.append((h + 1, D0 + timedelta(hours=h), 1, "p2", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.level: r.energy for r in
+               REG["ts_haar_energy"].fn(spark, sf).collect()}
+        assert got[1] > 0
+        assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
