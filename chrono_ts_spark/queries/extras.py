@@ -2140,3 +2140,75 @@ def io_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4b: UDTF with TABLE argument (partitioned polymorphic table function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_user_profile",
+    oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_gaps
+FROM g GROUP BY user_id
+""",
+    tags=("udf", "X4b", "udtf"),
+)
+def udtf_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: Python UDTF consuming a TABLE ARGUMENT with PARTITION BY /
+    ORDER BY (Spark 4 polymorphic table functions — probed, works):
+    `SELECT * FROM profile(TABLE(events) PARTITION BY user_id ORDER BY
+    ts, event_id)`. The engine hands each user's rows to one UDTF
+    instance IN ORDER, so the function sees exactly the per-series
+    stream a stateful operator would — the SQL-surface twin of
+    applyInPandas, and the API udtf_bigrams' lateral form can't reach.
+
+    The profile itself (count, max inter-arrival gap) is deliberately
+    SQL-expressible so the oracle can verify the mechanism end to end.
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_views
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint, n_gaps bigint")
+    class Profile:
+        def __init__(self):
+            self._n = 0
+            self._prev = None
+            self._maxg = None
+            self._uid = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            us = row["us"]
+            if self._prev is not None:
+                g = us - self._prev
+                if self._maxg is None or g > self._maxg:
+                    self._maxg = g
+            self._prev = us
+
+        def terminate(self):
+            if self._n:
+                yield self._uid, self._n, self._maxg, self._n - 1
+
+    register_views(spark, sf_dir, ["events"])
+    spark.udtf.register("chrono_user_profile", Profile)
+    return spark.sql(
+        """
+        SELECT * FROM chrono_user_profile(
+            TABLE(SELECT user_id, unix_micros(ts) AS us, event_id FROM events)
+            PARTITION BY user_id ORDER BY (us, event_id)
+        )
+        """
+    )

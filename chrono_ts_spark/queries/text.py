@@ -3252,3 +3252,58 @@ def doc_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_dup).cast("bigint").alias("n_dup_pairs"),
         F.round(D(F.sum(is_dup)) / D(F.count(F.lit(1))), 6).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6g: MinHash-LSH S-curve design table (band/row tuning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_lsh_s_curve",
+    oracle="""
+WITH cfg AS (
+    SELECT unnest([4, 8, 16, 32]) AS bands,
+           unnest([16, 8, 4, 2]) AS rows_per_band
+),
+sgrid AS (SELECT unnest(generate_series(1, 19)) AS s20)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       round(CAST(s20 AS DOUBLE) / 20.0, 2) AS jaccard,
+       round(1.0 - power(1.0 - power(CAST(s20 AS DOUBLE) / 20.0,
+                                     CAST(rows_per_band AS DOUBLE)),
+                         CAST(bands AS DOUBLE)), 6) AS p_candidate
+FROM cfg CROSS JOIN sgrid
+""",
+    tags=("text", "X6g", "calibration"),
+)
+def doc_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH S-curve design table: candidate probability
+    P = 1 - (1 - s^r)^b over a Jaccard grid for four (bands x rows)
+    splits of a 64-hash signature — the chart that picks the banding
+    before indexing anything (doc_minhash_near_dups runs b=16, r=4;
+    this table says WHY: its 50%-candidacy threshold sits near
+    s = (1/b)^(1/r)). Pure closed-form math — the corpus is not read —
+    but registered because the design step IS part of the dedup
+    surface, and the doc_jaccard_threshold_curve empirical table is
+    its measured counterpart.
+
+    power() is libm on both engines; the 6dp round re-converges any
+    last-ulp disagreement (the established ln/exp rule).
+    """
+    cfg = spark.createDataFrame(
+        [(4, 16), (8, 8), (16, 4), (32, 2)], "bands long, rows_per_band long"
+    )
+    sgrid = spark.range(1, 20).select(F.col("id").cast("int").alias("s20"))
+    j = cfg.crossJoin(sgrid)
+    s = F.col("s20").cast("double") / F.lit(20.0)
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    return j.select(
+        "bands",
+        "rows_per_band",
+        F.round(s, 2).alias("jaccard"),
+        F.round(p, 6).alias("p_candidate"),
+    )

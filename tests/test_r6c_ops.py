@@ -1590,3 +1590,45 @@ class TestHaarEnergy:
                REG["ts_haar_energy"].fn(spark, sf).collect()}
         assert got[1] > 0
         assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+
+
+class TestTableArgUDTF:
+    def test_ordered_partition_stream(self, spark, tmp_path):
+        # out-of-order arrival inside one user: the TABLE(... ORDER BY)
+        # must hand rows to the UDTF in event-time order, so max_gap
+        # reflects the SORTED series (2h), not the arrival order (5h).
+        rows = [
+            (1, D0 + timedelta(hours=5), 1, "a", 1.0, "{}"),
+            (2, D0, 1, "a", 1.0, "{}"),
+            (3, D0 + timedelta(hours=3), 1, "a", 1.0, "{}"),
+            (4, D0, 2, "a", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.user_id: (r.n_events, r.max_gap_us, r.n_gaps)
+               for r in REG["udtf_user_profile"].fn(spark, sf).collect()}
+        assert got[1] == (3, 3 * 3600 * 1_000_000, 2)
+        assert got[2] == (1, None, 0)
+
+
+class TestLSHSCurve:
+    def test_curve_properties(self, spark):
+        out = REG["doc_lsh_s_curve"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(out) == 76  # 4 configs x 19 grid points
+        by_cfg = {}
+        for r in out:
+            by_cfg.setdefault((r.bands, r.rows_per_band), []).append(
+                (r.jaccard, r.p_candidate)
+            )
+        import math
+
+        for (b, rr), pts in by_cfg.items():
+            pts.sort()
+            ps = [p for _, p in pts]
+            assert all(ps[i] <= ps[i + 1] + 1e-9 for i in range(len(ps) - 1))
+            # spot-check the closed form at s = 0.5
+            p_exp = 1.0 - (1.0 - 0.5 ** rr) ** b
+            got = dict(pts)[0.5]
+            assert abs(got - round(p_exp, 6)) < 1e-6
+        # more bands with fewer rows -> easier candidacy at low s
+        low = {k: dict(v)[0.2] for k, v in by_cfg.items()}
+        assert low[(32, 2)] > low[(4, 16)]
