@@ -3307,3 +3307,54 @@ def doc_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 2).alias("jaccard"),
         F.round(p, 6).alias("p_candidate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8q: compression-ratio quality signal (zlib compressibility)
+# ---------------------------------------------------------------------------
+
+
+@query("doc_compression_ratio", oracle=None, tags=("text", "X8q", "quality", "no-oracle"))
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: compressed/raw byte ratio of
+    each document under zlib level 6 — the pretraining-corpus filter
+    family member (RedPajama/CCNet lineage) that catches what token
+    statistics miss: boilerplate and templated spam compress far
+    below natural prose, random noise barely compresses at all; both
+    tails get filtered.
+
+    Arrow-batched pandas UDF over stdlib zlib (deterministic: fixed
+    level, fixed input bytes — but the DEFLATE stream is library-
+    versioned, so no SQL oracle; planted repetitive-vs-noise ordering
+    and a pure-Python byte-equality are pinned in tests). Map-only:
+    no shuffle at all.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
+    @pandas_udf("long")
+    def zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t else 0
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    raw_len = F.length(F.encode(F.col("text"), "utf-8")).cast("bigint")
+    return d.select(
+        "doc_id",
+        raw_len.alias("raw_bytes"),
+        zlen(F.col("text")).alias("compressed_bytes"),
+    ).withColumn(
+        "compression_ratio",
+        F.round(
+            F.col("compressed_bytes").cast("double")
+            / F.greatest(F.col("raw_bytes").cast("double"), F.lit(1.0)),
+            6,
+        ),
+    )

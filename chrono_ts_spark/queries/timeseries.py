@@ -4976,3 +4976,219 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6h: seasonality strength (variance-ratio scalar per series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonality_strength",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, h
+),
+tr AS (
+    SELECT event_type, h, cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trend_x25,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+    SELECT event_type, h % 24 AS hod,
+           25 * cents - trend_x25 AS d_x25
+    FROM tr WHERE n_win = 25
+),
+seas AS (
+    SELECT event_type, hod,
+           CAST(SUM(d_x25) AS HUGEINT) AS s_sum,
+           CAST(COUNT(*) AS HUGEINT) AS s_n
+    FROM det GROUP BY event_type, hod
+),
+parts AS (
+    SELECT d.event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(d.d_x25 AS HUGEINT) * CAST(d.d_x25 AS HUGEINT)) AS ss_det,
+           CAST(SUM(d.d_x25) AS HUGEINT) AS s_det,
+           SUM((CAST(d.d_x25 AS HUGEINT) * s.s_n - s.s_sum)
+               * (CAST(d.d_x25 AS HUGEINT) * s.s_n - s.s_sum)
+               // (s.s_n * s.s_n)) AS ss_resid_approx
+    FROM det d JOIN seas s ON d.event_type = s.event_type AND d.hod = s.hod
+    GROUP BY d.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       round(GREATEST(0.0, 1.0
+             - CAST(ss_resid_approx AS DOUBLE)
+               / CAST(ss_det - s_det * s_det // n AS DOUBLE)), 6)
+           AS seasonal_strength
+FROM parts
+WHERE ss_det - s_det * s_det // n > 0
+""",
+    tags=("tsdb", "A6h", "seasonality"),
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH per series — the scalar the decomposition
+    (ts_seasonal_decompose) implies: 1 - Var(residual)/Var(detrended),
+    where the residual removes each hour-of-day's mean. ~0 = the
+    day-shape explains nothing, ->1 = the series IS its daily profile.
+    The one-number screen for whether a seasonal model
+    (ts_seasonal_baseline / holt_winters) is even applicable.
+
+    Integer algebra: residual*s_n = d*s_n - s_sum stays integer;
+    both sums of squares are HUGEINT/decimal38 with integer division
+    by s_n^2 (floor — applied identically on both engines), so the
+    variance ratio is one mirrored double expression. GREATEST(0,...)
+    clamps the floor-division bias at the boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-12, 12)
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("trend_x25"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )
+    det = tr.filter(F.col("n_win") == 25).select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        (F.lit(25) * F.col("cents") - F.col("trend_x25")).alias("d_x25"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    seas = det.groupBy("event_type", "hod").agg(
+        F.sum(d38(F.col("d_x25"))).alias("s_sum"),
+        d38(F.count(F.lit(1))).alias("s_n"),
+    )
+    j = det.join(F.broadcast(seas), ["event_type", "hod"])
+    resid_num = d38(F.col("d_x25")) * F.col("s_n") - F.col("s_sum")
+    parts = j.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum(d38(F.col("d_x25")) * d38(F.col("d_x25"))).alias("ss_det"),
+        F.sum(d38(F.col("d_x25"))).alias("s_det"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(d_x25 AS DECIMAL(38,0)) * s_n - s_sum)"
+                " * (CAST(d_x25 AS DECIMAL(38,0)) * s_n - s_sum)"
+                " div (s_n * s_n) AS DECIMAL(38,0))"
+            )
+        ).alias("ss_resid_approx"),
+    )
+    D = lambda c: c.cast("double")
+    var_det = F.col("ss_det") - F.expr("CAST(s_det * s_det div n AS DECIMAL(38,0))")
+    return (
+        parts.filter(var_det > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - D(F.col("ss_resid_approx")) / D(var_det),
+                ),
+                6,
+            ).alias("seasonal_strength"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fin1: Parkinson range-based volatility (high-low estimator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_parkinson_volatility",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, h
+),
+daily AS (
+    SELECT event_type, h // 24 AS d,
+           CAST(MAX(cents) AS BIGINT) AS hi,
+           CAST(MIN(cents) AS BIGINT) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly GROUP BY event_type, h // 24
+),
+t AS (
+    SELECT event_type,
+           CAST(round(round(ln(CAST(hi AS DOUBLE) / CAST(lo AS DOUBLE)), 6)
+                      * round(ln(CAST(hi AS DOUBLE) / CAST(lo AS DOUBLE)), 6)
+                      * 1e6, 0) AS BIGINT) AS r2_fp
+    FROM daily WHERE n_hours >= 2 AND lo > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(sqrt(CAST(SUM(r2_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                  / (4.0 * round(ln(2.0), 6))), 6) AS parkinson_sigma
+FROM t GROUP BY event_type
+""",
+    tags=("tsdb", "Fin1", "volatility"),
+)
+def ts_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson range-based volatility per event type: sigma^2 is
+    estimated from each day's HIGH/LOW of the hourly series —
+    E[ln(H/L)^2] / (4 ln 2) — the estimator that extracts ~5x more
+    information per day than close-to-close returns because the range
+    sees the whole intraday path (the OHLC family's statistical
+    payoff; ts_ohlc_daily materializes the inputs, this consumes
+    them). Days with fewer than 2 hourly observations have no range
+    and drop out.
+
+    libm discipline: each day's ln rounds 6dp, its SQUARE (of the
+    rounded value) scales into 1e6 fixed point, the per-type mean is
+    an integer ratio, and the final sqrt is IEEE-exact; even the 4ln2
+    constant is the 6dp-rounded double on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("cents"))
+    )
+    daily = hourly.groupBy(
+        "event_type", F.expr("h div 24").alias("d")
+    ).agg(
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    D = lambda c: c.cast("double")
+    lnr = F.round(F.log(D(F.col("hi")) / D(F.col("lo"))), 6)
+    t = daily.filter((F.col("n_hours") >= 2) & (F.col("lo") > 0)).select(
+        "event_type",
+        F.round(lnr * lnr * F.lit(1e6), 0).cast("bigint").alias("r2_fp"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sqrt(
+                F.sum("r2_fp").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+                / (F.lit(4.0) * F.round(F.log(F.lit(2.0)), 6))
+            ),
+            6,
+        ).alias("parkinson_sigma"),
+    )

@@ -1632,3 +1632,64 @@ class TestLSHSCurve:
         # more bands with fewer rows -> easier candidacy at low s
         low = {k: dict(v)[0.2] for k, v in by_cfg.items()}
         assert low[(32, 2)] > low[(4, 16)]
+
+
+class TestCompressionRatio:
+    def test_repetitive_vs_noise_ordering(self, spark, tmp_path):
+        import random
+        import zlib
+
+        rnd = random.Random(9)
+        rep = "spam " * 200
+        noise = "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(1000))
+        rows = [(1, rep, "en", "s", len(rep)), (2, noise, "en", "s", len(noise))]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r.doc_id: r for r in
+               REG["doc_compression_ratio"].fn(spark, str(tmp_path)).collect()}
+        assert got[1].compression_ratio < 0.1   # boilerplate crushes
+        assert got[2].compression_ratio > 0.5   # noise barely compresses
+        # byte-exact vs direct zlib
+        assert got[1].compressed_bytes == len(zlib.compress(rep.encode(), 6))
+        assert got[1].raw_bytes == len(rep.encode())
+
+
+class TestSeasonalityStrength:
+    def test_strong_vs_flat(self, spark, tmp_path):
+        rows, eid = [], 0
+        # type 'seasonal': pure hod pattern; type 'flat': constant.
+        for h in range(24 * 7):
+            eid += 1
+            v = 10.0 + 50.0 * (h % 24 == 5)
+            rows.append((eid, D0 + timedelta(hours=h), 1, "seasonal", v, "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "flat", 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r.seasonal_strength for r in
+               REG["ts_seasonality_strength"].fn(spark, sf).collect()}
+        assert got["seasonal"] > 0.9
+        assert "flat" not in got  # zero detrended variance -> filtered
+
+
+class TestParkinsonVolatility:
+    def test_constant_series_zero(self, spark, tmp_path):
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "c", 10.0, "{}")
+                for h in range(48)]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_parkinson_volatility"].fn(spark, sf).collect()
+        assert out[0].parkinson_sigma == 0.0  # hi == lo every day
+
+    def test_known_range(self, spark, tmp_path):
+        import math
+
+        # one day, two hours: totals 100 and 400 cents -> ln(4)^2/(4 ln2)
+        rows = [
+            (1, D0, 1, "r", 1.0, "{}"),
+            (2, D0 + timedelta(hours=1), 1, "r", 4.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_parkinson_volatility"].fn(spark, sf).collect()[0]
+        lnr = round(math.log(4.0), 6)
+        exp = math.sqrt(round(lnr * lnr * 1e6) / 1e6 / (4.0 * round(math.log(2.0), 6)))
+        assert r.parkinson_sigma == round(exp, 6)

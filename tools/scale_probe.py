@@ -171,6 +171,15 @@ def main() -> None:
         "ts_multi_resolution",
         "ts_seasonal_decompose",
         "ts_top_movers",
+        "ts_interval_coverage",
+        "ts_markov_transitions",
+        "ts_attribution_linear",
+        "ts_burstiness",
+        "ts_acf",
+        "ts_haar_energy",
+        "ts_survival_km",
+        "ts_incident_mttr",
+        "ts_apdex",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
