@@ -33,44 +33,48 @@ def global_rank(
     *,
     ascending: bool = True,
     out: str = "r",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Append column ``out`` = 1-based global row_number by
     (``key`` asc/desc, then ``tiebreak`` asc), with no global window.
 
     ``key`` must be a non-negative integral column (cents, counts,
     day numbers); callers scale doubles to fixed point first.
+    ``partition_by`` restarts the rank per group (per-year quartiles):
+    bands become (group, digit-band), offsets join on group equality.
     """
+    pby = list(partition_by or [])
     banded = df.withColumn(
         "__band", F.length(F.col(key).cast("string")).cast("bigint")
     )
     key_order: Column = F.col(key).asc() if ascending else F.col(key).desc()
-    w_in = Window.partitionBy("__band").orderBy(
+    w_in = Window.partitionBy(*pby, "__band").orderBy(
         key_order, *[F.col(c).asc() for c in tiebreak]
     )
     within = banded.withColumn("__rw", F.row_number().over(w_in))
-    bn = banded.groupBy("__band").agg(
+    bn = banded.groupBy(*pby, "__band").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
     # offset(b) = total rows in bands strictly ordered before b
     before = F.col("__o_band") < F.col("__band") if ascending else (
         F.col("__o_band") > F.col("__band")
     )
+    other = bn.select(
+        *[F.col(c).alias(f"__o_{c}") for c in pby],
+        F.col("__band").alias("__o_band"),
+        F.col("__cnt").alias("__o_cnt"),
+    )
+    cond = before
+    for c in pby:
+        cond = cond & (F.col(f"__o_{c}") == F.col(c))
     off = (
-        bn.select("__band")
-        .join(
-            F.broadcast(
-                bn.select(
-                    F.col("__band").alias("__o_band"), F.col("__cnt").alias("__o_cnt")
-                )
-            ),
-            before,
-            "left",
-        )
-        .groupBy("__band")
+        bn.select(*pby, "__band")
+        .join(F.broadcast(other), cond, "left")
+        .groupBy(*pby, "__band")
         .agg(F.coalesce(F.sum("__o_cnt"), F.lit(0)).cast("bigint").alias("__off"))
     )
     return (
-        within.join(F.broadcast(off), "__band")
+        within.join(F.broadcast(off), [*pby, "__band"])
         .withColumn(out, (F.col("__off") + F.col("__rw")).cast("bigint"))
         .drop("__band", "__rw", "__off")
     )

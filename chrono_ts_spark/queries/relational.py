@@ -3418,3 +3418,83 @@ def rel_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
         F.round(F.sum("term_fp").cast("double") / F.lit(1e6), 4).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML7: customer segment migration matrix (year-over-year quartiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_segment_migration",
+    oracle="""
+WITH yr AS (
+    SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey, y
+),
+rk AS (
+    SELECT o_custkey, y, cents,
+           row_number() OVER (PARTITION BY y
+                              ORDER BY cents ASC, o_custkey ASC) AS r,
+           COUNT(*) OVER (PARTITION BY y) AS n
+    FROM yr
+),
+q AS (
+    SELECT o_custkey, y,
+           CAST(1 + ((r - 1) * 4) // n AS BIGINT) AS quartile
+    FROM rk
+)
+SELECT a.y AS year_from,
+       a.quartile AS q_from, b.quartile AS q_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND b.y = a.y + 1
+GROUP BY a.y, a.quartile, b.quartile
+""",
+    tags=("relational", "ML7", "segmentation"),
+)
+def rel_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix: each customer's yearly-spend
+    quartile, joined year to year+1 — the (q_from, q_to) flow counts
+    behind churn-risk and upsell analysis (a static RFM grid says
+    where customers ARE; this says where they're GOING). Customers
+    absent in either year drop out of that transition by join
+    construction — no fake 'churn' rows from partial data.
+
+    Quartiles use global_rank with partition_by (operators/rank.py) —
+    per-year ranks with no per-year single-partition sort; the oracle
+    uses plain per-year windows, so the hash compare again proves the
+    banded rank. Score arithmetic is the integer div quartile formula
+    (rel_rfm_segments).
+    """
+    from ..operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = (
+        o.select(
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("o_custkey", "y")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    rk = global_rank(yr, "cents", ["o_custkey"], out="r", partition_by=["y"])
+    n_y = yr.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = rk.join(F.broadcast(n_y), "y").select(
+        "o_custkey",
+        "y",
+        F.expr("CAST(1 + ((r - 1) * 4) div n AS BIGINT)").alias("quartile"),
+    )
+    a = q.select(
+        "o_custkey", F.col("y").alias("year_from"), F.col("quartile").alias("q_from")
+    )
+    b = q.select(
+        "o_custkey", (F.col("y") - 1).alias("year_from"), F.col("quartile").alias("q_to")
+    )
+    return (
+        a.join(b, ["o_custkey", "year_from"])
+        .groupBy("year_from", "q_from", "q_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

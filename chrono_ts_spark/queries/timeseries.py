@@ -5192,3 +5192,177 @@ def ts_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("parkinson_sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spec4: local-maxima peak detection with neighbor guards
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+nb AS (
+    SELECT event_type, h, c,
+           lag(c, 1) OVER w AS p1, lag(c, 2) OVER w AS p2,
+           lead(c, 1) OVER w AS n1, lead(c, 2) OVER w AS n2,
+           lag(h, 2) OVER w AS hp2, lead(h, 2) OVER w AS hn2
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, h, c AS cents,
+       CAST(c - GREATEST(LEAST(p1, p2), LEAST(n1, n2)) AS BIGINT)
+           AS prominence_cents
+FROM nb
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+  AND n1 IS NOT NULL AND n2 IS NOT NULL
+  AND hp2 = h - 2 AND hn2 = h + 2
+  AND c > p1 AND c > p2 AND c > n1 AND c > n2
+""",
+    tags=("tsdb", "Spec4", "peaks"),
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection over the hourly series: a peak is
+    STRICTLY greater than its two neighbors on each side, with a
+    contiguity guard (the 2-back/2-ahead rows must be exactly h±2 —
+    after a calendar gap the 'neighbor' is hours away and says nothing
+    about local shape). Prominence = height above the better shoulder
+    (max of each side's min) — the ranking key for which peaks matter.
+    The alert-enrichment step between raw thresholds (ts_burn_rate)
+    and changepoints (ts_pelt_segments): peaks are events, not regime
+    shifts.
+
+    One per-series sort window, four lag/leads, integer cents end to
+    end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    nb = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lag("c", 2).over(w).alias("p2"),
+        F.lead("c", 1).over(w).alias("n1"),
+        F.lead("c", 2).over(w).alias("n2"),
+        F.lag("h", 2).over(w).alias("hp2"),
+        F.lead("h", 2).over(w).alias("hn2"),
+    )
+    return (
+        nb.filter(
+            F.col("p1").isNotNull()
+            & F.col("p2").isNotNull()
+            & F.col("n1").isNotNull()
+            & F.col("n2").isNotNull()
+            & (F.col("hp2") == F.col("h") - 2)
+            & (F.col("hn2") == F.col("h") + 2)
+            & (F.col("c") > F.col("p1"))
+            & (F.col("c") > F.col("p2"))
+            & (F.col("c") > F.col("n1"))
+            & (F.col("c") > F.col("n2"))
+        )
+        .select(
+            "event_type",
+            "h",
+            F.col("c").alias("cents"),
+            (
+                F.col("c")
+                - F.greatest(
+                    F.least(F.col("p1"), F.col("p2")),
+                    F.least(F.col("n1"), F.col("n2")),
+                )
+            )
+            .cast("bigint")
+            .alias("prominence_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML8: EMA alpha sweep (hyperparameter selection inside the engine)
+# ---------------------------------------------------------------------------
+
+
+@query("ts_ema_alpha_sweep", oracle=None, tags=("tsdb", "ML8", "tuning", "no-oracle"))
+def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass EMA hyperparameter sweep: for each user series, run
+    the one-step-ahead EMA forecast at alpha in {0.1..0.9} and report
+    each alpha's SSE plus the per-series argmin — model selection AS A
+    QUERY, the grid-search loop a forecasting pipeline otherwise runs
+    as nine separate jobs. Noisy series pick small alpha (smooth
+    hard), trending series pick large (track fast); the best_alpha
+    column is directly the per-series deployment parameter.
+
+    Sequential boundary (batch_ema contract): all nine recursions run
+    in ONE pass over each sorted series inside applyInPandas — the
+    series is read once, not nine times. Rows-only (a 9-way float
+    recursion sweep has no SQL twin); pinned in tests: constant series
+    -> SSE 0 at every alpha; a planted trend must pick a larger alpha
+    than white noise.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    alphas = [round(0.1 * k, 1) for k in range(1, 10)]
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = pdf["value"].to_numpy(dtype="float64")
+        uid = int(pdf["user_id"].iloc[0])
+        out = []
+        if len(xs) >= 2:
+            for a in alphas:
+                b = 1.0 - a
+                e = xs[0]
+                sse = 0.0
+                for x in xs[1:]:
+                    d = x - e          # forecast error (EMA = prediction)
+                    sse += d * d
+                    e = a * x + b * e
+                out.append((uid, a, len(xs), round(sse, 4)))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "alpha": pd.Series([], dtype="float64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sse": pd.Series([], dtype="float64"),
+                    "is_best": pd.Series([], dtype="bool"),
+                }
+            )
+        best = min(out, key=lambda t: (t[3], t[1]))[1]
+        return pd.DataFrame(
+            [(u, a, n, sv, a == best) for (u, a, n, sv) in out],
+            columns=["user_id", "alpha", "n_events", "sse", "is_best"],
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            run,
+            "user_id bigint, alpha double, n_events long, sse double, "
+            "is_best boolean",
+        )
+    )

@@ -1693,3 +1693,66 @@ class TestParkinsonVolatility:
         lnr = round(math.log(4.0), 6)
         exp = math.sqrt(round(lnr * lnr * 1e6) / 1e6 / (4.0 * round(math.log(2.0), 6)))
         assert r.parkinson_sigma == round(exp, 6)
+
+
+class TestPeakDetection:
+    def test_planted_peak_and_gap_guard(self, spark, tmp_path):
+        # hours 0..6 values: 1,2,5,2,1,1,1 -> peak at h=2; shoulders are
+        # min(p1,p2)=min(200,100)=100 and min(n1,n2)=min(200,100)=100,
+        # so prominence = 500 - 100 = 400 cents.
+        vals = [1.0, 2.0, 5.0, 2.0, 1.0, 1.0, 1.0]
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "a", v, "{}")
+                for h, v in enumerate(vals)]
+        # a lone spike after a gap must NOT be a peak (contiguity guard)
+        rows.append((99, D0 + timedelta(hours=50), 1, "a", 99.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_peak_detection"].fn(spark, sf).collect()
+        assert len(out) == 1
+        assert out[0].cents == 500
+        assert out[0].prominence_cents == 400
+
+
+class TestSegmentMigration:
+    def test_planted_transitions(self, spark, tmp_path):
+        # 4 customers, year 2024 spends 10/20/30/40 -> quartiles 1..4;
+        # 2025: customer 1 jumps to top, others keep order.
+        orders, ok = [], 0
+        spends_24 = {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+        spends_25 = {1: 100.0, 2: 10.0, 3: 20.0, 4: 30.0}
+        for c, v in spends_24.items():
+            ok += 1
+            orders.append((ok, c, "O", v, datetime(2024, 6, 1), "p"))
+        for c, v in spends_25.items():
+            ok += 1
+            orders.append((ok, c, "O", v, datetime(2025, 6, 1), "p"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {(r.q_from, r.q_to): r.n_customers for r in
+               REG["rel_segment_migration"].fn(spark, str(tmp_path)).collect()}
+        # 2025 ranks: c2=10(q1), c3=20(q2), c4=30(q3), c1=100(q4)
+        assert got == {(1, 4): 1, (2, 1): 1, (3, 2): 1, (4, 3): 1}
+
+
+class TestAlphaSweep:
+    def test_constant_series_zero_sse(self, spark, tmp_path):
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", 5.0, "{}")
+                for i in range(10)]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_ema_alpha_sweep"].fn(spark, sf).collect()
+        assert len(out) == 9
+        assert all(r.sse == 0.0 for r in out)
+        # tie on SSE -> smallest alpha flagged best (deterministic)
+        best = [r.alpha for r in out if r.is_best]
+        assert best == [0.1]
+
+    def test_trend_prefers_high_alpha(self, spark, tmp_path):
+        # strong linear trend: tracking fast (high alpha) wins.
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", float(i * 10), "{}")
+                for i in range(50)]
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_ema_alpha_sweep"].fn(spark, sf).collect()
+        best = [r.alpha for r in out if r.is_best][0]
+        assert best == 0.9
