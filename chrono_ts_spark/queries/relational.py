@@ -3498,3 +3498,108 @@ def rel_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year_from", "q_from", "q_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log1: ship-latency distribution with exact bounded-domain percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_ship_latency",
+    oracle="""
+WITH lat AS (
+    SELECT o.o_orderpriority AS prio,
+           CAST(epoch_us(l.l_shipdate) // 86400000000
+                - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+    SELECT prio, days, CAST(COUNT(*) AS BIGINT) AS k
+    FROM lat GROUP BY prio, days
+),
+cum AS (
+    SELECT h.prio, h.days, h.k,
+           (SELECT CAST(SUM(h2.k) AS BIGINT) FROM hist h2
+            WHERE h2.prio = h.prio AND h2.days <= h.days) AS ck
+    FROM hist h
+),
+tot AS (
+    SELECT prio, CAST(SUM(k) AS BIGINT) AS n,
+           CAST(SUM(days * k) AS BIGINT) AS s_days
+    FROM hist GROUP BY prio
+)
+SELECT t.prio AS o_orderpriority, t.n,
+       round(CAST(t.s_days AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS mean_days,
+       (SELECT MIN(days) FROM cum WHERE cum.prio = t.prio
+        AND ck * 2 >= t.n) AS p50_days,
+       (SELECT MIN(days) FROM cum WHERE cum.prio = t.prio
+        AND ck * 100 >= 95 * t.n) AS p95_days
+FROM tot t
+""",
+    tags=("relational", "Log1", "latency"),
+)
+def rel_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: mean and EXACT
+    p50/p95 in days — the logistics SLA report. The percentiles come
+    from the bounded-domain histogram pattern (diag_key_skew): latency
+    in days has a tiny value domain, so exact order statistics read
+    off a cumulative histogram built with a broadcast theta self-join —
+    no sort of the line-item-sized latency column anywhere, which is
+    the difference between this and a percentile window at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        (
+            F.expr("unix_micros(l_shipdate) div 86400000000")
+            - F.expr("unix_micros(o_orderdate) div 86400000000")
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    hist = lat.groupBy("prio", "days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cum = (
+        hist.join(
+            F.broadcast(
+                hist.select(
+                    F.col("prio").alias("o_prio"),
+                    F.col("days").alias("o_days"),
+                    F.col("k").alias("o_k"),
+                )
+            ),
+            (F.col("o_prio") == F.col("prio")) & (F.col("o_days") <= F.col("days")),
+        )
+        .groupBy("prio", "days", "k")
+        .agg(F.sum("o_k").cast("bigint").alias("ck"))
+    )
+    tot = hist.groupBy("prio").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.col("days") * F.col("k")).cast("bigint").alias("s_days"),
+    )
+    j = cum.join(F.broadcast(tot), "prio")
+    p50 = (
+        j.filter(F.col("ck") * 2 >= F.col("n"))
+        .groupBy("prio")
+        .agg(F.min("days").alias("p50_days"))
+    )
+    p95 = (
+        j.filter(F.col("ck") * 100 >= F.col("n") * 95)
+        .groupBy("prio")
+        .agg(F.min("days").alias("p95_days"))
+    )
+    D = lambda c: c.cast("double")
+    return (
+        tot.join(p50, "prio")
+        .join(p95, "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            F.round(D(F.col("s_days")) / D(F.col("n")), 6).alias("mean_days"),
+            "p50_days",
+            "p95_days",
+        )
+    )

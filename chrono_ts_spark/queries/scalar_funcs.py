@@ -612,3 +612,52 @@ def sf_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt_len.alias("roundtrip_len"),
         (rt_len == F.length("p_name")).cast("int").alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe casts / arithmetic (TRY semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_try_funcs",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_name AS BIGINT) AS name_as_int,
+       TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_roundtrip,
+       TRY_CAST(substr(p_type, 1, 3) AS DOUBLE) AS type_prefix_num,
+       CASE WHEN (p_size - 5) = 0 THEN NULL
+            ELSE CAST(round(p_retailprice / (p_size - 5), 6) AS DOUBLE) END
+           AS price_per_adjusted,
+       CAST(TRY_CAST(p_name AS BIGINT) IS NULL AS INTEGER) AS name_not_numeric
+FROM part
+""",
+    tags=("scalar", "try-semantics"),
+)
+def sf_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe TRY semantics: try_cast turns malformed casts into
+    NULLs instead of job-killing exceptions, and try_divide absorbs
+    division by zero — the safe-ingestion family (io_csv_malformed is
+    its file-level sibling; this is the expression level). A 100 TB
+    job that throws on row 40 billion wastes the cluster; TRY
+    semantics convert poison rows into auditable NULLs.
+
+    DuckDB has no try_divide, so the oracle's divide-by-zero guard is
+    the equivalent CASE; Spark's try_divide must agree with it —
+    cross-proving the NULL-on-zero semantic rather than assuming it.
+    """
+    p = load_table(spark, sf_dir, "part")
+    # Column.try_cast / F.expr: the DataFrame API exposes try_cast on
+    # Column (not pyspark.sql.functions); try_divide is a function
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("bigint").alias("name_as_int"),
+        F.col("p_size").cast("string").try_cast("bigint").alias("size_roundtrip"),
+        F.substring("p_type", 1, 3).try_cast("double").alias("type_prefix_num"),
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 5), 6
+        ).alias("price_per_adjusted"),
+        F.col("p_name").try_cast("bigint").isNull().cast("int").alias(
+            "name_not_numeric"
+        ),
+    )

@@ -3358,3 +3358,72 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8r: character-level entropy (randomness / template detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+),
+cc AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM chars WHERE ch != '' GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id
+),
+terms AS (
+    SELECT cc.doc_id,
+           CAST(round(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                      * 1e9, 0) AS BIGINT) AS t_fp
+    FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+)
+SELECT terms.doc_id,
+       CAST(tot.n AS BIGINT) AS n_chars_counted,
+       round(CAST(SUM(t_fp) AS DOUBLE) / 1e9, 6) AS char_entropy
+FROM terms JOIN tot ON terms.doc_id = tot.doc_id
+GROUP BY terms.doc_id, tot.n
+""",
+    tags=("text", "X8r", "quality"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats): the
+    randomness detector at the opposite granularity from
+    doc_compression_ratio's — near-zero for single-character spam,
+    ~ln(27) ceiling for uniform noise, natural prose in between. The
+    pair (char entropy, compression ratio) brackets the template/
+    noise axes; ts_entropy_by_type is the numeric-series sibling.
+
+    Each -p·ln(p) term rounds 9dp into 1e9 fixed point (the entropy
+    contract), so per-doc sums are order-immune integers; the char
+    explosion is map-side and the only shuffle keys on (doc, char).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    D = lambda c: c.cast("double")
+    p = D(F.col("c")) / D(F.col("n"))
+    t_fp = F.round(F.round(-p * F.log(p), 9) * F.lit(1e9), 0).cast("bigint")
+    terms = cc.join(tot, "doc_id").select("doc_id", "n", t_fp.alias("t_fp"))
+    return terms.groupBy("doc_id", "n").agg(
+        F.round(F.sum("t_fp").cast("double") / F.lit(1e9), 6).alias("char_entropy")
+    ).select(
+        "doc_id", F.col("n").alias("n_chars_counted"), "char_entropy"
+    )

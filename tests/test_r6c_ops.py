@@ -1756,3 +1756,56 @@ class TestAlphaSweep:
         out = REG["ts_ema_alpha_sweep"].fn(spark, sf).collect()
         best = [r.alpha for r in out if r.is_best][0]
         assert best == 0.9
+
+
+class TestCharEntropy:
+    def test_extremes(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (1, "aaaaaaaaaa", "en", "s", 10),          # entropy 0
+            (2, "abababab", "en", "s", 8),             # exactly ln(2)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r.doc_id: r.char_entropy for r in
+               REG["doc_char_entropy"].fn(spark, str(tmp_path)).collect()}
+        assert got[1] == 0.0
+        assert abs(got[2] - math.log(2)) < 1e-6
+
+
+class TestShipLatency:
+    def test_planted_percentiles(self, spark, tmp_path):
+        # latencies (days): [1,1,1,2,10] -> p50=1 (cum 3/5), p95=10,
+        # mean=3.0
+        li, orders = [], [(k, 1, "O", 1.0, D0, "1-URGENT") for k in range(1, 6)]
+        for ok, lat in [(1, 1), (2, 1), (3, 1), (4, 2), (5, 10)]:
+            li.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                       D0 + timedelta(days=lat)))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        r = REG["rel_ship_latency"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.n, r.p50_days, r.p95_days) == (5, 1, 10)
+        assert r.mean_days == 3.0
+
+
+class TestTryFuncs:
+    def test_try_semantics(self, spark):
+        out = REG["sf_try_funcs"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert all(r.name_as_int is None for r in out)      # names not numeric
+        assert all(r.name_not_numeric == 1 for r in out)
+        assert all(r.size_roundtrip is not None for r in out)
+        # size == 5 rows must yield NULL (divide by zero absorbed)
+        fives = [r for r in out if r.size_roundtrip == 5]
+        assert all(r.price_per_adjusted is None for r in fives)
