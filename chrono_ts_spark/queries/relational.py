@@ -3603,3 +3603,76 @@ def rel_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# For2: Herfindahl-Hirschman concentration index (market structure)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_hhi_concentration",
+    oracle="""
+WITH nrev AS (
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))
+                         * 10000 AS BIGINT)) AS HUGEINT) AS rev_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(rev_e4 * rev_e4) AS DOUBLE)
+             / CAST(SUM(rev_e4) * SUM(rev_e4) AS DOUBLE), 6) AS hhi,
+       round(1.0 / CAST(COUNT(*) AS DOUBLE), 6) AS hhi_uniform_floor
+FROM nrev GROUP BY r_name
+""",
+    tags=("relational", "For2", "concentration"),
+)
+def rel_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index per region: sum of squared revenue
+    shares across its nations — the market-concentration scalar
+    (1/n = perfectly even, 1.0 = monopoly) that complements
+    diag_key_skew's Gini (inequality of a distribution) with the
+    antitrust-style share-of-market view, and rel_abc_analysis's
+    cumulative cut with a single comparable number. The uniform floor
+    1/n is emitted alongside so the excess concentration is readable
+    per row.
+
+    HHI = sum(rev_i^2) / (sum(rev_i))^2 — both sides exact integers
+    (HUGEINT/decimal38) under ONE double division; no per-member share
+    is ever computed in float.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    d38 = lambda x: x.cast("decimal(38,0)")
+    nrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum((_rev() * 10000).cast("bigint")).cast("decimal(38,0)").alias(
+                "rev_e4"
+            )
+        )
+    )
+    D = lambda x: x.cast("double")
+    return nrev.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            D(F.sum(F.col("rev_e4") * F.col("rev_e4")))
+            / D(F.sum("rev_e4") * F.sum("rev_e4")),
+            6,
+        ).alias("hhi"),
+        F.round(F.lit(1.0) / D(F.count(F.lit(1))), 6).alias("hhi_uniform_floor"),
+    )

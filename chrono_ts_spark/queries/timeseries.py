@@ -5366,3 +5366,64 @@ def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_best boolean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ4: missing-hours completeness report per series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_missing_hours",
+    oracle="""
+WITH hourly AS (
+    SELECT DISTINCT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+    FROM events
+),
+g AS (
+    SELECT event_type, h,
+           h - lag(h) OVER (PARTITION BY event_type ORDER BY h) AS dh
+    FROM hourly
+)
+SELECT event_type,
+       CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_hours,
+       CAST(COUNT(*) AS BIGINT) AS observed_hours,
+       CAST(MAX(h) - MIN(h) + 1 - COUNT(*) AS BIGINT) AS missing_hours,
+       CAST(COALESCE(MAX(dh) - 1, 0) AS BIGINT) AS longest_gap_hours,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / CAST(MAX(h) - MIN(h) + 1 AS DOUBLE), 6) AS coverage
+FROM g GROUP BY event_type
+""",
+    tags=("tsdb", "DQ4", "completeness"),
+)
+def ts_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness report per series: calendar span vs observed
+    hours, the count of MISSING hours, the longest contiguous gap,
+    and the coverage ratio — the report a collection pipeline's
+    health page shows (dq_expectations checks values; this checks
+    PRESENCE, which value checks structurally can't see). The longest
+    gap comes from consecutive observed hours' deltas — no calendar
+    generation needed, one per-series lag window over the distinct
+    (type, hour) table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    g = hourly.select(
+        "event_type", "h", (F.col("h") - F.lag("h").over(w)).alias("dh")
+    )
+    D = lambda c: c.cast("double")
+    span = F.max("h") - F.min("h") + 1
+    return g.groupBy("event_type").agg(
+        span.cast("bigint").alias("span_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("observed_hours"),
+        (span - F.count(F.lit(1))).cast("bigint").alias("missing_hours"),
+        F.coalesce(F.max("dh") - 1, F.lit(0)).cast("bigint").alias(
+            "longest_gap_hours"
+        ),
+        F.round(D(F.count(F.lit(1))) / D(span), 6).alias("coverage"),
+    )

@@ -1102,3 +1102,86 @@ def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7m: directional concentration (mean resultant length per label)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_concentration",
+    oracle="""
+WITH unit AS (
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(round(round(CAST(embedding[pos] AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                      9) * 1e9, 0) AS BIGINT) AS u_fp
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+    WHERE list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+),
+s AS (
+    SELECT label, pos,
+           CAST(SUM(u_fp) AS HUGEINT) AS s_fp,
+           CAST(COUNT(*) AS BIGINT) AS n64
+    FROM unit GROUP BY label, pos
+)
+SELECT label,
+       CAST(MAX(n64) AS BIGINT) AS n_vectors,
+       round(sqrt(CAST(SUM(s_fp * s_fp) AS DOUBLE)) / 1e9
+             / CAST(MAX(n64) AS DOUBLE), 6) AS mean_resultant_length
+FROM s GROUP BY label
+""",
+    tags=("vectors", "X7m", "directional"),
+)
+def emb_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional concentration per label: the mean resultant length
+    R = |sum of unit vectors| / n — 1.0 when every member points the
+    same way, ~0 for directions spread uniformly (the von Mises-Fisher
+    kappa proxy). Where emb_outliers measures spread AROUND the
+    centroid in distance, R measures ANGULAR coherence — the statistic
+    that says whether cosine-based dedup/search assumptions even hold
+    for a label.
+
+    Exactness: each unit-vector component (one IEEE sqrt + divide per
+    vector, deterministic) rounds 9dp into 1e9 fixed point, per-dim
+    sums are integers, and |S| is one sqrt over an exact
+    sum-of-squares in HUGEINT/decimal38. Zero vectors are excluded on
+    both sides (no direction to contribute).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = vec_double(F.col("embedding"))
+    norm = F.sqrt(vec_norm_sq(vd))
+    unit = (
+        e.filter(vec_norm_sq(vec_double(F.col("embedding"))) > 0)
+        .select(
+            "label",
+            F.posexplode(vd).alias("pos0", "val"),
+            norm.alias("nrm"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.round(F.col("val") / F.col("nrm"), 9) * F.lit(1e9), 0)
+            .cast("bigint")
+            .alias("u_fp"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    s = unit.groupBy("label", "pos").agg(
+        F.sum(d38(F.col("u_fp"))).alias("s_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n64"),
+    )
+    D = lambda c: c.cast("double")
+    return s.groupBy("label").agg(
+        F.max("n64").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sqrt(D(F.sum(F.col("s_fp") * F.col("s_fp"))))
+            / F.lit(1e9)
+            / D(F.max("n64")),
+            6,
+        ).alias("mean_resultant_length"),
+    )

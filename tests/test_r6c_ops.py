@@ -1809,3 +1809,93 @@ class TestTryFuncs:
         # size == 5 rows must yield NULL (divide by zero absorbed)
         fives = [r for r in out if r.size_roundtrip == 5]
         assert all(r.price_per_adjusted is None for r in fives)
+
+
+class TestMissingHours:
+    def test_planted_gaps(self, spark, tmp_path):
+        # hours 0,1,2, 5, 9: span 10, observed 5, missing 5, longest
+        # gap = 3 (hours 6,7,8).
+        rows = [(i + 1, D0 + timedelta(hours=h), 1, "a", 1.0, "{}")
+                for i, h in enumerate([0, 1, 2, 5, 9])]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_missing_hours"].fn(spark, sf).collect()[0]
+        assert (r.span_hours, r.observed_hours, r.missing_hours) == (10, 5, 5)
+        assert r.longest_gap_hours == 3
+        assert r.coverage == 0.5
+
+    def test_complete_series(self, spark, tmp_path):
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "a", 1.0, "{}")
+                for h in range(6)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_missing_hours"].fn(spark, sf).collect()[0]
+        assert (r.missing_hours, r.longest_gap_hours, r.coverage) == (0, 0, 1.0)
+
+
+class TestConcentration:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_aligned_vs_opposed(self, spark, tmp_path):
+        e1 = [1.0] + [0.0] * 63
+        e2 = [-1.0] + [0.0] * 63
+        rows = ([(i, e1, 0) for i in range(4)]            # all aligned -> R=1
+                + [(10, e1, 1), (11, e2, 1)])             # opposed -> R=0
+        sf = self._write(spark, tmp_path, rows)
+        got = {r.label: r.mean_resultant_length for r in
+               REG["emb_concentration"].fn(spark, sf).collect()}
+        assert got[0] == 1.0
+        assert got[1] == 0.0
+
+    def test_scale_invariance(self, spark, tmp_path):
+        # magnitudes must not matter: unit-vector normalization first.
+        e1 = [3.0, 4.0] + [0.0] * 62
+        e2 = [0.3, 0.4] + [0.0] * 62
+        rows = [(0, e1, 0), (1, e2, 0)]
+        sf = self._write(spark, tmp_path, rows)
+        r = REG["emb_concentration"].fn(spark, sf).collect()[0]
+        assert abs(r.mean_resultant_length - 1.0) < 1e-6
+
+
+class TestHHI:
+    def test_monopoly_and_uniform(self, spark, tmp_path):
+        # region R1: one nation holds everything -> HHI 1.0.
+        # region R2: two equal nations -> HHI 0.5 == its uniform floor.
+        region = [(1, "R1"), (2, "R2")]
+        nation = [(1, "N1", 1), (2, "N2", 2), (3, "N3", 2)]
+        cust = [(1, "c", 1, 0.0, "S"), (2, "c", 2, 0.0, "S"), (3, "c", 3, 0.0, "S")]
+        orders = [(1, 1, "O", 0.0, D0, "p"), (2, 2, "O", 0.0, D0, "p"),
+                  (3, 3, "O", 0.0, D0, "p")]
+        li = [
+            (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", D0),
+            (2, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", D0),
+            (3, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", D0),
+        ]
+        spark.createDataFrame(region, "r_regionkey int, r_name string").write.mode(
+            "overwrite").parquet(str(tmp_path / "region.parquet"))
+        spark.createDataFrame(
+            nation, "n_nationkey int, n_name string, n_regionkey int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+        spark.createDataFrame(
+            cust,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {r.r_name: (r.hhi, r.hhi_uniform_floor) for r in
+               REG["rel_hhi_concentration"].fn(spark, str(tmp_path)).collect()}
+        assert got["R1"] == (1.0, 1.0)       # single member
+        assert got["R2"] == (0.5, 0.5)       # perfectly even pair
