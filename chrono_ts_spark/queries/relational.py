@@ -3676,3 +3676,82 @@ def rel_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.lit(1.0) / D(F.count(F.lit(1))), 6).alias("hhi_uniform_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML9: discount elasticity (per-brand OLS slope, exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_discount_elasticity",
+    oracle="""
+WITH pts AS (
+    SELECT p.p_brand,
+           CAST(round(l.l_discount * 100, 0) AS HUGEINT) AS x,
+           CAST(round(l.l_quantity, 0) AS HUGEINT) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx
+    FROM pts GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS qty_per_discount_pt,
+       round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                                   * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS base_qty
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+""",
+    tags=("relational", "ML9", "regression"),
+)
+def rel_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per brand: the OLS slope of quantity on
+    discount percentage points — the pricing team's "does a discount
+    point buy volume" number, per brand (rel_ols_coefficients is the
+    general p=2 machinery; this is the p=1 closed form applied to a
+    business question). Slope units: quantity per discount point;
+    intercept = expected quantity at zero discount.
+
+    The zipf/OLS moment contract: x and y enter as exact integers
+    (discount in points, quantity rounded — it's integral in the
+    fixture), five moments in decimal38/HUGEINT, one mirrored double
+    expression, degenerate-variance brands filtered on both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("decimal(38,0)").alias("y"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    D = lambda c: c.cast("double")
+    var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = D(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / D(var)
+    return (
+        m.filter((F.col("n") >= 2) & (var > 0))
+        .select(
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round(slope, 6).alias("qty_per_discount_pt"),
+            F.round(
+                (D(F.col("sy")) - slope * D(F.col("sx"))) / D(F.col("n")), 6
+            ).alias("base_qty"),
+        )
+    )

@@ -5427,3 +5427,83 @@ def ts_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(D(F.count(F.lit(1))) / D(span), 6).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3h: Ljung-Box white-noise statistic (composition over the ACF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+WITH acf AS ({{ACF}}),
+nser AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+          FROM events) t(event_type, h)
+    GROUP BY event_type
+),
+terms AS (
+    SELECT a.event_type, nser.n,
+           CAST(round(round(a.acf * a.acf
+                            / CAST(nser.n - a.lag AS DOUBLE), 9) * 1e9, 0)
+                AS BIGINT) AS t_fp
+    FROM acf a JOIN nser ON a.event_type = nser.event_type
+    WHERE a.lag < nser.n
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) AS BIGINT) AS n_lags,
+       round(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0)
+             * CAST(SUM(t_fp) AS DOUBLE) / 1e9, 4) AS q_stat
+FROM terms GROUP BY event_type
+""".replace("{{ACF}}", "{ACF}").format(ACF=_REGISTRY["ts_acf"].oracle),
+    tags=("tsdb", "A3h", "whitenoise", "composition"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic per event type:
+    Q = n(n+2) * sum_k r_k^2/(n-k) over the 12 ACF lags — the
+    white-noise test that turns the ACF table into one decision number
+    (Q far above the chi-square(12) tail => the series has structure
+    worth modeling; near it => the fancy models are fitting noise).
+
+    Composition by registry reference: the oracle NESTS ts_acf's
+    oracle verbatim (the incident-mttr contract), n is the observed
+    hourly-bucket count, and each r_k^2/(n-k) term rounds 9dp into
+    1e9 fixed point so the 12-term sum is order-immune.
+    """
+    acf = _REGISTRY["ts_acf"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    nser = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    D = lambda c: c.cast("double")
+    j = acf.join(F.broadcast(nser), "event_type").filter(
+        F.col("lag") < F.col("n")
+    )
+    t_fp = F.round(
+        F.round(
+            F.col("acf") * F.col("acf") / D(F.col("n") - F.col("lag")), 9
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    terms = j.select("event_type", "n", t_fp.alias("t_fp"))
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+        F.round(
+            D(F.max("n")) * (D(F.max("n")) + F.lit(2.0))
+            * F.sum("t_fp").cast("double")
+            / F.lit(1e9),
+            4,
+        ).alias("q_stat"),
+    )

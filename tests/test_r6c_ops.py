@@ -1899,3 +1899,50 @@ class TestHHI:
                REG["rel_hhi_concentration"].fn(spark, str(tmp_path)).collect()}
         assert got["R1"] == (1.0, 1.0)       # single member
         assert got["R2"] == (0.5, 0.5)       # perfectly even pair
+
+
+class TestDiscountElasticity:
+    def test_planted_slope(self, spark, tmp_path):
+        # brand A: qty = 5 + 2*discount_pts exactly -> slope 2, base 5.
+        li, pt = [], [(1, "p", "Brand#A", "t", 1, 1.0)]
+        for i, dpt in enumerate([0, 1, 2, 3]):
+            li.append((i + 1, 1, 1, 1, float(5 + 2 * dpt), 1.0,
+                       dpt / 100.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            pt,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        r = REG["rel_discount_elasticity"].fn(spark, str(tmp_path)).collect()[0]
+        assert r.qty_per_discount_pt == 2.0
+        assert r.base_qty == 5.0
+
+
+class TestLjungBox:
+    def test_structured_beats_flat(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(13)
+        rows, eid = [], 0
+        for h in range(24 * 5):
+            # 'alt' alternates (max autocorrelation), 'noise' is random
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "alt",
+                         100.0 if h % 2 == 0 else 10.0, "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "noise",
+                         rnd.uniform(1, 100), "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r for r in
+               REG["ts_ljung_box"].fn(spark, sf).collect()}
+        assert got["alt"].n_lags == 12
+        assert got["alt"].q_stat > 10 * got["noise"].q_stat
+        # chi2(12) 95% critical value ~21: structure must scream
+        assert got["alt"].q_stat > 100
