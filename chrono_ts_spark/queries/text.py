@@ -3427,3 +3427,74 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("n").alias("n_chars_counted"), "char_entropy"
     )
+
+
+# ---------------------------------------------------------------------------
+# X8s: LIX readability index (exact integer formulation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_lix_readability",
+    oracle=r"""
+WITH w AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x != '')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> length(x) > 6)) AS BIGINT) AS n_long,
+           CAST(GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                s -> trim(s) != '')), 1) AS BIGINT) AS n_sents
+    FROM documents
+)
+SELECT doc_id, n_words, n_long, n_sents,
+       round(CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+             + 100.0 * CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS lix
+FROM w WHERE n_words > 0
+""",
+    tags=("text", "X8s", "quality"),
+)
+def doc_lix_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability index per document: words/sentences +
+    100 * longwords/words (long = more than 6 letters) — the
+    readability formula that needs NO syllable model, so it's exactly
+    computable cross-engine (Flesch-Kincaid's syllable counts are
+    heuristic and diverge). LIX < 30 reads easy, > 60 is bureaucratic
+    prose; as a pretraining filter it's another structural-quality
+    axis next to sentence stats and entropy.
+
+    Pure integer counts under two single divisions; the sentence
+    denominator floors at 1 (unpunctuated docs = one sentence, the
+    standard convention).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    longs = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) > 6
+    )
+    sents = F.filter(
+        F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    w = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(longs).cast("bigint").alias("n_long"),
+        F.greatest(F.size(sents).cast("bigint"), F.lit(1).cast("bigint")).alias(
+            "n_sents"
+        ),
+    )
+    D = lambda c: c.cast("double")
+    return w.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_long",
+        "n_sents",
+        F.round(
+            D(F.col("n_words")) / D(F.col("n_sents"))
+            + F.lit(100.0) * D(F.col("n_long")) / D(F.col("n_words")),
+            6,
+        ).alias("lix"),
+    )

@@ -5507,3 +5507,102 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3i: one-way ANOVA across event types (between/within F statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_anova_types",
+    oracle="""
+WITH c AS (
+    SELECT event_type,
+           CAST(round(value * 100, 0) AS HUGEINT) AS x
+    FROM events
+),
+g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n_g,
+           CAST(SUM(x) AS HUGEINT) AS s_g,
+           SUM(x * x) AS ss_g
+    FROM c GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+           CAST(SUM(s_g) AS HUGEINT) AS s,
+           CAST(SUM(ss_g) AS HUGEINT) AS ss,
+           CAST(COUNT(*) AS HUGEINT) AS k,
+           CAST(SUM((s_g * s_g) // n_g) AS HUGEINT) AS sq_over_n
+    FROM g
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(n AS BIGINT) AS n_obs,
+       round((CAST(sq_over_n AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(k - 1 AS DOUBLE), 4) AS ms_between,
+       round((CAST(ss AS DOUBLE) - CAST(sq_over_n AS DOUBLE))
+             / CAST(n - k AS DOUBLE), 4) AS ms_within,
+       round(((CAST(sq_over_n AS DOUBLE) - CAST(s AS DOUBLE)
+               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(k - 1 AS DOUBLE))
+             / ((CAST(ss AS DOUBLE) - CAST(sq_over_n AS DOUBLE))
+                / CAST(n - k AS DOUBLE)), 6) AS f_stat
+FROM tot
+WHERE n > k AND k > 1 AND ss > sq_over_n
+""",
+    tags=("tsdb", "A3i", "anova"),
+)
+def ts_anova_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: between-group vs within-group
+    mean squares and the F statistic — "do the types differ in value
+    AT ALL" in one test, where ts_welch_t_pairs answers pairwise
+    (k groups need k(k-1)/2 t-tests and a multiplicity correction;
+    ANOVA is the single gate run first).
+
+    Moment algebra: per-group (n, sum, sum-of-squares) in HUGEINT/
+    decimal38; SSB = sum(s_g^2/n_g) - s^2/n uses integer FLOOR
+    division for the per-group term (applied identically both sides —
+    the seasonality-strength convention) so the only floats are the
+    final mirrored expressions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("decimal(38,0)").alias("x"),
+    )
+    g = c.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        d38(F.count(F.lit(1))).alias("k"),
+        F.sum(F.expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))")).alias(
+            "sq_over_n"
+        ),
+    )
+    D = lambda c_: c_.cast("double")
+    ssb = D(F.col("sq_over_n")) - D(F.col("s")) * D(F.col("s")) / D(F.col("n"))
+    ssw = D(F.col("ss")) - D(F.col("sq_over_n"))
+    msb = ssb / D(F.col("k") - 1)
+    msw = ssw / D(F.col("n") - F.col("k"))
+    return (
+        tot.filter(
+            (F.col("n") > F.col("k"))
+            & (F.col("k") > 1)
+            & (F.col("ss") > F.col("sq_over_n"))
+        )
+        .select(
+            F.col("k").cast("bigint").alias("n_groups"),
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(msb, 4).alias("ms_between"),
+            F.round(msw, 4).alias("ms_within"),
+            F.round(msb / msw, 6).alias("f_stat"),
+        )
+    )

@@ -1946,3 +1946,45 @@ class TestLjungBox:
         assert got["alt"].q_stat > 10 * got["noise"].q_stat
         # chi2(12) 95% critical value ~21: structure must scream
         assert got["alt"].q_stat > 100
+
+
+class TestLIX:
+    def test_planted_formula(self, spark, tmp_path):
+        # 2 sentences, 8 words, 2 long (>6 letters):
+        # LIX = 8/2 + 100*2/8 = 4 + 25 = 29.
+        t = "short words here now. wonderful magnificent go on."
+        rows = [(1, t, "en", "s", len(t))]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        r = REG["doc_lix_readability"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.n_words, r.n_long, r.n_sents) == (8, 2, 2)
+        assert r.lix == 29.0
+
+    def test_unpunctuated_is_one_sentence(self, spark, tmp_path):
+        t = "no punctuation at all just words"
+        rows = [(1, t, "en", "s", len(t))]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        r = REG["doc_lix_readability"].fn(spark, str(tmp_path)).collect()[0]
+        assert r.n_sents == 1
+
+
+class TestANOVA:
+    def test_separated_vs_merged_groups(self, spark, tmp_path):
+        # groups at 10 and 1000 with tiny within-noise: F explodes;
+        # same data labeled as ONE group -> filtered (k=1 on both).
+        rows, eid = [], 0
+        for i in range(20):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "lo",
+                         10.0 + (i % 3) * 0.01, "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "hi",
+                         1000.0 + (i % 3) * 0.01, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_anova_types"].fn(spark, sf).collect()[0]
+        assert r.n_groups == 2 and r.n_obs == 40
+        assert r.f_stat > 1e5
+        assert r.ms_between > r.ms_within
