@@ -5606,3 +5606,241 @@ def ts_anova_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(msb / msw, 6).alias("f_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A3j: Poisson bootstrap confidence interval (deterministic, map-side)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF cutoffs scaled to u32 (hardcoded identically on both
+# engines; derived once from exp(-1) partial sums)
+_PB_CUTS = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+_PB_B = 50
+
+
+def _pb_weight_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_PB_CUTS[0]} THEN 0 "
+        f"WHEN {u} < {_PB_CUTS[1]} THEN 1 "
+        f"WHEN {u} < {_PB_CUTS[2]} THEN 2 "
+        f"WHEN {u} < {_PB_CUTS[3]} THEN 3 "
+        f"WHEN {u} < {_PB_CUTS[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "ts_poisson_bootstrap_ci",
+    oracle=f"""
+WITH b AS (SELECT unnest(generate_series(1, {_PB_B})) AS b),
+w AS (
+    SELECT e.event_type, b.b,
+           CAST(round(e.value * 100, 0) AS HUGEINT) AS x,
+           CAST({_pb_weight_sql(
+               "CAST(concat('0x', substr(md5('pb-' || CAST(b.b AS VARCHAR)"
+               " || '-' || CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+           )} AS HUGEINT) AS wt
+    FROM events e CROSS JOIN b
+),
+rep AS (
+    SELECT event_type, b,
+           CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT) AS mean_fp
+    FROM w GROUP BY event_type, b
+    HAVING SUM(wt) > 0
+),
+rk AS (
+    SELECT event_type, mean_fp,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY mean_fp, b) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS nb
+    FROM rep
+),
+full_m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((SUM(CAST(round(value * 100, 0) AS HUGEINT)) * 1000000)
+                // COUNT(*) AS BIGINT) AS mean_fp
+    FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.n,
+       round(CAST(f.mean_fp AS DOUBLE) / 1e6 / 100.0, 6) AS mean_value,
+       round(CAST(lo.mean_fp AS DOUBLE) / 1e6 / 100.0, 6) AS ci_lo,
+       round(CAST(hi.mean_fp AS DOUBLE) / 1e6 / 100.0, 6) AS ci_hi
+FROM full_m f
+JOIN (SELECT event_type, mean_fp FROM rk
+      WHERE r = CAST(ceil(0.05 * nb) AS BIGINT)) lo
+  ON f.event_type = lo.event_type
+JOIN (SELECT event_type, mean_fp FROM rk
+      WHERE r = CAST(ceil(0.95 * nb) AS BIGINT)) hi
+  ON f.event_type = hi.event_type
+""",
+    tags=("tsdb", "A3j", "bootstrap"),
+)
+def ts_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP 90% confidence interval for the mean value
+    per event type — the bootstrap that actually works distributed
+    (Chamandy et al.): each of 50 replicates weights every row by an
+    independent Poisson(1) draw, so resampling is a MAP-SIDE weight,
+    not a with-replacement shuffle. Here the draws are md5-derived
+    (u32 against hardcoded Poisson CDF cutoffs), making the whole
+    interval DETERMINISTIC and exactly oracle-checkable — a bootstrap
+    with a bit-exact cross-engine proof.
+
+    Replicate means are integer fixed point ((Σwx·1e6) div Σw); the
+    5th/95th replicate order statistics come from a per-type window
+    over 50 rows. Cost: one pass over events × B weights (the
+    replicate fan-out is a broadcast), one (type, b) agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = spark.range(1, _PB_B + 1).select(F.col("id").cast("int").alias("b"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pb-"),
+                    F.col("b").cast("string"),
+                    F.lit("-"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = (
+        F.when(u32 < _PB_CUTS[0], 0)
+        .when(u32 < _PB_CUTS[1], 1)
+        .when(u32 < _PB_CUTS[2], 2)
+        .when(u32 < _PB_CUTS[3], 3)
+        .when(u32 < _PB_CUTS[4], 4)
+        .otherwise(5)
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    w = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "b",
+        F.round(F.col("value") * 100, 0).cast("decimal(38,0)").alias("x"),
+        d38(wt).alias("wt"),
+    )
+    rep = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("x")).alias("swx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr("CAST((swx * 1000000) div sw AS BIGINT)").alias("mean_fp"),
+        )
+    )
+    wk = Window.partitionBy("event_type").orderBy("mean_fp", "b")
+    rk = rep.select(
+        "event_type",
+        "mean_fp",
+        F.row_number().over(wk).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    lo = rk.filter(
+        F.col("r") == F.ceil(F.lit(0.05) * F.col("nb")).cast("bigint")
+    ).select("event_type", F.col("mean_fp").alias("lo_fp"))
+    hi = rk.filter(
+        F.col("r") == F.ceil(F.lit(0.95) * F.col("nb")).cast("bigint")
+    ).select("event_type", F.col("mean_fp").alias("hi_fp"))
+    full_m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST((SUM(CAST(round(value * 100, 0) AS DECIMAL(38,0))) * 1000000)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_fp"),
+    )
+    D = lambda c: c.cast("double")
+    return (
+        full_m.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(D(F.col("mean_fp")) / F.lit(1e6) / F.lit(100.0), 6).alias(
+                "mean_value"
+            ),
+            F.round(D(F.col("lo_fp")) / F.lit(1e6) / F.lit(100.0), 6).alias("ci_lo"),
+            F.round(D(F.col("hi_fp")) / F.lit(1e6) / F.lit(100.0), 6).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fin2: maximum drawdown per series (running-max gap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+rm AS (
+    SELECT user_id, cents,
+           CAST(MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak
+    FROM c
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+       round(CAST(MAX(peak - cents) AS DOUBLE)
+             / CAST(MAX(peak) AS DOUBLE), 6) AS max_drawdown_frac
+FROM rm
+WHERE peak > 0
+GROUP BY user_id
+""",
+    tags=("tsdb", "Fin2", "drawdown"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: the largest drop from any
+    running peak to a subsequent value — the risk statistic volatility
+    (ts_parkinson_volatility) can't see, because it's ORDER-sensitive:
+    a series that dips then recovers has the same variance as one that
+    crests then collapses, but very different drawdowns.
+
+    peak - value under a running-max window is exact integer cents;
+    the fraction normalizes by the GLOBAL peak (one of several
+    conventions, stated so the number is interpretable). One
+    user-partitioned window, one agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rm = c.select(
+        "user_id",
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak"),
+    ).filter(F.col("peak") > 0)
+    D = lambda x: x.cast("double")
+    return rm.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("cents")).cast("bigint").alias(
+            "max_drawdown_cents"
+        ),
+        F.round(
+            D(F.max(F.col("peak") - F.col("cents"))) / D(F.max("peak")), 6
+        ).alias("max_drawdown_frac"),
+    )

@@ -1988,3 +1988,38 @@ class TestANOVA:
         assert r.n_groups == 2 and r.n_obs == 40
         assert r.f_stat > 1e5
         assert r.ms_between > r.ms_within
+
+
+class TestPoissonBootstrap:
+    def test_interval_brackets_mean_and_shrinks(self, spark):
+        sf = "/root/testdata/sf0.01"
+        out = {r.event_type: r for r in
+               REG["ts_poisson_bootstrap_ci"].fn(spark, sf).collect()}
+        for r in out.values():
+            assert r.ci_lo <= r.mean_value <= r.ci_hi
+            width = r.ci_hi - r.ci_lo
+            # ~2000 samples/type: the 90% CI must be tight but nonzero
+            assert 0 < width < r.mean_value * 0.5
+
+    def test_deterministic(self, spark):
+        sf = "/root/testdata/sf0.001"
+        a = sorted(map(tuple, REG["ts_poisson_bootstrap_ci"].fn(spark, sf).collect()))
+        b = sorted(map(tuple, REG["ts_poisson_bootstrap_ci"].fn(spark, sf).collect()))
+        assert a == b
+
+
+class TestMaxDrawdown:
+    def test_order_sensitivity(self, spark, tmp_path):
+        # same multiset of values, opposite orders: rising series has
+        # zero drawdown, falling has the full range.
+        rows = []
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+            rows.append((i + 1, D0 + timedelta(minutes=i), 1, "up", v, "{}"))
+        for i, v in enumerate([4.0, 3.0, 2.0, 1.0]):
+            rows.append((10 + i, D0 + timedelta(minutes=i), 2, "down", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.user_id: r for r in
+               REG["ts_max_drawdown"].fn(spark, sf).collect()}
+        assert got[1].max_drawdown_cents == 0
+        assert got[2].max_drawdown_cents == 300
+        assert got[2].max_drawdown_frac == 0.75
