@@ -5844,3 +5844,137 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.max(F.col("peak") - F.col("cents"))) / D(F.max("peak")), 6
         ).alias("max_drawdown_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spec5: Hurst exponent via rescaled-range analysis (long memory)
+# ---------------------------------------------------------------------------
+
+
+@query("ts_hurst_exponent", oracle=None, tags=("tsdb", "Spec5", "no-oracle"))
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via rescaled-range (R/S) analysis
+    over the hourly series: blocks of size n in {8,16,32,64}, each
+    block's range-of-cumulative-deviations over its std, ln(R/S)
+    regressed on ln(n) — H ~ 0.5 for a memoryless series, > 0.5 for
+    persistent (trending) behavior, < 0.5 for mean reversion. The
+    long-memory diagnostic ACF's fixed lags can't summarize.
+
+    The R/S block computation is numpy inside applyInPandas on the
+    calendar-bounded collapsed series (the FFT/DTW contract); series
+    count is the scale axis. Rows-only: the block DP has no SQL twin;
+    planted trending-vs-alternating ordering and the white-noise ~0.5
+    anchor are pinned in tests.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("double").alias("y"))
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        pts = []
+        for n in (8, 16, 32, 64):
+            if len(y) < 2 * n:
+                continue
+            rs_vals = []
+            for s in range(0, len(y) - n + 1, n):
+                blk = y[s : s + n]
+                dev = blk - blk.mean()
+                z = np.cumsum(dev)
+                r = z.max() - z.min()
+                sd = blk.std()
+                if sd > 0:
+                    rs_vals.append(r / sd)
+            if rs_vals:
+                pts.append((np.log(n), np.log(np.mean(rs_vals))))
+        if len(pts) >= 2:
+            xs = np.array([p[0] for p in pts])
+            ys = np.array([p[1] for p in pts])
+            h_est = float(np.polyfit(xs, ys, 1)[0])
+        else:
+            h_est = float("nan")
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(y)],
+                "n_scales": [len(pts)],
+                "hurst": [round(h_est, 4)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        run, "event_type string, n_hours long, n_scales int, hurst double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seq3: Markov entropy rate (composition over the transition matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_entropy_rate",
+    oracle=f"""
+WITH tm AS ({{TM}}),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tr FROM tm),
+terms AS (
+    SELECT tm.from_type,
+           CAST(round(round(-(CAST(tm.n AS DOUBLE) / CAST(tot.n_tr AS DOUBLE))
+                            * ln(CAST(tm.n AS DOUBLE)
+                                 / CAST(tm.row_total AS DOUBLE)), 9)
+                      * 1e9, 0) AS BIGINT) AS t_fp
+    FROM tm CROSS JOIN tot
+)
+SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS n_states,
+       round(CAST(SUM(t_fp) AS DOUBLE) / 1e9, 6) AS entropy_rate_nats
+FROM terms
+""".replace("{{TM}}", "{TM}").format(TM=_REGISTRY["ts_markov_transitions"].oracle),
+    tags=("tsdb", "Seq3", "markov", "composition"),
+)
+def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the event-type Markov chain:
+    H = -sum_ij pi_i p_ij ln p_ij with the stationary weight pi_i
+    estimated by each state's share of observed transitions — bits of
+    genuine surprise per step once first-order structure is accounted
+    for (ts_entropy_by_type measures marginal entropy; the gap between
+    them IS the predictability the transition matrix captures).
+
+    Composition by registry reference: nests ts_markov_transitions'
+    fn and oracle verbatim; each -pi*p*ln(p) term rounds 9dp into 1e9
+    fixed point (the entropy contract) so the final sum is
+    order-immune.
+    """
+    tm = _REGISTRY["ts_markov_transitions"].fn(spark, sf_dir)
+    tot = tm.agg(F.sum("n").cast("bigint").alias("n_tr"))
+    D = lambda c: c.cast("double")
+    j = tm.join(F.broadcast(tot))
+    t_fp = F.round(
+        F.round(
+            -(D(F.col("n")) / D(F.col("n_tr")))
+            * F.log(D(F.col("n")) / D(F.col("row_total"))),
+            9,
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    terms = j.select("from_type", t_fp.alias("t_fp"))
+    return terms.agg(
+        F.countDistinct("from_type").cast("bigint").alias("n_states"),
+        F.round(F.sum("t_fp").cast("double") / F.lit(1e9), 6).alias(
+            "entropy_rate_nats"
+        ),
+    )

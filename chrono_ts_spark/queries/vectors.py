@@ -1185,3 +1185,57 @@ def emb_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_resultant_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7n: leave-one-out kNN label evaluation
+# ---------------------------------------------------------------------------
+
+
+@query("emb_knn_eval", oracle=None, tags=("vectors", "X7n", "eval", "no-oracle"))
+def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy per label: each
+    anchor (vec_id < 100) is labeled by the majority vote of its 5
+    nearest neighbors (itself excluded) and scored against its true
+    label — the label-quality / separability report that says whether
+    the embedding space actually encodes the labels before anyone
+    trains on them (emb_label_affinity says clusters are far apart;
+    this says members are CLOSE TO THEIR OWN).
+
+    Probe-bounded exact scoring (brute_force_topk shape); vote ties
+    break toward the smaller label id (deterministic). Rows-only;
+    tight-cluster accuracy=1 and a mislabeled-point catch are pinned
+    in tests.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 100)
+    nn = brute_force_topk(e, probes, k=5).select("query_id", "neighbor_id")
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "n_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    scored = pred.join(truth, "query_id").select(
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("hit"),
+    )
+    D = lambda c: c.cast("double")
+    return scored.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum("hit").cast("bigint").alias("n_correct"),
+        F.round(D(F.sum("hit")) / D(F.count(F.lit(1))), 6).alias("loo_accuracy"),
+    )

@@ -2023,3 +2023,81 @@ class TestMaxDrawdown:
         assert got[1].max_drawdown_cents == 0
         assert got[2].max_drawdown_cents == 300
         assert got[2].max_drawdown_frac == 0.75
+
+
+class TestHurst:
+    def test_trend_vs_alternating(self, spark, tmp_path):
+        rows, eid = [], 0
+        for h in range(256):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "trend",
+                         float(h), "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "alt",
+                         100.0 if h % 2 == 0 else 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r.hurst for r in
+               REG["ts_hurst_exponent"].fn(spark, sf).collect()}
+        assert got["trend"] > 0.85          # persistent
+        assert got["alt"] < 0.35            # anti-persistent
+        assert got["trend"] > got["alt"]
+
+
+class TestEntropyRate:
+    def test_deterministic_chain_zero(self, spark, tmp_path):
+        # a -> b -> a -> b ...: every conditional is 1 -> rate 0.
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1,
+                 "a" if i % 2 == 0 else "b", 1.0, "{}") for i in range(20)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_entropy_rate"].fn(spark, sf).collect()[0]
+        assert r.entropy_rate_nats == 0.0
+        assert r.n_states == 2
+
+    def test_uniform_chain_ln2(self, spark, tmp_path):
+        import math
+
+        # alternating blocks a,a,b,b,... gives P(a|a)=P(b|a)=...; build
+        # a sequence where each state goes to either state equally:
+        # a b a a b b a b -> approximate; use exact pattern a a b a b b
+        # repeated so each row has 50/50. Simpler: a,b,b,a repeated:
+        # transitions ab,bb,ba,aa... each from-state sees one of each.
+        seq = ["a", "b", "b", "a"] * 10 + ["a"]
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, t, 1.0, "{}")
+                for i, t in enumerate(seq)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_entropy_rate"].fn(spark, sf).collect()[0]
+        assert abs(r.entropy_rate_nats - math.log(2)) < 0.01
+
+
+class TestKnnEval:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_tight_clusters_perfect(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(21)
+        rows = []
+        for lbl in range(2):
+            base = [0.0] * 64
+            base[lbl * 10] = 5.0
+            for i in range(10):
+                v = [x + rnd.gauss(0, 0.01) for x in base]
+                rows.append((lbl * 10 + i, [float(x) for x in v], lbl))
+        sf = self._write(spark, tmp_path, rows)
+        out = REG["emb_knn_eval"].fn(spark, sf).collect()
+        assert all(r.loo_accuracy == 1.0 for r in out)
+
+    def test_mislabeled_point_caught(self, spark, tmp_path):
+        # one vector sits inside cluster 0 but carries label 1: its
+        # neighbors vote 0, so label-1 accuracy drops below 1.
+        rows = [(i, [5.0] + [0.0] * 63, 0) for i in range(8)]
+        rows.append((8, [5.0] + [0.0] * 63, 1))          # mislabeled
+        rows += [(20 + i, [0.0, 5.0] + [0.0] * 62, 1) for i in range(8)]
+        sf = self._write(spark, tmp_path, rows)
+        got = {r.label: r for r in REG["emb_knn_eval"].fn(spark, sf).collect()}
+        assert got[0].loo_accuracy == 1.0
+        assert got[1].n_correct == got[1].n_anchors - 1
