@@ -3498,3 +3498,72 @@ def doc_lix_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8t: vocabulary richness (TTR + corpus-hapax share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_vocab_richness",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+),
+cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+per AS (
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok.w) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cw.cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corpus_hapax
+    FROM tok JOIN cw ON tok.w = cw.w
+    GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_corpus_hapax,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(CAST(n_corpus_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS hapax_share
+FROM per WHERE n_tokens > 0
+""",
+    tags=("text", "X8t", "quality"),
+)
+def doc_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per document: type-token ratio (distinct
+    words / words — low = repetitive) and the share of tokens that are
+    CORPUS hapax legomena (words occurring exactly once anywhere —
+    high = OCR garbage, codes, misspellings). The two axes separate
+    boilerplate (low TTR, low hapax) from noise (high TTR, high hapax)
+    with natural prose in the middle — complementing the
+    compression-ratio and entropy signals with word-level evidence.
+
+    Corpus word counts are one vocabulary-keyed agg joined back on the
+    token stream; per-doc rollups are exact integer counts under two
+    single divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    per = (
+        tok.join(cw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("w").cast("bigint").alias("n_types"),
+            F.sum((F.col("cf") == 1).cast("int")).cast("bigint").alias(
+                "n_corpus_hapax"
+            ),
+        )
+    )
+    D = lambda c: c.cast("double")
+    return per.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_corpus_hapax",
+        F.round(D(F.col("n_types")) / D(F.col("n_tokens")), 6).alias("ttr"),
+        F.round(D(F.col("n_corpus_hapax")) / D(F.col("n_tokens")), 6).alias(
+            "hapax_share"
+        ),
+    )

@@ -5978,3 +5978,78 @@ def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_nats"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4e: exact quantile table (19-point distribution fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_quantile_table",
+    oracle="""
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+hist AS (
+    SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS k
+    FROM c GROUP BY event_type, cents
+),
+cum AS (
+    SELECT h.event_type, h.cents,
+           (SELECT CAST(SUM(h2.k) AS BIGINT) FROM hist h2
+            WHERE h2.event_type = h.event_type AND h2.cents <= h.cents) AS ck
+    FROM hist h
+),
+tot AS (
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS n FROM hist GROUP BY event_type
+),
+qgrid AS (SELECT unnest(generate_series(1, 19)) AS q20)
+SELECT tot.event_type,
+       round(CAST(q20 AS DOUBLE) / 20.0, 2) AS q,
+       (SELECT MIN(cents) FROM cum
+        WHERE cum.event_type = tot.event_type
+          AND cum.ck * 20 >= q20 * tot.n) AS quantile_cents
+FROM tot CROSS JOIN qgrid
+""",
+    tags=("tsdb", "A4e", "distribution"),
+)
+def ts_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 19-point quantile table (q = 0.05..0.95) of value cents
+    per event type — the distribution fingerprint behind QQ plots and
+    distribution-shift dashboards (KS/PSI give one number; this gives
+    the curve). Quantiles are exact lower order statistics: min cents
+    with rank*20 >= q20*n, all integer comparisons.
+
+    The cumulative counts come from banded_prefix_sum over the
+    per-type VALUE HISTOGRAM (bounded by distinct cents, partitioned
+    by type — no sort of the event-sized column), and the 19-point
+    read-off is a filtered aggregation per grid point over that
+    bounded table.
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    cum = banded_prefix_sum(
+        hist, "cents", ["cents"], "k", ascending=True, out="ck",
+        partition_by=["event_type"],
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("k").cast("bigint").alias("n"))
+    qgrid = spark.range(1, 20).select(F.col("id").cast("bigint").alias("q20"))
+    j = (
+        cum.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(qgrid))
+        .filter(F.col("ck") * 20 >= F.col("q20") * F.col("n"))
+    )
+    return j.groupBy(
+        "event_type", F.round(F.col("q20").cast("double") / 20.0, 2).alias("q")
+    ).agg(F.min("cents").cast("bigint").alias("quantile_cents"))

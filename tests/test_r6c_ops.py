@@ -2101,3 +2101,45 @@ class TestKnnEval:
         got = {r.label: r for r in REG["emb_knn_eval"].fn(spark, sf).collect()}
         assert got[0].loo_accuracy == 1.0
         assert got[1].n_correct == got[1].n_anchors - 1
+
+
+class TestQuantileTable:
+    def test_planted_order_statistics(self, spark, tmp_path):
+        # 20 values 1..20 dollars: the q-th lower order statistic at
+        # q20/20 is exactly value q20 (rank*20 >= q20*20 <=> rank>=q20).
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", float(i + 1), "{}")
+                for i in range(20)]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.q: r.quantile_cents for r in
+               REG["ts_quantile_table"].fn(spark, sf).collect()}
+        assert len(got) == 19
+        for q20 in range(1, 20):
+            assert got[round(q20 / 20.0, 2)] == q20 * 100
+
+    def test_monotone(self, spark):
+        out = REG["ts_quantile_table"].fn(spark, "/root/testdata/sf0.001").collect()
+        by_type = {}
+        for r in out:
+            by_type.setdefault(r.event_type, []).append((r.q, r.quantile_cents))
+        for pts in by_type.values():
+            pts.sort()
+            vals = [v for _, v in pts]
+            assert vals == sorted(vals)
+
+
+class TestVocabRichness:
+    def test_planted_profiles(self, spark, tmp_path):
+        # doc 1: repetitive (TTR low); doc 2: all-unique words that
+        # appear nowhere else (hapax_share 1.0).
+        t1 = "spam spam spam spam spam ham"
+        t2 = "zyx wvu tsr qpo nml"
+        rows = [(1, t1, "en", "s", len(t1)), (2, t2, "en", "s", len(t2))]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r.doc_id: r for r in
+               REG["doc_vocab_richness"].fn(spark, str(tmp_path)).collect()}
+        assert got[1].n_tokens == 6 and got[1].n_types == 2
+        assert got[1].ttr == round(2 / 6, 6)
+        assert got[1].n_corpus_hapax == 1          # only 'ham'
+        assert got[2].hapax_share == 1.0
