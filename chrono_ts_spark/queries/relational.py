@@ -3755,3 +3755,114 @@ def rel_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("base_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rep4: price-volume-mix variance bridge (year-over-year by brand)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_price_volume_mix",
+    oracle="""
+WITH yr AS (
+    SELECT p.p_brand, CAST(year(o.o_orderdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, y
+),
+hi AS (SELECT CAST(MAX(y) AS BIGINT) AS y_hi FROM yr),
+pair AS (
+    SELECT a.p_brand,
+           a.qty AS q1, a.rev_c AS r1,
+           b.qty AS q2, b.rev_c AS r2
+    FROM yr a JOIN yr b ON a.p_brand = b.p_brand AND b.y = a.y + 1
+    CROSS JOIN hi WHERE b.y = y_hi
+)
+SELECT p_brand, q1, q2,
+       round(CAST(r1 AS DOUBLE) / 100.0, 2) AS rev_prior,
+       round(CAST(r2 AS DOUBLE) / 100.0, 2) AS rev_current,
+       round(CAST(r2 - r1 AS DOUBLE) / 100.0, 2) AS delta_rev,
+       round(CAST((q2 - q1) * ((r1 * 1000000) // q1) AS DOUBLE)
+             / 1e6 / 100.0, 2) AS volume_effect,
+       round((CAST(r2 AS DOUBLE)
+              - CAST(q2 * ((r1 * 1000000) // q1) AS DOUBLE) / 1e6
+              - CAST(r1 AS DOUBLE)
+              + CAST(q1 * ((r1 * 1000000) // q1) AS DOUBLE) / 1e6)
+             / 100.0, 2) AS price_effect
+FROM pair WHERE q1 > 0
+""",
+    tags=("relational", "Rep4", "variance-bridge"),
+)
+def rel_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume variance bridge per brand, latest year vs prior:
+    delta revenue decomposed into the VOLUME effect ((q2-q1) at the
+    prior average price) and the PRICE effect (the remainder at
+    current volume) — the FP&A explanation of WHY revenue moved, not
+    just THAT it moved (rel_growth_rates).
+
+    The prior average price enters as an integer fixed-point
+    (r1*1e6 div q1 — floored identically on both engines and
+    documented: the two effects reconcile to delta_rev up to the
+    floored sub-cent, never silently), all inputs exact cents and
+    integer quantities.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    yr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("bigint").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    hi = yr.agg(F.max("y").cast("bigint").alias("y_hi"))
+    a = yr.select(
+        "p_brand", F.col("y"), F.col("qty").alias("q1"), F.col("rev_c").alias("r1")
+    )
+    b = yr.select(
+        "p_brand",
+        (F.col("y") - 1).alias("y"),
+        F.col("y").alias("y2"),
+        F.col("qty").alias("q2"),
+        F.col("rev_c").alias("r2"),
+    )
+    pair = (
+        a.join(b, ["p_brand", "y"])
+        .join(F.broadcast(hi))
+        .filter((F.col("y2") == F.col("y_hi")) & (F.col("q1") > 0))
+    )
+    p1_fp = F.expr("(r1 * 1000000) div q1")
+    D = lambda c: c.cast("double")
+    return pair.select(
+        "p_brand",
+        "q1",
+        "q2",
+        F.round(D(F.col("r1")) / 100.0, 2).alias("rev_prior"),
+        F.round(D(F.col("r2")) / 100.0, 2).alias("rev_current"),
+        F.round(D(F.col("r2") - F.col("r1")) / 100.0, 2).alias("delta_rev"),
+        F.round(D((F.col("q2") - F.col("q1")) * p1_fp) / F.lit(1e6) / 100.0, 2).alias(
+            "volume_effect"
+        ),
+        F.round(
+            (
+                D(F.col("r2"))
+                - D(F.col("q2") * p1_fp) / F.lit(1e6)
+                - D(F.col("r1"))
+                + D(F.col("q1") * p1_fp) / F.lit(1e6)
+            )
+            / 100.0,
+            2,
+        ).alias("price_effect"),
+    )

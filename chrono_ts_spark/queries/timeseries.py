@@ -6053,3 +6053,135 @@ def ts_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "event_type", F.round(F.col("q20").cast("double") / 20.0, 2).alias("q")
     ).agg(F.min("cents").cast("bigint").alias("quantile_cents"))
+
+
+# ---------------------------------------------------------------------------
+# W18: decomposition-residual anomaly flags (STL-anomaly composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_stl_anomaly",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, h
+),
+tr AS (
+    SELECT event_type, h, cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trend_x25,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+    SELECT event_type, h, h % 24 AS hod,
+           25 * cents - trend_x25 AS d_x25
+    FROM tr WHERE n_win = 25
+),
+seas AS (
+    SELECT event_type, hod,
+           CAST(SUM(d_x25) AS HUGEINT) AS s_sum,
+           CAST(COUNT(*) AS HUGEINT) AS s_n
+    FROM det GROUP BY event_type, hod
+),
+resid AS (
+    SELECT d.event_type, d.h,
+           CAST(d.d_x25 AS HUGEINT) * s.s_n - s.s_sum AS r_num,
+           s.s_n
+    FROM det d JOIN seas s ON d.event_type = s.event_type AND d.hod = s.hod
+),
+mom AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(r_num // s_n) AS s1,
+           SUM((r_num // s_n) * (r_num // s_n)) AS s2
+    FROM resid GROUP BY event_type
+)
+SELECT r.event_type, r.h,
+       CAST(r.r_num // r.s_n AS BIGINT) AS resid_x25n,
+       CAST(CASE WHEN m.n * (r.r_num // r.s_n) - m.s1 > 0
+                  AND (m.n * (r.r_num // r.s_n) - m.s1)
+                      * (m.n * (r.r_num // r.s_n) - m.s1)
+                      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                 THEN 1
+                 WHEN m.n * (r.r_num // r.s_n) - m.s1 < 0
+                  AND (m.n * (r.r_num // r.s_n) - m.s1)
+                      * (m.n * (r.r_num // r.s_n) - m.s1)
+                      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                 THEN -1 ELSE 0 END AS INTEGER) AS anomaly
+FROM resid r JOIN mom m ON r.event_type = m.event_type
+WHERE (m.n * (r.r_num // r.s_n) - m.s1)
+      * (m.n * (r.r_num // r.s_n) - m.s1)
+      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+""",
+    tags=("tsdb", "W18", "anomaly", "composition"),
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomalies: hours whose residual (series
+    minus trend minus hour-of-day seasonal) exceeds 3 sigma of the
+    residual distribution, signed — the STL-anomaly shape that a raw
+    threshold (ts_burn_rate) and an unadjusted z-score
+    (ts_rolling_zscore) both get wrong during legitimate daily peaks:
+    removing the expected shape FIRST is what makes a 9 am spike
+    normal and the same spike at 3 am an alert.
+
+    Same integer algebra as ts_seasonality_strength (residual*s_n
+    stays integer via floor-div by s_n, mirrored); the 3-sigma gate is
+    the emb_outliers cross-multiplied inequality, squared on both
+    sides with the sign reported separately.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-12, 12)
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("trend_x25"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )
+    det = tr.filter(F.col("n_win") == 25).select(
+        "event_type",
+        "h",
+        (F.col("h") % 24).alias("hod"),
+        (F.lit(25) * F.col("cents") - F.col("trend_x25")).alias("d_x25"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    seas = det.groupBy("event_type", "hod").agg(
+        F.sum(d38(F.col("d_x25"))).alias("s_sum"),
+        d38(F.count(F.lit(1))).alias("s_n"),
+    )
+    resid = det.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "h",
+        F.expr(
+            "CAST((CAST(d_x25 AS DECIMAL(38,0)) * s_n - s_sum) div s_n"
+            " AS DECIMAL(38,0))"
+        ).alias("r"),
+    )
+    mom = resid.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+    )
+    j = resid.join(F.broadcast(mom), "event_type")
+    lhs = F.col("n") * F.col("r") - F.col("s1")
+    var9 = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return j.filter(lhs * lhs > var9).select(
+        "event_type",
+        "h",
+        F.col("r").cast("bigint").alias("resid_x25n"),
+        F.when(lhs > 0, 1).otherwise(-1).cast("int").alias("anomaly"),
+    )

@@ -2143,3 +2143,61 @@ class TestVocabRichness:
         assert got[1].ttr == round(2 / 6, 6)
         assert got[1].n_corpus_hapax == 1          # only 'ham'
         assert got[2].hapax_share == 1.0
+
+
+class TestPriceVolumeMix:
+    def test_planted_bridge(self, spark, tmp_path):
+        # brand A: prior year q=10 rev=$100 (p=10); current q=15 rev=$180
+        # (p=12). volume = +5*10 = $50; price = 180-100-50 = $30.
+        li, orders, pt = [], [], [(1, "p", "Brand#A", "t", 1, 1.0)]
+        orders.append((1, 1, "O", 0.0, datetime(2024, 6, 1), "p"))
+        orders.append((2, 1, "O", 0.0, datetime(2025, 6, 1), "p"))
+        li.append((1, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", D0))
+        li.append((2, 1, 1, 1, 15.0, 180.0, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            pt,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        r = REG["rel_price_volume_mix"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.q1, r.q2) == (10, 15)
+        assert r.delta_rev == 80.0
+        assert r.volume_effect == 50.0
+        assert r.price_effect == 30.0
+        assert abs((r.volume_effect + r.price_effect) - r.delta_rev) < 0.02
+
+
+class TestSTLAnomaly:
+    def test_offschedule_spike_flagged(self, spark, tmp_path):
+        # a strong daily pattern with ONE spike at an off-peak hour:
+        # the 9am-style peak hours must NOT be anomalies; the 3am spike
+        # must be flagged +1.
+        rows, eid = [], 0
+        spike_h = 24 * 4 + 3      # day 4, 03:00
+        for h in range(24 * 8):
+            base = 100.0 if h % 24 == 9 else 10.0
+            v = 100.0 if h == spike_h else base
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "a", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = REG["ts_stl_anomaly"].fn(spark, sf).collect()
+        flagged = {r.h - (r.h // 24) * 24 for r in out}  # hods flagged
+        anomaly_rows = [r for r in out if r.anomaly == 1]
+        assert anomaly_rows, out
+        # the spike hour is among the positive anomalies
+        base_h = min(r.h for r in out) - (min(r.h for r in out) % 24)
+        assert any(r.h % 24 == 3 for r in anomaly_rows)
+        # no 9am row flagged positive (it's the EXPECTED peak)
+        assert not any(r.h % 24 == 9 and r.anomaly == 1 for r in out)
