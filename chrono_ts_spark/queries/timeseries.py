@@ -6185,3 +6185,70 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("bigint").alias("resid_x25n"),
         F.when(lhs > 0, 1).otherwise(-1).cast("int").alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Store2: run-length encoding statistics (repeat-value codec analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_rle_stats",
+    oracle="""
+WITH s AS (
+    SELECT user_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN lag(CAST(round(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS DISTINCT FROM CAST(round(value * 100, 0) AS BIGINT)
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(brk) AS BIGINT) AS n_runs,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(brk) AS DOUBLE), 6)
+           AS rle_ratio
+FROM s GROUP BY user_id
+HAVING SUM(brk) > 0
+""",
+    tags=("tsdb", "Store2", "codec"),
+)
+def ts_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding statistics per series: run count (value
+    changes, null-safe so the first row starts run 1) and the RLE
+    compression ratio points/runs — the repeat-value codec analysis
+    that pairs with ts_gorilla_size_estimate's delta-of-delta view:
+    RLE wins on flatlined gauges, Gorilla on drifting ones, and the
+    two ratios side by side pick the encoding per series. A ratio
+    near 1.0 (this fixture's continuous values) is itself the signal
+    that RLE is the WRONG codec here.
+
+    One per-series lag with IS DISTINCT FROM (null-safe run breaks),
+    one agg — all integer until the final ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    s = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        (~F.lag(cents).over(w).eqNullSafe(cents)).cast("int").alias("brk"),
+    )
+    D = lambda c: c.cast("double")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("brk").cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("n_runs") > 0)
+        .select(
+            "user_id",
+            "n_points",
+            "n_runs",
+            F.round(D(F.col("n_points")) / D(F.col("n_runs")), 6).alias(
+                "rle_ratio"
+            ),
+        )
+    )

@@ -1239,3 +1239,89 @@ def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("bigint").alias("n_correct"),
         F.round(D(F.sum("hit")) / D(F.count(F.lit(1))), 6).alias("loo_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7o: int8 quantization distortion (reconstruction error report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_quantization_error",
+    oracle="""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+), m AS (
+    SELECT vec_id, vd,
+           list_max(list_transform(vd, x -> abs(x))) AS max_abs
+    FROM v
+), terms AS (
+    SELECT vec_id,
+           CAST(len(vd) AS BIGINT) AS dims,
+           CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(list_sum(list_transform(vd, x ->
+               CAST(round(round(abs(x - CAST(floor(x * (127.0 / max_abs))
+                                             AS DOUBLE)
+                                        / (127.0 / max_abs)), 9)
+                          * 1e9, 0) AS BIGINT))) AS BIGINT) END AS ae_fp
+    FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(ae_fp) AS DOUBLE) / CAST(SUM(dims) AS DOUBLE) / 1e9, 6)
+           AS mean_abs_err,
+       round(CAST(MAX((ae_fp * 1000000) // dims) AS DOUBLE) / 1e15, 6)
+           AS worst_vector_mae
+FROM terms
+""",
+    tags=("vectors", "X7o", "quantize"),
+)
+def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of the int8 quantization
+    (emb_quantize_int8's exact floor-code contract): per-component
+    |x - dequant(quant(x))| summed in 1e9 fixed point, reported as the
+    corpus mean absolute error and the worst single-vector MAE — the
+    distortion side of the 4x-compression trade the quantizer row only
+    asserts. Expected MAE ~ (max_abs/127)/2 per component.
+
+    Every reconstruction replays the IDENTICAL IEEE ops as the
+    quantizer (x*scale, floor, /scale), each absolute error rounds
+    9dp into fixed point, and per-vector sums are integers — map-only
+    to one global agg.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = vec_double(F.col("embedding"))
+    m = e.select(
+        "vec_id",
+        vd.alias("vd"),
+        F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    scale = F.lit(127.0) / F.col("max_abs")
+    recon = lambda x: F.floor(x * scale).cast("double") / scale
+    ae = lambda x: F.round(
+        F.round(F.abs(x - recon(x)), 9) * F.lit(1e9), 0
+    ).cast("bigint")
+    terms = m.select(
+        "vec_id",
+        F.size("vd").cast("bigint").alias("dims"),
+        F.when(F.col("max_abs") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.aggregate(
+                F.transform(F.col("vd"), ae),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            )
+        )
+        .alias("ae_fp"),
+    )
+    D = lambda c: c.cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(D(F.sum("ae_fp")) / D(F.sum("dims")) / F.lit(1e9), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(
+            D(F.max(F.expr("(ae_fp * 1000000) div dims"))) / F.lit(1e15), 6
+        ).alias("worst_vector_mae"),
+    )

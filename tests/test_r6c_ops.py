@@ -2201,3 +2201,44 @@ class TestSTLAnomaly:
         assert any(r.h % 24 == 3 for r in anomaly_rows)
         # no 9am row flagged positive (it's the EXPECTED peak)
         assert not any(r.h % 24 == 9 and r.anomaly == 1 for r in out)
+
+
+class TestQuantizationError:
+    def test_error_bound(self, spark):
+        # floor quantization: per-component error < step = max_abs/127.
+        r = REG["emb_quantization_error"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r.n_vectors == 500
+        assert 0 < r.mean_abs_err < 0.05
+        assert r.worst_vector_mae >= r.mean_abs_err
+
+    def test_planted_exact(self, spark, tmp_path):
+        # vector [1, 0.5]: scale 127; q(1)=127 exact; q(0.5)=63/127 ->
+        # err = 0.5 - 63/127.
+        rows = [(1, [1.0, 0.5] + [0.0] * 62, 0)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        r = REG["emb_quantization_error"].fn(spark, str(tmp_path)).collect()[0]
+        exp = round(round(0.5 - 63.0 / 127.0, 9), 9) / 64
+        assert abs(r.mean_abs_err - round(exp, 6)) < 2e-6
+
+
+class TestRLEStats:
+    def test_planted_runs(self, spark, tmp_path):
+        # values 5,5,5,7,7,5: runs = 3 -> ratio 2.0
+        vals = [5.0, 5.0, 5.0, 7.0, 7.0, 5.0]
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", v, "{}")
+                for i, v in enumerate(vals)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_rle_stats"].fn(spark, sf).collect()[0]
+        assert (r.n_points, r.n_runs) == (6, 3)
+        assert r.rle_ratio == 2.0
+
+    def test_constant_series_max_ratio(self, spark, tmp_path):
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", 9.0, "{}")
+                for i in range(8)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_rle_stats"].fn(spark, sf).collect()[0]
+        assert (r.n_runs, r.rle_ratio) == (1, 8.0)
