@@ -3866,3 +3866,50 @@ def rel_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A1b: basket-size histogram (order-level structure)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_basket_size_histogram",
+    oracle="""
+WITH sz AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM sz)
+SELECT n_lines AS basket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_orders) AS DOUBLE), 6)
+           AS share
+FROM sz CROSS JOIN tot
+GROUP BY n_lines
+""",
+    tags=("relational", "A1b", "histogram"),
+)
+def rel_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many line items orders carry —
+    the order-structure histogram that sizes the market-basket
+    self-join (rel_market_basket's Σ basket² bound is read directly
+    off this table) and drives packing/fulfillment planning. Two hash
+    aggs and a 1-row broadcast; exact shares.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    tot = sz.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_t"))
+    D = lambda c: c.cast("double")
+    return (
+        sz.join(F.broadcast(tot))
+        .groupBy(F.col("n_lines").alias("basket_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                D(F.count(F.lit(1))) / D(F.max("n_orders_t")), 6
+            ).alias("share"),
+        )
+    )

@@ -3567,3 +3567,40 @@ def doc_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8u: ASCII-ratio encoding hygiene
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_ascii_ratio",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+            AS BIGINT) AS n_non_ascii,
+       round(CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS ascii_ratio
+FROM documents WHERE length(text) > 0
+""",
+    tags=("text", "X8u", "quality"),
+)
+def doc_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Printable-ASCII share per document — the encoding-hygiene
+    filter: mojibake, binary-in-text and control characters all fall
+    out of the [space..tilde] class, and a corpus claiming lang='en'
+    with low ascii_ratio has an ingestion bug, not multilingual
+    content. Map-only regex in the Java/RE2 common subset.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kept = F.length(F.regexp_replace(F.col("text"), "[^ -~]", ""))
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - kept).cast("bigint").alias("n_non_ascii"),
+        F.round(
+            kept.cast("double") / F.length("text").cast("double"), 6
+        ).alias("ascii_ratio"),
+    )

@@ -6252,3 +6252,106 @@ def ts_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A3k: skewness and kurtosis from exact power sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_value_shape",
+    oracle="""
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS HUGEINT) AS x
+    FROM events
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS s1,
+           SUM(x * x) AS s2,
+           SUM(x * x * x) AS s3,
+           SUM(x * x * x * x) AS s4
+    FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5), 6)
+           AS skewness,
+       round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 6)
+           AS excess_kurtosis
+FROM m
+WHERE n >= 2 AND CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      > (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+""",
+    tags=("tsdb", "A3k", "moments"),
+)
+def ts_value_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution SHAPE per event type: skewness and excess kurtosis
+    from exact integer power sums s1..s4 (population central moments
+    via the binomial expansion) — the tail diagnostics beyond
+    rel_stats_moments' variance: heavy-tailed latency-style values
+    show positive skew and kurtosis long before a percentile table
+    does. Every power sum is HUGEINT/decimal38; the centered-moment
+    expressions are one mirrored double formula each (the pattern
+    every moment statistic in this repo uses).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("decimal(38,0)").alias("x"),
+    )
+    m = c.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    D = lambda c_: c_.cast("double")
+    mu = D(F.col("s1")) / D(F.col("n"))
+    m2r = D(F.col("s2")) / D(F.col("n"))
+    m3r = D(F.col("s3")) / D(F.col("n"))
+    m4r = D(F.col("s4")) / D(F.col("n"))
+    var = m2r - mu * mu
+    m3c = m3r - F.lit(3.0) * mu * m2r + F.lit(2.0) * mu * mu * mu
+    m4c = (
+        m4r
+        - F.lit(4.0) * mu * m3r
+        + F.lit(6.0) * mu * mu * m2r
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return (
+        m.filter((F.col("n") >= 2) & (m2r > mu * mu))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(m3c / F.pow(var, 1.5), 6).alias("skewness"),
+            F.round(m4c / (var * var) - F.lit(3.0), 6).alias("excess_kurtosis"),
+        )
+    )

@@ -2242,3 +2242,49 @@ class TestRLEStats:
         sf = _write_events(spark, tmp_path, rows)
         r = REG["ts_rle_stats"].fn(spark, sf).collect()[0]
         assert (r.n_runs, r.rle_ratio) == (1, 8.0)
+
+
+class TestValueShape:
+    def test_symmetric_vs_skewed(self, spark, tmp_path):
+        rows, eid = [], 0
+        # symmetric: 1,2,3 repeated -> skew 0; skewed: many small + one
+        # huge -> strong positive skew and kurtosis.
+        for i in range(30):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "sym",
+                         float(1 + i % 3), "{}"))
+        for i in range(29):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "skew", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, D0 + timedelta(minutes=eid), 1, "skew", 1000.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r for r in
+               REG["ts_value_shape"].fn(spark, sf).collect()}
+        assert got["sym"].skewness == 0.0
+        assert got["skew"].skewness > 4
+        assert got["skew"].excess_kurtosis > 15
+
+
+class TestBasketHistogram:
+    def test_shares_sum_and_bound(self, spark):
+        out = REG["rel_basket_size_histogram"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+        assert all(r.basket_size >= 1 for r in out)
+
+
+class TestAsciiRatio:
+    def test_planted_non_ascii(self, spark, tmp_path):
+        rows = [
+            (1, "plain ascii text", "en", "s", 16),
+            (2, "café über naïve", "en", "s", 15),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r.doc_id: r for r in
+               REG["doc_ascii_ratio"].fn(spark, str(tmp_path)).collect()}
+        assert got[1].ascii_ratio == 1.0 and got[1].n_non_ascii == 0
+        assert got[2].n_non_ascii == 3
