@@ -6355,3 +6355,118 @@ def ts_value_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(m4c / (var * var) - F.lit(3.0), 6).alias("excess_kurtosis"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W8f: Croston intermittent-demand forecasting (two-state recursion)
+# ---------------------------------------------------------------------------
+# The holt/kalman sanctioned-sequential contract: numpy loop and
+# recursive-CTE oracle execute the identical IEEE op sequence over the
+# demand-point series. States: smoothed demand size z and smoothed
+# inter-demand interval p; alpha = 0.1 (1.0-0.1 == 0.9 exactly).
+# Seeds: z = first demand, p = 1.0 (first interval unobserved — the
+# standard convention, documented).
+
+
+@query(
+    "ts_croston",
+    oracle="""
+WITH RECURSIVE d AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS q
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, day
+),
+seq AS (
+    SELECT user_id, day, q,
+           CAST(COALESCE(day - lag(day) OVER
+                (PARTITION BY user_id ORDER BY day), 1) AS DOUBLE) AS gap,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM d
+),
+cr AS (
+    SELECT user_id, day, q, gap, rn,
+           q AS z, CAST(1.0 AS DOUBLE) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.day, s.q, s.gap, s.rn,
+           CAST(0.1 AS DOUBLE) * s.q + CAST(0.9 AS DOUBLE) * c.z,
+           CAST(0.1 AS DOUBLE) * s.gap + CAST(0.9 AS DOUBLE) * c.p
+    FROM cr c JOIN seq s ON s.user_id = c.user_id AND s.rn = c.rn + 1
+)
+SELECT user_id, day, q AS demand_cents, z AS smooth_size,
+       p AS smooth_interval,
+       round(z / p, 6) AS forecast_per_day
+FROM cr
+""",
+    tags=("tsdb", "W8f", "forecast", "sequential"),
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per user over daily purchase demand: separate
+    exponential smoothing of demand SIZE and inter-demand INTERVAL,
+    forecast = z/p per day — the forecasting model for INTERMITTENT
+    series where Holt/EMA on the raw (mostly-zero) sequence just decay
+    to noise: smoothing only at demand points is the whole idea.
+
+    alpha = 0.1; seeds z = first demand, p = 1.0 (first interval
+    unobserved). Sequential boundary (batch_ema contract), recursive-
+    CTE oracle replaying the identical IEEE recurrences.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("double").alias("q"))
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        qs = pdf["q"].to_numpy(dtype="float64")
+        days = pdf["day"].to_numpy(dtype="int64")
+        n = len(qs)
+        zs = np.empty(n)
+        ps = np.empty(n)
+        z = p = 0.0
+        for i in range(n):
+            if i == 0:
+                z, p = qs[0], 1.0
+            else:
+                gap = float(days[i] - days[i - 1])
+                z = 0.1 * qs[i] + 0.9 * z
+                p = 0.1 * gap + 0.9 * p
+            zs[i] = z
+            ps[i] = p
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": days,
+                "demand_cents": qs,
+                "smooth_size": zs,
+                "smooth_interval": ps,
+            }
+        )
+
+    out = d.groupBy("user_id").applyInPandas(
+        run,
+        "user_id bigint, day bigint, demand_cents double, smooth_size double, "
+        "smooth_interval double",
+    )
+    # rounding happens JVM-side: numpy's round is half-even while both
+    # engines' SQL round is half-away — the midpoint hazard caught live
+    # on one row in 159 at sf0.001
+    return out.withColumn(
+        "forecast_per_day",
+        F.round(F.col("smooth_size") / F.col("smooth_interval"), 6),
+    )

@@ -1325,3 +1325,66 @@ def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.max(F.expr("(ae_fp * 1000000) div dims"))) / F.lit(1e15), 6
         ).alias("worst_vector_mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7p: cosine range search (threshold mode, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_range_search",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_sum(list_transform(list_zip(qv, cv),
+                          p -> p[1] * p[2]))
+                 / sqrt(list_sum(list_transform(qv, x -> x * x)))
+                 / sqrt(list_sum(list_transform(cv, x -> x * x))), 6)
+               AS cosine
+    FROM q CROSS JOIN c
+    WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored WHERE cosine >= 0.35
+""",
+    tags=("vectors", "X7p", "range-search"),
+)
+def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every corpus vector within cosine >= 0.35
+    of each probe (the threshold sits in the fixture's top ~0.1% tail
+    — near-uniform vectors max out around 0.49) — the threshold mode that top-k can't express (dup
+    detection wants "everything this similar", not "the 5 nearest,
+    however far"). Result size is data-dependent by design; the
+    rounded cosine makes the threshold comparison engine-identical.
+
+    Same map-side shape as exact top-k (probes broadcast, corpus
+    scanned once) minus the rank cut — the scan IS the operator; at
+    scale the LSH/IVF candidate generators bound it exactly as they
+    do for top-k.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        vec_double(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec_double(F.col("embedding")).alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(vec_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.35)

@@ -2288,3 +2288,44 @@ class TestAsciiRatio:
                REG["doc_ascii_ratio"].fn(spark, str(tmp_path)).collect()}
         assert got[1].ascii_ratio == 1.0 and got[1].n_non_ascii == 0
         assert got[2].n_non_ascii == 3
+
+
+class TestRangeSearch:
+    def test_planted_threshold(self, spark, tmp_path):
+        # probe 0; vec 20 at cosine 1, vec 21 orthogonal -> only 20 hits.
+        rows = [
+            (0, [1.0] + [0.0] * 63, 0),
+            (20, [2.0] + [0.0] * 63, 0),
+            (21, [0.0, 1.0] + [0.0] * 62, 0),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = [(r.query_id, r.neighbor_id, r.cosine) for r in
+               REG["emb_range_search"].fn(spark, str(tmp_path)).collect()]
+        assert (0, 20, 1.0) in out
+        assert not any(n == 21 for _, n, _ in out)
+
+
+class TestCroston:
+    def test_matches_python_reference(self, spark, tmp_path):
+        # user 1 purchases on days 0, 2, 3 with sizes $1, $2, $4.
+        rows = [
+            (1, D0, 1, "purchase", 1.0, "{}"),
+            (2, D0 + timedelta(days=2), 1, "purchase", 2.0, "{}"),
+            (3, D0 + timedelta(days=3), 1, "purchase", 4.0, "{}"),
+            (4, D0, 1, "click", 9.0, "{}"),   # non-demand noise ignored
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = sorted(REG["ts_croston"].fn(spark, sf).collect(),
+                     key=lambda r: r.day)
+        z, p = 100.0, 1.0
+        expect = [(z, p)]
+        for q, gap in [(200.0, 2.0), (400.0, 1.0)]:
+            z = 0.1 * q + 0.9 * z
+            p = 0.1 * gap + 0.9 * p
+            expect.append((z, p))
+        for r, (ez, ep) in zip(out, expect):
+            assert r.smooth_size == ez          # bit-exact
+            assert r.smooth_interval == ep
+            assert r.forecast_per_day == round(ez / ep, 6)
