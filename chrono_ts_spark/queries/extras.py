@@ -2212,3 +2212,64 @@ def udtf_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# S5d: sort-within-partitions write (row-group stats tightness)
+# ---------------------------------------------------------------------------
+
+
+@query("io_sorted_write", oracle=None, tags=("io", "S5d", "layout", "no-oracle"))
+def io_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5d: time-clustered write — repartitionByRange(ts) +
+    sortWithinPartitions(ts), the 1-D special case of Z-ordering and
+    the cheap layout optimization every time-series table should get:
+    each file (and row group) covers a DISJOINT time slice, so a
+    time-range scan prunes whole files from footer stats alone. The
+    query writes events both ways (4 files each), reads the ts
+    statistics back from the parquet FOOTERS (io_footer_stats
+    machinery) and reports each layout's mean row-group ts span — the
+    pruning benefit as a measured number, not a claim. Rows-only
+    (file layout); clustered-span << round-robin-span is pinned in
+    tests.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    # ts goes to the file as epoch-us BIGINT: Spark's default parquet
+    # timestamp encoding is INT96, which carries NO column statistics —
+    # the experiment would read zero row groups (observed live)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+    def span_stats(path: str) -> tuple[int, float]:
+        spans, n_groups = [], 0
+        for fp in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            names = md.schema.to_arrow_schema().names
+            ts_idx = names.index("ts_us")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is not None and st.has_min_max:
+                    n_groups += 1
+                    spans.append((st.max - st.min) / 1e6)
+        return n_groups, (sum(spans) / len(spans) if spans else 0.0)
+
+    out_rows = []
+    for mode in ("unsorted", "sorted"):
+        path = _roundtrip_dir(sf_dir, f"sortw_{mode}", "events")
+        if mode == "sorted":
+            df = ev.repartitionByRange(4, "ts_us").sortWithinPartitions("ts_us")
+        else:
+            df = ev.repartition(4)
+        df.write.mode("overwrite").option(
+            "parquet.block.size", 256 * 1024
+        ).parquet(path)
+        n_groups, mean_span = span_stats(path)
+        out_rows.append((mode, n_groups, round(mean_span, 1)))
+    return spark.createDataFrame(
+        out_rows, "layout string, n_row_groups long, mean_ts_span_s double"
+    )

@@ -6470,3 +6470,100 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forecast_per_day",
         F.round(F.col("smooth_size") / F.col("smooth_interval"), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fin3: expected shortfall / CVaR (tail mean beyond the exact p95)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_expected_shortfall",
+    oracle="""
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+hist AS (
+    SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS k
+    FROM c GROUP BY event_type, cents
+),
+cum AS (
+    SELECT h.event_type, h.cents, h.k,
+           (SELECT CAST(SUM(h2.k) AS BIGINT) FROM hist h2
+            WHERE h2.event_type = h.event_type AND h2.cents <= h.cents) AS ck
+    FROM hist h
+),
+tot AS (
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS n FROM hist GROUP BY event_type
+),
+var95 AS (
+    SELECT tot.event_type, tot.n,
+           (SELECT MIN(cents) FROM cum
+            WHERE cum.event_type = tot.event_type
+              AND cum.ck * 20 >= 19 * tot.n) AS v
+    FROM tot
+)
+SELECT c.event_type, var95.n AS n_obs,
+       CAST(var95.v AS BIGINT) AS var95_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       round(CAST(SUM(c.cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0,
+             6) AS expected_shortfall
+FROM c JOIN var95 ON c.event_type = var95.event_type
+WHERE c.cents >= var95.v
+GROUP BY c.event_type, var95.n, var95.v
+""",
+    tags=("tsdb", "Fin3", "risk"),
+)
+def ts_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) at 95% per event type: the MEAN of
+    the tail at or beyond the exact p95 order statistic — the risk
+    number regulators prefer over VaR because it sees HOW BAD the
+    tail is, not just where it starts (ts_max_drawdown is the
+    path-ordered cousin; this is the distributional one).
+
+    The p95 comes from the bounded-domain histogram read-off (the
+    rel_ship_latency pattern), broadcasts as one row per type, and
+    the tail mean is exact integer cents over a filtered scan — no
+    sort anywhere.
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hist = c.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cum = banded_prefix_sum(
+        hist, "cents", ["cents"], "k", ascending=True, out="ck",
+        partition_by=["event_type"],
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("k").cast("bigint").alias("n"))
+    var95 = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("ck") * 20 >= 19 * F.col("n"))
+        .groupBy("event_type", "n")
+        .agg(F.min("cents").cast("bigint").alias("v"))
+    )
+    D = lambda x: x.cast("double")
+    return (
+        c.join(F.broadcast(var95), "event_type")
+        .filter(F.col("cents") >= F.col("v"))
+        .groupBy("event_type", "n", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.round(D(F.sum("cents")) / D(F.count(F.lit(1))) / 100.0, 6).alias(
+                "expected_shortfall"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_obs"),
+            F.col("v").alias("var95_cents"),
+            "n_tail",
+            "expected_shortfall",
+        )
+    )

@@ -2329,3 +2329,27 @@ class TestCroston:
             assert r.smooth_size == ez          # bit-exact
             assert r.smooth_interval == ep
             assert r.forecast_per_day == round(ez / ep, 6)
+
+
+class TestSortedWrite:
+    def test_sorted_layout_tighter(self, spark):
+        out = {r.layout: r for r in
+               REG["io_sorted_write"].fn(spark, "/root/testdata/sf0.01").collect()}
+        assert out["sorted"].n_row_groups >= 1
+        # the whole point: sorted row groups span far less time
+        assert out["sorted"].mean_ts_span_s < out["unsorted"].mean_ts_span_s / 2
+
+
+class TestExpectedShortfall:
+    def test_planted_tail(self, spark, tmp_path):
+        # 20 values 1..20 dollars: p95 (ck*20 >= 19n) = 19; tail =
+        # {19, 20} -> ES = 19.50.
+        rows = [(i + 1, D0 + timedelta(minutes=i), 1, "a", float(i + 1), "{}")
+                for i in range(20)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_expected_shortfall"].fn(spark, sf).collect()[0]
+        assert r.var95_cents == 1900
+        assert r.n_tail == 2
+        assert r.expected_shortfall == 19.5
+        # ES must always be >= VaR
+        assert r.expected_shortfall * 100 >= r.var95_cents
