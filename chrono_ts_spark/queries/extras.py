@@ -2237,9 +2237,11 @@ def io_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    # ts goes to the file as epoch-us BIGINT: Spark's default parquet
-    # timestamp encoding is INT96, which carries NO column statistics —
-    # the experiment would read zero row groups (observed live)
+    # ts goes to the file as epoch-us BIGINT: Spark's DEFAULT parquet
+    # timestamp encoding is INT96 (no column statistics — observed live
+    # as stats == None); RUNTIME_CONFS now forces TIMESTAMP_MICROS
+    # engine-wide, and the integer column keeps this experiment
+    # independent of that conf
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )

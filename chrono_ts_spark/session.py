@@ -28,6 +28,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Spark's default parquet timestamp encoding is INT96, which carries
+    # NO column statistics — every timestamp-partitioned sink would lose
+    # row-group pruning (discovered live via io_sorted_write's footer
+    # read: stats == None). TIMESTAMP_MICROS stores an annotated int64
+    # with full min/max stats and is the modern interchange encoding.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -2353,3 +2353,25 @@ class TestExpectedShortfall:
         assert r.expected_shortfall == 19.5
         # ES must always be >= VaR
         assert r.expected_shortfall * 100 >= r.var95_cents
+
+
+class TestTimestampStats:
+    def test_sink_timestamps_carry_stats(self, spark, tmp_path):
+        # RUNTIME_CONFS forces TIMESTAMP_MICROS: a timestamp column
+        # written by any engine sink must carry min/max footer stats
+        # (INT96, Spark's default, writes none — pruning would be lost).
+        import pyarrow.parquet as pq
+        import glob
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, D0), (2, D0 + timedelta(hours=5))], "id long, ts timestamp"
+        )
+        out = str(tmp_path / "ts_stats.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        fp = glob.glob(f"{out}/*.parquet")[0]
+        md = pq.ParquetFile(fp).metadata
+        names = md.schema.to_arrow_schema().names
+        st = md.row_group(0).column(names.index("ts")).statistics
+        assert st is not None and st.has_min_max
+        assert st.min.hour == 0 and st.max.hour == 5
