@@ -2275,3 +2275,66 @@ def io_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "layout string, n_row_groups long, mean_ts_span_s double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gov3: snapshot diff between store generations (time-travel delta)
+# ---------------------------------------------------------------------------
+
+
+@query("gov_snapshot_diff", oracle=None, tags=("governance", "Gov3", "no-oracle"))
+def gov_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gov3: the DIFF between two retained generations of the keyed
+    store — added / updated / unchanged / (would-be) deleted key
+    counts, the table-format DESCRIBE-HISTORY companion that makes
+    time travel (read_state(gen=...)) auditable: "what did that merge
+    actually do". Built by applying the first half of events as batch
+    1 and the full set as batch 2, then full-outer-joining the two
+    snapshots on the key.
+
+    Rows-only (filesystem generations); planted add/update/unchanged
+    accounting pinned in tests.
+    """
+    import tempfile
+
+    from ..streaming.upsert import read_state, upsert_batch
+
+    root = tempfile.mkdtemp(prefix="chrono_snapdiff_")
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("percentile_approx(event_id, 0.5, 10000)").alias("m")
+    ).collect()[0].m
+    state = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        "event_id",
+    )
+
+    def agg_of(df):
+        return df.groupBy("user_id", "d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("event_id").cast("bigint").alias("seq"),
+        )
+
+    upsert_batch(agg_of(state.filter(F.col("event_id") <= mid)), root,
+                 keys=["user_id", "d"], seq_col="seq")
+    upsert_batch(agg_of(state), root, keys=["user_id", "d"], seq_col="seq")
+    g0 = read_state(spark, root, gen=0).select(
+        "user_id", "d", F.col("n_events").alias("n0")
+    )
+    g1 = read_state(spark, root, gen=1).select(
+        "user_id", "d", F.col("n_events").alias("n1")
+    )
+    j = g0.join(g1, ["user_id", "d"], "full_outer")
+    return j.agg(
+        F.sum((F.col("n0").isNull()).cast("int")).cast("bigint").alias("added"),
+        F.sum((F.col("n1").isNull()).cast("int")).cast("bigint").alias("deleted"),
+        F.sum(
+            (F.col("n0").isNotNull() & F.col("n1").isNotNull()
+             & (F.col("n0") != F.col("n1"))).cast("int")
+        ).cast("bigint").alias("updated"),
+        F.sum(
+            (F.col("n0").isNotNull() & F.col("n1").isNotNull()
+             & (F.col("n0") == F.col("n1"))).cast("int")
+        ).cast("bigint").alias("unchanged"),
+    )

@@ -3913,3 +3913,71 @@ def rel_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ML10: leave-one-out target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_loo_target_encoding",
+    oracle="""
+WITH c AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+    FROM lineitem
+),
+g AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(cents) AS BIGINT) AS s_g
+    FROM c GROUP BY l_returnflag
+)
+SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+       CAST(((g.s_g - c.cents) * 10000) // (g.n_g - 1) AS BIGINT)
+           AS loo_mean_e4
+FROM c JOIN g ON c.l_returnflag = g.l_returnflag
+WHERE g.n_g > 1
+""",
+    tags=("relational", "ML10", "feature-engineering"),
+)
+def rel_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the return flag against price:
+    each row's categorical feature becomes the category's mean target
+    EXCLUDING the row itself — (S_g − x_i)/(n_g − 1) — the
+    leakage-safe form of mean encoding (plain mean encoding leaks the
+    row's own label into its feature and inflates validation scores;
+    LOO is the standard fix, and the per-row exclusion is pure
+    closed-form algebra, not n re-aggregations).
+
+    Group sums broadcast (one row per category); the per-row encode
+    stays ENTIRELY in the integer domain ((S-x)*1e4 div (n-1), cents
+    scaled e4): the first float draft lost 1 row in 600k to a 6dp
+    round-tie at sf0.1 — the documented percentile-ulp class, fixed
+    the documented way. Singleton categories drop (undefined LOO) on
+    both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    D = lambda x: x.cast("double")
+    return (
+        c.join(F.broadcast(g), "l_returnflag")
+        .filter(F.col("n_g") > 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.expr("CAST(((s_g - cents) * 10000) div (n_g - 1) AS BIGINT)")
+            .alias("loo_mean_e4"),
+        )
+    )

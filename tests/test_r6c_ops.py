@@ -2375,3 +2375,39 @@ class TestTimestampStats:
         st = md.row_group(0).column(names.index("ts")).statistics
         assert st is not None and st.has_min_max
         assert st.min.hour == 0 and st.max.hour == 5
+
+
+class TestSnapshotDiff:
+    def test_accounting_identity(self, spark):
+        r = REG["gov_snapshot_diff"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+        # batch 2 is a superset reapplication: nothing deleted; the
+        # second half of events ADDS new (user, day) keys and UPDATES
+        # counts on existing ones.
+        assert r.deleted == 0
+        assert r.added >= 0 and r.updated > 0
+        assert r.added + r.updated + r.unchanged > 0
+
+
+class TestLOOEncoding:
+    def test_planted_exclusion(self, spark, tmp_path):
+        # flag A: prices $1, $2, $4 -> row 1's LOO mean = (200+400)/2 =
+        # 300 cents -> 300*1e4 exactly; singleton flag B drops.
+        li = [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", D0),
+            (2, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "A", "O", D0),
+            (3, 1, 1, 1, 1.0, 4.0, 0.0, 0.0, "A", "O", D0),
+            (4, 1, 1, 1, 1.0, 9.0, 0.0, 0.0, "B", "O", D0),
+        ]
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        out = {r.l_orderkey: r.loo_mean_e4 for r in
+               REG["rel_loo_target_encoding"].fn(spark, str(tmp_path)).collect()}
+        assert out[1] == 300 * 10000
+        assert out[2] == 250 * 10000
+        assert out[3] == 150 * 10000
+        assert 4 not in out  # singleton category dropped
