@@ -3604,3 +3604,51 @@ def doc_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.cast("double") / F.length("text").cast("double"), 6
         ).alias("ascii_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5c: shared-opening detection (prefix-hash duplicate groups)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_prefix_dup_groups",
+    oracle="""
+WITH p AS (
+    SELECT doc_id, md5(substr(text, 1, 64)) AS ph
+    FROM documents WHERE length(text) >= 64
+),
+g AS (
+    SELECT ph, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM p GROUP BY ph
+)
+SELECT ph AS prefix_hash, n_docs, exemplar_doc
+FROM g WHERE n_docs > 1
+""",
+    tags=("text", "X5c", "dedup"),
+)
+def doc_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-OPENING duplicate groups: documents whose first 64
+    characters hash identically — the cheap template/boilerplate
+    detector (scraped pages, form letters, license headers share
+    openings long before they share full content), sitting between
+    exact dedup (whole doc) and shingle near-dup (anywhere-overlap) at
+    a 16-byte-per-doc cost. Groups report size and the min-doc_id
+    exemplar.
+
+    One digest groupBy — the doc_dedup_stats shuffle shape on a
+    prefix instead of the normalized body.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = d.filter(F.length("text") >= 64).select(
+        "doc_id", F.md5(F.substring("text", 1, 64)).alias("ph")
+    )
+    return (
+        p.groupBy(F.col("ph").alias("prefix_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -6567,3 +6567,86 @@ def ts_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_shortfall",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W8g: naive forecast baselines (the floor every model must beat)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_naive_baselines",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+lagd AS (
+    SELECT a.event_type, a.h, a.c,
+           b.c AS prev_c, s.c AS season_c
+    FROM hourly a
+    LEFT JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h - 1
+    LEFT JOIN hourly s ON s.event_type = a.event_type AND s.h = a.h - 24
+)
+SELECT event_type,
+       CAST(COUNT(prev_c) AS BIGINT) AS n_naive,
+       round(CAST(SUM(abs(c - prev_c)) AS DOUBLE)
+             / CAST(COUNT(prev_c) AS DOUBLE) / 100.0, 6) AS naive_mae,
+       CAST(COUNT(season_c) AS BIGINT) AS n_seasonal,
+       round(CAST(SUM(abs(c - season_c)) AS DOUBLE)
+             / CAST(COUNT(season_c) AS DOUBLE) / 100.0, 6) AS seasonal_naive_mae
+FROM lagd GROUP BY event_type
+""",
+    tags=("tsdb", "W8g", "forecast"),
+)
+def ts_naive_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two forecast baselines every model must beat: NAIVE (next
+    hour = this hour) and SEASONAL NAIVE (next hour = same hour
+    yesterday), as one-step MAE per event type — the floor that makes
+    ts_forecast_backtest's Holt MAE interpretable (a model that can't
+    beat seasonal-naive on a daily-patterned series is fitting noise,
+    whatever its own error says). Calendar-gap-correct: comparisons
+    exist only where the lagged hour actually exists (h-1 / h-24
+    joins, not row lags).
+
+    Integer absolute errors summed exactly; two joins against the
+    calendar-bounded hourly table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    prev = hourly.select(
+        "event_type", (F.col("h") + 1).alias("h"), F.col("c").alias("prev_c")
+    )
+    seas = hourly.select(
+        "event_type", (F.col("h") + 24).alias("h"), F.col("c").alias("season_c")
+    )
+    lagd = hourly.join(prev, ["event_type", "h"], "left").join(
+        seas, ["event_type", "h"], "left"
+    )
+    D = lambda x: x.cast("double")
+    return lagd.groupBy("event_type").agg(
+        F.count("prev_c").cast("bigint").alias("n_naive"),
+        F.round(
+            D(F.sum(F.abs(F.col("c") - F.col("prev_c"))))
+            / D(F.count("prev_c"))
+            / 100.0,
+            6,
+        ).alias("naive_mae"),
+        F.count("season_c").cast("bigint").alias("n_seasonal"),
+        F.round(
+            D(F.sum(F.abs(F.col("c") - F.col("season_c"))))
+            / D(F.count("season_c"))
+            / 100.0,
+            6,
+        ).alias("seasonal_naive_mae"),
+    )

@@ -2411,3 +2411,33 @@ class TestLOOEncoding:
         assert out[2] == 250 * 10000
         assert out[3] == 150 * 10000
         assert 4 not in out  # singleton category dropped
+
+
+class TestNaiveBaselines:
+    def test_planted_errors_and_gap_correctness(self, spark, tmp_path):
+        # 48 hours alternating 10/20 dollars: naive MAE = 10.0 exactly;
+        # seasonal-naive (24h, even period) MAE = 0.0.
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "alt",
+                 10.0 if h % 2 == 0 else 20.0, "{}") for h in range(48)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_naive_baselines"].fn(spark, sf).collect()[0]
+        assert r.naive_mae == 10.0
+        assert r.seasonal_naive_mae == 0.0
+        assert r.n_naive == 47 and r.n_seasonal == 24
+
+
+class TestPrefixDupGroups:
+    def test_planted_shared_opening(self, spark, tmp_path):
+        opening = "x" * 64
+        rows = [
+            (1, opening + " unique tail one", "en", "s", 80),
+            (2, opening + " totally different end", "en", "s", 86),
+            (3, "y" * 64 + " alone", "en", "s", 70),
+            (4, "short", "en", "s", 5),          # < 64 chars: excluded
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = REG["doc_prefix_dup_groups"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        assert (out[0].n_docs, out[0].exemplar_doc) == (2, 1)
