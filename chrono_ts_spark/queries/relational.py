@@ -3981,3 +3981,42 @@ def rel_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loo_mean_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X6i: phonetic (Soundex) blocking for record linkage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_soundex_blocking",
+    oracle=None,  # DuckDB ships no soundex; published-vector pins +
+    # block-structure tests in tests/test_r6c_ops.py
+    tags=("relational", "X6i", "record-linkage", "no-oracle"),
+)
+def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking: part names keyed by the SOUNDEX code of
+    their first word — the record-linkage blocking family's phonetic
+    member (rel_fuzzy_part_names blocks by brand and verifies with
+    edit distance; Soundex blocks SOUND-ALIKES — 'Smith'/'Smyth' —
+    that edit distance within unrelated blocks would never meet).
+    Output: each phonetic block's size and distinct-first-word count;
+    blocks with n_words > 1 are the candidate lists a matcher
+    verifies.
+
+    Rows-only: Soundex is a JVM built-in absent in DuckDB; the
+    published algorithm vectors (Robert->R163 etc.) and the
+    block-bound property are pinned in tests. Map-side code + one
+    hash agg.
+    """
+    p = load_table(spark, sf_dir, "part")
+    first = F.regexp_extract("p_name", "^([a-zA-Z]+)", 1)
+    coded = p.select(
+        F.soundex(first).alias("sdx"),
+        first.alias("w"),
+    )
+    return coded.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("w").cast("bigint").alias("n_words"),
+        F.sort_array(F.collect_set("w")).cast("string").alias("words"),
+    )

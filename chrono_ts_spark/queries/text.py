@@ -3652,3 +3652,46 @@ def doc_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# X6h: duplicate-cluster size distribution (composition over CC)
+# ---------------------------------------------------------------------------
+
+from . import REGISTRY as _TEXT_REGISTRY  # noqa: E402
+
+
+@query(
+    "doc_dup_cluster_sizes",
+    oracle=f"""
+WITH cc AS ({{CC}})
+, sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM cc GROUP BY cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+""".replace("{{CC}}", "{CC}").format(CC=_TEXT_REGISTRY["doc_dup_clusters"].oracle),
+    tags=("text", "X6h", "dedup", "composition"),
+)
+def doc_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution: how many near-dup families
+    of each size the corpus contains — the one-page summary of the
+    connected-components output that a dedup review actually reads
+    (a few large families = templated content; many pairs = mirror
+    copies; the histogram says which cleanup strategy applies).
+
+    Composition by registry reference: nests doc_dup_clusters' fn and
+    recursive-closure oracle verbatim (the incident-mttr contract),
+    then two tiny aggregations.
+    """
+    cc = _TEXT_REGISTRY["doc_dup_clusters"].fn(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

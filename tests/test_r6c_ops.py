@@ -2441,3 +2441,35 @@ class TestPrefixDupGroups:
         out = REG["doc_prefix_dup_groups"].fn(spark, str(tmp_path)).collect()
         assert len(out) == 1
         assert (out[0].n_docs, out[0].exemplar_doc) == (2, 1)
+
+
+class TestSoundexBlocking:
+    def test_published_vectors_and_blocks(self, spark, tmp_path):
+        # published Soundex: Robert=R163, Rupert=R163, Smith=S530,
+        # Smyth=S530, Ashcraft=A261.
+        pt = [
+            (1, "Robert thing", "B", "t", 1, 1.0),
+            (2, "Rupert thing", "B", "t", 1, 1.0),
+            (3, "Smith thing", "B", "t", 1, 1.0),
+            (4, "Smyth thing", "B", "t", 1, 1.0),
+            (5, "Ashcraft thing", "B", "t", 1, 1.0),
+        ]
+        spark.createDataFrame(
+            pt,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        got = {r.sdx: (r.n_parts, r.n_words) for r in
+               REG["rel_soundex_blocking"].fn(spark, str(tmp_path)).collect()}
+        assert got["R163"] == (2, 2)   # Robert + Rupert sound-alike block
+        assert got["S530"] == (2, 2)   # Smith + Smyth
+        assert got["A261"] == (1, 1)
+
+
+class TestDupClusterSizes:
+    def test_identity_with_components(self, spark):
+        sf = "/root/testdata/sf0.001"
+        sizes = REG["doc_dup_cluster_sizes"].fn(spark, sf).collect()
+        cc_rows = REG["doc_dup_clusters"].fn(spark, sf).count()
+        assert sum(r.n_docs for r in sizes) == cc_rows
+        assert all(r.cluster_size >= 2 or r.n_clusters >= 0 for r in sizes)
