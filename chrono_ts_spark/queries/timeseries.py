@@ -6650,3 +6650,167 @@ def ts_naive_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_naive_mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3l: Mann-Whitney U (nonparametric two-sample test, exact midranks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_mann_whitney",
+    oracle="""
+WITH c AS (
+    SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS grp,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('error', 'click')
+),
+hist AS (
+    SELECT cents,
+           CAST(COUNT(*) AS HUGEINT) AS ct,
+           CAST(SUM(grp) AS HUGEINT) AS c1
+    FROM c GROUP BY cents
+),
+cum AS (
+    SELECT h.cents, h.ct, h.c1,
+           (SELECT CAST(COALESCE(SUM(h2.ct), 0) AS HUGEINT) FROM hist h2
+            WHERE h2.cents < h.cents) AS k_before
+    FROM hist h
+),
+agg AS (
+    SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+           CAST(SUM(ct - c1) AS HUGEINT) AS n2,
+           -- 2*rank-sum of group 1: midrank = K + (c+1)/2, x2 exact
+           CAST(SUM(c1 * (2 * k_before + ct + 1)) AS HUGEINT) AS r1_x2
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_error,
+       CAST(n2 AS BIGINT) AS n_click,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+       round(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc,
+       round(2.0 * CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE) - 1.0, 6) AS rank_biserial
+FROM agg
+""",
+    tags=("tsdb", "A3l", "nonparametric"),
+)
+def ts_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between 'error' and 'click' values — the
+    NONPARAMETRIC two-sample test (ts_welch_t_pairs assumes rough
+    normality; U only uses order, so heavy tails and outliers can't
+    fake or hide a shift). Reported with its two standard effect
+    sizes: AUC = U/(n1 n2) = P(error value > click value), and the
+    rank-biserial correlation 2*AUC - 1.
+
+    Exact TIE handling with zero sorting of the data: the pooled
+    VALUE HISTOGRAM gives each value's occupied rank interval, the
+    midrank doubles as the integer 2K + c + 1, and the group-1
+    rank-sum (x2) is one integer dot product over the histogram —
+    U, AUC and the effect sizes are exact-integer ratios.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type").isin("error", "click")).select(
+        (F.col("event_type") == "error").cast("int").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    d38 = lambda x: x.cast("decimal(38,0)")
+    hist = c.groupBy("cents").agg(
+        d38(F.count(F.lit(1))).alias("ct"),
+        d38(F.sum("grp")).alias("c1"),
+    )
+    # K_before via broadcast theta join over the bounded histogram
+    other = hist.select(
+        F.col("cents").alias("o_cents"), F.col("ct").alias("o_ct")
+    )
+    cum = (
+        hist.join(F.broadcast(other), F.col("o_cents") < F.col("cents"), "left")
+        .groupBy("cents", "ct", "c1")
+        .agg(
+            F.coalesce(F.sum("o_ct"), F.lit(0).cast("decimal(38,0)")).alias(
+                "k_before"
+            )
+        )
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("k_before") + F.col("ct") + 1)
+        ).alias("r1_x2"),
+    )
+    D = lambda x: x.cast("double")
+    u_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    auc = D(u_x2) / D(F.lit(2) * F.col("n1") * F.col("n2"))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_error"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        u_x2.cast("bigint").alias("u_x2"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fin4: record-breaking counts (running-record randomness diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_record_counts",
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS prev_max
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_max IS NULL OR cents > prev_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       round(ln(CAST(COUNT(*) AS DOUBLE)) + 0.5772156649, 6)
+           AS expected_if_iid
+FROM s GROUP BY user_id
+""",
+    tags=("tsdb", "Fin4", "records"),
+)
+def ts_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking analysis per series: how many events set a new
+    running maximum, vs the iid expectation H_n ~ ln(n) + gamma — a
+    series whose record count far exceeds ln(n) is trending (records
+    keep falling), far below is front-loaded; the classic
+    distribution-free trend sniff that needs no model at all
+    (complements ts_hurst_exponent with an O(1)-state statistic the
+    streaming extrema operator already tracks).
+
+    One running-max window (1 PRECEDING — the current row must beat
+    STRICTLY earlier events), exact integer compares; the ln
+    expectation is display-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("prev_max"),
+    )
+    is_rec = (
+        F.col("prev_max").isNull() | (F.col("cents") > F.col("prev_max"))
+    ).cast("int")
+    D = lambda x: x.cast("double")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(is_rec).cast("bigint").alias("n_records"),
+        F.round(
+            F.log(D(F.count(F.lit(1)))) + F.lit(0.5772156649), 6
+        ).alias("expected_if_iid"),
+    )

@@ -2473,3 +2473,49 @@ class TestDupClusterSizes:
         cc_rows = REG["doc_dup_clusters"].fn(spark, sf).count()
         assert sum(r.n_docs for r in sizes) == cc_rows
         assert all(r.cluster_size >= 2 or r.n_clusters >= 0 for r in sizes)
+
+
+class TestMannWhitney:
+    def test_planted_separation_and_ties(self, spark, tmp_path):
+        # errors all 30, clicks all 10 (complete separation with ties
+        # inside groups): AUC = 1.0, rank_biserial = 1.0.
+        rows, eid = [], 0
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "error", 30.0, "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "click", 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_mann_whitney"].fn(spark, sf).collect()[0]
+        assert (r.n_error, r.n_click) == (4, 4)
+        assert r.auc == 1.0 and r.rank_biserial == 1.0
+
+    def test_identical_distributions_half(self, spark, tmp_path):
+        # identical values across groups: all ties -> AUC exactly 0.5.
+        rows, eid = [], 0
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "error", 7.0, "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "click", 7.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_mann_whitney"].fn(spark, sf).collect()[0]
+        assert r.auc == 0.5 and r.rank_biserial == 0.0
+
+
+class TestRecordCounts:
+    def test_monotone_vs_front_loaded(self, spark, tmp_path):
+        rows, eid = [], 0
+        for i in range(10):            # strictly rising: every event a record
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 1, "up",
+                         float(i + 1), "{}"))
+        for i in range(10):            # strictly falling: only the first
+            eid += 1
+            rows.append((eid, D0 + timedelta(minutes=eid), 2, "down",
+                         float(100 - i), "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.user_id: r.n_records for r in
+               REG["ts_record_counts"].fn(spark, sf).collect()}
+        assert got[1] == 10
+        assert got[2] == 1
