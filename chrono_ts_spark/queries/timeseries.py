@@ -6814,3 +6814,222 @@ def ts_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(D(F.count(F.lit(1)))) + F.lit(0.5772156649), 6
         ).alias("expected_if_iid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3m: Spearman rank correlation between series (robust cross-corr)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_spearman_pairs",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+rk AS (
+    -- midrank x2 within each series (tie-correct, integer)
+    SELECT a.event_type, a.h,
+           CAST((SELECT 2 * COUNT(*) FROM hourly b
+                 WHERE b.event_type = a.event_type AND b.c < a.c)
+                + (SELECT COUNT(*) FROM hourly b
+                   WHERE b.event_type = a.event_type AND b.c = a.c)
+                + 1 AS HUGEINT) AS r_x2
+    FROM hourly a
+),
+pairs AS (
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           x.r_x2 AS rx, y.r_x2 AS ry
+    FROM rk x JOIN rk y ON x.h = y.h AND x.event_type < y.event_type
+),
+m AS (
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(rx) AS HUGEINT) AS sx,
+           CAST(SUM(ry) AS HUGEINT) AS sy,
+           SUM(rx * ry) AS sxy,
+           SUM(rx * rx) AS sxx,
+           SUM(ry * ry) AS syy
+    FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    tags=("tsdb", "A3m", "correlation"),
+)
+def ts_spearman_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each pair of event-type
+    hourly series — Pearson on MIDRANKS, so one outlier hour can't
+    fabricate or destroy the relationship ts_series_corr (Pearson on
+    values) reports; reading the two side by side separates linear
+    co-movement from mere monotone association.
+
+    Ranks are per-series midranks x2 (tie-correct integers) computed
+    from each series' own value histogram — the Mann-Whitney
+    machinery per series; the correlation is then the standard exact
+    integer moment formula. Everything runs on the calendar-bounded
+    hourly table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    d38 = lambda x: x.cast("decimal(38,0)")
+    # per-series value histogram -> midrank x2 per value
+    hist = hourly.groupBy("event_type", "c").agg(
+        d38(F.count(F.lit(1))).alias("ct")
+    )
+    other = hist.select(
+        F.col("event_type").alias("o_et"),
+        F.col("c").alias("o_c"),
+        F.col("ct").alias("o_ct"),
+    )
+    cum = (
+        hist.join(
+            F.broadcast(other),
+            (F.col("o_et") == F.col("event_type")) & (F.col("o_c") < F.col("c")),
+            "left",
+        )
+        .groupBy("event_type", "c", "ct")
+        .agg(
+            F.coalesce(F.sum("o_ct"), F.lit(0).cast("decimal(38,0)")).alias(
+                "k_before"
+            )
+        )
+        .select(
+            "event_type",
+            "c",
+            (F.lit(2) * F.col("k_before") + F.col("ct") + 1).alias("r_x2"),
+        )
+    )
+    rk = hourly.join(cum, ["event_type", "c"]).select("event_type", "h", "r_x2")
+    x = rk.select(
+        F.col("event_type").alias("type_a"), "h", F.col("r_x2").alias("rx")
+    )
+    y = rk.select(
+        F.col("event_type").alias("type_b"), "h", F.col("r_x2").alias("ry")
+    )
+    pairs = x.join(y, "h").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    D = lambda x_: x_.cast("double")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(D(cov) / F.sqrt(D(vx)) / F.sqrt(D(vy)), 6).alias(
+                "spearman_rho"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6i: circular time-of-day statistics (directional mean hour)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_time_of_day_circular",
+    oracle="""
+WITH a AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+               * (2.0 * pi() / 86400000000.0) AS theta
+    FROM events
+),
+t AS (
+    SELECT event_type,
+           CAST(round(round(sin(theta), 9) * 1e9, 0) AS BIGINT) AS s_fp,
+           CAST(round(round(cos(theta), 9) * 1e9, 0) AS BIGINT) AS c_fp
+    FROM a
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(s_fp) AS HUGEINT) AS ss,
+           CAST(SUM(c_fp) AS HUGEINT) AS sc
+    FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+              + CASE WHEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) < 0
+                     THEN 2.0 * pi() ELSE 0.0 END)
+             * (24.0 / (2.0 * pi())), 4) AS mean_hour,
+       round(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                  + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / 1e9 / CAST(n AS DOUBLE), 6) AS resultant_length
+FROM m
+""",
+    tags=("tsdb", "A6i", "circular"),
+)
+def ts_time_of_day_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR mean time-of-day per event type: each event's clock
+    time becomes an angle, the mean direction comes from summed
+    sin/cos components, and the resultant length R measures how
+    concentrated activity is around that hour — the correct average
+    of 23:00 and 01:00 is midnight, which an arithmetic mean of hours
+    (noon) gets absurdly wrong. R ~ 0 = activity spread around the
+    clock (this fixture), R -> 1 = a sharp daily habit.
+
+    libm discipline: sin/cos round 9dp into 1e9 fixed point (the
+    entropy-term rule) so component sums are order-immune integers;
+    atan2 and the final sqrt run once per group on exact inputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    theta = (
+        F.expr("CAST(unix_micros(ts) % 86400000000 AS DOUBLE)")
+        * (2.0 * 3.141592653589793 / 86400000000.0)
+    )
+    fp9 = lambda c: F.round(F.round(c, 9) * F.lit(1e9), 0).cast("bigint")
+    t = ev.select(
+        "event_type",
+        fp9(F.sin(theta)).alias("s_fp"),
+        fp9(F.cos(theta)).alias("c_fp"),
+    )
+    d38 = lambda x: x.cast("decimal(38,0)")
+    m = t.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum(d38(F.col("s_fp"))).alias("ss"),
+        F.sum(d38(F.col("c_fp"))).alias("sc"),
+    )
+    D = lambda x: x.cast("double")
+    ang = F.atan2(D(F.col("ss")), D(F.col("sc")))
+    ang_pos = ang + F.when(ang < 0, 2.0 * 3.141592653589793).otherwise(0.0)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(ang_pos * (24.0 / (2.0 * 3.141592653589793)), 4).alias(
+            "mean_hour"
+        ),
+        F.round(
+            F.sqrt(D(F.col("ss")) * D(F.col("ss")) + D(F.col("sc")) * D(F.col("sc")))
+            / F.lit(1e9)
+            / D(F.col("n")),
+            6,
+        ).alias("resultant_length"),
+    )

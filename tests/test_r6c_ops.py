@@ -2519,3 +2519,55 @@ class TestRecordCounts:
                REG["ts_record_counts"].fn(spark, sf).collect()}
         assert got[1] == 10
         assert got[2] == 1
+
+
+class TestSpearman:
+    def test_monotone_nonlinear_is_one(self, spark, tmp_path):
+        # y = x^3-ish via hourly sums: two series monotonically related
+        # but nonlinear -> Spearman exactly 1 (Pearson would be < 1).
+        rows, eid = [], 0
+        for h in range(24):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "a",
+                         float(h + 1), "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "b",
+                         float((h + 1) ** 2) / 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_spearman_pairs"].fn(spark, sf).collect()[0]
+        assert r.spearman_rho == 1.0
+
+    def test_reversed_is_minus_one(self, spark, tmp_path):
+        rows, eid = [], 0
+        for h in range(24):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "a",
+                         float(h + 1), "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "b",
+                         float(100 - h), "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_spearman_pairs"].fn(spark, sf).collect()[0]
+        assert r.spearman_rho == -1.0
+
+
+class TestCircularTime:
+    def test_midnight_straddle(self, spark, tmp_path):
+        # events at 23:00 and 01:00: circular mean = 0.0 (midnight),
+        # where the arithmetic mean of hours would say noon.
+        rows = [
+            (1, D0 + timedelta(hours=23), 1, "a", 1.0, "{}"),
+            (2, D0 + timedelta(hours=25), 1, "a", 1.0, "{}"),  # next day 01:00
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_time_of_day_circular"].fn(spark, sf).collect()[0]
+        assert r.mean_hour in (0.0, 24.0) or abs(r.mean_hour - 24.0) < 0.01 \
+            or abs(r.mean_hour) < 0.01
+        assert r.resultant_length > 0.9  # tightly concentrated
+
+    def test_uniform_spread_low_r(self, spark, tmp_path):
+        rows = [(h + 1, D0 + timedelta(hours=h), 1, "a", 1.0, "{}")
+                for h in range(24)]
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_time_of_day_circular"].fn(spark, sf).collect()[0]
+        assert r.resultant_length < 0.01  # evenly spread around the clock
