@@ -4020,3 +4020,111 @@ def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").cast("bigint").alias("n_words"),
         F.sort_array(F.collect_set("w")).cast("string").alias("words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# For3: duplicate-payment screening report (per-payer collision counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_duplicate_payments",
+    oracle="""
+WITH o2 AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+    FROM orders
+),
+pairs AS (
+    SELECT a.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_same_amount_pairs,
+           CAST(MIN(abs(b.d - a.d)) AS BIGINT) AS min_days_apart
+    FROM o2 a JOIN o2 b
+      ON a.o_custkey = b.o_custkey
+     AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.o_custkey
+),
+base AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o2 GROUP BY o_custkey HAVING COUNT(*) >= 2
+)
+SELECT base.o_custkey, base.n_orders,
+       CAST(COALESCE(pairs.n_same_amount_pairs, 0) AS BIGINT)
+           AS n_same_amount_pairs,
+       pairs.min_days_apart,
+       CAST(CASE WHEN COALESCE(pairs.n_same_amount_pairs, 0) > 0
+                  AND pairs.min_days_apart <= 7
+             THEN 1 ELSE 0 END AS INTEGER) AS flag_review
+FROM base LEFT JOIN pairs ON base.o_custkey = pairs.o_custkey
+""",
+    tags=("relational", "For3", "forensic"),
+)
+def rel_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screening report: for every customer with at
+    least two orders, how many pairs of their orders share the EXACT
+    cent amount, how close the nearest such pair sits in time, and a
+    review flag for exact-amount repeats within 7 days — the
+    accounts-payable double-submission screen (Benford checks the
+    digit population; this checks individual payers). Exact-amount
+    equality is the point: true double payments are byte-identical.
+
+    The pair join keys on (custkey, cents) — explosion bounded by
+    same-amount-per-payer group sizes (the blocking bound); the
+    report is per payer, so clean books still produce auditable
+    zero-count rows rather than an empty result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o2 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000")
+        .cast("bigint")
+        .alias("d"),
+    )
+    a = o2.select(
+        F.col("o_orderkey").alias("oa"), "o_custkey", "cents",
+        F.col("d").alias("d_a"),
+    )
+    b = o2.select(
+        F.col("o_orderkey").alias("ob"),
+        F.col("o_custkey").alias("ck_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.o_custkey == b.ck_b)
+            & (a.cents == b.cents_b)
+            & (F.col("oa") < F.col("ob")),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_same_amount_pairs"),
+            F.min(F.abs(F.col("d_b") - F.col("d_a")))
+            .cast("bigint")
+            .alias("min_days_apart"),
+        )
+    )
+    base = (
+        o2.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return base.join(pairs, "o_custkey", "left").select(
+        "o_custkey",
+        "n_orders",
+        F.coalesce(F.col("n_same_amount_pairs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_same_amount_pairs"),
+        "min_days_apart",
+        (
+            (F.coalesce(F.col("n_same_amount_pairs"), F.lit(0)) > 0)
+            & (F.col("min_days_apart") <= 7)
+        )
+        .cast("int")
+        .alias("flag_review"),
+    )

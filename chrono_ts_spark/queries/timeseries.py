@@ -7033,3 +7033,120 @@ def ts_time_of_day_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("resultant_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fin5: variance-ratio test (Lo-MacKinlay random-walk diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_variance_ratio",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+d1 AS (
+    SELECT a.event_type, CAST(b.c - a.c AS HUGEINT) AS x
+    FROM hourly a JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h + 1
+),
+d4 AS (
+    SELECT a.event_type, CAST(b.c - a.c AS HUGEINT) AS x
+    FROM hourly a JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h + 4
+),
+m1 AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS s1, SUM(x * x) AS s2
+    FROM d1 GROUP BY event_type
+),
+m4 AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS s1, SUM(x * x) AS s2
+    FROM d4 GROUP BY event_type
+)
+SELECT m1.event_type,
+       CAST(m1.n AS BIGINT) AS n_1h_diffs,
+       CAST(m4.n AS BIGINT) AS n_4h_diffs,
+       round((CAST(m4.n * m4.s2 - m4.s1 * m4.s1 AS DOUBLE)
+              / CAST(m4.n * m4.n AS DOUBLE))
+             / (4.0 * CAST(m1.n * m1.s2 - m1.s1 * m1.s1 AS DOUBLE)
+                / CAST(m1.n * m1.n AS DOUBLE)), 6) AS variance_ratio
+FROM m1 JOIN m4 ON m1.event_type = m4.event_type
+WHERE m1.n * m1.s2 - m1.s1 * m1.s1 > 0
+""",
+    tags=("tsdb", "Fin5", "randomwalk"),
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio test (Lo-MacKinlay): Var(4-hour change) /
+    (4 x Var(1-hour change)) per series — exactly 1 for a random walk
+    (variances add), > 1 for trending/momentum (long moves compound),
+    < 1 for mean reversion (moves cancel). The econometric cousin of
+    ts_hurst_exponent (VR ~ n^(2H-1) asymptotically), but closed-form
+    from four exact moment sums instead of a block regression — so
+    this one carries a full value oracle.
+
+    Gap-correct: differences come from h+1 / h+4 joins, never row
+    lags; population variances as integer cross products under one
+    mirrored double expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    d38 = lambda x: x.cast("decimal(38,0)")
+
+    def diffs(k: int):
+        b = hourly.select(
+            "event_type", (F.col("h") - k).alias("h"), F.col("c").alias("c2")
+        )
+        return (
+            hourly.join(b, ["event_type", "h"])
+            .select("event_type", d38(F.col("c2") - F.col("c")).alias("x"))
+            .groupBy("event_type")
+            .agg(
+                d38(F.count(F.lit(1))).alias("n"),
+                F.sum("x").alias("s1"),
+                F.sum(F.col("x") * F.col("x")).alias("s2"),
+            )
+        )
+
+    m1 = diffs(1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("b1"),
+    )
+    m4 = diffs(4).select(
+        "event_type",
+        F.col("n").alias("n4"),
+        F.col("s1").alias("a4"),
+        F.col("s2").alias("b4"),
+    )
+    D = lambda x: x.cast("double")
+    v1 = F.col("n1") * F.col("b1") - F.col("a1") * F.col("a1")
+    v4 = F.col("n4") * F.col("b4") - F.col("a4") * F.col("a4")
+    return (
+        m1.join(m4, "event_type")
+        .filter(v1 > 0)
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n_1h_diffs"),
+            F.col("n4").cast("bigint").alias("n_4h_diffs"),
+            F.round(
+                (D(v4) / D(F.col("n4") * F.col("n4")))
+                / (F.lit(4.0) * D(v1) / D(F.col("n1") * F.col("n1"))),
+                6,
+            ).alias("variance_ratio"),
+        )
+    )

@@ -2571,3 +2571,45 @@ class TestCircularTime:
         sf = _write_events(spark, tmp_path, rows)
         r = REG["ts_time_of_day_circular"].fn(spark, sf).collect()[0]
         assert r.resultant_length < 0.01  # evenly spread around the clock
+
+
+class TestDuplicatePayments:
+    def test_planted_double_submission(self, spark, tmp_path):
+        orders = [
+            (1, 1, "O", 49.99, D0, "p"),
+            (2, 1, "O", 49.99, D0 + timedelta(days=3), "p"),   # double!
+            (3, 1, "O", 20.00, D0 + timedelta(days=30), "p"),
+            (4, 2, "O", 49.99, D0, "p"),                        # other payer
+            (5, 2, "O", 10.00, D0 + timedelta(days=1), "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.o_custkey: r for r in
+               REG["rel_duplicate_payments"].fn(spark, str(tmp_path)).collect()}
+        assert got[1].n_same_amount_pairs == 1
+        assert got[1].min_days_apart == 3
+        assert got[1].flag_review == 1
+        assert got[2].n_same_amount_pairs == 0
+        assert got[2].flag_review == 0
+
+
+class TestVarianceRatio:
+    def test_trend_above_one_alternation_below(self, spark, tmp_path):
+        rows, eid = [], 0
+        for h in range(200):
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "trend",
+                         float(h + 1), "{}"))
+            eid += 1
+            rows.append((eid, D0 + timedelta(hours=h), 1, "alt",
+                         100.0 if h % 2 == 0 else 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r.variance_ratio for r in
+               REG["ts_variance_ratio"].fn(spark, sf).collect()}
+        # pure trend has zero 1h diff variance -> filtered out
+        assert "trend" not in got
+        # alternation: 4h diffs are ~0 while 1h diffs are huge -> VR ~ 0
+        assert got["alt"] < 0.05
