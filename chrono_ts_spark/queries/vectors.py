@@ -1388,3 +1388,58 @@ def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vec_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# X7q: label medoid (exemplar selection)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_label_medoid", oracle=None, tags=("vectors", "X7q", "no-oracle"))
+def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid per label: the actual MEMBER vector minimizing total L2
+    distance to its labelmates — the exemplar a curation/labeling
+    review shows a human (the centroid is an average that corresponds
+    to no real example; the medoid is one). Ties break to the lowest
+    vec_id.
+
+    Per-label pairwise distances run as ONE in-group BLAS Gram matrix
+    inside applyInPandas (the emb_semdedup shape: members shuffle
+    once, c x c stays in memory per group, labels fan out). Rows-only
+    (an argmin trace); planted center-point recovery and the
+    medoid!=centroid distinction are pinned in tests.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].apply(np.asarray).to_numpy()).astype(
+            "float64"
+        )
+        sq = (V * V).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (V @ V.T)
+        np.maximum(d2, 0.0, out=d2)
+        tot = np.sqrt(d2).sum(axis=1)
+        i = int(np.argmin(tot))  # id-sorted -> lowest vec_id on ties
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_members": [len(pdf)],
+                "medoid_id": [int(pdf["vec_id"].iloc[i])],
+                "mean_dist_to_members": [
+                    round(float(tot[i]) / max(len(pdf) - 1, 1), 6)
+                ],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        run,
+        "label int, n_members long, medoid_id bigint, "
+        "mean_dist_to_members double",
+    )

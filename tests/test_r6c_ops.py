@@ -2613,3 +2613,19 @@ class TestVarianceRatio:
         assert "trend" not in got
         # alternation: 4h diffs are ~0 while 1h diffs are huge -> VR ~ 0
         assert got["alt"] < 0.05
+
+
+class TestLabelMedoid:
+    def test_center_point_recovered(self, spark, tmp_path):
+        # points on a line: 0, 1, 2, 3, 10 -> medoid is 2 (minimizes
+        # total distance), NOT the centroid (3.2, which is no member).
+        rows = [(i, [float(v)] + [0.0] * 63, 0)
+                for i, v in enumerate([0.0, 1.0, 2.0, 3.0, 10.0])]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        r = REG["emb_label_medoid"].fn(spark, str(tmp_path)).collect()[0]
+        assert r.medoid_id == 2
+        assert r.n_members == 5
+        # total dists from 2: 2+1+0+1+8 = 12 -> mean over 4 others = 3
+        assert r.mean_dist_to_members == 3.0
