@@ -635,8 +635,15 @@ class TestLocalDayAgg:
         import duckdb
 
         con = duckdb.connect()
+        # Spark now writes TIMESTAMP_MICROS with isAdjustedToUTC=true
+        # (RUNTIME_CONFS — the footer-stats fix), which DuckDB types as
+        # TIMESTAMPTZ; normalize to the naive-UTC wall time the oracle
+        # SQL expects (a no-op if the file were naive already).
+        con.execute("SET TimeZone='UTC'")
         con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+            f"CREATE VIEW events AS SELECT * REPLACE "
+            f"(CAST(ts AS TIMESTAMP) AS ts) "
+            f"FROM '{sf}/events.parquet/*.parquet'"
         )
         want = dict(
             con.execute(REG["ts_local_day_agg"].oracle).df()[
