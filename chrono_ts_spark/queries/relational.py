@@ -4128,3 +4128,76 @@ def rel_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("flag_review"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rep5: new-vs-returning revenue split (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_new_vs_returning",
+    oracle="""
+WITH o2 AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+               AS midx,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+first_m AS (
+    SELECT o_custkey, CAST(MIN(midx) AS BIGINT) AS fm
+    FROM o2 GROUP BY o_custkey
+)
+SELECT o2.midx,
+       CAST(SUM(CASE WHEN o2.midx = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_orders,
+       CAST(SUM(CASE WHEN o2.midx > f.fm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning_orders,
+       round(CAST(SUM(CASE WHEN o2.midx = f.fm THEN cents ELSE 0 END)
+                  AS DOUBLE) / 100.0, 2) AS new_revenue,
+       round(CAST(SUM(CASE WHEN o2.midx > f.fm THEN cents ELSE 0 END)
+                  AS DOUBLE) / 100.0, 2) AS returning_revenue
+FROM o2 JOIN first_m f ON o2.o_custkey = f.o_custkey
+GROUP BY o2.midx
+""",
+    tags=("relational", "Rep5", "growth"),
+)
+def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between NEW customers (first-ever order
+    falls in the month) and RETURNING ones — the growth-accounting
+    decomposition behind "is revenue growth acquisition or retention"
+    (rel_cohort_ltv follows cohorts forward; this reads each month's
+    composition). A customer's first month counts ALL their orders
+    that month as new — the standard convention, stated.
+
+    First-order months are one customer-keyed agg joined back; exact
+    cents in conditional sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o2 = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("midx"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    first_m = o2.groupBy("o_custkey").agg(F.min("midx").cast("bigint").alias("fm"))
+    j = o2.join(first_m, "o_custkey")
+    is_new = (F.col("midx") == F.col("fm")).cast("int")
+    is_ret = (F.col("midx") > F.col("fm")).cast("int")
+    D = lambda x: x.cast("double")
+    return j.groupBy("midx").agg(
+        F.sum(is_new).cast("bigint").alias("n_new_orders"),
+        F.sum(is_ret).cast("bigint").alias("n_returning_orders"),
+        F.round(
+            D(F.sum(F.when(F.col("midx") == F.col("fm"), F.col("cents")).otherwise(0)))
+            / 100.0,
+            2,
+        ).alias("new_revenue"),
+        F.round(
+            D(F.sum(F.when(F.col("midx") > F.col("fm"), F.col("cents")).otherwise(0)))
+            / 100.0,
+            2,
+        ).alias("returning_revenue"),
+    )

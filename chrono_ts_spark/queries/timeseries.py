@@ -7150,3 +7150,76 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A3n: per-user hour-of-day entropy (habit regularity score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_user_hod_entropy",
+    oracle="""
+WITH hod AS (
+    SELECT user_id,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hh,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id, hh
+),
+tot AS (
+    SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM hod GROUP BY user_id
+),
+terms AS (
+    SELECT hod.user_id,
+           CAST(round(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                      * 1e9, 0) AS BIGINT) AS t_fp
+    FROM hod JOIN tot ON hod.user_id = tot.user_id
+)
+SELECT terms.user_id,
+       CAST(tot.n AS BIGINT) AS n_events,
+       round(CAST(SUM(t_fp) AS DOUBLE) / 1e9, 6) AS hod_entropy,
+       round(CAST(SUM(t_fp) AS DOUBLE) / 1e9
+             / round(ln(24.0), 6), 6) AS regularity_deficit
+FROM terms JOIN tot ON terms.user_id = tot.user_id
+GROUP BY terms.user_id, tot.n
+""",
+    tags=("tsdb", "A3n", "behavior"),
+)
+def ts_user_hod_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day entropy per user: Shannon entropy of each user's
+    activity histogram over the 24 clock hours, plus its share of the
+    ln(24) maximum — the habit-regularity score (a 9-to-5 user scores
+    low, a round-the-clock bot scores ~1.0) that complements
+    ts_time_of_day_circular's mean direction with a spread measure
+    and ts_burstiness's temporal clumping with a CLOCK-position one.
+
+    The entropy fixed-point contract: -p ln p terms round 9dp into
+    1e9 integers; one (user, hour) agg, bounded 24-row histograms.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hod = (
+        ev.select(
+            "user_id",
+            F.expr("(unix_micros(ts) % 86400000000) div 3600000000")
+            .cast("bigint")
+            .alias("hh"),
+        )
+        .groupBy("user_id", "hh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = hod.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    D = lambda x: x.cast("double")
+    p = D(F.col("c")) / D(F.col("n"))
+    t_fp = F.round(F.round(-p * F.log(p), 9) * F.lit(1e9), 0).cast("bigint")
+    terms = hod.join(tot, "user_id").select("user_id", "n", t_fp.alias("t_fp"))
+    ent = F.sum("t_fp").cast("double") / F.lit(1e9)
+    return terms.groupBy("user_id", "n").agg(
+        F.round(ent, 6).alias("hod_entropy"),
+        F.round(ent / F.round(F.log(F.lit(24.0)), 6), 6).alias(
+            "regularity_deficit"
+        ),
+    ).select(
+        "user_id", F.col("n").alias("n_events"), "hod_entropy",
+        "regularity_deficit",
+    )

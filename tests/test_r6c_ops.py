@@ -2629,3 +2629,45 @@ class TestLabelMedoid:
         assert r.n_members == 5
         # total dists from 2: 2+1+0+1+8 = 12 -> mean over 4 others = 3
         assert r.mean_dist_to_members == 3.0
+
+
+class TestNewVsReturning:
+    def test_planted_split(self, spark, tmp_path):
+        orders = [
+            (1, 1, "O", 10.0, datetime(2024, 1, 5), "p"),   # c1 new in Jan
+            (2, 1, "O", 5.0, datetime(2024, 1, 20), "p"),   # same month: new
+            (3, 1, "O", 7.0, datetime(2024, 2, 5), "p"),    # returning
+            (4, 2, "O", 20.0, datetime(2024, 2, 9), "p"),   # c2 new in Feb
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.midx: r for r in
+               REG["rel_new_vs_returning"].fn(spark, str(tmp_path)).collect()}
+        jan, feb = sorted(got)
+        assert (got[jan].n_new_orders, got[jan].n_returning_orders) == (2, 0)
+        assert got[jan].new_revenue == 15.0
+        assert (got[feb].n_new_orders, got[feb].n_returning_orders) == (1, 1)
+        assert got[feb].new_revenue == 20.0
+        assert got[feb].returning_revenue == 7.0
+
+
+class TestHodEntropy:
+    def test_habitual_vs_spread(self, spark, tmp_path):
+        import math
+
+        rows, eid = [], 0
+        for d in range(12):
+            eid += 1      # user 1 always at 09:00 -> entropy 0
+            rows.append((eid, D0 + timedelta(days=d, hours=9), 1, "a", 1.0, "{}"))
+        for h in range(24):
+            eid += 1      # user 2 once per hour -> entropy ln 24
+            rows.append((eid, D0 + timedelta(hours=h), 2, "a", 1.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.user_id: r for r in
+               REG["ts_user_hod_entropy"].fn(spark, sf).collect()}
+        assert got[1].hod_entropy == 0.0
+        assert abs(got[2].hod_entropy - math.log(24)) < 1e-5
+        assert abs(got[2].regularity_deficit - 1.0) < 1e-5
