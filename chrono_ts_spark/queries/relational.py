@@ -2473,8 +2473,11 @@ c AS (
     FROM pr
 ),
 cls AS (
-    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
-                WHEN cum * 100 <= total * 95 THEN 'B'
+    -- class by the cumulative share BEFORE this part: the part that
+    -- CROSSES a boundary still belongs to the upper class (a monopoly
+    -- part with 99% share is A, not C)
+    SELECT CASE WHEN (cum - rev_e4) * 100 < total * 80 THEN 'A'
+                WHEN (cum - rev_e4) * 100 < total * 95 THEN 'B'
                 ELSE 'C' END AS abc_class,
            rev_e4
     FROM c CROSS JOIN tot
@@ -2500,8 +2503,10 @@ def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ORDER BY cum-sum never appears; the oracle uses
     the plain global window, making the hash compare the proof that
     the decomposition IS the global prefix sum. Class boundaries are
-    integer cross-multiplied (cum*100 <= total*80) on exact e4
-    fixed-point revenue.
+    integer cross-multiplied on exact e4 fixed-point revenue, keyed on
+    the cumulative share BEFORE each part so boundary-crossing parts
+    stay in the upper class (a planted monopoly part exposed the
+    naive cum<=80 form classifying the top part as C).
     """
     from ..operators.rank import banded_prefix_sum
 
@@ -2513,9 +2518,10 @@ def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = banded_prefix_sum(
         pr, "rev_e4", ["l_partkey"], "rev_e4", ascending=False, out="cum"
     )
+    prev = F.col("cum") - F.col("rev_e4")
     cls = c.join(F.broadcast(tot)).select(
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        F.when(prev * 100 < F.col("total") * 80, "A")
+        .when(prev * 100 < F.col("total") * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
         "rev_e4",
@@ -4200,4 +4206,129 @@ def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0,
             2,
         ).alias("returning_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML11: ABC-XYZ inventory segmentation matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_abc_xyz",
+    oracle="""
+WITH pm AS (
+    SELECT l.l_partkey,
+           CAST(year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1)
+                AS BIGINT) AS midx,
+           CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS HUGEINT) AS q
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_partkey, midx
+),
+var_m AS (
+    SELECT l_partkey,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(q) AS HUGEINT) AS s1,
+           SUM(q * q) AS s2
+    FROM pm GROUP BY l_partkey
+),
+xyz AS (
+    SELECT l_partkey,
+           CASE WHEN n < 2 OR s1 = 0 THEN 'Z'
+                WHEN (n * s2 - s1 * s1) * 4 <= s1 * s1 THEN 'X'
+                WHEN n * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM var_m
+),
+rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS total FROM rev),
+cum AS (
+    SELECT l_partkey, rev_e4,
+           CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey ASC)
+                AS BIGINT) AS c
+    FROM rev
+),
+abc AS (
+    SELECT cum.l_partkey,
+           CASE WHEN (c - rev_e4) * 100 < total * 80 THEN 'A'
+                WHEN (c - rev_e4) * 100 < total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum CROSS JOIN tot
+)
+SELECT abc.abc_class, xyz.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey
+GROUP BY abc.abc_class, xyz.xyz_class
+""",
+    tags=("relational", "ML11", "segmentation"),
+)
+def rel_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ matrix: parts cross-classified by revenue importance
+    (the rel_abc_analysis cumulative cut) and by DEMAND VARIABILITY —
+    X = steady (CV of monthly quantity <= 0.5), Y = variable
+    (CV <= 1), Z = erratic — the nine-cell grid inventory planning
+    actually runs on (AX = automate, CZ = don't bother forecasting).
+    CV thresholds compare as integer cross-multiplications:
+    CV <= t  <=>  n*s2 - s1^2 <= t^2 * s1^2 (population CV via raw
+    moments, scaled by n on both sides), so no float CV exists.
+
+    Cumulative revenue again via banded_prefix_sum; the variability
+    side is one (part, month) agg plus a moment agg per part.
+    """
+    from ..operators.rank import banded_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d38 = lambda x: x.cast("decimal(38,0)")
+    pm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+            .cast("bigint")
+            .alias("midx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("q")
+        )
+    )
+    var_m = pm.groupBy("l_partkey").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    disc = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    xyz = var_m.select(
+        "l_partkey",
+        F.when((F.col("n") < 2) | (F.col("s1") == 0), "Z")
+        .when(disc * 4 <= F.col("s1") * F.col("s1"), "X")
+        .when(disc <= F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((_rev() * 10000).cast("bigint")).cast("bigint").alias("rev_e4")
+    )
+    tot = rev.agg(F.sum("rev_e4").cast("bigint").alias("total"))
+    cum = banded_prefix_sum(
+        rev, "rev_e4", ["l_partkey"], "rev_e4", ascending=False, out="c"
+    )
+    prev_c = F.col("c") - F.col("rev_e4")
+    abc = cum.join(F.broadcast(tot)).select(
+        "l_partkey",
+        F.when(prev_c * 100 < F.col("total") * 80, "A")
+        .when(prev_c * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return abc.join(xyz, "l_partkey").groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )

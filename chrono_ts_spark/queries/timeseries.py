@@ -7223,3 +7223,73 @@ def ts_user_hod_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("n").alias("n_events"), "hod_entropy",
         "regularity_deficit",
     )
+
+
+# ---------------------------------------------------------------------------
+# A3o: effective sample size via integrated autocorrelation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_effective_sample_size",
+    oracle=f"""
+WITH acf AS ({{ACF}}),
+nser AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+          FROM events) t(event_type, h)
+    GROUP BY event_type
+),
+s AS (
+    SELECT a.event_type,
+           CAST(SUM(CAST(round(a.acf * 1e6, 0) AS BIGINT)) AS BIGINT) AS rho_fp
+    FROM acf a GROUP BY a.event_type
+)
+SELECT nser.event_type, nser.n AS n_obs,
+       round(1.0 + 2.0 * CAST(s.rho_fp AS DOUBLE) / 1e6, 6) AS act_factor,
+       round(CAST(nser.n AS DOUBLE)
+             / GREATEST(1.0 + 2.0 * CAST(s.rho_fp AS DOUBLE) / 1e6, 1.0), 4)
+           AS effective_n
+FROM nser JOIN s ON nser.event_type = s.event_type
+""".replace("{{ACF}}", "{ACF}").format(ACF=_REGISTRY["ts_acf"].oracle),
+    tags=("tsdb", "A3o", "composition"),
+)
+def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size per series: n / (1 + 2*sum rho_k) over
+    the 12 ACF lags — the autocorrelation-time correction that says
+    how many INDEPENDENT observations the hourly series really
+    contains (every confidence interval computed from n correlated
+    hours is overconfident by exactly this factor; the MCMC ESS
+    diagnostic applied to telemetry). Clamped at n (factor floor 1)
+    for negative integrated autocorrelation.
+
+    Composition by registry reference over ts_acf (oracle nested
+    verbatim); the rounded ACF values re-round into 1e6 fixed point so
+    the 12-term sum is order-immune.
+    """
+    acf = _REGISTRY["ts_acf"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    nser = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = acf.groupBy("event_type").agg(
+        F.sum(F.round(F.col("acf") * F.lit(1e6), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rho_fp")
+    )
+    D = lambda x: x.cast("double")
+    factor = F.lit(1.0) + F.lit(2.0) * D(F.col("rho_fp")) / F.lit(1e6)
+    return nser.join(s, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_obs"),
+        F.round(factor, 6).alias("act_factor"),
+        F.round(D(F.col("n")) / F.greatest(factor, F.lit(1.0)), 4).alias(
+            "effective_n"
+        ),
+    )

@@ -2671,3 +2671,52 @@ class TestHodEntropy:
         assert got[1].hod_entropy == 0.0
         assert abs(got[2].hod_entropy - math.log(24)) < 1e-5
         assert abs(got[2].regularity_deficit - 1.0) < 1e-5
+
+
+class TestEffectiveSampleSize:
+    def test_alternating_series_tiny_ess(self, spark, tmp_path):
+        # perfectly alternating series: rho_k alternates ±1, the 12-lag
+        # sum ~= 0 -> factor near 1... the discriminating case is a
+        # SMOOTH series: strong positive rho at all lags -> ESS << n.
+        rows, eid = [], 0
+        for h in range(120):
+            eid += 1        # smooth ramp up/down with period 48
+            v = float(abs((h % 48) - 24))
+            rows.append((eid, D0 + timedelta(hours=h), 1, "smooth", v + 1, "{}"))
+            eid += 1        # alternating
+            rows.append((eid, D0 + timedelta(hours=h), 1, "alt",
+                         100.0 if h % 2 == 0 else 10.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_type: r for r in
+               REG["ts_effective_sample_size"].fn(spark, sf).collect()}
+        assert got["smooth"].effective_n < got["smooth"].n_obs / 3
+        assert got["alt"].effective_n >= got["alt"].n_obs  # factor clamped
+
+
+class TestABCXYZ:
+    def test_planted_matrix(self, spark, tmp_path):
+        # part 1: huge steady revenue (A, X: same qty every month);
+        # part 2: small erratic (C, Z: single month).
+        li, orders, ok = [], [], 0
+        for m in range(1, 5):
+            ok += 1
+            orders.append((ok, 1, "O", 0.0, datetime(2024, m, 5), "p"))
+            li.append((ok, 1, 1, 1, 10.0, 1000.0, 0.0, 0.0, "N", "O", D0))
+        ok += 1
+        orders.append((ok, 1, "O", 0.0, datetime(2024, 1, 9), "p"))
+        li.append((ok, 2, 1, 1, 3.0, 1.0, 0.0, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {(r.abc_class, r.xyz_class): r.n_parts for r in
+               REG["rel_abc_xyz"].fn(spark, str(tmp_path)).collect()}
+        assert got == {("A", "X"): 1, ("C", "Z"): 1}
