@@ -1443,3 +1443,75 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label int, n_members long, medoid_id bigint, "
         "mean_dist_to_members double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X7r: intrinsic dimension (TwoNN estimator)
+# ---------------------------------------------------------------------------
+
+
+@query("emb_intrinsic_dim", oracle=None, tags=("vectors", "X7r", "no-oracle"))
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic dimension of the embedding manifold via the TwoNN
+    estimator (Facco et al. 2017): for each anchor, mu = r2/r1 (its
+    second- vs first-nearest-neighbor distance); id = n / sum(ln mu).
+    Vectors living on a low-dimensional manifold inside the ambient 64
+    dims report that low number — the diagnostic that says how much of
+    the embedding width is real signal (feeds PCA rank and
+    JL-projection sizing decisions).
+
+    Anchors (vec_id < 200) score against the corpus map-side
+    (brute_force shape); the estimator itself is a driver-free
+    aggregation of per-anchor ln(mu) in fixed point. Rows-only;
+    planted line (~1) vs plane (~2) recovery pinned in tests.
+    """
+    from ..operators.similarity import brute_force_topk
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 200)
+    # two nearest by L2: rank by distance via cosine won't do — compute
+    # L2 directly against broadcast anchors
+    a = anchors.select(
+        F.col("vec_id").alias("a_id"), vec_double(F.col("embedding")).alias("av")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), vec_double(F.col("embedding")).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = c.join(F.broadcast(a), F.col("a_id") != F.col("c_id")).select(
+        "a_id", "c_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("d2").asc(), "c_id")
+    two = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("a_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d2_1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_2"),
+        )
+        .filter(F.col("d2_1") > 0)
+    )
+    # ln(mu) = 0.5 * ln(d2_2 / d2_1); fixed point for an order-immune sum
+    lnmu_fp = F.round(
+        F.round(F.lit(0.5) * F.log(F.col("d2_2") / F.col("d2_1")), 9)
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    agg = two.select(lnmu_fp.alias("l_fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum("l_fp").cast("bigint").alias("s_fp"),
+    )
+    D = lambda x: x.cast("double")
+    return agg.select(
+        "n_anchors",
+        F.round(
+            D(F.col("n_anchors")) / (D(F.col("s_fp")) / F.lit(1e9)), 4
+        ).alias("intrinsic_dim"),
+    )

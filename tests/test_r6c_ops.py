@@ -2720,3 +2720,28 @@ class TestABCXYZ:
         got = {(r.abc_class, r.xyz_class): r.n_parts for r in
                REG["rel_abc_xyz"].fn(spark, str(tmp_path)).collect()}
         assert got == {("A", "X"): 1, ("C", "Z"): 1}
+
+
+class TestIntrinsicDim:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_line_vs_plane(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(31)
+        line = [(i, [rnd.uniform(0, 100)] + [0.0] * 63, 0) for i in range(150)]
+        sf = self._write(spark, tmp_path, line)
+        d_line = REG["emb_intrinsic_dim"].fn(spark, sf).collect()[0].intrinsic_dim
+        plane = [
+            (i, [rnd.uniform(0, 100), rnd.uniform(0, 100)] + [0.0] * 62, 0)
+            for i in range(150)
+        ]
+        sf2 = self._write(spark, tmp_path, plane)
+        d_plane = REG["emb_intrinsic_dim"].fn(spark, sf2).collect()[0].intrinsic_dim
+        assert 0.5 < d_line < 1.6, d_line
+        assert 1.4 < d_plane < 3.0, d_plane
+        assert d_plane > d_line
