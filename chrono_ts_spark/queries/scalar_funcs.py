@@ -661,3 +661,55 @@ def sf_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_not_numeric"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval / calendar arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sf_interval_funcs",
+    oracle="""
+SELECT o_orderkey,
+       -- to_months/+int forms, NOT two `+ INTERVAL` siblings: DuckDB
+       -- 1.0.0's subexpression elimination collapses structurally
+       -- similar date+INTERVAL expressions onto the FIRST interval
+       -- (probed: both came back +1 month) — docs/determinism.md
+       strftime(CAST(o_orderdate AS DATE) + to_months(1), '%Y-%m-%d')
+           AS plus_month,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')
+           AS plus_30d,
+       strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS quarter_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS month_end,
+       CAST(last_day(CAST(o_orderdate AS DATE))
+            - date_trunc('month', CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+           AS days_in_month
+FROM orders
+""",
+    tags=("scalar", "interval"),
+)
+def sf_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic family: +1 month (END-OF-MONTH
+    CLAMPING probed identical — Jan 31 + 1 month = Feb 29 on both
+    engines), +30 days, quarter truncation, last_day, and days-in-
+    month — the add_months/clamping surface docs/determinism.md's
+    months_between exclusion does NOT cover (the divergence there is
+    day-FRACTION conventions; whole-date arithmetic agrees). Dates
+    cross the boundary as formatted strings.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        fmt(F.add_months(d, 1)).alias("plus_month"),
+        fmt(F.date_add(d, 30)).alias("plus_30d"),
+        fmt(F.date_trunc("quarter", d)).alias("quarter_start"),
+        fmt(F.last_day(d)).alias("month_end"),
+        (F.datediff(F.last_day(d), F.trunc(d, "month")) + 1)
+        .cast("bigint")
+        .alias("days_in_month"),
+    )

@@ -2745,3 +2745,23 @@ class TestIntrinsicDim:
         assert 0.5 < d_line < 1.6, d_line
         assert 1.4 < d_plane < 3.0, d_plane
         assert d_plane > d_line
+
+
+class TestIntervalFuncs:
+    def test_month_end_clamping(self, spark, tmp_path):
+        orders = [
+            (1, 1, "O", 1.0, datetime(2024, 1, 31), "p"),
+            (2, 1, "O", 1.0, datetime(2024, 2, 10), "p"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r.o_orderkey: r for r in
+               REG["sf_interval_funcs"].fn(spark, str(tmp_path)).collect()}
+        assert got[1].plus_month == "2024-02-29"   # clamped (leap year)
+        assert got[1].plus_30d == "2024-03-01"
+        assert got[2].month_end == "2024-02-29"
+        assert got[2].days_in_month == 29
+        assert got[2].quarter_start == "2024-01-01"
