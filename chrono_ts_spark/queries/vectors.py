@@ -1515,3 +1515,70 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             D(F.col("n_anchors")) / (D(F.col("s_fp")) / F.lit(1e9)), 4
         ).alias("intrinsic_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7s: pairwise-similarity histogram (corpus geometry overview)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_similarity_histogram",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id,
+           round(list_sum(list_transform(list_zip(a.vd, b.vd),
+                          p -> p[1] * p[2]))
+                 / sqrt(list_sum(list_transform(a.vd, x -> x * x)))
+                 / sqrt(list_sum(list_transform(b.vd, x -> x * x))), 6) AS cos
+    FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+),
+b AS (
+    SELECT CAST(floor(cos * 10) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM pairs GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM b)
+SELECT CAST(bin AS BIGINT) AS cos_bin_x10,
+       CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
+FROM b CROSS JOIN tot
+""",
+    tags=("vectors", "X7s", "geometry"),
+)
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of adjacent-pair cosines in 0.1 bins — the
+    NULL-DISTRIBUTION overview of the corpus's similarity geometry
+    (adjacent ids are an unbiased pair sample of an unordered corpus).
+    This is the chart that calibrates every similarity threshold in
+    the registry: emb_range_search's 0.35 cut sits in this
+    histogram's extreme tail, and a retrained encoder shifting the
+    bulk left or right shows up here before any retrieval metric
+    moves (the histogram twin of emb_centroid_drift).
+
+    The rounded cosine is binned by floor (no round-half hazard at
+    bin edges); map-side scoring on the id+1 join, tiny bin agg.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("ia"), vec_double(F.col("embedding")).alias("va")
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("ia"), vec_double(F.col("embedding")).alias("vb")
+    )
+    pairs = a.join(b, "ia").select(
+        F.round(vec_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    bins = pairs.groupBy(
+        F.floor(F.col("cos") * 10).cast("bigint").alias("cos_bin_x10")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    tot = bins.agg(F.sum("n_pairs").cast("bigint").alias("t"))
+    D = lambda x: x.cast("double")
+    return bins.join(F.broadcast(tot)).select(
+        "cos_bin_x10",
+        "n_pairs",
+        F.round(D(F.col("n_pairs")) / D(F.col("t")), 6).alias("share"),
+    )

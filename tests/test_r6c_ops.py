@@ -2765,3 +2765,27 @@ class TestIntervalFuncs:
         assert got[2].month_end == "2024-02-29"
         assert got[2].days_in_month == 29
         assert got[2].quarter_start == "2024-01-01"
+
+
+class TestSimilarityHistogram:
+    def test_shares_sum_and_planted_bins(self, spark, tmp_path):
+        # pairs: (identical -> cos 1.0, bin 10), (orthogonal -> bin 0),
+        # (opposite -> cos -1 -> bin -10)
+        e1 = [1.0] + [0.0] * 63
+        e2 = [0.0, 1.0] + [0.0] * 62
+        rows = [
+            (1, e1, 0), (2, e1, 0),     # pair (1,2): cos 1
+            (3, e2, 0),                  # pair (2,3): orthogonal
+            (4, [-1.0] + [0.0] * 63, 0), # pair (3,4): orthogonal
+            (5, e1, 0),                  # pair (4,5): cos -1
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        got = {r.cos_bin_x10: r.n_pairs for r in
+               REG["emb_similarity_histogram"].fn(spark, str(tmp_path)).collect()}
+        assert got[10] == 1      # the identical pair
+        assert got[0] == 2       # the two orthogonal pairs
+        assert got[-10] == 1     # the opposite pair
+        out = REG["emb_similarity_histogram"].fn(spark, str(tmp_path)).collect()
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-6
