@@ -4332,3 +4332,93 @@ def rel_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc.join(xyz, "l_partkey").groupBy("abc_class", "xyz_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ5: numeric-column correlation matrix (profiling companion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_numeric_correlations",
+    oracle="""
+WITH c AS (
+    SELECT CAST(round(l_quantity, 0) AS HUGEINT) AS q,
+           CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS p,
+           CAST(round(l_discount * 100, 0) AS HUGEINT) AS d
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(p) AS HUGEINT) AS sp,
+           CAST(SUM(d) AS HUGEINT) AS sd,
+           SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
+           SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+    FROM c
+)
+SELECT 'quantity~price' AS pair, CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n * sqp - sq * sp AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+             / sqrt(CAST(n * spp - sp * sp AS DOUBLE)), 6) AS pearson_r
+FROM m WHERE n * sqq - sq * sq > 0 AND n * spp - sp * sp > 0
+UNION ALL
+SELECT 'quantity~discount', CAST(n AS BIGINT),
+       round(CAST(n * sqd - sq * sd AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+             / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)), 6)
+FROM m WHERE n * sqq - sq * sq > 0 AND n * sdd - sd * sd > 0
+UNION ALL
+SELECT 'price~discount', CAST(n AS BIGINT),
+       round(CAST(n * spd - sp * sd AS DOUBLE)
+             / sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+             / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)), 6)
+FROM m WHERE n * spp - sp * sp > 0 AND n * sdd - sd * sd > 0
+""",
+    tags=("relational", "DQ5", "profiling"),
+)
+def rel_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem numeric
+    columns (quantity, price, discount) in long form — the numeric
+    half of the profiling report (dq_column_profile covers categorical
+    shape): near ±1 pairs are redundant features or derivation bugs
+    (price SHOULD correlate with quantity if price is per-line total),
+    near-0 discount pairs confirm discounts are assigned independently.
+
+    One pass collects all ten moments in decimal38/HUGEINT; the three
+    correlations are mirrored double expressions over them — the
+    series-corr contract applied column-wise instead of series-wise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = lambda x: x.cast("decimal(38,0)")
+    c = li.select(
+        F.round(F.col("l_quantity"), 0).cast("decimal(38,0)").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("d"),
+    )
+    m = c.agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"), F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+    D = lambda x: x.cast("double")
+
+    def corr_row(label, sxy, sx, sy, sxx, syy):
+        vx = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
+        vy = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        cov = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        return m.filter((vx > 0) & (vy > 0)).select(
+            F.lit(label).alias("pair"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(D(cov) / F.sqrt(D(vx)) / F.sqrt(D(vy)), 6).alias("pearson_r"),
+        )
+
+    return (
+        corr_row("quantity~price", "sqp", "sq", "sp", "sqq", "spp")
+        .unionAll(corr_row("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionAll(corr_row("price~discount", "spd", "sp", "sd", "spp", "sdd"))
+    )

@@ -2789,3 +2789,23 @@ class TestSimilarityHistogram:
         assert got[-10] == 1     # the opposite pair
         out = REG["emb_similarity_histogram"].fn(spark, str(tmp_path)).collect()
         assert abs(sum(r.share for r in out) - 1.0) < 1e-6
+
+
+class TestNumericCorrelations:
+    def test_planted_exact_and_zero(self, spark, tmp_path):
+        # qty and price perfectly linear (r=1); discount constant ->
+        # its pairs drop out (zero variance).
+        li = []
+        for i in range(6):
+            q = float(i + 1)
+            li.append((i + 1, 1, 1, 1, q, 10.0 * q, 0.05, 0.0, "N", "O", D0))
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {r.pair: r.pearson_r for r in
+               REG["rel_numeric_correlations"].fn(spark, str(tmp_path)).collect()}
+        assert got == {"quantity~price": 1.0}
