@@ -7293,3 +7293,86 @@ def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_n"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fin6: channel breakouts (trailing-window extreme crossings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_channel_breakouts",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY event_type, h
+),
+ch AS (
+    SELECT event_type, h, c,
+           CAST(MAX(c) OVER w AS BIGINT) AS hi24,
+           CAST(MIN(c) OVER w AS BIGINT) AS lo24,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hours,
+       CAST(SUM(CASE WHEN c > hi24 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_upside_breaks,
+       CAST(SUM(CASE WHEN c < lo24 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_downside_breaks,
+       round(CAST(SUM(CASE WHEN c > hi24 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c < lo24 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS break_rate
+FROM ch
+WHERE n_win >= 12
+GROUP BY event_type
+""",
+    tags=("tsdb", "Fin6", "breakout"),
+)
+def ts_channel_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian-channel breakouts per series: hours whose value
+    exceeds the trailing 24-hour high or undercuts the trailing low —
+    the BOUNDED-lookback sibling of ts_record_counts (a record beats
+    all history and becomes ever rarer; a channel break beats a
+    rolling day and keeps firing at a stationary rate, which is why
+    channels drive trading/alert rules and records drive trend
+    detection). Evaluation restricted to hours with >= 12 prior
+    observations in the window (a near-empty channel breaks trivially).
+
+    One per-series RANGE window over the integer hour index, exclusive
+    of the current row (1 PRECEDING); exact integer compares.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c0"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c0").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rangeBetween(-24, -1)
+    ch = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.max("c").over(w).cast("bigint").alias("hi24"),
+        F.min("c").over(w).cast("bigint").alias("lo24"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    ).filter(F.col("n_win") >= 12)
+    up = (F.col("c") > F.col("hi24")).cast("int")
+    dn = (F.col("c") < F.col("lo24")).cast("int")
+    D = lambda x: x.cast("double")
+    return ch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hours"),
+        F.sum(up).cast("bigint").alias("n_upside_breaks"),
+        F.sum(dn).cast("bigint").alias("n_downside_breaks"),
+        F.round(
+            D(F.sum(up) + F.sum(dn)) / D(F.count(F.lit(1))), 6
+        ).alias("break_rate"),
+    )

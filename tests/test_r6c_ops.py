@@ -2809,3 +2809,18 @@ class TestNumericCorrelations:
         got = {r.pair: r.pearson_r for r in
                REG["rel_numeric_correlations"].fn(spark, str(tmp_path)).collect()}
         assert got == {"quantity~price": 1.0}
+
+
+class TestChannelBreakouts:
+    def test_planted_break_and_warmup_guard(self, spark, tmp_path):
+        # 30 flat hours then one spike: exactly one upside break; the
+        # first 12 hours are warm-up and never evaluated.
+        rows = []
+        for h in range(31):
+            v = 100.0 if h == 30 else 10.0
+            rows.append((h + 1, D0 + timedelta(hours=h), 1, "a", v, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        r = REG["ts_channel_breakouts"].fn(spark, sf).collect()[0]
+        assert r.n_upside_breaks == 1
+        assert r.n_downside_breaks == 0
+        assert r.n_eval_hours == 31 - 12  # warm-up excluded
