@@ -56,73 +56,70 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-6
-# rotation (VERDICT r5 item 1 + docs/coverage.md "Round-5 additions"):
-# (a) the six round-5 queries registered after the r5 window froze —
-# never driver-checked; (b) every remaining round-1-green keeper (last
-# driver row: r1, now five rounds stale — the oldest rows anywhere);
-# (c) every other registry query that has NEVER had a driver row: the
-# rows-only-by-design set (streaming equivalence queries, seeded
-# sampling, sketches, ANN, minhash/simhash) — the driver records the
-# weaker rows-only check for these, converting "pytest-only" into
-# "driver-witnessed" for the whole family; (d) queries added in round 6.
-# Everything outside the window is r4/r5-green (≤2 rounds old) plus
-# standing pytest coverage; the 46 r4-green rows rotate back in r7.
+# per round, so ordering is coverage policy, not cosmetics.  Round-7
+# rotation (VERDICT r6 item 3): (a) the three r6-crashing array-output
+# queries, now serialized to scalar columns on both sides — kept in the
+# window so CORRECTNESS_r07 witnesses the fix; (b) all 46 r4-green rows
+# — the oldest driver rows on the board (3 rounds stale); (c) one
+# top-up from the never-driver-checked set: ts_lttb_downsample, which
+# gains its recursive-CTE oracle this round (VERDICT r6 item 4c), so
+# the window is 50/50 oracled with zero no_oracle rows. Everything
+# outside is r5/r6-green (<=2 rounds old) plus standing pytest
+# coverage; the r5/r6 rows rotate back in r8.
 _WINDOW_50 = [
-    # -- (a) round-5 additions, never driver-checked --
-    "ts_ema",
-    "ts_series_corr",
-    "ts_burst_detect",
+    # -- (a) r6 array-crash fixes, re-witnessed --
     "doc_inverted_index",
-    "doc_rrf_fusion",
-    "io_binary_scan",
-    # -- (d) round-6 additions --
-    "mm_byte_features",
-    "ts_m4_downsample",
-    "ts_seasonal_baseline",
-    "ts_holt_linear",
-    "doc_bm25",
     "doc_simhash_md5",
-    "ts_mad_outliers",
-    "ts_bucket_percentiles",
-    "ts_tier_routed_daily",
-    "sql_correlated_above_avg",
-    "doc_rrf_bm25",
-    "doc_unigram_logprob",
-    "sf_agg_predicates",
-    "ts_forecast_backtest",
-    "ts_sla_availability",
-    "ts_value_drift_psi",
-    # -- (b) r1-green keepers, five rounds stale --
-    "doc_top_terms",
-    "rel_below_avg_quantity",
-    "rel_big_spender_customers",
-    "rel_cust_running_total",
-    "rel_customers_without_orders",
-    "rel_first_last_order",
-    "rel_large_volume_customers",
-    "rel_nation_pairs",
-    "rel_nation_revenue",
-    "rel_nation_trade_volume",
-    "rel_nations_cust_and_supp",
-    "rel_order_priority_counts",
-    "rel_pivot_status",
-    "rel_priority_lateness",
-    "rel_returned_revenue_customers",
-    "rel_revenue_forecast",
-    "rel_top_orders_per_cust",
-    "rel_top_revenue_orders",
-    "ts_asof_join_forward",
-    "ts_ohlc_daily",
-    "ts_salted_agg",
-    "ts_topk_users",
-    # -- (c) never-driver-checked rows-only set --
-    "doc_minhash_near_dups",
-    "emb_ann_lsh",
-    "emb_ann_ivf",
-    "emb_pq_topk",
+    "doc_index_incremental",
+    # -- (b) r4-green rows, oldest on the board --
+    "io_csv_scan",
+    "io_json_scan",
+    "io_partitioned_sink",
+    "sql_entry_star_join",
+    "udaf_median_price",
+    "udf_grouped_trend",
+    "udtf_bigrams",
+    "sf_map_funcs",
+    "rel_full_outer_balance",
+    "rel_cube_sales",
+    "rel_median_mode",
+    "rel_window_values",
+    "doc_dedup_stats",
+    "doc_dup_pairs",
+    "doc_dedup_keep_first",
+    "doc_quality",
+    "doc_fingerprints",
+    "doc_lang_id_confusion",
+    "doc_ngram_jaccard_adjacent",
+    "doc_winnow_fingerprints",
+    "pipeline_clean_corpus",
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_label_centroids",
+    "emb_cosine_near_dups",
+    "ts_downsample_tier",
+    "ts_value_histogram",
+    "rel_collect_priorities",
+    "sf_array_funcs",
+    "ts_rolling_zscore",
+    "rel_top_supplier_revenue",
+    "doc_tfidf_top_terms",
+    "doc_pii_scrub",
+    "doc_chunk_tokens",
+    "doc_dup_clusters",
+    "doc_hash_sample",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "emb_quantize_int8",
+    "rel_promo_revenue",
+    "rel_disjunctive_revenue",
+    "rel_market_share",
+    "rel_only_late_supplier",
+    "rel_idle_rich_customers",
+    "ts_asof_join",
+    "rel_pricing_summary",
+    # -- (c) newly oracled top-up --
     "ts_lttb_downsample",
-    "ts_value_quantile_sketch",
 ]
 
 

@@ -339,7 +339,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
     grp = s.groupBy("simhash64").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
     )
     return grp.filter(F.col("n_docs") >= 1).select(
         "simhash64", "n_docs", "doc_ids"
@@ -385,7 +385,8 @@ fp AS (
            CAST({_SH_BITS_SQL['l']} AS BIGINT) AS sim_lo
     FROM v
 )
-SELECT sim_hi, sim_lo, COUNT(*) AS n_docs, list(doc_id ORDER BY doc_id) AS doc_ids
+SELECT sim_hi, sim_lo, COUNT(*) AS n_docs,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
 FROM fp GROUP BY sim_hi, sim_lo
 """
 
@@ -442,9 +443,12 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble("h").alias("sim_hi"),
         assemble("l").alias("sim_lo"),
     )
+    # doc_ids serialize to a comma-joined string (sorted, so
+    # deterministic) — the driver canonicalizer can't hash array
+    # columns (r6 crash; see tests/test_entry_contract.py lint).
     return fp.groupBy("sim_hi", "sim_lo").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
     )
 
 
@@ -1811,7 +1815,8 @@ shards AS (
 totals AS (
     SELECT token, CAST(SUM(df_shard) AS BIGINT) AS df FROM shards GROUP BY token
 )
-SELECT s.token, s.shard, t.df, CAST(s.df_shard AS BIGINT) AS df_shard, s.postings
+SELECT s.token, s.shard, t.df, CAST(s.df_shard AS BIGINT) AS df_shard,
+       array_to_string(s.postings, ',') AS postings
 FROM shards s JOIN totals t ON s.token = t.token
 WHERE t.df >= 5
 """,
@@ -1820,8 +1825,17 @@ WHERE t.df >= 5
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded posting lists for tokens with total df >= 5 (r6 rewrite:
     the unbounded collect_list per token is gone — see inverted_index
-    for the hot-key contract and scale shape)."""
-    return inverted_index(load_table(spark, sf_dir, "documents"))
+    for the hot-key contract and scale shape).
+
+    Postings cross the harness boundary serialized as a comma-joined
+    string (already deterministically sort_array-ordered): the driver's
+    canonicalizer hashes scalar columns only, so array-typed outputs
+    crash it (r6 lesson; tests/test_entry_contract.py now lints for
+    this). `inverted_index` itself still returns the real array column
+    for in-engine consumers (merge_index, BM25 tooling)."""
+    return inverted_index(load_table(spark, sf_dir, "documents")).withColumn(
+        "postings", F.array_join("postings", ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2715,8 +2729,15 @@ def doc_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = merge_index(None, first)
     merged = merge_index(state, second)
     out = merged.filter(F.col("df") >= 5)
-    # match doc_inverted_index's projection (postings as sorted list)
-    return out.select("token", "shard", "df", "df_shard", "postings")
+    # match doc_inverted_index's projection: postings serialized to a
+    # comma-joined string (driver canonicalizer can't hash arrays)
+    return out.select(
+        "token",
+        "shard",
+        "df",
+        "df_shard",
+        F.array_join("postings", ",").alias("postings"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,40 @@ def test_every_query_name_is_snake_case():
         assert name.replace("_", "").isalnum() and name == name.lower()
 
 
+def test_oracled_queries_emit_scalar_columns_only(spark):
+    """Harness-compatibility lint (VERDICT r6 item 2): the driver's
+    canonicalizer sorts/hashes result columns with pandas, which dies
+    on array/map/struct cells (`TypeError: unhashable type:
+    'numpy.ndarray'` — the r6 doc_inverted_index/doc_simhash_md5
+    crashes). Any oracled query MUST therefore project complex columns
+    through a deterministic serialization (array_join of a sort_array,
+    to_json, ...) before returning. This builds every oracled query's
+    plan (analysis only, nothing executes) and fails on the first
+    complex-typed output column so the class can't recur.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from chrono_ts_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        schema = spec.fn(spark, sf).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "oracled queries with driver-unhashable complex output columns "
+        f"(serialize them on both sides): {offenders}"
+    )
+
+
 def test_sql_and_dataframe_entry_points_agree(spark):
     """SURVEY §3: both entry points are thin wrappers over one engine —
     the SQL-string form of a star join equals the DataFrame form."""

@@ -143,9 +143,12 @@ class TestInvertedIndex:
         assert {r.token for r in rows} == {"common", "mid"}  # total-df >= 5 band
         merged: dict = {}
         for r in rows:
-            assert r.postings == sorted(r.postings)  # sorted within shard
-            assert r.df_shard == len(r.postings)
-            merged.setdefault(r.token, []).extend(r.postings)
+            # postings serialize as a comma-joined string at the query
+            # boundary (driver canonicalizer contract)
+            postings = [int(x) for x in r.postings.split(",")]
+            assert postings == sorted(postings)  # sorted within shard
+            assert r.df_shard == len(postings)
+            merged.setdefault(r.token, []).extend(postings)
             assert r.df == (6 if r.token == "common" else 5)  # df is the TOTAL
         assert sorted(merged["common"]) == [0, 1, 2, 3, 4, 5]
         assert sorted(merged["mid"]) == [0, 1, 2, 3, 4]

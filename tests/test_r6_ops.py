@@ -166,7 +166,7 @@ class TestSimhashMd5:
         ]
         sf = _write_docs(spark, tmp_path, docs)
         out = REG["doc_simhash_md5"].fn(spark, sf).collect()
-        by_docs = {tuple(r.doc_ids): r for r in out}
+        by_docs = {tuple(int(x) for x in r.doc_ids.split(",")): r for r in out}
         # tf-weighted votes are order-independent: 0, 1, 2 share one
         # fingerprint; doc 3 lands elsewhere
         assert (0, 1, 2) in by_docs
