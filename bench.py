@@ -32,6 +32,30 @@ def run_once(fn, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def build_artifact(
+    timings: dict[str, float], errors: dict[str, str], sf: float, spark_version: str
+) -> dict:
+    """Assemble the one-line JSON artifact. A partial sum under the
+    headline metric name would read as "faster" across rounds (ADVICE
+    r5/r6): the headline `value` is null and `partial` true whenever
+    any query errored — per-query detail still carries the numbers.
+    Unit-tested in tests/test_bench_artifact.py."""
+    total = round(sum(timings.values()), 3) if not errors else None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "spark": spark_version,
+    }
+    if errors:
+        out["errors"] = errors
+        out["partial"] = True
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,22 +83,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
-    # A partial sum under the headline metric name would read as "faster"
-    # across rounds (ADVICE r5): null the headline and flag partial when
-    # any query errored — per-query detail still carries the numbers.
-    total = round(sum(timings.values()), 3) if not errors else None
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-        "n_queries": len(timings),
-        "spark": spark.version,
-    }
-    if errors:
-        out["errors"] = errors
-        out["partial"] = True
+    out = build_artifact(timings, errors, float(sf), spark.version)
     # Solo re-run of the most expensive headline query (VERDICT r5 #8):
     # in-bench doc_minhash_near_dups carries ±1 s of session/GC noise, so
     # a clean solo number rides along for round-over-round comparison.

@@ -26,6 +26,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _digit_band(key: str) -> Column:
+    """Digit-count band of a NON-NEGATIVE integral key, guarded loudly.
+
+    band(a) > band(b) ⇒ a > b only holds for keys >= 0: a negative key
+    gains a '-' digit, so band('-5')=2 > band('7')=1 inverts the order
+    and silently corrupts every rank/quantile built on the banding
+    (ADVICE r6). Rather than trust the callers' fixtures, the band
+    expression embeds assert_true, so a violating dataset fails the job
+    with this message instead of returning wrong order statistics.
+    NULL keys do not fire the guard; they keep the pre-existing
+    semantics (band NULL, so the row is excluded by the band join).
+    """
+    guard = F.assert_true(
+        F.col(key).isNull() | (F.col(key) >= 0),
+        F.lit(
+            f"digit-count banding requires non-negative key '{key}' "
+            "(negative values invert band order); shift keys by the "
+            "minimum or scale to non-negative fixed point first"
+        ),
+    )
+    return F.when(
+        guard.isNull(), F.length(F.col(key).cast("string")).cast("bigint")
+    )
+
+
 def global_rank(
     df: DataFrame,
     key: str,
@@ -44,9 +69,7 @@ def global_rank(
     bands become (group, digit-band), offsets join on group equality.
     """
     pby = list(partition_by or [])
-    banded = df.withColumn(
-        "__band", F.length(F.col(key).cast("string")).cast("bigint")
-    )
+    banded = df.withColumn("__band", _digit_band(key))
     key_order: Column = F.col(key).asc() if ascending else F.col(key).desc()
     w_in = Window.partitionBy(*pby, "__band").orderBy(
         key_order, *[F.col(c).asc() for c in tiebreak]
@@ -104,9 +127,7 @@ def banded_prefix_sum(
     offset join adds an equality condition on the group columns.
     """
     pby = list(partition_by or [])
-    banded = df.withColumn(
-        "__band", F.length(F.col(key).cast("string")).cast("bigint")
-    )
+    banded = df.withColumn("__band", _digit_band(key))
     key_order: Column = F.col(key).asc() if ascending else F.col(key).desc()
     w_in = (
         Window.partitionBy(*pby, "__band")

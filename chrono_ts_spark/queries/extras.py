@@ -1810,8 +1810,21 @@ def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by nature (filesystem generations); the zero-leak and
     exact-removal invariants are pinned in tests/test_r6c_ops.py.
     """
+    import shutil
     import tempfile
 
+    root = tempfile.mkdtemp(prefix="chrono_gov_forget_")
+    try:
+        return _gov_forget_user(spark, sf_dir, root)
+    finally:
+        # the audit row is built from collected scalars, so the store
+        # can be removed eagerly — without this every invocation leaked
+        # a full copy of the aggregated state on the driver's disk
+        # (ADVICE r6)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _gov_forget_user(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
     from ..streaming.upsert import (
         delete_keys,
         list_generations,
@@ -1820,7 +1833,6 @@ def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_generations,
     )
 
-    root = tempfile.mkdtemp(prefix="chrono_gov_forget_")
     ev = load_table(spark, sf_dir, "events")
     state0 = ev.select(
         "user_id",
@@ -2076,7 +2088,11 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = mode_of(col).select(
                 F.col("v").alias("top_value"), F.col("c").cast("bigint").alias("top_freq")
             )
-            base = base.join(F.broadcast(m))
+            # LEFT join, not cross: on an empty table mode_of() is
+            # empty and a cross join would vanish the whole profile
+            # row, where the oracle's scalar subqueries keep it with
+            # NULL top_value/top_freq (ADVICE r6)
+            base = base.join(F.broadcast(m), F.lit(True), "left")
         else:
             base = base.select(
                 "*",
@@ -2295,11 +2311,21 @@ def gov_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (filesystem generations); planted add/update/unchanged
     accounting pinned in tests.
     """
-    import tempfile
+    import shutil
 
     from ..streaming.upsert import read_state, upsert_batch
 
-    root = tempfile.mkdtemp(prefix="chrono_snapdiff_")
+    # Fixed per-process store (the _roundtrip_dir pattern), cleared up
+    # front: the returned DataFrame's plan lazily reads the generation
+    # files, so the store can't be deleted on exit — but a fresh
+    # mkdtemp per call leaked a full state copy every invocation
+    # (ADVICE r6). One bounded copy per process instead; the clear
+    # also guarantees gen=0/1 below are THIS run's generations.
+    safe = sf_dir.rstrip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"chrono_snapdiff_{safe}_{_RUN_TOKEN}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     mid = ev.agg(
         F.expr("percentile_approx(event_id, 0.5, 10000)").alias("m")

@@ -2890,10 +2890,12 @@ def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_benford_law",
     oracle="""
-WITH d AS (
-    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
-    FROM orders WHERE o_totalprice > 0
+WITH cents_t AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+),
+d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM cents_t WHERE cents >= 1
 ),
 n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
 obs AS (
@@ -2924,14 +2926,20 @@ def rel_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles.
     """
     o = load_table(spark, sf_dir, "orders")
-    d = o.filter(F.col("o_totalprice") > 0).select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
-            1,
-            1,
+    # filter on the CENTS integer, not the raw price: a price in
+    # (0, 0.005) rounds to 0 cents, whose leading "digit" is 0 and
+    # whose benford_share is 1/0 — Infinity/NULL divergence across
+    # engines instead of exclusion (ADVICE r6)
+    d = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
         )
-        .cast("bigint")
-        .alias("digit")
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
     )
     n_t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))

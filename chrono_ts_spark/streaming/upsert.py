@@ -182,16 +182,25 @@ def delete_keys(
 
 
 def vacuum_generations(root: str, keep_last: int = 1) -> int:
-    """Physically remove all but the newest ``keep_last`` generation
-    snapshots; returns how many were deleted. Time travel is a
-    RETENTION feature — a deletion request is only honored once the
-    generations that still contain the data are vacuumed (the
-    Delta VACUUM / GDPR interaction, reproduced on the stand-in).
+    """Physically remove old generation snapshots; returns how many
+    were deleted. Time travel is a RETENTION feature — a deletion
+    request is only honored once the generations that still contain the
+    data are vacuumed (the Delta VACUUM / GDPR interaction, reproduced
+    on the stand-in).
+
+    Victims are chosen by distance BEHIND the _CURRENT pointer, never
+    by list position, and the _CURRENT generation itself is always
+    retained (keep_last clamps to >= 1) — so a vacuum can never leave
+    _CURRENT dangling while read_state() returns None (ADVICE r6).
+    Generations AHEAD of _CURRENT (a crashed writer's uncommitted
+    gen+1) are also retained: they are not history.
     """
     import shutil
 
-    gens = list_generations(root)
-    victims = gens[:-keep_last] if keep_last > 0 else gens
+    keep_last = max(1, keep_last)
+    cur = _current_gen(root)
+    history = [g for g in list_generations(root) if g <= cur]
+    victims = history[:-keep_last]
     for g in victims:
         shutil.rmtree(os.path.join(root, f"gen={g}"), ignore_errors=True)
     return len(victims)

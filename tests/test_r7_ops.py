@@ -1,0 +1,136 @@
+"""Round-7 guard tests (ADVICE r6): digit-band non-negativity assert,
+vacuum _CURRENT retention, Benford sub-cent exclusion, empty-table
+column profile, and the gov tempdir hygiene.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+D0 = datetime(2024, 3, 1)
+
+
+class TestDigitBandGuard:
+    def test_negative_key_raises_loudly(self, spark):
+        from chrono_ts_spark.operators.rank import global_rank
+
+        df = spark.createDataFrame([(-5, 1), (7, 2)], "k long, id long")
+        with pytest.raises(Exception, match="non-negative"):
+            global_rank(df, "k", ["id"]).collect()
+
+    def test_null_keys_do_not_raise(self, spark):
+        from chrono_ts_spark.operators.rank import banded_prefix_sum
+
+        df = spark.createDataFrame(
+            [(None, 1, 10), (5, 2, 20), (17, 3, 30)], "key long, k long, v long"
+        )
+        out = banded_prefix_sum(df, "key", ["k"], "v").collect()
+        # the guard must not fire on NULL keys; they keep the
+        # pre-existing banding semantics (NULL band -> excluded by the
+        # band join), while non-null keys accumulate normally
+        assert {r.k: r.cum for r in out} == {2: 20, 3: 50}
+
+
+class TestVacuumCurrentRetention:
+    def _store(self, spark, tmp_path):
+        from chrono_ts_spark.streaming.upsert import upsert_batch
+
+        root = str(tmp_path / "store")
+        for i in range(3):  # gens 0, 1, 2
+            df = spark.createDataFrame([(1, i)], "k long, seq long")
+            upsert_batch(df, root, keys=["k"], seq_col="seq")
+        return root
+
+    def test_keep_last_zero_clamps_to_current(self, spark, tmp_path):
+        from chrono_ts_spark.streaming.upsert import (
+            _current_gen,
+            list_generations,
+            read_state,
+            vacuum_generations,
+        )
+
+        root = self._store(spark, tmp_path)
+        n = vacuum_generations(root, keep_last=0)
+        assert n == 2  # gens 0 and 1 removed, _CURRENT (2) retained
+        assert list_generations(root) == [_current_gen(root)] == [2]
+        state = read_state(spark, root)
+        assert state is not None and state.count() == 1  # no dangling pointer
+
+    def test_victims_relative_to_current_not_list_position(self, spark, tmp_path):
+        import os
+
+        from chrono_ts_spark.streaming.upsert import (
+            list_generations,
+            vacuum_generations,
+        )
+
+        root = self._store(spark, tmp_path)
+        # simulate a crashed writer: uncommitted gen=3 exists on disk
+        # but _CURRENT still points at 2 — it must NOT count as history
+        os.makedirs(os.path.join(root, "gen=3"))
+        n = vacuum_generations(root, keep_last=1)
+        assert n == 2
+        assert list_generations(root) == [2, 3]
+
+
+class TestBenfordSubCent:
+    def test_zero_cent_price_excluded(self, spark, tmp_path):
+        orders = [
+            (1, 1, "O", 1.00, D0, "p"),
+            (2, 1, "O", 0.004, D0, "p"),  # rounds to 0 cents -> excluded
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        rows = REG["rel_benford_law"].fn(spark, str(tmp_path)).collect()
+        assert {r.digit for r in rows} == {1}
+        assert rows[0].n_obs == 1 and rows[0].observed_share == 1.0
+
+
+class TestColumnProfileEmptyTable:
+    def test_profile_rows_survive_empty_orders(self, spark, tmp_path):
+        spark.createDataFrame(
+            [],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        rows = REG["dq_column_profile"].fn(spark, str(tmp_path)).collect()
+        # one row per profiled column, with NULL mode columns — the
+        # oracle's scalar-subquery shape (ADVICE r6: a cross join
+        # vanished the row entirely)
+        assert len(rows) == 3
+        for r in rows:
+            assert r.n_rows == 0 and r.top_value is None and r.top_freq is None
+
+
+class TestGovTempHygiene:
+    def test_forget_user_removes_scratch(self, spark):
+        import glob
+        import os
+        import tempfile
+
+        pattern = os.path.join(tempfile.gettempdir(), "chrono_gov_forget_*")
+        before = set(glob.glob(pattern))
+        REG["gov_forget_user"].fn(spark, "/root/testdata/sf0.001").collect()
+        after = set(glob.glob(pattern))
+        assert after - before == set()  # no new leaked store
+
+    def test_snapshot_diff_reuses_one_fixed_dir(self, spark):
+        import glob
+        import os
+        import tempfile
+
+        pattern = os.path.join(tempfile.gettempdir(), "chrono_snapdiff_*")
+        REG["gov_snapshot_diff"].fn(spark, "/root/testdata/sf0.001").collect()
+        n1 = len(glob.glob(pattern))
+        REG["gov_snapshot_diff"].fn(spark, "/root/testdata/sf0.001").collect()
+        n2 = len(glob.glob(pattern))
+        assert n1 == n2  # second invocation reuses, not accumulates
