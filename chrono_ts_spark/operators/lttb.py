@@ -10,8 +10,22 @@ series — exactly the sanctioned Python-boundary case (docs/scale.md):
 key. Each series must fit a worker's memory (same contract as
 ``asof_join_pandas``); the cross-series fan-out is what scales.
 
-Determinism: pure IEEE double arithmetic evaluated in a fixed
-left-to-right order per series; area ties keep the earliest point.
+Determinism and the oracle (r7): the selection compares SPAN-SCALED
+triangle areas
+
+    A_j = |(px·span − Σx) · (y_j − py) − (px − x_j) · (Σy − py·span)|
+
+which equals 2·span·area — a positive constant per bucket, so the
+argmax is unchanged — but contains no division and no mean. Fed
+INTEGER coordinates (epoch-microsecond x, fixed-point ``value_scale``
+y, the house round(value·100)-cents rule), every quantity is an exact
+integer in both Python (arbitrary precision) and DuckDB (HUGEINT), so
+the per-bucket argmax — and therefore the kept-point set — is
+bit-identical across engines and the query is fully SQL-oracle-able
+(ts_lttb_downsample's recursive CTE). Bucket boundaries use integer
+floor division for the same reason. With float inputs the same code
+runs IEEE arithmetic in fixed order (the pre-r7 behavior); area ties
+keep the earliest point in either mode.
 """
 
 from __future__ import annotations
@@ -20,12 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def lttb_select_indices(xs: list[float], ys: list[float], n_out: int) -> list[int]:
+def lttb_select_indices(xs: list, ys: list, n_out: int) -> list[int]:
     """Indices kept by LTTB for one series already sorted by x.
 
     Shared by the Spark operator and the pure-Python test reference so
     equivalence tests pin the *distribution machinery*, not a second
-    copy of the algorithm.
+    copy of the algorithm. Exact when xs/ys are ints (see module doc).
     """
     n = len(xs)
     if n_out >= n or n <= 2:
@@ -33,26 +47,26 @@ def lttb_select_indices(xs: list[float], ys: list[float], n_out: int) -> list[in
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
     kept = [0]
-    # bucket i (0-based middle bucket) covers the half-open slice
-    # [1 + i*step, 1 + (i+1)*step) of the interior points
-    step = (n - 2) / (n_out - 2)
+    # middle bucket i covers the half-open index slice
+    # [1 + i*(n-2)//m, 1 + (i+1)*(n-2)//m); integer floor division =
+    # exact rational boundaries, identical in SQL
+    m = n_out - 2
     prev = 0
-    for i in range(n_out - 2):
-        lo = 1 + int(i * step)
-        hi = 1 + int((i + 1) * step)
-        hi = min(hi, n - 1)
-        nxt_lo, nxt_hi = hi, min(1 + int((i + 2) * step), n - 1)
+    for i in range(m):
+        lo = 1 + (i * (n - 2)) // m
+        hi = min(1 + ((i + 1) * (n - 2)) // m, n - 1)
+        nxt_lo, nxt_hi = hi, min(1 + ((i + 2) * (n - 2)) // m, n - 1)
         if nxt_hi <= nxt_lo:  # last middle bucket: anchor on final point
-            ax, ay = xs[n - 1], ys[n - 1]
+            span, sx, sy = 1, xs[n - 1], ys[n - 1]
         else:
             span = nxt_hi - nxt_lo
-            ax = sum(xs[nxt_lo:nxt_hi]) / span
-            ay = sum(ys[nxt_lo:nxt_hi]) / span
+            sx = sum(xs[nxt_lo:nxt_hi])
+            sy = sum(ys[nxt_lo:nxt_hi])
         px, py = xs[prev], ys[prev]
-        best, best_area = lo, -1.0
+        best, best_area = lo, -1
         for j in range(lo, hi):
             area = abs(
-                (px - ax) * (ys[j] - py) - (px - xs[j]) * (ay - py)
+                (px * span - sx) * (ys[j] - py) - (px - xs[j]) * (sy - py * span)
             )
             if area > best_area:
                 best, best_area = j, area
@@ -68,12 +82,19 @@ def lttb_downsample(
     ts_col: str,
     value_col: str,
     n_out: int,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Downsample each key's series to ≤ n_out points with LTTB.
 
     Output schema: keys + (ts_col, value_col) of the kept points.
     Rows per key: min(n_out, series length). Series with ≤ 2 points
     pass through unchanged.
+
+    ``value_scale``: when set (e.g. 100 for cents-precision data), the
+    selection runs on integer coordinates — epoch-microsecond x and
+    round(value·scale) y — making the kept-point set exact and
+    engine-portable (the SQL-oracle mode; see module doc). When None,
+    float coordinates reproduce the classic IEEE behavior.
     """
     import pandas as pd
 
@@ -95,8 +116,12 @@ def lttb_downsample(
         pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
             drop=True
         )
-        xs = [t.timestamp() for t in pdf[ts_col]]
-        ys = [float(v) for v in pdf[value_col]]
+        if value_scale is not None:
+            xs = [int(t.value) // 1000 for t in pdf[ts_col]]  # epoch micros
+            ys = [int(round(float(v) * value_scale)) for v in pdf[value_col]]
+        else:
+            xs = [t.timestamp() for t in pdf[ts_col]]
+            ys = [float(v) for v in pdf[value_col]]
         idx = lttb_select_indices(xs, ys, n_out)
         return pdf.iloc[idx][[*keys, ts_col, value_col]]
 

@@ -877,18 +877,99 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("user_id", "event_id", "ts_s", "value", z.alias("zscore"))
 
 
-@query("ts_lttb_downsample", oracle=None, tags=("tsdb", "downsample", "no-oracle"))
+# LTTB oracle (r7, VERDICT r6 item 4c): the per-bucket argmax is a
+# sequential recurrence over bucket index — the ts_ema/ts_kalman
+# recursive-CTE class. Exactness: the operator's fixed-point mode
+# (value_scale=100) makes every compared quantity an exact integer —
+# span-scaled areas in HUGEINT here, arbitrary-precision ints in
+# Python — so the kept-point SET is bit-identical by construction (see
+# operators/lttb.py module doc). arg_min's key packs (area DESC,
+# idx ASC) into one HUGEINT: idx − area·2^40 (area ≲ 2^71 at sf0.1,
+# idx < 2^40, product < 2^111 — inside HUGEINT). Oracle cost is
+# O(n_out · bucket) per series via the recursive join — sf-gated like
+# the other recursive oracles, not a scale path.
+_LTTB_N_OUT = 48
+_LTTB_M = _LTTB_N_OUT - 2  # middle buckets
+
+_LTTB_ORACLE = f"""
+WITH RECURSIVE pts AS (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS idx,
+           epoch_us(ts) AS x,
+           CAST(round(value * 100, 0) AS BIGINT) AS yc
+    FROM events
+),
+np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY user_id),
+buckets AS (
+    SELECT np.user_id, i.i, np.n,
+           1 + (i.i * (np.n - 2)) // {_LTTB_M} AS lo,
+           least(1 + ((i.i + 1) * (np.n - 2)) // {_LTTB_M}, np.n - 1) AS hi,
+           least(1 + ((i.i + 2) * (np.n - 2)) // {_LTTB_M}, np.n - 1) AS nxt_hi
+    FROM np CROSS JOIN (SELECT unnest(range({_LTTB_M})) AS i) i
+    WHERE np.n > {_LTTB_N_OUT}
+),
+anch AS (
+    SELECT b.user_id, b.i, b.lo, b.hi,
+           CASE WHEN b.nxt_hi <= b.hi THEN 1 ELSE b.nxt_hi - b.hi END AS span,
+           CASE WHEN b.nxt_hi <= b.hi THEN lastp.x ELSE s.sx END AS sx,
+           CASE WHEN b.nxt_hi <= b.hi THEN lastp.yc ELSE s.sy END AS sy
+    FROM buckets b
+    JOIN pts lastp ON lastp.user_id = b.user_id AND lastp.idx = b.n - 1
+    LEFT JOIN (
+        SELECT b2.user_id, b2.i,
+               CAST(SUM(p.x) AS BIGINT) AS sx, CAST(SUM(p.yc) AS BIGINT) AS sy
+        FROM buckets b2
+        JOIN pts p ON p.user_id = b2.user_id
+                  AND p.idx >= b2.hi AND p.idx < b2.nxt_hi
+        GROUP BY b2.user_id, b2.i
+    ) s ON s.user_id = b.user_id AND s.i = b.i
+),
+rec AS (
+    SELECT user_id, -1 AS i, CAST(0 AS BIGINT) AS sel
+    FROM np WHERE n > {_LTTB_N_OUT}
+    UNION ALL
+    SELECT r.user_id, a.i,
+           arg_min(c.idx,
+               CAST(c.idx AS HUGEINT)
+               - CAST(abs(
+                     (q.x * a.span - a.sx) * (c.yc - q.yc)
+                     - (q.x - c.x) * (a.sy - q.yc * a.span)
+                 ) AS HUGEINT) * CAST(1099511627776 AS HUGEINT)) AS sel
+    FROM rec r
+    JOIN anch a ON a.user_id = r.user_id AND a.i = r.i + 1
+    JOIN pts q ON q.user_id = r.user_id AND q.idx = r.sel
+    JOIN pts c ON c.user_id = r.user_id AND c.idx >= a.lo AND c.idx < a.hi
+    GROUP BY r.user_id, a.i
+),
+kept AS (
+    SELECT user_id, sel AS idx FROM rec WHERE i >= 0
+    UNION ALL
+    SELECT user_id, 0 FROM np WHERE n > {_LTTB_N_OUT}
+    UNION ALL
+    SELECT user_id, n - 1 FROM np WHERE n > {_LTTB_N_OUT}
+    UNION ALL
+    SELECT p.user_id, p.idx FROM pts p
+    JOIN np ON np.user_id = p.user_id
+    WHERE np.n <= {_LTTB_N_OUT}
+)
+SELECT p.user_id, {sql_ts_str('p.ts')} AS ts_s, p.value
+FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.idx = k.idx
+"""
+
+
+@query("ts_lttb_downsample", oracle=_LTTB_ORACLE, tags=("tsdb", "downsample"))
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visual downsampling: each user's month of events reduced to
-    ≤ 48 shape-preserving points. No SQL oracle (the algorithm is
-    sequential per series); pytest pins it against the shared pure-
-    Python reference on planted shapes."""
+    ≤ 48 shape-preserving points, in the operator's exact fixed-point
+    mode (micros × cents; operators/lttb.py) so the per-bucket argmax
+    is engine-portable and the recursive-CTE oracle above replays the
+    identical integer recurrence (previously rows-only)."""
     from ..operators.lttb import lttb_downsample
 
     ev = load_table(spark, sf_dir, "events")
-    return lttb_downsample(ev, ["user_id"], "ts", "value", 48).select(
-        "user_id", ts_str("ts").alias("ts_s"), "value"
-    )
+    return lttb_downsample(
+        ev, ["user_id"], "ts", "value", _LTTB_N_OUT, value_scale=100
+    ).select("user_id", ts_str("ts").alias("ts_s"), "value")
 
 
 # ---------------------------------------------------------------------------

@@ -480,6 +480,39 @@ class TestLTTB:
         # first/last points always kept
         assert got["ramp"][0][1] == 0.0 and got["ramp"][-1][1] == 499.0
 
+    def test_fixed_point_mode_matches_integer_reference(self, spark):
+        # r7 oracle mode: value_scale=100 must select exactly the
+        # indices the shared reference picks on integer (micros,
+        # cents) coordinates — the engine-portability contract.
+        import datetime
+
+        from chrono_ts_spark.operators.lttb import (
+            lttb_downsample,
+            lttb_select_indices,
+        )
+
+        base = ts("2024-01-01 00:00:00")
+        rows = [
+            ("a", base + datetime.timedelta(minutes=7 * i),
+             round(((i * 137) % 991) / 100.0 + (50.0 if i == 100 else 0.0), 2))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+        got = sorted(
+            (r.ts, r.v)
+            for r in lttb_downsample(df, ["key"], "ts", "v", 30, value_scale=100)
+            .collect()
+        )
+        series = sorted((t, v) for (_, t, v) in rows)
+        xs = [int(t.timestamp() * 1_000_000) for t, _ in series]
+        ys = [int(round(v * 100)) for _, v in series]
+        want = sorted(
+            (series[i][0], series[i][1]) for i in lttb_select_indices(xs, ys, 30)
+        )
+        assert got == want
+        assert len(got) == 30
+        assert any(v > 50 for _, v in got)  # the planted spike survives
+
 
 def test_scd2_collapses_and_versions(spark):
     from chrono_ts_spark.operators.scd import scd2
