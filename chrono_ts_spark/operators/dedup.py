@@ -78,6 +78,19 @@ def _hash31(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(1 << 31))
 
 
+def _hash31_md5(col: Column) -> Column:
+    """Engine-portable 31-bit base hash: first 8 hex chars of md5,
+    mod 2^31. Slower than xxhash64 (cryptographic digest + hex
+    parse) but expressible identically in any SQL engine
+    (`CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) % 2147483648`
+    in DuckDB) — the doc_simhash_md5 oracle-twin pattern applied to
+    MinHash (VERDICT r6 item 4a)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % F.lit(1 << 31)
+    )
+
+
 def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
     """array<long> minhash signature of a shingle-array column.
 
@@ -108,6 +121,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     seed: int = 42,
     materialize: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -115,6 +129,12 @@ def minhash_lsh_candidates(
     ≥1 band w.h.p. (s-curve at t ≈ (1/bands)^(bands/num_perm)).
     Returns distinct candidate pairs with their estimated jaccard
     (signature agreement fraction).
+
+    portable: use the md5-derived base hash and raw signature-slice
+    strings as band keys instead of xxhash64 — every hash then has an
+    exact SQL equivalent, so the whole candidate set (and est_jaccard)
+    is DuckDB-oracle-able (doc_minhash_md5). Same algorithm, same
+    affine family, same banding; only the base hash differs.
 
     materialize: when True, the banded signature table is persisted
     (MEMORY_AND_DISK) so the shingle→hash→64-min-aggregate pipeline —
@@ -140,9 +160,10 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("__id"),
         shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
     )
+    base_hash = _hash31_md5 if portable else _hash31
     h = sh.select(
         "__id",
-        F.explode(F.transform(F.col("__sh"), lambda s: _hash31(s))).alias("__h"),
+        F.explode(F.transform(F.col("__sh"), lambda s: base_hash(s))).alias("__h"),
     )
     params = _perm_params(num_perm, seed)
     sig = h.groupBy("__id").agg(
@@ -162,9 +183,12 @@ def minhash_lsh_candidates(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
+                # portable mode joins on the raw slice string (exact SQL
+                # twin); default hashes it to a fixed 8-byte key so the
+                # shuffle rows stay narrow
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    (lambda key: key if portable else F.xxhash64(key))(
                         F.concat_ws(",", F.transform(
                             F.slice(F.col("__sig"), b * rows + 1, rows),
                             lambda v: v.cast("string"),

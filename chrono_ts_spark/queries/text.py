@@ -332,6 +332,96 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable MinHash twin (r7, VERDICT r6 item 4a — the
+# doc_simhash_md5 pattern applied to X6): md5-derived 31-bit base
+# hashes make the signature, the banded candidate join, AND the
+# est_jaccard column exactly reproducible in DuckDB SQL. The affine
+# family (a_i, b_i) is the SAME seeded list the operator uses
+# (_perm_params(64, 42)), embedded below as literals, so the oracle is
+# the algorithm, not a re-derivation. est_jaccard = k/64 (dyadic —
+# exact double) and jaccard = |∩|/|∪| over identical shingle sets, so
+# no rounding is needed anywhere.
+from ..operators.dedup import MERSENNE as _MH_P  # noqa: E402
+from ..operators.dedup import _perm_params as _mh_params  # noqa: E402
+
+_MH_NP, _MH_BANDS, _MH_ROWS = 64, 16, 4
+_MH_MIN_SQL = ",\n".join(
+    f"           MIN(({a} * h31 + {b}) % {_MH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_mh_params(_MH_NP, 42))
+)
+_MH_BAND_SQL = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {bi} AS band_id, concat_ws(',', {ms}) AS bkey FROM sig".format(
+        bi=bi, ms=", ".join(f"m{bi * _MH_ROWS + j}" for j in range(_MH_ROWS))
+    )
+    for bi in range(_MH_BANDS)
+)
+_MH_EQ_SQL = "\n             + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_MH_NP)
+)
+
+_MINHASH_MD5_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % 2147483648 AS h31
+    FROM (SELECT doc_id, unnest(sh) AS shingle FROM s)
+),
+sig AS (
+    SELECT doc_id,
+{_MH_MIN_SQL}
+    FROM h GROUP BY doc_id
+),
+bk AS (
+{_MH_BAND_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a
+    JOIN bk b ON a.band_id = b.band_id AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           CAST({_MH_EQ_SQL} AS DOUBLE) / CAST({_MH_NP} AS DOUBLE) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+FROM est e
+JOIN s sa ON sa.doc_id = e.id_a
+JOIN s sb ON sb.doc_id = e.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+"""
+
+
+@query("doc_minhash_md5", oracle=_MINHASH_MD5_ORACLE, tags=("text", "X6", "minhash"))
+def doc_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled MinHash-LSH near-dup candidates (X6 twin): the
+    operator's portable mode (md5 base hash, raw slice band keys) with
+    the identical seeded affine family, banded candidate join, and
+    exact-Jaccard verification as doc_minhash_near_dups — every hash
+    SQL-expressible, so the driver hash-compares the full pipeline.
+    Scale shape is unchanged from the xxhash64 fast path (candidates ∝
+    band collisions, never all-pairs); the md5 digest costs more per
+    shingle, which is why the fast path stays the default."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, "doc_id", "text", num_perm=_MH_NP, bands=_MH_BANDS, shingle_k=5,
+        portable=True,
+    )
+    verified = exact_jaccard_pairs(d, cands, "doc_id", "text", shingle_k=5)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
+
+
 @query("doc_simhash", oracle=None, tags=("text", "X6", "no-oracle"))
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + groups sharing a fingerprint."""

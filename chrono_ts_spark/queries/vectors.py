@@ -109,6 +109,115 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, probes, dims=_DIMS, k=5, n_planes=6, n_tables=8)
 
 
+# Engine-portable ANN twin (r7, VERDICT r6 item 4b): md5-derived ±1
+# hyperplanes (the emb_rp_project sign construction) + 1e9 fixed-point
+# components make every bucket bit an exact integer comparison, so the
+# candidate set AND the exact-cosine rerank are DuckDB-reproducible.
+# Same multi-table banded design as emb_ann_lsh — only the hash family
+# is portable instead of seeded-numpy.
+_ANN_T, _ANN_J = 8, 6
+
+_ANN_MD5_ORACLE = f"""
+WITH e9 AS (
+    SELECT vec_id, i.i AS i,
+           CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000000, 0) AS BIGINT) AS qi
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
+),
+sgn AS (
+    SELECT t.t, j.j, i.i,
+           CASE WHEN substr(md5('ann-' || CAST(t.t AS VARCHAR) || '-'
+                                 || CAST(j.j AS VARCHAR) || '-'
+                                 || CAST(i.i AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE -1 END AS sgn
+    FROM (SELECT unnest(range({_ANN_T})) AS t) t
+    CROSS JOIN (SELECT unnest(range({_ANN_J})) AS j) j
+    CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
+),
+dots AS (
+    SELECT e.vec_id, s.t, s.j, SUM(s.sgn * e.qi) AS dot
+    FROM e9 e JOIN sgn s ON s.i = e.i
+    GROUP BY e.vec_id, s.t, s.j
+),
+buck AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, t
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM buck c JOIN buck q ON q.t = c.t AND q.bucket = c.bucket
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_sql_dot('qe.embedding', 'ce.embedding')} /
+           SQRT({_sql_dot('qe.embedding', 'qe.embedding')}
+                * {_sql_dot('ce.embedding', 'ce.embedding')}) AS cosine
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
+@query("emb_ann_md5", oracle=_ANN_MD5_ORACLE, tags=("vectors", "ANN", "md5"))
+def emb_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled sign-LSH ANN top-5 (8 tables × 6 bits): the
+    doc_simhash_md5/doc_minhash_md5 twin pattern for emb_ann_lsh.
+    Buckets come from md5-derived Rademacher planes over fixed-point
+    components (operators/similarity.md5_sign_buckets), candidates
+    from the same (table, bucket) equi-join, and the rerank is the
+    established exact-cosine expression — the full candidate
+    generation + rerank pipeline is hash-compared by the driver.
+    Verification path: the BLAS pandas_udf twin (emb_ann_lsh) stays
+    the throughput path; recall pinning between the two is in pytest.
+    """
+    from ..operators.similarity import md5_sign_buckets
+    from ..operators.topk import top_k_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buck = md5_sign_buckets(e, "vec_id", "embedding", _DIMS, _ANN_J, _ANN_T)
+    qb = buck.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cb = buck.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"), vec_double(F.col("embedding")).alias("__qv")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), vec_double(F.col("embedding")).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-label centroids in long form (label, pos, avg) — avoids array
 # reassembly while still exercising grouped vector math

@@ -89,6 +89,22 @@ class TestMinhashLSH:
         spark.catalog.clearCache()
         assert a == b and a
 
+    def test_portable_mode_planted_near_dups(self, spark, corpus):
+        # r7 oracle twin: the md5 portable mode must find the planted
+        # pairs too, and est_jaccard stays a k/64 dyadic in [0, 1]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        cands = minhash_lsh_candidates(
+            df, "doc_id", "text", 64, 16, 5, portable=True
+        )
+        verified = exact_jaccard_pairs(df, cands, "doc_id", "text", 5)
+        rows = verified.filter(F.col("jaccard") >= 0.4).collect()
+        hits = {(r.id_a, r.id_b) for r in rows}
+        for i in range(5):
+            assert (i, 100 + i) in hits, f"planted pair {i} missed (portable)"
+        for r in rows:
+            assert 0.0 <= r.est_jaccard <= 1.0
+            assert (r.est_jaccard * 64) == int(r.est_jaccard * 64)
+
     def test_est_jaccard_correlates(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         cands = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
@@ -207,6 +223,56 @@ class TestSimilarity:
         approx = {
             (r.query_id, r.neighbor_id)
             for r in lsh_bucket_topk(clustered, probes, dims=16, k=5, n_planes=6, n_tables=8).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, recall
+
+    def test_md5_sign_buckets_recall(self, spark, clustered):
+        # r7 oracle twin: candidates from the md5-derived Rademacher
+        # planes + exact-cosine rerank must reach the same recall bar
+        # as the seeded-numpy LSH path
+        from chrono_ts_spark.operators.similarity import md5_sign_buckets
+        from chrono_ts_spark.operators.topk import top_k_per_group
+        from chrono_ts_spark.functions import vec_cosine, vec_double
+
+        probes = clustered.filter(F.col("vec_id") % 40 == 0)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(clustered, probes, k=5).collect()
+        }
+        buck = md5_sign_buckets(clustered, "vec_id", "embedding", 16, 6, 8)
+        qb = buck.join(
+            probes.select("vec_id"), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), "t", "bucket")
+        cb = buck.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+        cand = (
+            cb.join(F.broadcast(qb), ["t", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        qe = clustered.select(
+            F.col("vec_id").alias("query_id"),
+            vec_double(F.col("embedding")).alias("qv"),
+        )
+        ce = clustered.select(
+            F.col("vec_id").alias("neighbor_id"),
+            vec_double(F.col("embedding")).alias("cv"),
+        )
+        scored = (
+            cand.join(qe, "query_id")
+            .join(ce, "neighbor_id")
+            .select(
+                "query_id", "neighbor_id",
+                vec_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in top_k_per_group(
+                scored, ["query_id"],
+                [F.col("cosine").desc(), F.col("neighbor_id")], 5,
+            ).collect()
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, recall
