@@ -229,3 +229,92 @@ def pca_components(cov: np.ndarray, top: int = 8) -> tuple[np.ndarray, np.ndarra
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     return vals, comps
+
+
+def hierarchical_kmeans_assign(
+    df: DataFrame,
+    dims: int,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_iters: int = 2,
+    fine_iters: int = 4,
+    coarse_cap: int = 4096,
+) -> DataFrame:
+    """Two-level k-means assignment whose driver traffic is CAPPED
+    regardless of k — the corpus-prescribed-k path (VERDICT r6 item 5).
+
+    ``kmeans_fit`` collects a k x dims centroid matrix per Lloyd
+    iteration: bounded and correct for parameter-k callers (k ~ 10^3),
+    but SemDeDup prescribes k ~ n/512 — at 10^9 vectors that is ~1 GB
+    per iteration through the driver. Here the driver only ever sees
+    the COARSE level:
+
+    - coarse: flat kmeans_fit with k1 = min(coarse_cap, ceil(sqrt(k)))
+      — the per-iteration collect is k1 x dims <= coarse_cap x dims
+      (2 MB at 4096 x 64), a fixed ceiling independent of k and n;
+    - fine: per coarse cell, a LOCAL deterministic Lloyd refinement
+      with k2 = ceil(k/k1) sub-clusters runs entirely inside
+      applyInPandas — no centroid ever reaches the driver; the global
+      cluster id is cell*k2 + local.
+
+    Per-cell contract: a cell holds ~n/k1 vectors and must fit a
+    worker (n = 10^9, k1 = 4096 -> ~125 MB at 64 dims), the same
+    bounded-group contract as the other applyInPandas operators.
+
+    Determinism: coarse inherits kmeans_fit's contract; fine sorts the
+    cell by id (mergesort), inits from the first k2 members, uses the
+    same first-minimum argmin tie rule, and accumulates partial sums
+    with np.add.at over the sorted order — bit-stable under any
+    upstream partitioning. Empty sub-clusters keep their previous
+    centroid (RNG-free), mirroring the flat operator.
+
+    Output: the input columns plus ``cluster`` (global int id).
+    """
+    import math
+
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    k1 = min(coarse_cap, max(1, math.isqrt(k - 1) + 1 if k > 1 else 1))
+    k2 = -(-k // k1)  # ceil
+    coarse = kmeans_fit(
+        df, dims, k=k1, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = df.withColumn("__cell", _assign_euclid_udf(coarse)(F.col(vec_col)))
+    if k2 <= 1:
+        return assigned.withColumnRenamed("__cell", "cluster")
+
+    in_cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cluster int"
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["__cell"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        kl = min(k2, len(pdf))
+        cent = mat[:kl].copy()
+        cl = np.zeros(len(pdf), dtype=np.int64)
+        for _ in range(fine_iters):
+            d = -2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)
+            cl = np.argmin(d, axis=1)
+            sums = np.zeros((kl, mat.shape[1]))
+            np.add.at(sums, cl, mat)
+            cnt = np.bincount(cl, minlength=kl)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
+        # final assignment against the post-update centroids
+        cl = np.argmin(-2.0 * (mat @ cent.T) + (cent**2).sum(axis=1), axis=1)
+        out = pdf[in_cols].copy()
+        out["cluster"] = (cell * k2 + cl).astype(np.int32)
+        return out
+
+    return assigned.groupBy("__cell").applyInPandas(refine, out_schema)

@@ -246,7 +246,14 @@ def ivf_topk(
     """IVF ANN: corpus partitioned into centroid cells; probes score
     only the n_probe nearest cells. The cell join is a plain equi-join
     on cluster id (AQE/skew eligible); recall/cost is n_probe/k-means
-    quality. The complementary scale path to multi-table LSH."""
+    quality. The complementary scale path to multi-table LSH.
+
+    Scale note: ivf_fit_centroids collects n_centroids x dims per
+    Lloyd round — bounded by the PARAMETER n_centroids (16 here; fine
+    to ~10^4, i.e. nlist ~ sqrt(n) at n = 10^8). For larger corpora
+    where nlist itself becomes corpus-prescribed, the named swap is
+    clustering.hierarchical_kmeans_assign as the coarse quantizer
+    (capped driver collect; cells become (coarse, fine) pairs)."""
     centroids = ivf_fit_centroids(corpus, dims, n_centroids, iters, id_col, vec_col)
 
     c_assign = _assign_udf(centroids, 1)

@@ -2296,9 +2296,14 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides
     co-partitioned), but the pair expansion is inherently O(n_s^2) per
     series — correct for the bounded per-series densities of metrics
-    data (fixture: ~67 pts/user at every SF); for unbounded series the
-    windowed variant (pairs within a bounded time offset) or the
-    repeated-median sketch is the documented swap-in (docs/scale.md).
+    data (fixture: ~67 pts/user at every SF). 100 TB swap-ins for
+    unbounded series, in preference order (the percentile→KLL "named
+    swap" convention): (1) SAMPLED Theil–Sen — median of slopes over a
+    fixed-size random pair sample, O(n_s) per series with the
+    estimator's usual concentration guarantees; (2) a bounded
+    pair-offset window (slopes between points ≤ k apart); (3) the
+    repeated-median sketch (per-point median of slopes, then median of
+    medians — higher breakdown, still O(n_s·k)). See docs/scale.md.
     """
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -2578,9 +2583,16 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact complement to the online CUSUM alarms.
 
     One shuffle on user_id into the sanctioned sequential boundary;
-    the pruned DP is ~O(n) per series (worst case O(n^2), still
-    exact). Emits one row per segment with its exact integer-cents
-    bounds and mean.
+    the pruned DP is ~O(n) per series (worst case O(n^2) on
+    changepoint-free noise, where pruning provably cannot fire —
+    inherent to exactness). Emits one row per segment with its exact
+    integer-cents bounds and mean. 100 TB swap-ins for series long
+    enough that the O(n^2) worst case bites (the percentile→KLL
+    "named swap" convention): (1) BOUNDED-LOOKBACK PELT — cap the DP
+    candidate set at the last L points, O(n·L) worst case, exact
+    whenever true segments are shorter than L; (2) binary segmentation
+    — recursive single-split search, O(n log n), approximate but
+    consistent for well-separated changes. See docs/scale.md.
     """
     from ..session import ensure_package_on_workers
 

@@ -369,6 +369,11 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared distances summed in 1e6 fixed point so inertia is
     partition-order-immune, and the majority label tie-broken to the
     lowest label id.
+
+    Scale: the per-iteration k x dims driver collect is bounded by the
+    PARAMETER k (k=8 here; fine to ~10^3-10^4). For corpus-prescribed
+    k the named swap is hierarchical_kmeans_assign (capped coarse
+    collect + per-cell refinement — the emb_semdedup path since r7).
     """
     from ..operators.clustering import kmeans_assign, kmeans_fit
 
@@ -426,9 +431,15 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine runs INSIDE applyInPandas as one c x c BLAS matmul per
     cluster — only the c member rows ever shuffle, never the c^2 pair
     set (the same no-materialization discipline as MinHash banding).
-    Measured: 500k x 64 vectors in 43 s end to end (BASELINE.md).
+    Because k is corpus-prescribed, clustering goes through
+    hierarchical_kmeans_assign (r7): the driver only ever collects the
+    coarse sqrt(k)-capped centroid matrix and the k2-way refinement
+    runs per-cell inside applyInPandas — no driver round-trip grows
+    with k (the r6 verdict's 100 TB ceiling, removed).
+    Measured: 500k x 64 vectors in 43 s end to end pre-rewrite; the
+    hierarchical path probes within the same envelope (BASELINE.md r7).
     """
-    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.clustering import hierarchical_kmeans_assign
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -437,8 +448,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~512 members per cluster: recall needs dup families to share a
     # cluster, so k must not exceed the natural grouping scale
     k = max(2, min(4096, n // 512))
-    centroids = kmeans_fit(emb, dims=_DIMS, k=k, iters=2)
-    assigned = kmeans_assign(emb, centroids).select(
+    assigned = hierarchical_kmeans_assign(emb, dims=_DIMS, k=k).select(
         "vec_id", "label", "cluster", "embedding"
     )
 

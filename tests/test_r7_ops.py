@@ -134,3 +134,98 @@ class TestGovTempHygiene:
         REG["gov_snapshot_diff"].fn(spark, "/root/testdata/sf0.001").collect()
         n2 = len(glob.glob(pattern))
         assert n1 == n2  # second invocation reuses, not accumulates
+
+
+class TestHierarchicalKmeans:
+    def _clustered(self, spark, n_families=9, per=20, dims=16):
+        import random
+
+        rnd = random.Random(11)
+        rows, vid = [], 0
+        centers = [
+            [10.0 if d == f else 0.0 for d in range(dims)] for f in range(n_families)
+        ]
+        for f, c in enumerate(centers):
+            for _ in range(per):
+                rows.append(
+                    (vid, [x + rnd.gauss(0, 0.05) for x in c], f)
+                )
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_identical_vectors_share_cluster(self, spark):
+        # the SemDeDup-critical invariant: identical vectors get an
+        # identical (deterministic) argmin at every level, so a dup
+        # family can NEVER be split across clusters. (A fixed k2 per
+        # cell may legitimately split a merely-nearby family — that is
+        # a recall knob, not a correctness bug.)
+        from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+
+        # families interleaved by id so the first-k-by-id init sees
+        # distinct vectors (first-k init on all-identical prefixes
+        # degenerates by documented contract)
+        rows = []
+        for vid in range(180):
+            f = vid % 9
+            v = [10.0 if d == f else 0.0 for d in range(16)]
+            rows.append((vid, v, f))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = hierarchical_kmeans_assign(df, dims=16, k=9).collect()
+        assert len(out) == 180
+        by_family: dict = {}
+        for r in out:
+            by_family.setdefault(r.label, set()).add(r.cluster)
+        for fam, clusters in by_family.items():
+            assert len(clusters) == 1, (fam, clusters)
+        # the 9 orthogonal families occupy several distinct clusters
+        assert len({c for s in by_family.values() for c in s}) >= 5
+
+    def test_deterministic_under_repartition(self, spark):
+        from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+
+        df = self._clustered(spark)
+        a = sorted(
+            (r.vec_id, r.cluster)
+            for r in hierarchical_kmeans_assign(df.repartition(7), 16, 9).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster)
+            for r in hierarchical_kmeans_assign(df.coalesce(1), 16, 9).collect()
+        )
+        assert a == b
+
+    def test_k2_one_degenerates_to_flat_coarse(self, spark):
+        from chrono_ts_spark.operators.clustering import (
+            _assign_euclid_udf,
+            hierarchical_kmeans_assign,
+            kmeans_fit,
+        )
+        from pyspark.sql import functions as F
+
+        df = self._clustered(spark, n_families=2)
+        out = sorted(
+            (r.vec_id, r.cluster)
+            for r in hierarchical_kmeans_assign(df, 16, 2).collect()
+        )
+        cent = kmeans_fit(df, 16, k=2, iters=2)
+        flat = sorted(
+            (r.vec_id, r.cluster)
+            for r in df.withColumn(
+                "cluster", _assign_euclid_udf(cent)(F.col("embedding"))
+            ).collect()
+        )
+        assert out == flat
+
+    def test_small_cells_handled(self, spark):
+        # a cell with fewer than k2 members must not crash and must
+        # still give every row a valid global id
+        from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+
+        df = self._clustered(spark, n_families=3, per=2)
+        out = hierarchical_kmeans_assign(df, 16, 6).collect()
+        assert len(out) == 6
+        assert all(r.cluster >= 0 for r in out)
