@@ -454,8 +454,9 @@ _SH_BITS_SQL = {
     for p, _ in _SH_HALVES
 }
 
-_SIMHASH_MD5_ORACLE = f"""
-WITH tok AS (
+# Shared fingerprint CTE chain: (doc_id, sim_hi, sim_lo) — composed by
+# the cluster oracle below and the Hamming-neighbor oracle (r7).
+_SIMHASH_MD5_FP_CTES = f"""tok AS (
     SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
 ),
 h AS (
@@ -474,31 +475,22 @@ fp AS (
            CAST({_SH_BITS_SQL['h']} AS BIGINT) AS sim_hi,
            CAST({_SH_BITS_SQL['l']} AS BIGINT) AS sim_lo
     FROM v
-)
+)"""
+
+_SIMHASH_MD5_ORACLE = f"""
+WITH {_SIMHASH_MD5_FP_CTES}
 SELECT sim_hi, sim_lo, COUNT(*) AS n_docs,
        array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
 FROM fp GROUP BY sim_hi, sim_lo
 """
 
 
-@query("doc_simhash_md5", oracle=_SIMHASH_MD5_ORACLE, tags=("text", "X6", "simhash"))
-def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-oracled SimHash (X6b): 64-bit fingerprint from md5 token
-    hashes (two 32-bit halves), tf-weighted ±1 bit votes, grouped into
-    identical-fingerprint clusters.
-
-    This is the cross-engine-checkable twin of doc_simhash (whose
-    xxhash64 is Spark-private and therefore rows-only): explode →
-    one (doc_id) agg computing all 64 vote sums → bit reassembly from
-    integer literals. Every quantity is integer end to end — votes,
-    signs, bit weights — so the hash compare is exact by construction.
-
-    Scale: the shuffle carries (doc_id, two 32-bit ints) per token
-    occurrence; the vote agg is partial+final (map-side combine), and
-    the fingerprint groupBy touches 16 B/doc. Same plan class as
-    doc_dedup_stats.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def _md5_simhash_fp(d):
+    """(doc_id, sim_hi, sim_lo): the engine-portable 64-bit SimHash as
+    two 32-bit halves — md5 token hashes, tf-weighted ±1 votes, bit
+    reassembly from integer literals. Shared by doc_simhash_md5 and
+    doc_simhash_md5_neighbors; mirrored verbatim by the SQL CTE chain
+    _SIMHASH_MD5_FP_CTES."""
     tok = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
@@ -528,17 +520,125 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("bigint"))
         return out
 
-    fp = votes.select(
+    return votes.select(
         "doc_id",
         assemble("h").alias("sim_hi"),
         assemble("l").alias("sim_lo"),
     )
+
+
+@query("doc_simhash_md5", oracle=_SIMHASH_MD5_ORACLE, tags=("text", "X6", "simhash"))
+def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled SimHash (X6b): 64-bit fingerprint from md5 token
+    hashes (two 32-bit halves), tf-weighted ±1 bit votes, grouped into
+    identical-fingerprint clusters.
+
+    This is the cross-engine-checkable twin of doc_simhash (whose
+    xxhash64 is Spark-private and therefore rows-only): explode →
+    one (doc_id) agg computing all 64 vote sums → bit reassembly from
+    integer literals. Every quantity is integer end to end — votes,
+    signs, bit weights — so the hash compare is exact by construction.
+
+    Scale: the shuffle carries (doc_id, two 32-bit ints) per token
+    occurrence; the vote agg is partial+final (map-side combine), and
+    the fingerprint groupBy touches 16 B/doc. Same plan class as
+    doc_dedup_stats.
+    """
+    fp = _md5_simhash_fp(load_table(spark, sf_dir, "documents"))
     # doc_ids serialize to a comma-joined string (sorted, so
     # deterministic) — the driver canonicalizer can't hash array
     # columns (r6 crash; see tests/test_entry_contract.py lint).
     return fp.groupBy("sim_hi", "sim_lo").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
+    )
+
+
+# Oracled Hamming-neighbor twin (r7): candidates via pigeonhole
+# banding in Spark, brute-force popcount cross join in the oracle —
+# the banding is candidate-complete (a pair within Hamming d must
+# agree exactly on one of d+1 disjoint bands) and exact-verified, so
+# the two enumerate the SAME pair set by construction; the hash
+# compare proves it.
+_SIMHASH_MD5_NEIGHBORS_ORACLE = f"""
+WITH {_SIMHASH_MD5_FP_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+"""
+
+
+@query(
+    "doc_simhash_md5_neighbors",
+    oracle=_SIMHASH_MD5_NEIGHBORS_ORACLE,
+    tags=("text", "X6b", "simhash"),
+)
+def doc_simhash_md5_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled SimHash Hamming-≤3 pairs (X6b twin): pigeonhole
+    banding over the portable md5 fingerprint — 4 disjoint 16-bit
+    bands of the 64 bits; any pair within Hamming 3 agrees exactly on
+    at least one band, so candidates are an equi-join on
+    (band_id, band_bits), never all-pairs — then exact two-half
+    popcount verification. The brute-force oracle proves the banding
+    loses nothing; output columns are (id_a, id_b, hamming).
+
+    Scale: 4 rows of (16-bit band, 8 B fp) per doc into the candidate
+    shuffle; verification touches candidates only — the
+    simhash_hamming_neighbors shape with an engine-portable hash.
+    """
+    fp = _md5_simhash_fp(load_table(spark, sf_dir, "documents"))
+    bands = fp.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)).alias("band_bits"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.shiftrightunsigned(F.col("sim_lo"), 16).alias("band_bits"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)).alias("band_bits"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_id"),
+                    F.shiftrightunsigned(F.col("sim_hi"), 16).alias("band_bits"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim_hi", "sim_lo", "b.band_id", "b.band_bits")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+        "band_id",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+        "band_id",
+        "band_bits",
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
     )
 
 

@@ -52,6 +52,22 @@ def row_key(row):
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
+    # The driver's canonicalizer cannot sort/hash array/map/struct
+    # cells (r6 doc_inverted_index crash): an oracled query returning
+    # one must FAIL here even though normalize() below could tuple-ize
+    # it — "local green => driver green" must stay true.
+    import numpy as np
+
+    for c in spark_pdf.columns:
+        col = spark_pdf[c]
+        if col.dtype == object and col.map(
+            lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+        ).any():
+            problems.append(
+                f"column '{c}' holds complex values the driver canonicalizer "
+                "cannot hash — serialize it (array_join/to_json) on both sides"
+            )
+            return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
