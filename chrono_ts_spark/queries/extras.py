@@ -175,7 +175,11 @@ def sf_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("rel_approx_distinct", oracle=None, tags=("relational", "A2", "no-oracle"))
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx_count_distinct next to the exact count (sanity: ±5%)."""
+    """HLL approx_count_distinct next to the exact count (sanity: ±5%).
+
+    Rows-only: the HLL sketch layout/hash is engine-specific, so the
+    approximate column has no cross-engine oracle; the exact column
+    rides alongside and the ±5% envelope is asserted in pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),

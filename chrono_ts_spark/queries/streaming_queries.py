@@ -41,7 +41,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_dedup_counts", oracle=None, tags=("streaming", "ST5", "no-oracle"))
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful dedup on event_id, then per-type counts."""
+    """Stateful dedup on event_id, then per-type counts.
+
+    Rows-only: DuckDB cannot replay a stream; exact equivalence with
+    the batch dedup aggregate is pinned in pytest."""
     return run_stateful_dedup_stream(spark, sf_dir)
 
 
@@ -72,7 +75,10 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_ema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
 def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful op: per-user EMA via applyInPandasWithState."""
+    """Custom stateful op: per-user EMA via applyInPandasWithState.
+
+    Rows-only: no stream replay in DuckDB; bit-exact equivalence with
+    batch ts_ema (itself recursive-CTE-oracled) is pinned in pytest."""
     from ..streaming.stateful import run_ema_stream
 
     return run_ema_stream(spark, sf_dir)
@@ -90,7 +96,10 @@ def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_running_extrema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
 def stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transformWithStateInPandas: per-user running min/max/count."""
+    """transformWithStateInPandas: per-user running min/max/count.
+
+    Rows-only: no stream replay in DuckDB; exact equivalence with the
+    batch window extrema is pinned in pytest."""
     from ..streaming.stateful import run_running_extrema_stream
 
     return run_running_extrema_stream(spark, sf_dir)

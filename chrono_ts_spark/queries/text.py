@@ -318,6 +318,11 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     table so the signature pipeline runs once instead of per self-join
     branch — the cluster-scale setting (see operators/dedup.py and
     BASELINE.md crossover guidance); default recompute wins locally.
+
+    Rows-only: xxhash64 is Spark-private, so these signatures have no
+    cross-engine oracle — doc_minhash_md5 is the fully-oracled twin of
+    the same pipeline; pytest additionally pins planted near-dup
+    recovery and exact-Jaccard agreement here.
     """
     import os
 
@@ -424,7 +429,12 @@ def doc_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_simhash", oracle=None, tags=("text", "X6", "no-oracle"))
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc + groups sharing a fingerprint."""
+    """64-bit SimHash per doc + groups sharing a fingerprint.
+
+    Rows-only: xxhash64 is Spark-private, so no cross-engine oracle
+    exists for THIS hash family — doc_simhash_md5 is the fully-oracled
+    twin of the same algorithm, and pytest pins this one's clustering
+    behavior on planted permutation/duplicate docs."""
     d = load_table(spark, sf_dir, "documents")
     s = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
     grp = s.groupBy("simhash64").agg(
@@ -702,7 +712,12 @@ def doc_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_features", oracle=None, tags=("multimodal", "X9", "no-oracle"))
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: payload + metadata + mapInPandas features."""
+    """Binary-column pipeline: payload + metadata + mapInPandas features.
+
+    Rows-only: the decode step is a documented deterministic stub
+    (image/audio libs absent in this environment) and the payloads are
+    synthetic binary — exact per-row expectations are pinned in
+    tests/test_multimodal.py instead."""
     from ..operators.multimodal import multimodal_features
 
     d = load_table(spark, sf_dir, "documents")
@@ -2686,7 +2701,9 @@ def doc_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stemmer is the published Porter 1980 algorithm
     (operators/textfns.py:porter_stem), applied inside an Arrow
     pandas_udf over exploded tokens; aggregation is two exact hash
-    counts. Deterministic by construction.
+    counts. Deterministic by construction. Rows-only: the 5-step
+    Porter rule cascade is not expressible in portable SQL; pytest
+    pins the stemmer against the published test vectors.
     """
     from ..session import ensure_package_on_workers
 

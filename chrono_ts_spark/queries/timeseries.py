@@ -2518,7 +2518,8 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 cells, so the distance is bit-deterministic however the
     pairs partition (docs/scale.md: pairs are the scale axis, the DP
     per pair is O(n*r) numpy inside the sanctioned sequential
-    boundary)."""
+    boundary). Rows-only: the banded DP recurrence has no SQL twin;
+    pytest pins it against an unbanded brute-force DP."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -2593,6 +2594,10 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     whenever true segments are shorter than L; (2) binary segmentation
     — recursive single-split search, O(n log n), approximate but
     consistent for well-separated changes. See docs/scale.md.
+
+    Rows-only: the pruned optimal-partition DP has no SQL twin; pytest
+    pins exact equality with the unpruned O(n^2) DP on planted and
+    random series.
     """
     from ..session import ensure_package_on_workers
 
@@ -3638,6 +3643,8 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aligned series inside applyInPandas (calendar-bounded length,
     series count scales out). Gaps are zero-filled on the regular
     hourly grid — the standard periodogram convention, deterministic.
+    Rows-only: the rFFT has no SQL twin; pytest pins planted
+    24h-cycle recovery.
     """
     from ..session import ensure_package_on_workers
 

@@ -103,7 +103,12 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ann_lsh", oracle=None, tags=("vectors", "ANN", "no-oracle", "bench"))
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via multi-table sign-LSH (8 tables × 6 bits)."""
+    """Approximate top-5 via multi-table sign-LSH (8 tables × 6 bits).
+
+    Rows-only: the seeded-numpy hyperplanes are engine-private (no
+    SQL can reproduce the buckets) — emb_ann_md5 is the fully-oracled
+    twin of the same design, and recall >= 0.9 vs the exact top-k is
+    pinned in pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(e, probes, dims=_DIMS, k=5, n_planes=6, n_tables=8)
@@ -255,7 +260,11 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ann_ivf", oracle=None, tags=("vectors", "ANN", "no-oracle"))
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (16-cell k-means quantizer, 2 probes)."""
+    """IVF ANN top-5 (16-cell k-means quantizer, 2 probes).
+
+    Rows-only: the coarse quantizer is iteratively fit (Lloyd's), so
+    no SQL twin exists for the cell assignment; recall >= 0.9 vs the
+    exact top-k is pinned in pytest (tests/test_dedup_similarity.py)."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -499,7 +508,9 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials in fixed point (addition-order-immune, O(d^2 x batches)
     on the shuffle — row count never); driver part = 64 x 64 eigh
     (bounded). Deterministic: exact integer sums, eigh on the same
-    matrix, sign fixed by largest-|coordinate|-positive.
+    matrix, sign fixed by largest-|coordinate|-positive. Rows-only:
+    eigendecomposition has no SQL twin; pytest pins the spectrum on
+    planted low-rank data and against numpy full-data PCA.
     """
     from ..operators.clustering import covariance_matrix, pca_components
 
