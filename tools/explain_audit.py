@@ -223,6 +223,32 @@ RULES: dict[str, dict[str, list[str]]] = {
         "want": ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    # ---- r7 additions ----
+    "ts_lttb_downsample": {
+        # one shuffle on user_id into the sanctioned sequential boundary
+        "want": ["FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "doc_minhash_md5": {
+        # banded equi-join, never all-pairs (portable twin keeps the
+        # fast path's candidate shape)
+        "want": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "doc_simhash_md5_neighbors": {
+        # pigeonhole-band equi-join, never all-pairs
+        "want": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "emb_ann_md5": {
+        # (table, bucket) equi-join with the probe side broadcast. The
+        # BroadcastNestedLoopJoin in this plan is the DELIBERATE tiny
+        # cross join building the 8x6x64 literal sign matrix (the
+        # emb_cosine_topk exemption class) — only CartesianProduct is
+        # forbidden.
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
