@@ -2948,6 +2948,98 @@ def doc_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X5c: cross-document repeated n-gram spans (passage-level dedup — the
+# scalable approximation of suffix-array substring dedup, r7)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 10  # window length in tokens
+
+
+@query(
+    "doc_repeated_spans",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+w AS (
+    SELECT doc_id, u.p AS pos,
+           md5(array_to_string(toks[u.p:u.p + {_SPAN_K} - 1], ' ')) AS wh
+    FROM tok,
+         unnest(CASE WHEN len(toks) >= {_SPAN_K}
+                     THEN generate_series(1, len(toks) - {_SPAN_K} + 1)
+                     ELSE [] END) AS u(p)
+),
+rep AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (wh)),
+isl AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM hit
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+    tags=("text", "X5c", "dedup"),
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token spans (passage-level
+    dedup): every {_SPAN_K}-token window is hashed (md5 of the
+    space-joined slice — engine-portable); a window repeated in >= 2
+    DISTINCT documents marks its positions, and adjacent marked
+    positions merge into maximal spans via gaps-and-islands. This is
+    the scalable approximation of exact suffix-array substring dedup
+    ("deduplicating training data" passage removal): a repeated
+    passage of length L >= {_SPAN_K} is covered exactly by its
+    L - {_SPAN_K} + 1 repeated windows, so the emitted span bounds are
+    exact for true repeats; only coincidental hash collisions (md5,
+    negligible) or sub-{_SPAN_K} repeats escape.
+
+    Output: (doc_id, span_start, span_end, span_tokens), 1-based
+    inclusive token positions, one row per maximal repeated span.
+
+    Scale shape: the window explode carries (16-byte hash, doc_id,
+    pos) rows — ~1 per token; frequency is one partial+final groupBy
+    on the hash; marked positions come back via a shuffle equi-join on
+    the hash (candidates only — the repeated subset); the island merge
+    is a per-doc window. No pair of documents is ever joined, so cost
+    is O(tokens + repeats), never O(docs^2) — same discipline as the
+    MinHash banding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    win = F.when(
+        F.size(toks) >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(_SPAN_K - 1)),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, p, _SPAN_K))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+    w = widen(d).select("doc_id", F.explode(win).alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.wh").alias("wh")
+    )
+    rep = (
+        w.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    hit = w.join(rep, "wh").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    isl = hit.withColumn("grp", grp)
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_K - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(_SPAN_K)).cast("bigint").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+# ---------------------------------------------------------------------------
 # X5b: canonicalized near-exact dedup (normalization + hash)
 # ---------------------------------------------------------------------------
 

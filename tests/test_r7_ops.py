@@ -229,3 +229,48 @@ class TestHierarchicalKmeans:
         out = hierarchical_kmeans_assign(df, 16, 6).collect()
         assert len(out) == 6
         assert all(r.cluster >= 0 for r in out)
+
+
+class TestRepeatedSpans:
+    def _write_docs(self, spark, tmp_path, docs):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_planted_passage_exact_bounds(self, spark, tmp_path):
+        # a 15-token passage shared by docs 0 and 1 at different
+        # offsets; doc 2 is unrelated; doc 3 shares only 5 tokens
+        # (below the k=10 window) with doc 0
+        passage = " ".join(f"shared{i}" for i in range(15))
+        docs = [
+            (0, "a0 b0 c0 " + passage + " z0"),          # passage at pos 4..18
+            (1, passage + " tail1 tail2"),               # passage at pos 1..15
+            (2, " ".join(f"only{i}" for i in range(30))),
+            (3, "x1 x2 " + " ".join(f"shared{i}" for i in range(5)) + " y1 y2 y3"),
+        ]
+        sf = self._write_docs(spark, tmp_path, docs)
+        rows = REG["doc_repeated_spans"].fn(spark, sf).collect()
+        got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in rows}
+        assert got == {(0, 4, 18, 15), (1, 1, 15, 15)}
+
+    def test_distinct_abutting_repeats_stay_separate_spans(self, spark, tmp_path):
+        # doc 0 contains two DIFFERENT repeated passages back to back:
+        # the straddling windows exist only in doc 0, so the marked
+        # window starts (1 and 11) are not consecutive and each repeat
+        # gets its own exact span — islands merge only via the
+        # overlapping windows of ONE longer repeat (test above)
+        p1 = " ".join(f"pa{i}" for i in range(10))
+        p2 = " ".join(f"pb{i}" for i in range(10))
+        docs = [
+            (0, p1 + " " + p2),
+            (1, "l1 l2 " + p1 + " r1"),    # only p1
+            (2, "m1 " + p2 + " n1 n2"),    # only p2
+        ]
+        sf = self._write_docs(spark, tmp_path, docs)
+        rows = REG["doc_repeated_spans"].fn(spark, sf).collect()
+        got = {(r.doc_id, r.span_start, r.span_end) for r in rows}
+        assert got == {(0, 1, 10), (0, 11, 20), (1, 3, 12), (2, 2, 11)}
