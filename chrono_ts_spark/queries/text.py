@@ -3039,6 +3039,91 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_tokens")
 
 
+@query(
+    "doc_span_dedup_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+w AS (
+    SELECT doc_id, u.p AS pos,
+           md5(array_to_string(toks[u.p:u.p + {_SPAN_K} - 1], ' ')) AS wh
+    FROM tok,
+         unnest(CASE WHEN len(toks) >= {_SPAN_K}
+                     THEN generate_series(1, len(toks) - {_SPAN_K} + 1)
+                     ELSE [] END) AS u(p)
+),
+rep AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (wh)),
+isl AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM hit
+),
+spans AS (
+    SELECT doc_id, CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / CAST(len(t.toks) AS DOUBLE), 6) AS dup_fraction,
+       CASE WHEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(t.toks) AS DOUBLE) > 0.5
+            THEN 1 ELSE 0 END AS flag_drop
+FROM tok t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+WHERE len(t.toks) > 0
+""",
+    tags=("text", "X5c", "dedup", "quality"),
+)
+def doc_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-content contamination rate: the fraction
+    of tokens covered by cross-document repeated spans
+    (doc_repeated_spans' islands), plus the >50% drop flag — the
+    gating metric a passage-dedup pipeline filters on. Every doc with
+    at least one token gets a row (zero spans -> 0.0), so the metric
+    is a total function of the corpus.
+
+    Determinism: token/span counts are exact integers; dup_fraction is
+    one integer/integer IEEE division rounded 6dp on both sides; the
+    drop flag compares the unrounded quotient to the exact double 0.5.
+
+    Scale: identical shape to doc_repeated_spans (window explode, hash
+    groupBy, candidates-only join) plus one per-doc agg and a LEFT
+    join back onto the token counts — all keyed on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    spans = doc_repeated_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+    )
+    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    j = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias("dup_tokens"),
+    )
+    frac = F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.round(frac, 6).alias("dup_fraction"),
+        F.when(frac > 0.5, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("flag_drop"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5b: canonicalized near-exact dedup (normalization + hash)
 # ---------------------------------------------------------------------------

@@ -274,3 +274,26 @@ class TestRepeatedSpans:
         rows = REG["doc_repeated_spans"].fn(spark, sf).collect()
         got = {(r.doc_id, r.span_start, r.span_end) for r in rows}
         assert got == {(0, 1, 10), (0, 11, 20), (1, 3, 12), (2, 2, 11)}
+
+
+class TestSpanDedupStats:
+    def test_contamination_fraction_and_flag(self, spark, tmp_path):
+        passage = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+        docs = [
+            (0, passage + " " + " ".join(f"u{i}" for i in range(12))),  # 12/24 dup
+            (1, passage),                                               # 12/12 dup
+            (2, " ".join(f"v{i}" for i in range(10))),                  # clean
+        ]
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = {r.doc_id: r for r in
+                REG["doc_span_dedup_stats"].fn(spark, str(tmp_path)).collect()}
+        assert rows[0].dup_fraction == 0.5 and rows[0].flag_drop == 0  # not > 0.5
+        assert rows[1].dup_fraction == 1.0 and rows[1].flag_drop == 1
+        assert rows[2].dup_tokens == 0 and rows[2].n_spans == 0
+        assert rows[2].dup_fraction == 0.0 and rows[2].flag_drop == 0
+        assert set(rows) == {0, 1, 2}  # total function of the corpus
