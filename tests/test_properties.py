@@ -357,3 +357,109 @@ def test_sax_affine_invariance_pure(vals, a, b):
             assert min(abs(abs(zb) - 0.6745), abs(zb)) < 1e-5, (zb, zs, sb, ss)
         else:
             assert abs(zb - zs) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# r7: LTTB fixed-point selection invariants (pure reference — no Spark,
+# so examples are cheap) and repeated-span structure
+# ---------------------------------------------------------------------------
+
+int_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),       # x offset (micros)
+        st.integers(min_value=-50_000, max_value=50_000),  # y cents
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=int_series, n_out=st.integers(min_value=3, max_value=40))
+def test_lttb_selection_shape_invariants(pts, n_out):
+    """Kept indices: strictly increasing, first=0, last=n-1, exactly
+    min(n_out, n) of them (pass-through below the threshold)."""
+    from chrono_ts_spark.operators.lttb import lttb_select_indices
+
+    pts = sorted(set(pts))
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    n = len(xs)
+    idx = lttb_select_indices(xs, ys, n_out)
+    if n_out >= n or n <= 2:
+        assert idx == list(range(n))
+        return
+    assert idx[0] == 0 and idx[-1] == n - 1
+    assert idx == sorted(set(idx))
+    assert len(idx) == n_out
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=int_series,
+    n_out=st.integers(min_value=3, max_value=30),
+    x_shift=st.integers(min_value=0, max_value=10**12),
+    scale=st.integers(min_value=1, max_value=1000),
+)
+def test_lttb_selection_affine_invariant(pts, n_out, x_shift, scale):
+    """The span-scaled integer area makes selection EXACTLY invariant
+    under x translation and positive x/y scaling — the property that
+    lets the oracle use epoch micros while magnitudes stay bounded."""
+    from chrono_ts_spark.operators.lttb import lttb_select_indices
+
+    pts = sorted(set(pts))
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    base = lttb_select_indices(xs, ys, n_out)
+    shifted = lttb_select_indices(
+        [scale * (x + x_shift) for x in xs], [scale * y for y in ys], n_out
+    )
+    assert base == shifted
+
+
+doc_words = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(8)]), min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=doc_words)
+def test_repeated_spans_structure(spark, docs, tmp_path_factory):
+    """Every emitted span: length >= K, bounds consistent, inside the
+    doc, non-overlapping within a doc, and its first window genuinely
+    occurs in >= 2 documents."""
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.queries.text import _SPAN_K
+
+    reg = load_all()
+    tmp = tmp_path_factory.mktemp("spans")
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = reg["doc_repeated_spans"].fn(spark, str(tmp)).collect()
+    toks = {i: ws for i, ws in enumerate(docs)}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert r.span_tokens >= _SPAN_K
+        assert r.span_end - r.span_start + 1 == r.span_tokens
+        assert 1 <= r.span_start and r.span_end <= len(toks[r.doc_id])
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        # the first window of the span occurs in some OTHER doc too
+        w = toks[r.doc_id][r.span_start - 1 : r.span_start - 1 + _SPAN_K]
+        others = sum(
+            1
+            for j, ws in toks.items()
+            if any(ws[p : p + _SPAN_K] == w for p in range(len(ws) - _SPAN_K + 1))
+        )
+        assert others >= 2, (r, w)
+    for _, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2  # maximal spans cannot overlap or abut-merge
