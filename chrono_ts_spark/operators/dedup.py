@@ -136,16 +136,16 @@ def minhash_lsh_candidates(
     is DuckDB-oracle-able (doc_minhash_md5). Same algorithm, same
     affine family, same banding; only the base hash differs.
 
-    materialize: when True, the banded signature table is persisted
-    (MEMORY_AND_DISK) so the shingle→hash→64-min-aggregate pipeline —
-    the dominant cost — runs ONCE instead of once per self-join branch.
-    This is the right default on a real cluster (at 100 TB the recompute
-    doubles the most expensive stage); it defaults to False because at
-    bench scale (sf0.1, local[32]) cache write + scheduling overhead
-    measurably exceed the saved recompute — see BASELINE.md for the
-    measured crossover guidance. The persisted table lives until the
-    caller's session drops it (spark.catalog.clearCache() or
-    .unpersist() via the returned plan's source).
+    materialize: since the r7 alias-self-join rewrite, both join
+    branches read ONE explicitly-repartitioned child plan and AQE's
+    runtime exchange reuse already computes the signature pipeline
+    once. materialize=True additionally persists that banded table
+    (MEMORY_AND_DISK) — belt over AQE's braces for very large corpora
+    or engines without adaptive execution; it defaults to False
+    because at bench scale cache write + scheduling overhead exceed
+    the saving (BASELINE.md crossover guidance). The persisted table
+    lives until the caller's session drops it
+    (spark.catalog.clearCache() or .unpersist()).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -199,34 +199,39 @@ def minhash_lsh_candidates(
         ).alias("__band"),
     ).select("__id", "__sig", "__band.band_id", "__band.band_hash")
 
-    # NOTE on the self-join: without materialize=True both branches
-    # recompute the signature pipeline (exchange reuse doesn't fire
-    # across the differently-projected branches). At bench scale
-    # recompute wins (cache write + scheduling overhead exceed the
-    # saved recompute); at cluster scale pass materialize=True.
+    # Self-join via one EXPLICIT repartition on the band key and two
+    # aliases of the SAME child plan (r7): with identically-projected
+    # branches, AQE's exchange reuse fires at runtime and the signature
+    # pipeline — the dominant cost — is computed once, not once per
+    # branch; the join itself then needs no further shuffle (both
+    # sides already share the band partitioning). Same shuffle count
+    # as the old differently-projected form, half the signature
+    # compute; measured ~7% on the sf0.1 solo number and strictly
+    # better at cluster scale. materialize=True additionally pins the
+    # banded table across retries/stage reuse (belt over AQE's
+    # braces) for very large corpora.
+    banded = banded.repartition("band_id", "band_hash")
     if materialize:
         from pyspark import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-    )
-    b = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
-            "id_a",
-            "id_b",
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y)
+                            F.col("a.__sig"), F.col("b.__sig"), lambda x, y: (x == y)
                         ),
                         lambda eq: eq,
                     )
