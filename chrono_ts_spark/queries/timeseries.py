@@ -2297,13 +2297,12 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned), but the pair expansion is inherently O(n_s^2) per
     series — correct for the bounded per-series densities of metrics
     data (fixture: ~67 pts/user at every SF). 100 TB swap-ins for
-    unbounded series, in preference order (the percentile→KLL "named
-    swap" convention): (1) SAMPLED Theil–Sen — median of slopes over a
-    fixed-size random pair sample, O(n_s) per series with the
-    estimator's usual concentration guarantees; (2) a bounded
-    pair-offset window (slopes between points ≤ k apart); (3) the
-    repeated-median sketch (per-point median of slopes, then median of
-    medians — higher breakdown, still O(n_s·k)). See docs/scale.md.
+    unbounded series: ts_theil_sen_windowed (below) IS the implemented
+    bounded-pair-offset variant — O(n_s·W) pairs, fully oracled, exact
+    for series shorter than W; sampled Theil–Sen (fixed-size random
+    pair sample) and the repeated-median sketch remain the named
+    alternatives when the rank band itself is unwanted. See
+    docs/scale.md.
     """
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -2326,6 +2325,80 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("user_id"), m.alias("m"))
     )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
+    )
+
+
+# W9 scale path (r7): the bounded pair-offset Theil-Sen named in
+# ts_theil_sen's docstring, implemented — O(n_s * W) pairs per series
+# instead of O(n_s^2), same exact-median machinery, fully oracled.
+_TS_WIN = 16  # pair-offset bound (slopes between points <= W ranks apart)
+
+
+@query(
+    "ts_theil_sen_windowed",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, value, epoch_us(ts) AS t,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+p AS (
+    SELECT a.user_id,
+           CAST(round(round((b.value - a.value)
+                 / (CAST(b.t - a.t AS DOUBLE) / 3600000000.0), 6)
+                 * 1000000.0, 0) AS BIGINT) AS m
+    FROM o a JOIN o b
+      ON a.user_id = b.user_id
+     AND b.rn > a.rn AND b.rn <= a.rn + {_TS_WIN}
+     AND a.t <> b.t
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(m, 0.5) / 1000000.0 AS slope_per_hour
+FROM p GROUP BY user_id
+""",
+    tags=("tsdb", "robust", "trend", "W9"),
+)
+def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-pair-offset Theil-Sen per user (the 100 TB scale path
+    ts_theil_sen's docstring names, implemented): slopes only between
+    points <= {_TS_WIN} time-order ranks apart, so the pair set is
+    O(n_s * {_TS_WIN}) per series — linear in series length — while
+    keeping the estimator's robustness for locally-dense outliers.
+    Same exactness machinery as the full version: 6dp slope rounding
+    into integer micro-units, exact interpolated median, one final
+    /1e6. Equal-timestamp pairs excluded by integer epoch compare.
+
+    Scale: one user_id shuffle; the rank band makes every join match
+    bounded, so no series can quadratically expand; the windowed
+    estimate converges to the full Theil-Sen as W grows (W = n_s
+    recovers it exactly — pinned in pytest on small series).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    slope6 = F.round(
+        (F.col("b.value") - F.col("a.value"))
+        / ((F.col("b.t") - F.col("a.t")).cast("double") / F.lit(3600000000.0)),
+        6,
+    )
+    m = F.round(slope6 * F.lit(1000000.0), 0).cast("bigint")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + _TS_WIN)
+        & (F.col("a.t") != F.col("b.t")),
+    ).select(F.col("a.user_id").alias("user_id"), m.alias("m"))
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),

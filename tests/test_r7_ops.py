@@ -297,3 +297,44 @@ class TestSpanDedupStats:
         assert rows[2].dup_tokens == 0 and rows[2].n_spans == 0
         assert rows[2].dup_fraction == 0.0 and rows[2].flag_drop == 0
         assert set(rows) == {0, 1, 2}  # total function of the corpus
+
+
+class TestTheilSenWindowed:
+    def test_recovers_full_estimator_on_short_series(self, spark, tmp_path):
+        # a series shorter than the W=16 rank band sees ALL its pairs,
+        # so the windowed estimate equals the full Theil-Sen exactly
+        from datetime import timedelta
+
+        rows = []
+        for u in (1, 2):
+            for i in range(12):  # 12 < 16 -> full pair set
+                v = 2.0 * i + (50.0 if (u == 2 and i == 6) else 0.0)  # outlier
+                rows.append((u * 100 + i, D0 + timedelta(hours=i), u, "a", v, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        full = {r.user_id: (r.n_pairs, r.slope_per_hour)
+                for r in REG["ts_theil_sen"].fn(spark, str(tmp_path)).collect()}
+        win = {r.user_id: (r.n_pairs, r.slope_per_hour)
+               for r in REG["ts_theil_sen_windowed"].fn(spark, str(tmp_path)).collect()}
+        assert win == full
+        assert win[1][1] == 2.0          # clean ramp
+        assert abs(win[2][1] - 2.0) < 0.5  # outlier-robust
+
+    def test_pair_count_is_linear_in_series_length(self, spark, tmp_path):
+        # n=50 with W=16: pairs = sum over gaps, NOT n*(n-1)/2
+        from datetime import timedelta
+
+        n, W = 50, 16
+        rows = [(i, D0 + timedelta(minutes=i), 1, "a", float(i), "{}")
+                for i in range(n)]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = REG["ts_theil_sen_windowed"].fn(spark, str(tmp_path)).collect()
+        expected_pairs = sum(min(W, n - 1 - i) for i in range(n))
+        assert out[0].n_pairs == expected_pairs < n * (n - 1) // 2
