@@ -125,7 +125,7 @@ def cusum(
     return joined.groupBy(*keys).applyInPandas(run, out_schema)
 
 
-def pelt_l2(xs, beta: float):
+def pelt_l2(xs, beta: float, max_lookback: int | None = None):
     """PELT changepoint detection, L2 (piecewise-constant-mean) cost.
 
     Exact optimal-partition solver (Killick et al. 2012, public
@@ -147,6 +147,15 @@ def pelt_l2(xs, beta: float):
 
     Returns the sorted list of changepoint indices (each the first
     index of a new segment; [] = no change).
+
+    ``max_lookback=L`` is the 100 TB swap named in the r6 verdict,
+    implemented: candidate starts older than L points are dropped
+    BEFORE pruning, capping the per-step scan at O(L) and the whole
+    solve at O(n*L) even on the pruning-proof pure-noise worst case.
+    The result equals exact PELT whenever every true segment is
+    shorter than L (the dropped candidates could only start segments
+    longer than L); longer segments get split approximately — the
+    documented trade, pinned in tests.
     """
     import numpy as np
 
@@ -162,6 +171,10 @@ def pelt_l2(xs, beta: float):
     prev = np.zeros(n + 1, dtype=np.int64)
     cands = np.array([0], dtype=np.int64)
     for t in range(1, n + 1):
+        if max_lookback is not None:
+            # bounded lookback: only starts within the last L points
+            # (t-1 is always present, so the set is never empty)
+            cands = cands[cands >= t - max_lookback]
         ln = t - cands
         sdiff = ps[t] - ps[cands]
         sse = (pq[t] - pq[cands]) - sdiff * sdiff / ln

@@ -2662,11 +2662,11 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to exactness). Emits one row per segment with its exact
     integer-cents bounds and mean. 100 TB swap-ins for series long
     enough that the O(n^2) worst case bites (the percentile→KLL
-    "named swap" convention): (1) BOUNDED-LOOKBACK PELT — cap the DP
-    candidate set at the last L points, O(n·L) worst case, exact
-    whenever true segments are shorter than L; (2) binary segmentation
-    — recursive single-split search, O(n log n), approximate but
-    consistent for well-separated changes. See docs/scale.md.
+    "named swap" convention): ts_pelt_bounded (below) IS the
+    implemented bounded-lookback variant — pelt_l2(max_lookback=L),
+    O(n·L) on the worst case, exact whenever true segments are
+    shorter than L; binary segmentation (O(n log n), approximate)
+    remains the named alternative. See docs/scale.md.
 
     Rows-only: the pruned optimal-partition DP has no SQL twin; pytest
     pins exact equality with the unpruned O(n^2) DP on planted and
@@ -2693,6 +2693,71 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         var = float(np.var(xs))
         beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
         bounds = [0] + pelt_l2(xs, beta) + [n]
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            rows.append(
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "seg_idx": i,
+                    "start_ts_s": pdf["ts"].iloc[lo].strftime("%Y-%m-%d %H:%M:%S"),
+                    "end_ts_s": pdf["ts"].iloc[hi - 1].strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_pts": hi - lo,
+                    "mean_cents": float(xs[lo:hi].sum() / (hi - lo)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        run,
+        "user_id bigint, seg_idx int, start_ts_s string, end_ts_s string, "
+        "n_pts long, mean_cents double",
+    )
+
+
+# W12 scale path (r7): bounded-lookback PELT — the named swap from the
+# r6 verdict, implemented. L caps the DP candidate scan at O(L) per
+# step (O(n*L) total even on the pruning-proof noise worst case) and
+# doubles as a maximum representable segment length.
+_PELT_L = 256
+
+
+@query("ts_pelt_bounded", oracle=None, tags=("tsdb", "W12", "no-oracle"))
+def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback PELT segmentation per user (L={_PELT_L}):
+    identical to ts_pelt_segments except candidate segment starts
+    older than L points are dropped, so the per-step scan is O(L) and
+    the solve O(n*L) — linear in series length — even on pure-noise
+    series where exact PELT provably degrades to O(n^2). Equal to the
+    exact solver whenever every true segment is shorter than L (pinned
+    in pytest); a longer stationary stretch splits at the L boundary —
+    the documented price of the bound.
+
+    Rows-only: optimal-partition DP has no SQL twin (same reason as
+    ts_pelt_segments); correctness is pinned by the equals-exact-PELT
+    test plus the shared-reference structure tests.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def run(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from chrono_ts_spark.operators.changepoint import pelt_l2
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
+        n = len(xs)
+        var = float(np.var(xs))
+        beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
+        bounds = [0] + pelt_l2(xs, beta, max_lookback=_PELT_L) + [n]
         rows = []
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]

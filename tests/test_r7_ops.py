@@ -338,3 +338,44 @@ class TestTheilSenWindowed:
         out = REG["ts_theil_sen_windowed"].fn(spark, str(tmp_path)).collect()
         expected_pairs = sum(min(W, n - 1 - i) for i in range(n))
         assert out[0].n_pairs == expected_pairs < n * (n - 1) // 2
+
+
+class TestPeltBounded:
+    def test_equals_exact_when_segments_short(self):
+        import numpy as np
+
+        from chrono_ts_spark.operators.changepoint import pelt_l2
+
+        # planted changepoints every ~40 points, all segments << L=60
+        rng = np.random.RandomState(7)
+        xs = np.concatenate(
+            [np.full(40, m) + rng.normal(0, 0.3, 40) for m in (0.0, 8.0, -5.0, 3.0)]
+        )
+        exact = pelt_l2(xs, 25.0)
+        bounded = pelt_l2(xs, 25.0, max_lookback=60)
+        assert exact == bounded
+        assert len(exact) == 3  # the three planted changes found
+
+    def test_long_segment_splits_at_the_bound(self):
+        import numpy as np
+
+        from chrono_ts_spark.operators.changepoint import pelt_l2
+
+        xs = np.random.RandomState(3).normal(size=300)
+        assert pelt_l2(xs, 80.0) == []  # exact: one segment
+        b = pelt_l2(xs, 80.0, max_lookback=64)
+        assert b  # the bound forces splits...
+        bounds = [0] + b + [300]
+        # ...and every emitted segment respects the lookback cap
+        assert all(e - s <= 64 for s, e in zip(bounds, bounds[1:]))
+
+    def test_query_shape_on_fixture(self, spark):
+        rows = REG["ts_pelt_bounded"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for _, segs in by_user.items():
+            segs.sort(key=lambda r: r.seg_idx)
+            assert [s.seg_idx for s in segs] == list(range(len(segs)))
+            assert all(s.n_pts >= 1 for s in segs)
