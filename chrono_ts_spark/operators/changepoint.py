@@ -159,6 +159,8 @@ def pelt_l2(xs, beta: float, max_lookback: int | None = None):
     """
     import numpy as np
 
+    if max_lookback is not None and max_lookback < 1:
+        raise ValueError(f"max_lookback must be >= 1, got {max_lookback}")
     xs = np.asarray(xs, dtype=np.float64)
     n = len(xs)
     if n == 0:

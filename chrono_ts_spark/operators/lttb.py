@@ -24,8 +24,12 @@ the per-bucket argmax — and therefore the kept-point set — is
 bit-identical across engines and the query is fully SQL-oracle-able
 (ts_lttb_downsample's recursive CTE). Bucket boundaries use integer
 floor division for the same reason. With float inputs the same code
-runs IEEE arithmetic in fixed order (the pre-r7 behavior); area ties
-keep the earliest point in either mode.
+runs IEEE arithmetic in fixed order and stays deterministic — but it
+computes the SPAN-SCALED formula (and integer bucket boundaries), so
+on near-tie areas or boundary-straddling rationals float-mode output
+may differ from the pre-r7 mean-anchored implementation by one
+kept point; callers pin against the shared reference, not historical
+output. Area ties keep the earliest point in either mode.
 """
 
 from __future__ import annotations
@@ -94,7 +98,9 @@ def lttb_downsample(
     selection runs on integer coordinates — epoch-microsecond x and
     round(value·scale) y — making the kept-point set exact and
     engine-portable (the SQL-oracle mode; see module doc). When None,
-    float coordinates reproduce the classic IEEE behavior.
+    float coordinates run the same span-scaled selection in IEEE
+    arithmetic (deterministic; see the module doc's note on the r7
+    formula change).
     """
     import pandas as pd
 

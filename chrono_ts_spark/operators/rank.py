@@ -29,21 +29,25 @@ from pyspark.sql import functions as F
 def _digit_band(key: str) -> Column:
     """Digit-count band of a NON-NEGATIVE integral key, guarded loudly.
 
-    band(a) > band(b) ⇒ a > b only holds for keys >= 0: a negative key
-    gains a '-' digit, so band('-5')=2 > band('7')=1 inverts the order
-    and silently corrupts every rank/quantile built on the banding
-    (ADVICE r6). Rather than trust the callers' fixtures, the band
+    band(a) > band(b) ⇒ a > b only holds for non-negative INTEGRAL
+    keys: a negative key gains a '-' digit (band('-5')=2 > band('7')=1)
+    and a fractional key's string length tracks decimal digits, not
+    magnitude (band('9.555')=5 > band('11.5')=4) — either silently
+    corrupts every rank/quantile built on the banding (ADVICE r6 +
+    r7 review). Rather than trust the callers' fixtures, the band
     expression embeds assert_true, so a violating dataset fails the job
     with this message instead of returning wrong order statistics.
     NULL keys do not fire the guard; they keep the pre-existing
     semantics (band NULL, so the row is excluded by the band join).
     """
     guard = F.assert_true(
-        F.col(key).isNull() | (F.col(key) >= 0),
+        F.col(key).isNull()
+        | ((F.col(key) >= 0) & (F.col(key) == F.floor(F.col(key)))),
         F.lit(
-            f"digit-count banding requires non-negative key '{key}' "
-            "(negative values invert band order); shift keys by the "
-            "minimum or scale to non-negative fixed point first"
+            f"digit-count banding requires a non-negative INTEGRAL key "
+            f"'{key}' (negative values invert band order; fractional "
+            "values make string length non-monotonic); scale to "
+            "non-negative fixed point first"
         ),
     )
     return F.when(

@@ -2325,10 +2325,7 @@ def gov_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mkdtemp per call leaked a full state copy every invocation
     # (ADVICE r6). One bounded copy per process instead; the clear
     # also guarantees gen=0/1 below are THIS run's generations.
-    safe = sf_dir.rstrip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"chrono_snapdiff_{safe}_{_RUN_TOKEN}"
-    )
+    root = _roundtrip_dir(sf_dir, "snapdiff", "state")
     shutil.rmtree(root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     mid = ev.agg(

@@ -2970,9 +2970,21 @@ w AS (
 rep AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
 hit AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (wh)),
 isl AS (
+    -- islands merge while marked windows OVERLAP (gap <= K-1): two
+    -- marked positions closer than K cover overlapping token ranges,
+    -- so they are one maximal span; a gap of exactly K abuts without
+    -- overlapping and stays a separate span. (A row_number-difference
+    -- island here would emit OVERLAPPING spans and double-count
+    -- coverage — the r7 review counterexample.)
     SELECT doc_id, pos,
-           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-    FROM hit
+           SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} - 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hit
+    )
 )
 SELECT doc_id,
        CAST(MIN(pos) AS BIGINT) AS span_start,
@@ -3028,10 +3040,20 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wh")
     )
     hit = w.join(rep, "wh").select("doc_id", "pos")
-    grp = F.col("pos") - F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")
+    # merge marked windows while they OVERLAP (gap <= K-1); see the
+    # oracle comment — a plain row_number-difference island emits
+    # overlapping spans and double-counts coverage
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_ord)
+    new_island = F.when(
+        prev.isNull() | (F.col("pos") - prev > _SPAN_K - 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hit.withColumn(
+        "grp",
+        F.sum(new_island).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    isl = hit.withColumn("grp", grp)
     return isl.groupBy("doc_id", "grp").agg(
         F.min("pos").cast("bigint").alias("span_start"),
         (F.max("pos") + F.lit(_SPAN_K - 1)).cast("bigint").alias("span_end"),
@@ -3054,9 +3076,21 @@ w AS (
 rep AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
 hit AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (wh)),
 isl AS (
+    -- islands merge while marked windows OVERLAP (gap <= K-1): two
+    -- marked positions closer than K cover overlapping token ranges,
+    -- so they are one maximal span; a gap of exactly K abuts without
+    -- overlapping and stays a separate span. (A row_number-difference
+    -- island here would emit OVERLAPPING spans and double-count
+    -- coverage — the r7 review counterexample.)
     SELECT doc_id, pos,
-           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-    FROM hit
+           SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} - 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hit
+    )
 ),
 spans AS (
     SELECT doc_id, CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens

@@ -911,13 +911,15 @@ buckets AS (
 anch AS (
     SELECT b.user_id, b.i, b.lo, b.hi,
            CASE WHEN b.nxt_hi <= b.hi THEN 1 ELSE b.nxt_hi - b.hi END AS span,
-           CASE WHEN b.nxt_hi <= b.hi THEN lastp.x ELSE s.sx END AS sx,
-           CASE WHEN b.nxt_hi <= b.hi THEN lastp.yc ELSE s.sy END AS sy
+           CASE WHEN b.nxt_hi <= b.hi THEN CAST(lastp.x AS HUGEINT)
+                ELSE s.sx END AS sx,
+           CASE WHEN b.nxt_hi <= b.hi THEN CAST(lastp.yc AS HUGEINT)
+                ELSE s.sy END AS sy
     FROM buckets b
     JOIN pts lastp ON lastp.user_id = b.user_id AND lastp.idx = b.n - 1
     LEFT JOIN (
         SELECT b2.user_id, b2.i,
-               CAST(SUM(p.x) AS BIGINT) AS sx, CAST(SUM(p.yc) AS BIGINT) AS sy
+               CAST(SUM(p.x) AS HUGEINT) AS sx, CAST(SUM(p.yc) AS HUGEINT) AS sy
         FROM buckets b2
         JOIN pts p ON p.user_id = b2.user_id
                   AND p.idx >= b2.hi AND p.idx < b2.nxt_hi
@@ -929,12 +931,17 @@ rec AS (
     FROM np WHERE n > {_LTTB_N_OUT}
     UNION ALL
     SELECT r.user_id, a.i,
+           -- factors go to HUGEINT BEFORE the multiply: DuckDB throws
+           -- on BIGINT*BIGINT overflow (no promotion), and the area
+           -- terms can pass 2^63 on long/dense series (r7 review)
            arg_min(c.idx,
                CAST(c.idx AS HUGEINT)
-               - CAST(abs(
-                     (q.x * a.span - a.sx) * (c.yc - q.yc)
-                     - (q.x - c.x) * (a.sy - q.yc * a.span)
-                 ) AS HUGEINT) * CAST(1099511627776 AS HUGEINT)) AS sel
+               - abs(
+                     (CAST(q.x AS HUGEINT) * CAST(a.span AS HUGEINT) - a.sx)
+                         * CAST(c.yc - q.yc AS HUGEINT)
+                     - CAST(q.x - c.x AS HUGEINT)
+                         * (a.sy - CAST(q.yc AS HUGEINT) * CAST(a.span AS HUGEINT))
+                 ) * CAST(1099511627776 AS HUGEINT)) AS sel
     FROM rec r
     JOIN anch a ON a.user_id = r.user_id AND a.i = r.i + 1
     JOIN pts q ON q.user_id = r.user_id AND q.idx = r.sel

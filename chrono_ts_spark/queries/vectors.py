@@ -200,7 +200,9 @@ def emb_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = e.select(
+    # broadcast ONLY the probe vectors (r7 review: broadcasting the
+    # unfiltered table ships the whole corpus to every executor)
+    qe = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), vec_double(F.col("embedding")).alias("__qv")
     )
     ce = e.select(

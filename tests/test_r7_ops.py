@@ -379,3 +379,30 @@ class TestPeltBounded:
             segs.sort(key=lambda r: r.seg_idx)
             assert [s.seg_idx for s in segs] == list(range(len(segs)))
             assert all(s.n_pts >= 1 for s in segs)
+
+
+class TestRepeatedSpansOverlapRegression:
+    def test_overlapping_windows_merge_and_fraction_capped(self, spark, tmp_path):
+        # r7 review counterexample: doc0 holds a1..a12; doc1 shares the
+        # 10-token prefix, doc2 the 10-token suffix. doc0's marked
+        # window starts are {1, 3} — overlapping windows that a naive
+        # row_number island would emit as overlapping spans [1,10] and
+        # [3,12] (dup_tokens=20 on a 12-token doc, dup_fraction 1.67).
+        # They must merge into ONE span [1,12], fraction exactly 1.0.
+        mk = lambda lo, hi: " ".join(f"a{i}" for i in range(lo, hi + 1))
+        docs = [(0, mk(1, 12)), (1, mk(1, 10)), (2, mk(3, 12))]
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        spans = {(r.doc_id, r.span_start, r.span_end)
+                 for r in REG["doc_repeated_spans"].fn(spark, str(tmp_path)).collect()}
+        assert (0, 1, 12) in spans
+        assert not any(d == 0 and (s, e) != (1, 12) for d, s, e in spans)
+        stats = {r.doc_id: r for r in
+                 REG["doc_span_dedup_stats"].fn(spark, str(tmp_path)).collect()}
+        assert stats[0].dup_tokens == 12 and stats[0].dup_fraction == 1.0
+        for r in stats.values():
+            assert r.dup_fraction <= 1.0
