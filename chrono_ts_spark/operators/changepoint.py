@@ -43,9 +43,14 @@ def cusum(
     k_sigma: float = 0.5,
     h_sigma: float = 4.0,
     target: tuple[float, float] | None = None,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Per-key CUSUM chart rows: keys + rn, ts, value, s_plus, s_minus,
-    alarm. `ts_col` must give a total order within each key.
+    alarm. `(ts_col, *tiebreak)` must give a total order within each
+    key — pass the tiebreak columns whenever duplicate timestamps are
+    possible (r7 review: without one, equal-ts rows enter the
+    recursion in post-shuffle arrival order and the chart is
+    nondeterministic; the streaming twin sorts by (ts, event_id)).
 
     With `target=(mu, sigma)` the chart monitors against KNOWN process
     parameters (the online formulation — what the streaming variant in
@@ -55,8 +60,9 @@ def cusum(
 
     ensure_package_on_workers(df.sparkSession)
 
+    tb = [c for c in tiebreak if c not in keys]
     if target is not None:
-        joined = df.select(*keys, ts_col, value_col).withColumns(
+        joined = df.select(*keys, ts_col, *tb, value_col).withColumns(
             {"__mu": F.lit(float(target[0])), "__sigma": F.lit(float(target[1]))}
         )
     else:
@@ -74,7 +80,7 @@ def cusum(
                 F.greatest(F.lit(0.0), F.col("__ex2") - F.col("__mu") * F.col("__mu"))
             ).alias("__sigma"),
         )
-        joined = df.select(*keys, ts_col, value_col).join(
+        joined = df.select(*keys, ts_col, *tb, value_col).join(
             F.broadcast(stats), list(keys)
         )
 
@@ -89,7 +95,9 @@ def cusum(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values([ts_col, *tb], kind="mergesort").reset_index(
+            drop=True
+        )
         mu = float(pdf["__mu"].iloc[0])
         sigma = float(pdf["__sigma"].iloc[0])
         slack = k_sigma * sigma

@@ -8,6 +8,9 @@ IS oracle-checked — ts_bucket_agg / ts_sessionize / exact counts).
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
@@ -124,6 +127,26 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich(spark, sf_dir)
 
 
+_RUN_TOKEN = uuid.uuid4().hex[:8]  # per-process isolation
+
+
+def _stream_state_root(name: str) -> str:
+    """Fixed per-process scratch root for a streaming query's keyed
+    store, cleared up front (the _roundtrip_dir pattern): the returned
+    DataFrame lazily reads the live generation, so the store cannot be
+    deleted on exit — but a fresh mkdtemp per invocation leaked one
+    full state copy per micro-batch per run (r7 review). One bounded
+    copy per process instead."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"chrono_{name}_state_{_RUN_TOKEN}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 @query("stream_upsert_counts", oracle=None, tags=("streaming", "ST7b", "no-oracle"))
 def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7b (r6 late): UPDATE-mode window counts merged into a keyed
@@ -131,12 +154,14 @@ def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the production swap-in). Final state == batch aggregation and
     batch re-application is a no-op — both pinned in
     tests/test_r6b_ops.py."""
-    import tempfile
+    from ..streaming.upsert import run_upsert_counts, vacuum_generations
 
-    from ..streaming.upsert import run_upsert_counts
-
-    root = tempfile.mkdtemp(prefix="chrono_upsert_state_")
-    return run_upsert_counts(spark, sf_dir, root)
+    root = _stream_state_root("upsert")
+    state = run_upsert_counts(spark, sf_dir, root)
+    # drop the per-micro-batch snapshots; the live generation (which
+    # the returned plan reads) is retained by contract
+    vacuum_generations(root, keep_last=1)
+    return state
 
 
 @query("stream_alert_burst", oracle=None, tags=("streaming", "ST7b", "alerting", "no-oracle"))
@@ -149,15 +174,14 @@ def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stream_upsert_counts' equivalence proof), the emitted alerts are
     pinned EQUAL to the batch ts_burst_detect rows in tests.
     """
-    import tempfile
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..streaming.upsert import run_upsert_counts
+    from ..streaming.upsert import run_upsert_counts, vacuum_generations
 
-    root = tempfile.mkdtemp(prefix="chrono_alert_state_")
+    root = _stream_state_root("alert")
     state = run_upsert_counts(spark, sf_dir, root)  # bucket_ts, user_id, n_events
+    vacuum_generations(root, keep_last=1)
     w = Window.partitionBy("user_id").orderBy("bucket_ts").rowsBetween(-12, -1)
     t = state.select(
         "user_id",

@@ -1353,7 +1353,8 @@ WITH RECURSIVE stats AS (
     FROM stats
 ), t AS (
     SELECT e.user_id, e.ts, CAST(e.value AS DOUBLE) AS value, s2.mu, s2.sigma,
-           CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS INTEGER) AS rn
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                   ORDER BY e.ts, e.event_id) AS INTEGER) AS rn
     FROM events e JOIN s2 USING (user_id)
 ), c(user_id, rn, ts, value, mu, sigma, s_plus, s_minus, alarm) AS (
     SELECT user_id, rn, ts, value, mu, sigma, s_plus, s_minus,
@@ -1393,7 +1394,7 @@ def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as the doc_pack_sequences oracle)."""
     ev = load_table(spark, sf_dir, "events")
     c = cusum(ev, keys=["user_id"], ts_col="ts", value_col="value",
-              k_sigma=0.5, h_sigma=3.0)
+              k_sigma=0.5, h_sigma=3.0, tiebreak=["event_id"])
     return c.select(
         "user_id", "rn", ts_str("ts").alias("ts"),
         "value", "s_plus", "s_minus", "alarm",

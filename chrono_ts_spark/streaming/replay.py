@@ -6,10 +6,17 @@ the backlog as micro-batches and terminates — the same code, pointed
 at a Kafka source with a processing-time trigger, is the production
 ingest (S4/S6).
 
-Watermarks bound state: with "10 minutes" on a month of data, the
-tumbling-window state store holds only the trailing windows, so the
-pipeline runs in O(active windows), not O(history) — the property that
-matters when the stream is 100 TB/day.
+Watermarks bound state in the production configuration: with
+"10 minutes" on a continuous source, the windowed state store holds
+only the trailing windows — O(active windows), not O(history), the
+property that matters when the stream is 100 TB/day. NOTE (r7 review):
+the replay RUNNERS below use `complete` output mode so the bounded
+fixture replay materializes the full result table for the equivalence
+tests — in complete mode Spark does NOT evict aggregation state, so
+this exact configuration must not be pointed at an unbounded source.
+The production ingest uses the same transformations with
+`update`/`append` output (as run_upsert_sink does), where the
+watermark eviction claim above actually applies.
 """
 
 from __future__ import annotations

@@ -3,9 +3,9 @@ and an arbitrary-stateful custom operator (SURVEY.md §2.9 ST3/J7/ST6).
 
 The stateful op is a per-series exponential moving average — the
 canonical "TSDB operator Spark lacks as a built-in" — implemented with
-``applyInPandasWithState``: state = (last_ema, last_ts) per key,
-updated per micro-batch in event-time order, emitting one EMA row per
-event. Watermark bounds how long idle keys hold state.
+``applyInPandasWithState``: state = the recurrence values per key
+(just the EMA), updated per micro-batch in event-time order, emitting
+one EMA row per event. Watermark bounds how long idle keys hold state.
 """
 
 from __future__ import annotations
@@ -30,13 +30,10 @@ _EMA_OUT = T.StructType(
         T.StructField("ema", T.DoubleType()),
     ]
 )
-_EMA_STATE = T.StructType(
-    [
-        T.StructField("ema", T.DoubleType()),
-        T.StructField("last_ts_us", T.LongType()),
-        T.StructField("last_event_id", T.LongType()),
-    ]
-)
+# state = recurrence values only (r7 review: the last_ts_us /
+# last_event_id fields of the removed replay guard were written every
+# batch but never read — dropped; _CUSUM_STATE was always this form)
+_EMA_STATE = T.StructType([T.StructField("ema", T.DoubleType())])
 
 
 def ema_update_fn(alpha: float):
@@ -51,9 +48,7 @@ def ema_update_fn(alpha: float):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        ema, last_ts, last_id = (
-            state.get if state.exists else (None, None, None)
-        )
+        (ema,) = state.get if state.exists else (None,)
         out = []
         # Late-data policy: event-time order is guaranteed WITHIN a
         # micro-batch (sorted here); an event arriving in a later batch
@@ -63,9 +58,7 @@ def ema_update_fn(alpha: float):
         # batch offsets, so no replay guard is needed for retries.)
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for row in batch.itertuples():
-            ts_us = int(row.ts.value // 1000)  # pandas ns → µs
             ema = row.value if ema is None else alpha * row.value + (1 - alpha) * ema
-            last_ts, last_id = ts_us, int(row.event_id)
             out.append(
                 (
                     key[0],
@@ -75,7 +68,7 @@ def ema_update_fn(alpha: float):
                     ema,
                 )
             )
-        state.update((ema, last_ts, last_id))
+        state.update((ema,))
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "ts_s", "value", "ema"]
         )
@@ -168,8 +161,6 @@ _HOLT_STATE = T.StructType(
     [
         T.StructField("level", T.DoubleType()),
         T.StructField("trend", T.DoubleType()),
-        T.StructField("last_ts_us", T.LongType()),
-        T.StructField("last_event_id", T.LongType()),
     ]
 )
 
@@ -187,9 +178,7 @@ def holt_update_fn(alpha: float, beta: float):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        lvl, trd, last_ts, last_id = (
-            state.get if state.exists else (None, None, None, None)
-        )
+        lvl, trd = state.get if state.exists else (None, None)
         out = []
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for row in batch.itertuples():
@@ -200,7 +189,6 @@ def holt_update_fn(alpha: float, beta: float):
                 nl = a * x + b1 * (lvl + trd)
                 trd = g * (nl - lvl) + g1 * trd
                 lvl = nl
-            last_ts, last_id = int(row.ts.value // 1000), int(row.event_id)
             out.append(
                 (
                     key[0],
@@ -211,7 +199,7 @@ def holt_update_fn(alpha: float, beta: float):
                     trd,
                 )
             )
-        state.update((lvl, trd, last_ts, last_id))
+        state.update((lvl, trd))
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "ts_s", "value", "level", "trend"]
         )
@@ -248,8 +236,6 @@ _KALMAN_STATE = T.StructType(
     [
         T.StructField("x", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
-        T.StructField("last_ts_us", T.LongType()),
-        T.StructField("last_event_id", T.LongType()),
     ]
 )
 
@@ -266,9 +252,7 @@ def kalman_update_fn(q: float, r_noise: float):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        x, p, last_ts, last_id = (
-            state.get if state.exists else (None, None, None, None)
-        )
+        x, p = state.get if state.exists else (None, None)
         out = []
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for row in batch.itertuples():
@@ -280,7 +264,6 @@ def kalman_update_fn(q: float, r_noise: float):
                 k = pp / (pp + r_noise)
                 x = x + k * (z - x)
                 p = (1.0 - k) * pp
-            last_ts, last_id = int(row.ts.value // 1000), int(row.event_id)
             out.append(
                 (
                     key[0],
@@ -291,7 +274,7 @@ def kalman_update_fn(q: float, r_noise: float):
                     p,
                 )
             )
-        state.update((x, p, last_ts, last_id))
+        state.update((x, p))
         yield pd.DataFrame(
             out,
             columns=["user_id", "event_id", "ts_s", "value", "kalman", "err_var"],
@@ -332,14 +315,24 @@ def run_sliding_counts_stream(
     return _run_to_memory(out, spark)
 
 
-def run_stream_stream_join(
-    spark: SparkSession, sf_dir: str, lookback_s: int = 600
+def _purchase_click_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_s: int,
+    how: str,
+    watermark: str,
 ) -> DataFrame:
-    """J7: stream-stream inner join — purchases to clicks within the
-    preceding `lookback_s` by the same user, with watermarks bounding
-    both join-state buffers."""
-    ev1 = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    ev2 = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    """Shared purchases-to-preceding-clicks join body for the inner and
+    left variants (r7 review: the two copies had silently drifted on
+    watermark duration). The watermark differs by DESIGN per variant:
+    the inner join only needs state long enough to pair in-lookback
+    rows, so a generous "1 hour" is fine; the LEFT join emits an
+    unmatched purchase only once the watermark passes p_ts + lookback,
+    so a tight "10 minutes" bounds how much tail goes un-flushed on a
+    bounded replay (see run_stream_stream_join_left's contract).
+    """
+    ev1 = replay_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    ev2 = replay_events_stream(spark, sf_dir).withWatermark("ts", watermark)
     purchases = ev1.filter(F.col("event_type") == "purchase").select(
         F.col("user_id"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
     )
@@ -351,7 +344,7 @@ def run_stream_stream_join(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
         & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
+        how,
     )
     out = joined.select(
         "user_id",
@@ -360,6 +353,15 @@ def run_stream_stream_join(
         ts_str(F.col("c_ts")).alias("c_ts_s"),
     )
     return _run_to_memory(out, spark, output_mode="append")
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, lookback_s: int = 600
+) -> DataFrame:
+    """J7: stream-stream inner join — purchases to clicks within the
+    preceding `lookback_s` by the same user, with watermarks bounding
+    both join-state buffers."""
+    return _purchase_click_join(spark, sf_dir, lookback_s, "inner", "1 hour")
 
 
 def run_stream_stream_join_left(
@@ -381,28 +383,9 @@ def run_stream_stream_join_left(
     emitted. The equivalence test pins: emitted ⊆ batch, matched part
     == batch inner part, null rows near-complete.
     """
-    ev1 = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    ev2 = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    purchases = ev1.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    return _purchase_click_join(
+        spark, sf_dir, lookback_s, "leftOuter", "10 minutes"
     )
-    clicks = ev2.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "leftOuter",
-    )
-    out = joined.select(
-        "user_id",
-        "p_id",
-        ts_str(F.col("p_ts")).alias("p_ts_s"),
-        ts_str(F.col("c_ts")).alias("c_ts_s"),
-    )
-    return _run_to_memory(out, spark, output_mode="append")
 
 
 # ---------------------------------------------------------------------------

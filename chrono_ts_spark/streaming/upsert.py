@@ -68,28 +68,11 @@ def list_generations(root: str) -> list[int]:
     )
 
 
-def upsert_batch(
-    batch: DataFrame, root: str, keys: list[str], seq_col: str
-) -> None:
-    """MERGE one micro-batch into the keyed store under ``root``."""
-    spark = batch.sparkSession
-    # last write per key wins inside the batch; seq_col orders writes,
-    # remaining columns break exact ties deterministically
-    w_cols = [F.col(seq_col).desc()] + [
-        F.col(c).desc() for c in batch.columns if c not in keys and c != seq_col
-    ]
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*w_cols))
-    deduped = batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-
-    state = read_state(spark, root)
-    if state is None:
-        merged = deduped
-    else:
-        survivors = state.join(deduped.select(*keys), keys, "left_anti")
-        merged = survivors.unionByName(deduped)
-
+def _commit_generation(merged: DataFrame, root: str) -> None:
+    """The shared commit protocol: write the next generation dir, then
+    atomically flip _CURRENT (write-tmp + rename). Used by every state
+    mutator (upsert_batch, delete_keys) so a future change — fsync,
+    crash-window handling, retention hooks — lands in one place."""
     gen = _current_gen(root) + 1
     out = os.path.join(root, f"gen={gen}")
     merged.write.mode("overwrite").parquet(out)
@@ -97,6 +80,41 @@ def upsert_batch(
     with open(tmp, "w") as f:
         f.write(str(gen))
     os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def upsert_batch(
+    batch: DataFrame, root: str, keys: list[str], seq_col: str
+) -> None:
+    """MERGE one micro-batch into the keyed store under ``root``:
+    per key, the row with the HIGHEST ``seq_col`` wins — across the
+    batch AND against existing state (the `WHEN MATCHED AND source.seq
+    >= target.seq` guard of a real MERGE), so a late micro-batch
+    carrying a stale lower-seq row can never regress the store (r7
+    review; the pre-r7 form let the newest batch overwrite
+    unconditionally). Exact seq ties break by the remaining columns
+    desc, then prefer the incoming row — deterministic either way, and
+    replaying an identical batch is a no-op by construction."""
+    spark = batch.sparkSession
+    from pyspark.sql import Window
+
+    def seq_dedup(df: DataFrame, extra_last: list = ()) -> DataFrame:
+        w_cols = [F.col(seq_col).desc()] + [
+            F.col(c).desc() for c in batch.columns if c not in keys and c != seq_col
+        ] + list(extra_last)
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*w_cols))
+        return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+    deduped = seq_dedup(batch)
+    state = read_state(spark, root)
+    if state is None:
+        merged = deduped
+    else:
+        tagged = state.withColumn("__src", F.lit(0)).unionByName(
+            deduped.withColumn("__src", F.lit(1))
+        )
+        merged = seq_dedup(tagged, extra_last=[F.col("__src").desc()]).drop("__src")
+
+    _commit_generation(merged, root)
 
 
 def windowed_counts(stream: DataFrame, width_seconds: int = 300) -> DataFrame:
@@ -114,7 +132,13 @@ def windowed_counts(stream: DataFrame, width_seconds: int = 300) -> DataFrame:
     )
 
 
-def run_upsert_sink(agg: DataFrame, root: str, ckpt: str | None = None) -> None:
+def run_upsert_sink(
+    agg: DataFrame,
+    root: str,
+    ckpt: str | None = None,
+    keys: list[str] | None = None,
+    seq_col: str = "n_events",
+) -> None:
     """Drive an UPDATE-mode aggregation into the keyed store at ``root``
     (availableNow; one merge per micro-batch). Pass a stable ``ckpt``
     to resume a previous run: Structured Streaming's offset log then
@@ -131,7 +155,7 @@ def run_upsert_sink(agg: DataFrame, root: str, ckpt: str | None = None) -> None:
         agg.writeStream.outputMode("update")
         .foreachBatch(
             lambda b, _id: upsert_batch(
-                b, root, keys=["bucket_ts", "user_id"], seq_col="n_events"
+                b, root, keys=keys or ["bucket_ts", "user_id"], seq_col=seq_col
             )
         )
         .option("checkpointLocation", ckpt)
@@ -173,12 +197,7 @@ def delete_keys(
     remaining = state.join(
         values.select(F.col(values.columns[0]).alias(key_col)), key_col, "left_anti"
     )
-    gen = _current_gen(root) + 1
-    remaining.write.mode("overwrite").parquet(os.path.join(root, f"gen={gen}"))
-    tmp = os.path.join(root, "_CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(gen))
-    os.replace(tmp, os.path.join(root, "_CURRENT"))
+    _commit_generation(remaining, root)
 
 
 def vacuum_generations(root: str, keep_last: int = 1) -> int:

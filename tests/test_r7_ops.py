@@ -406,3 +406,73 @@ class TestRepeatedSpansOverlapRegression:
         assert stats[0].dup_tokens == 12 and stats[0].dup_fraction == 1.0
         for r in stats.values():
             assert r.dup_fraction <= 1.0
+
+
+class TestUpsertSeqGuard:
+    def test_stale_lower_seq_batch_cannot_regress_state(self, spark, tmp_path):
+        # r7 review: the MERGE must honor seq ACROSS batches — a late
+        # micro-batch carrying a lower-seq row for an existing key
+        # leaves the stored higher-seq row in place
+        from chrono_ts_spark.streaming.upsert import read_state, upsert_batch
+
+        root = str(tmp_path / "store")
+        upsert_batch(
+            spark.createDataFrame([(1, 5, "v5")], "k long, seq long, payload string"),
+            root, keys=["k"], seq_col="seq",
+        )
+        upsert_batch(  # stale late delivery
+            spark.createDataFrame([(1, 3, "v3"), (2, 1, "w1")],
+                                  "k long, seq long, payload string"),
+            root, keys=["k"], seq_col="seq",
+        )
+        state = {r.k: (r.seq, r.payload) for r in read_state(spark, root).collect()}
+        assert state == {1: (5, "v5"), 2: (1, "w1")}
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from chrono_ts_spark.streaming.upsert import (
+            _current_gen,
+            read_state,
+            upsert_batch,
+        )
+
+        root = str(tmp_path / "store")
+        batch = spark.createDataFrame(
+            [(1, 2, "a"), (2, 7, "b")], "k long, seq long, payload string"
+        )
+        upsert_batch(batch, root, keys=["k"], seq_col="seq")
+        before = sorted(map(tuple, read_state(spark, root).collect()))
+        upsert_batch(batch, root, keys=["k"], seq_col="seq")  # replay
+        after = sorted(map(tuple, read_state(spark, root).collect()))
+        assert before == after
+        assert _current_gen(root) == 1  # a new generation, same content
+
+
+class TestCusumTiebreak:
+    def test_duplicate_timestamps_deterministic_with_tiebreak(self, spark):
+        # r7 review: equal-ts rows previously entered the recursion in
+        # post-shuffle arrival order; with tiebreak the chart is a pure
+        # function of the data regardless of partitioning
+        from chrono_ts_spark.operators.changepoint import cusum
+
+        rows = [
+            (10, D0, 1, "a", 100.0, "{}"),
+            (11, D0, 1, "a", 0.0, "{}"),    # same microsecond, other value
+            (12, D0.replace(hour=1), 1, "a", 50.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        a = sorted(map(tuple, cusum(
+            df.repartition(5), ["user_id"], "ts", "value",
+            target=(50.0, 10.0), tiebreak=["event_id"],
+        ).collect()))
+        b = sorted(map(tuple, cusum(
+            df.coalesce(1), ["user_id"], "ts", "value",
+            target=(50.0, 10.0), tiebreak=["event_id"],
+        ).collect()))
+        assert a == b
+        # and the order inside the chart is (ts, event_id): rn 1 -> id 10
+        by_rn = {r[1]: r for r in a}  # (user_id, rn, ...)
+        assert len(by_rn) == 3

@@ -391,6 +391,7 @@ def test_cusum_stream_equals_batch(spark):
     batch = cusum(
         ev, keys=["user_id"], ts_col="ts", value_col="value",
         k_sigma=0.5, h_sigma=4.0, target=(mu, sigma),
+        tiebreak=["event_id"],  # match the stream's (ts, event_id) order
     )
     s_rows = {
         (r.user_id, r.event_id): (r.value, r.s_plus, r.s_minus, r.alarm)
