@@ -60,7 +60,7 @@ def cusum(
 
     ensure_package_on_workers(df.sparkSession)
 
-    tb = [c for c in tiebreak if c not in keys]
+    tb = [c for c in tiebreak if c not in keys and c != ts_col]
     if target is not None:
         joined = df.select(*keys, ts_col, *tb, value_col).withColumns(
             {"__mu": F.lit(float(target[0])), "__sigma": F.lit(float(target[1]))}

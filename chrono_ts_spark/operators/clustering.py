@@ -171,12 +171,18 @@ def covariance_matrix(
     """Distributed (mean, covariance, n) of a vector column.
 
     Same partial-sum shape as the k-means update: each Arrow batch
-    emits ONE flattened d x d int128-safe Gram partial (1e-6 fixed
-    point for the outer products, 1e-9 for the first moment) — the
-    shuffle carries O(d^2 x batches) integers, never rows. The driver
-    assembles cov = G/n - mean mean^T on the merged exact sums, so the
-    result is addition-order-immune. d is the bounded axis (64 here):
-    d^2 = 4096 cells per batch, trivially collectable; rows scale out.
+    emits ONE flattened d x d Gram partial with coordinates quantized
+    at 1e-5 fixed point (so outer products resolve at 1e-10, the first
+    moment at 1e-5) — the shuffle carries O(d^2 x batches) integers,
+    never rows. (r7 review: the first cut quantized at 1e-3 while this
+    docstring promised finer — the code now delivers the finer grid.)
+    Overflow budget: |coord| <= ~100 -> q <= 1e7, per-batch Gram sums
+    <= 1e14 x rows_per_batch, inside int64 for the ~1e4-row Arrow
+    batches; the driver-side merge re-widens to decimal(38,0). The
+    driver assembles cov = G/n - mean mean^T on the merged exact sums,
+    so the result is addition-order-immune. d is the bounded axis (64
+    here): d^2 = 4096 cells per batch, trivially collectable; rows
+    scale out.
     """
 
     def fn(it):
@@ -187,8 +193,8 @@ def covariance_matrix(
             )
             if mat.size == 0:
                 continue
-            q = np.round(mat * 1e3).astype(np.int64)  # 1e-3 fixed point
-            gram = q.T @ q  # (d, d) int64; |coord| ~1e4 -> safe for ~1e10 rows/batch
+            q = np.round(mat * 1e5).astype(np.int64)  # 1e-5 fixed point
+            gram = q.T @ q  # (d, d) int64; see docstring overflow budget
             s = q.sum(axis=0)
             yield pd.DataFrame(
                 {
@@ -207,8 +213,8 @@ def covariance_matrix(
     flat = np.zeros(dims * dims + dims)
     for r in rows:
         flat[int(r.pos)] = r.v
-    gram = flat[: dims * dims].reshape(dims, dims) / 1e6  # (1e3)^2
-    s = flat[dims * dims :] / 1e3
+    gram = flat[: dims * dims].reshape(dims, dims) / 1e10  # (1e5)^2
+    s = flat[dims * dims :] / 1e5
     mean = s / total_n
     cov = gram / total_n - np.outer(mean, mean)
     return mean, cov, total_n

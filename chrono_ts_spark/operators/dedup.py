@@ -91,27 +91,6 @@ def _hash31_md5(col: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
-    """array<long> minhash signature of a shingle-array column.
-
-    The base hash is reduced to 31 bits and multipliers are < 2^31 so
-    a*h + b stays under 2^63 — no long overflow under ANSI mode (the
-    driver's session has spark.sql.ansi.enabled at its Spark 4 default
-    of true, and we must not change semantics under it).
-    """
-    hashes = F.transform(shingle_col, lambda s: _hash31(s))
-
-    def perm_min(a31: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(F.lit(a31) * h + F.lit(b), F.lit(MERSENNE)),
-            )
-        )
-
-    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm, seed)])
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

@@ -30,6 +30,12 @@ def dtw_banded(a: np.ndarray, b: np.ndarray, band: int) -> int:
     n, m = len(a), len(b)
     if abs(n - m) > band:
         return -1
+    if n == 0 or m == 0:
+        # an empty side within the band guard: zero distance when both
+        # are empty; an empty-vs-nonempty pair has no warping path, so
+        # it reports unreachable (-1) like a band miss — never the
+        # int(inf) OverflowError the bare DP produced (r7 review)
+        return 0 if n == m else -1
     inf = float("inf")
     prev = np.full(m + 1, inf)
     prev[0] = 0.0

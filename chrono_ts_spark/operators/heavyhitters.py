@@ -74,7 +74,10 @@ def misra_gries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     # and the rank window runs limit-bounded (the explain_audit window
     # rule's contract).
     order = [F.col("est").desc(), F.col("item")]
-    top = summed.orderBy(*order).limit(k + 1)
+    # materialize the <= k+1-row top table once: the threshold branch
+    # and the result branch both read `ranked`, and without truncation
+    # each re-runs the full-input partial-sketch pass (r7 review)
+    top = summed.orderBy(*order).limit(k + 1).localCheckpoint(eager=True)
     ranked = top.withColumn("__r", F.row_number().over(Window.orderBy(*order)))
     thr = ranked.agg(
         F.max(F.when(F.col("__r") == k + 1, F.col("est"))).alias("__thr")

@@ -112,7 +112,14 @@ def kll_quantiles(
     tiny (tools/explain_audit.py window rule — no allowlist needed).
     Range id is monotone in value, so (range, value, weight) order ==
     (value, weight) order and cw is bit-identical to the r5 form."""
-    items = sketch_items(df, col, capacity)
+    # materialize the tiny items table ONCE (<= partitions x capacity
+    # x log2(n) rows): bounds / per-range cumsum / range totals /
+    # read-off all branch from it, and without truncation each branch
+    # re-runs the full-input mapInPandas sketch pass (~5 input scans
+    # per call at 100 TB; r7 review — the dd09019 compute-once fix
+    # applied here via localCheckpoint, the connected-components
+    # pattern)
+    items = sketch_items(df, col, capacity).localCheckpoint(eager=True)
     _RANGES = 1024
     bounds = items.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     it = items.crossJoin(F.broadcast(bounds)).withColumn(

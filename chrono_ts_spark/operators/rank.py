@@ -50,8 +50,14 @@ def _digit_band(key: str) -> Column:
             "non-negative fixed point first"
         ),
     )
+    # digit count via a decimal(38,0) render: a DOUBLE key >= 1e7
+    # casts to scientific notation ('1.0E7', length 5 < len('9999999.0'))
+    # under a plain string cast, inverting band order for large integral
+    # doubles (r7 review); the decimal cast always renders plain digits
+    # and is exact for the integral values the guard admits
     return F.when(
-        guard.isNull(), F.length(F.col(key).cast("string")).cast("bigint")
+        guard.isNull(),
+        F.length(F.col(key).cast("decimal(38,0)").cast("string")).cast("bigint"),
     )
 
 

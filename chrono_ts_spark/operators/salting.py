@@ -90,6 +90,18 @@ def salted_join(
     salted Exchange actually materializes at fixture scale (a 15-row
     dim would otherwise broadcast and the salt would be a no-op).
     """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti",
+        "cross",
+    ):
+        # right/full joins preserve the REPLICATED small side: an
+        # unmatched small row would surface `salt` times null-extended
+        # (r7 review) — refuse instead of silently multiplying rows
+        raise ValueError(
+            f"salted_join cannot preserve the replicated small side: "
+            f"how={how!r} would emit unmatched small rows salt times; "
+            "use a big-side-preserving join type"
+        )
     bsalt = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
     ).cast("int")

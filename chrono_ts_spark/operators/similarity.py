@@ -196,6 +196,15 @@ def ivf_fit_centroids(
         .select(vec_col)
         .collect()
     )
+    if len(init_rows) < n_centroids:
+        # sparse / non-contiguous id space: the stride filter can match
+        # few (or zero) ids — fall back to the first k rows by id, the
+        # same deterministic guard pq_fit has (r7 review)
+        init_rows = (
+            corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+    if not init_rows:
+        raise ValueError("corpus is empty; cannot fit IVF centroids")
     centroids = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
 
     from ..session import ensure_package_on_workers

@@ -476,3 +476,19 @@ class TestCusumTiebreak:
         # and the order inside the chart is (ts, event_id): rn 1 -> id 10
         by_rn = {r[1]: r for r in a}  # (user_id, rn, ...)
         assert len(by_rn) == 3
+
+
+class TestDigitBandLargeDoubles:
+    def test_integral_doubles_past_1e7_band_correctly(self, spark):
+        # r7 review: DOUBLE >= 1e7 casts to scientific notation under a
+        # raw string cast, shrinking its digit count below smaller
+        # numbers'; the decimal render must keep band order monotone
+        from chrono_ts_spark.operators.rank import global_rank
+
+        vals = [123.0, 9999999.0, 1.0e7, 10000001.0, 5.0e9]
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "k double, id long"
+        )
+        got = {r.k: r.r for r in global_rank(df, "k", ["id"]).collect()}
+        want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+        assert got == want
