@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
-from ..functions import dsum, sql_dsum, sql_time_bucket, sql_ts_str, time_bucket
+from ..functions import davg, dsum, sql_dsum, sql_time_bucket, sql_ts_str, time_bucket
 from ..operators.topk import top_k_per_group
 from . import query
 
@@ -161,7 +161,10 @@ def sf_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "o_orderpriority",
-        F.element_at("m", "F").alias("f_total"),
+        # try_element_at: ANSI mode (Spark 4 default) makes plain
+        # element_at throw MAP_KEY_DOES_NOT_EXIST when a priority group
+        # has no 'F' orders; the oracle's map_extract returns NULL
+        F.try_element_at("m", F.lit("F")).alias("f_total"),
         # Serialized: the driver canonicalizer can't hash raw arrays.
         F.array_join(F.sort_array(F.map_keys("m")), ",").alias("statuses"),
         F.size("m").alias("n_statuses"),
@@ -206,14 +209,33 @@ def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUN_TOKEN = __import__("uuid").uuid4().hex[:8]  # per-process isolation
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:  # pragma: no cover - exercised at exit
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+__import__("atexit").register(_cleanup_scratch)
+
+
 def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
     """Scratch dir for write-then-scan queries. Includes a per-process
     token so concurrent runs (pytest + bench + driver) can't overwrite
-    each other's directories mid-read."""
+    each other's directories mid-read; every dir is registered for
+    atexit removal so repeated sweep/bench/driver processes stop
+    accumulating table copies in the temp volume (r7 review — the
+    gov_forget_user fix, generalized). Lazy plans reading these dirs
+    stay valid for the whole interpreter lifetime."""
     safe = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(), f"chrono_{fmt}_{table}_{safe}_{_RUN_TOKEN}"
     )
+    _SCRATCH_DIRS.add(path)
+    return path
 
 
 @query(
@@ -291,7 +313,8 @@ def io_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
-       round(AVG(abs(l_extendedprice - 51000.0)), 6) AS avg_abs_dev
+       round(CAST(SUM(CAST(abs(l_extendedprice - 51000.0) AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_abs_dev
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -319,10 +342,14 @@ def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = li.groupBy("l_returnflag").agg(
         F.round(median_udaf("l_extendedprice"), 6).alias("median_price")
     )
+    # davg, not F.avg: raw-double partial sums combine in partition
+    # order and can land on a different 6th decimal than DuckDB's
+    # sequential AVG (r7 review; the registry's decimal-exact
+    # contract). dev is cents-exact, so DECIMAL(12,2) carries it.
     dev = (
         li.withColumn("dev", abs_dev("l_extendedprice"))
         .groupBy("l_returnflag")
-        .agg(F.round(F.avg("dev"), 6).alias("avg_abs_dev"))
+        .agg(F.round(davg("dev", 12, 2), 6).alias("avg_abs_dev"))
     )
     return med.join(dev, "l_returnflag")
 
@@ -365,7 +392,15 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="bigram: string")
     class Bigrams:
         def eval(self, text: str):
-            toks = [t for t in (text or "").lower().split() if t]
+            import re
+
+            # ASCII whitespace split, matching the oracle's RE2 '\\s+'
+            # and the Java-regex tokenizer the text queries use —
+            # Python's unicode-aware str.split() also breaks on NBSP
+            # etc., diverging on non-ASCII whitespace (r7 review)
+            toks = [
+                t for t in re.split("[ \t\n\r\x0b\f]+", (text or "").lower()) if t
+            ]
             for a, b in zip(toks, toks[1:]):
                 yield (f"{a} {b}",)
 
@@ -413,8 +448,14 @@ def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pandas side reproduces the decimal-exact oracle arithmetic:
     hours are quantized to 9 decimals (== the SQL DECIMAL(18,9) cast)
-    and summed with math.fsum (exactly rounded), so both sides see the
-    same doubles before the final rounded division.
+    and summed with math.fsum (exactly rounded). Residual exposure
+    (r7 review): fsum of per-term rounded DOUBLES is not bit-equal to
+    the oracle's exact decimal sums cast once, so sx/sxx/sxy can sit
+    1-2 ulps apart and the n*sxx - sx*sx cancellation amplifies that;
+    the final round(slope, 6) absorbs it in practice (driver-green
+    since r2) and a slope landing exactly on a 6th-decimal boundary is
+    the known residual hazard class (docs/determinism.md, the
+    double-decimal-cast section).
     """
     from ..session import ensure_package_on_workers
 
@@ -435,10 +476,14 @@ def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx, sy = math.fsum(x), math.fsum(y)
         sxx = math.fsum(round(a * a, 18) for a in x)
         sxy = math.fsum(round(a * b, 11) for a, b in zip(x, y))
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        denom = n * sxx - sx * sx
+        # a user whose events all share one quantized hour has zero
+        # x-variance: the oracle's double division yields NULL there,
+        # so emit NULL instead of raising ZeroDivisionError (r7 review)
+        slope = None if denom == 0.0 else round((n * sxy - sx * sy) / denom, 6)
         return pd.DataFrame(
             {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n],
-             "slope_per_hour": [round(slope, 6)]}
+             "slope_per_hour": [slope]}
         )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -548,7 +593,6 @@ def ts_downsample_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest (partitioned parquet), then serve from the rollup. This is
     the retention/continuous-aggregate pattern: older data lives only
     at this granularity and queries hit ~1/1000th of the bytes."""
-    from ..functions import dsum as _dsum
 
     path = _roundtrip_dir(sf_dir, "rollup_daily", "events")
     ev = load_table(spark, sf_dir, "events")
@@ -558,7 +602,7 @@ def ts_downsample_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _dsum("value").alias("sum_value"),
+            dsum("value").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -681,7 +725,6 @@ GROUP BY event_type, bucket
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (floor bucketing —
     the TSDB heat-map primitive)."""
-    from ..functions import dsum as _dsum
 
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -689,7 +732,7 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / F.lit(25.0)).alias("bucket"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum("value").alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )
 
 
@@ -1815,7 +1858,6 @@ def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-removal invariants are pinned in tests/test_r6c_ops.py.
     """
     import shutil
-    import tempfile
 
     root = tempfile.mkdtemp(prefix="chrono_gov_forget_")
     try:
