@@ -150,8 +150,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ns-as-bigint rule generalized over SCHEMAS (r7 review: it was
+    # hard-coded to events.ts while the docstring promised every
+    # column): any column DECLARED TimestampType that loads as bigint
+    # is nanosAsLong output and truncates to micros
+    declared_ts = {
+        f.name
+        for f in SCHEMAS[name].fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+    for c, t in df.dtypes:
+        if t == "bigint" and c in declared_ts:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
@@ -160,5 +170,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register temp views (S7) so ``spark.sql`` queries see the catalog."""
-    for name in tables or TABLE_NAMES:
+    for name in (tables if tables is not None else TABLE_NAMES):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 
 
 def dec(col: Column | str, prec: int = 18, scale: int = 6) -> Column:
-    """Cast to a decimal wide enough for the fixture value domains."""
+    """Cast to a decimal wide enough for the fixture value domains.
+
+    Overflow contract (r7 review): a value outside decimal(prec,scale)
+    THROWS under ANSI mode (the Spark 4 default this repo runs under
+    locally and in the driver) — loud, the desired behavior. Only a
+    deliberately non-ANSI session would get the silent NULL-and-bias
+    failure mode (SUM skips the NULL while davg's COUNT still counts
+    the row); callers pick (prec, scale) generous for their domain so
+    neither path triggers on valid data.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({prec},{scale})")
 
@@ -44,11 +53,6 @@ def dsum_sq(col: Column | str, prec: int = 18, scale: int = 6) -> Column:
     """Order-independent SUM(x*x) → double (decimal multiply is exact)."""
     d = dec(col, prec, scale)
     return F.sum(d * d).cast("double")
-
-
-def dsum_prod(a: Column, b: Column, prec: int = 18, scale: int = 6) -> Column:
-    """Order-independent SUM(a*b) → double."""
-    return F.sum(dec(a, prec, scale) * dec(b, prec, scale)).cast("double")
 
 
 # Mirrors of the above for the DuckDB oracle SQL text -----------------------
@@ -129,5 +133,13 @@ def vec_norm_sq(a: Column) -> Column:
 
 
 def vec_cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity in pure double arithmetic."""
-    return vec_dot(a, b) / F.sqrt(vec_norm_sq(a) * vec_norm_sq(b))
+    """Cosine similarity in pure double arithmetic.
+
+    try_divide, not `/`: under Spark 4's default ANSI mode a plain
+    double division THROWS DIVIDE_BY_ZERO (probed — even for doubles),
+    so a single zero-norm vector would kill the whole job, while the
+    DuckDB oracles' `/` yields NULL. try_divide returns NULL on a zero
+    denominator, matching the oracle exactly: zero-norm rows sort last
+    under ORDER BY cosine DESC in both engines (r7 review, sharpened).
+    """
+    return F.try_divide(vec_dot(a, b), F.sqrt(vec_norm_sq(a) * vec_norm_sq(b)))

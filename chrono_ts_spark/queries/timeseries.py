@@ -5544,7 +5544,42 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("ts_ema_alpha_sweep", oracle=None, tags=("tsdb", "ML8", "tuning", "no-oracle"))
+@query(
+    "ts_ema_alpha_sweep",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+),
+alphas AS (
+    SELECT CAST(a AS DOUBLE) AS alpha
+    FROM (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                 (0.6), (0.7), (0.8), (0.9)) t(a)
+),
+rec AS (
+    SELECT s.user_id, al.alpha, s.rn, s.n_events,
+           s.value AS e, CAST(0 AS DOUBLE) AS sse
+    FROM seq s CROSS JOIN alphas al
+    WHERE s.rn = 1 AND s.n_events >= 2
+    UNION ALL
+    SELECT s.user_id, r.alpha, s.rn, s.n_events,
+           r.alpha * s.value
+               + (CAST(1 AS DOUBLE) - r.alpha) * r.e AS e,
+           r.sse + (s.value - r.e) * (s.value - r.e) AS sse
+    FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+),
+final AS (
+    SELECT user_id, alpha, n_events, sse FROM rec WHERE rn = n_events
+)
+SELECT user_id, alpha, n_events, round(sse, 4) AS sse,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sse, alpha) = 1
+           AS is_best
+FROM final
+""",
+    tags=("tsdb", "ML8", "tuning"),
+)
 def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass EMA hyperparameter sweep: for each user series, run
     the one-step-ahead EMA forecast at alpha in {0.1..0.9} and report
@@ -5556,10 +5591,18 @@ def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sequential boundary (batch_ema contract): all nine recursions run
     in ONE pass over each sorted series inside applyInPandas — the
-    series is read once, not nine times. Rows-only (a 9-way float
-    recursion sweep has no SQL twin); pinned in tests: constant series
-    -> SSE 0 at every alpha; a planted trend must pick a larger alpha
-    than white noise.
+    series is read once, not nine times. Oracled exactly (upgraded
+    from rows-only, the ts_ema precedent): the DuckDB recursive CTE
+    replays the identical IEEE op sequence per (user, alpha) — alpha
+    literals CAST to DOUBLE are the same doubles Python's
+    round(0.1*k, 1) yields, beta is computed as 1 - alpha on BOTH
+    sides (not a literal, so no ties-to-even question), and is_best
+    ranks the RAW accumulated sse (bit-identical across engines)
+    before the display rounding. Same oracle sf ceiling as ts_ema:
+    the recursion advances one row per (user, alpha) per iteration,
+    9x ts_ema's working set. Pinned in tests: constant series ->
+    SSE 0 at every alpha, smallest alpha flagged; a planted trend
+    must pick a larger alpha than white noise.
     """
     from ..session import ensure_package_on_workers
 
@@ -5586,7 +5629,7 @@ def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     d = x - e          # forecast error (EMA = prediction)
                     sse += d * d
                     e = a * x + b * e
-                out.append((uid, a, len(xs), round(sse, 4)))
+                out.append((uid, a, len(xs), sse))
         if not out:
             return pd.DataFrame(
                 {
@@ -5597,6 +5640,10 @@ def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "is_best": pd.Series([], dtype="bool"),
                 }
             )
+        # argmin over the RAW sse (tie -> smaller alpha): raw doubles
+        # are bit-identical across engines, where the old rounded-sse
+        # tiebreak could pick differently than the oracle whenever two
+        # alphas collided only after 4dp rounding
         best = min(out, key=lambda t: (t[3], t[1]))[1]
         return pd.DataFrame(
             [(u, a, n, sv, a == best) for (u, a, n, sv) in out],
@@ -5611,6 +5658,7 @@ def ts_ema_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, alpha double, n_events long, sse double, "
             "is_best boolean",
         )
+        .withColumn("sse", F.round("sse", 4))
     )
 
 

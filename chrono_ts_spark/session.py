@@ -50,9 +50,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     try:
         # A session still on Spark's stock 200 means nobody tuned it; right-
         # size for the local fixture scales. Streaming plans can't rely on
-        # AQE coalescing, so the initial number matters there. A deliberate
-        # user/cluster setting (anything != 200) is left untouched.
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        # AQE coalescing, so the initial number matters there. A value
+        # explicitly present in the SparkConf (builder config /
+        # spark-defaults) is a deliberate setting and is left alone even
+        # when it equals 200 (r7 review); a runtime spark.conf.set("200")
+        # remains indistinguishable from the stock default — the one
+        # residual ambiguity, accepted.
+        explicitly_set = "spark.sql.shuffle.partitions" in dict(
+            spark.sparkContext.getConf().getAll()
+        )
+        if (
+            not explicitly_set
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", "64")
     except Exception:
         pass
@@ -82,6 +92,7 @@ CLUSTER_CONF: dict[str, str] = {
 }
 
 _PKG_ZIP: str | None = None
+_PKG_LOCK = __import__("threading").Lock()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -97,22 +108,29 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, marker, False):
         return
-    if _PKG_ZIP is None:
-        import os
-        import tempfile
-        import zipfile
-        from pathlib import Path
+    # re-check existence (a tmp reaper can remove the zip between
+    # SparkContexts) and serialize concurrent first builds so one
+    # thread can't truncate the zip another's executors are fetching
+    # (r7 review)
+    with _PKG_LOCK:
+        if _PKG_ZIP is not None and not os.path.exists(_PKG_ZIP):
+            _PKG_ZIP = None
+        if _PKG_ZIP is None:
+            import tempfile
+            import zipfile
+            from pathlib import Path
 
-        pkg_dir = Path(__file__).resolve().parent
-        # Per-process file name: a shared fixed path would let one
-        # process truncate the zip while another's executors fetch it.
-        zip_path = (
-            Path(tempfile.gettempdir()) / f"chrono_ts_spark_pkg_{os.getpid()}.zip"
-        )
-        with zipfile.ZipFile(zip_path, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
-                z.write(p, "chrono_ts_spark/" + str(p.relative_to(pkg_dir)))
-        _PKG_ZIP = str(zip_path)
+            pkg_dir = Path(__file__).resolve().parent
+            # Per-process file name: a shared fixed path would let one
+            # process truncate the zip while another's executors fetch it.
+            zip_path = (
+                Path(tempfile.gettempdir())
+                / f"chrono_ts_spark_pkg_{os.getpid()}.zip"
+            )
+            with zipfile.ZipFile(zip_path, "w") as z:
+                for p in sorted(pkg_dir.rglob("*.py")):
+                    z.write(p, "chrono_ts_spark/" + str(p.relative_to(pkg_dir)))
+            _PKG_ZIP = str(zip_path)
     try:
         sc.addPyFile(_PKG_ZIP)
     except Exception as e:  # re-adding the same path raises: that's fine
