@@ -6145,7 +6145,82 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("ts_hurst_exponent", oracle=None, tags=("tsdb", "Spec5", "no-oracle"))
+@query(
+    "ts_hurst_exponent",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS y
+    FROM events GROUP BY event_type, h
+),
+series AS (
+    SELECT event_type, h, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS idx,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM hourly
+),
+scales AS (SELECT unnest([8, 16, 32, 64]) AS n),
+blocks AS (
+    SELECT s.event_type, sc.n, s.idx // sc.n AS blk, s.idx, s.y,
+           SUM(s.y) OVER (PARTITION BY s.event_type, sc.n, s.idx // sc.n
+                          ORDER BY s.idx) AS cum_y,
+           ROW_NUMBER() OVER (PARTITION BY s.event_type, sc.n, s.idx // sc.n
+                              ORDER BY s.idx) AS rn
+    FROM series s CROSS JOIN scales sc
+    WHERE s.cnt >= 2 * sc.n
+),
+bstats AS (
+    SELECT event_type, n, blk, SUM(y) AS s_y
+    FROM blocks GROUP BY event_type, n, blk HAVING COUNT(*) = n
+),
+zvals AS (
+    SELECT b.event_type, b.n, b.blk,
+           b.cum_y - b.rn * (t.s_y / b.n) AS z,
+           (b.y - (t.s_y / b.n)) * (b.y - (t.s_y / b.n)) AS dsq
+    FROM blocks b
+    JOIN bstats t ON t.event_type = b.event_type AND t.n = b.n
+                 AND t.blk = b.blk
+),
+rs AS (
+    SELECT event_type, n,
+           CAST(round((MAX(z) - MIN(z)) / sqrt(SUM(dsq) / n) * 1e9, 0)
+                AS BIGINT) AS rs_fp
+    FROM zvals GROUP BY event_type, n, blk
+    HAVING sqrt(SUM(dsq) / n) > 0
+),
+pts AS (
+    SELECT event_type, n,
+           CAST(round(round(ln(CAST(SUM(rs_fp) AS DOUBLE) / 1e9 / COUNT(*)),
+                            9) * 1e9, 0) AS BIGINT) AS y_fp,
+           CAST(round(round(ln(CAST(n AS DOUBLE)), 9) * 1e9, 0) AS BIGINT)
+           AS x_fp
+    FROM rs GROUP BY event_type, n
+),
+fit AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS INTEGER) AS n_scales,
+           CAST(COUNT(*) AS HUGEINT) AS m,
+           SUM(CAST(x_fp AS HUGEINT) * CAST(y_fp AS HUGEINT)) AS sxy,
+           SUM(CAST(x_fp AS HUGEINT)) AS sx,
+           SUM(CAST(y_fp AS HUGEINT)) AS sy,
+           SUM(CAST(x_fp AS HUGEINT) * CAST(x_fp AS HUGEINT)) AS sxx
+    FROM pts GROUP BY event_type
+),
+counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM series GROUP BY event_type
+)
+SELECT c.event_type, c.n_hours,
+       CAST(coalesce(f.n_scales, 0) AS INTEGER) AS n_scales,
+       CASE WHEN f.n_scales >= 2
+            THEN round(CAST(f.m * f.sxy - f.sx * f.sy AS DOUBLE)
+                       / CAST(f.m * f.sxx - f.sx * f.sx AS DOUBLE), 4)
+            END AS hurst
+FROM counts c LEFT JOIN fit f ON f.event_type = c.event_type
+""",
+    tags=("tsdb", "Spec5"),
+)
 def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent per event type via rescaled-range (R/S) analysis
     over the hourly series: blocks of size n in {8,16,32,64}, each
@@ -6156,9 +6231,16 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The R/S block computation is numpy inside applyInPandas on the
     calendar-bounded collapsed series (the FFT/DTW contract); series
-    count is the scale axis. Rows-only: the block DP has no SQL twin;
-    planted trending-vs-alternating ordering and the white-noise ~0.5
-    anchor are pinned in tests.
+    count is the scale axis. Oracled (r7 rows-only shrink — the "no
+    SQL twin" claim was wrong): hourly cents sums are exact integers,
+    block means divide by power-of-2 n, so deviations/cumsums/ranges
+    are EXACT doubles on both engines; the only inexact quantities
+    (block std, ln) pass through 1e9 fixed point before order-immune
+    integer sums, and the ln(R/S)-on-ln(n) slope is the closed-form
+    least-squares ratio over exact integer moment sums (Python
+    bigint / DuckDB HUGEINT), divided once at the end. Planted
+    trending-vs-alternating ordering and the white-noise ~0.5 anchor
+    stay pinned in tests.
     """
     from ..session import ensure_package_on_workers
 
@@ -6180,11 +6262,11 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("h").reset_index(drop=True)
         y = pdf["y"].to_numpy()
-        pts = []
+        pts = []  # (x_fp, y_fp) 1e9 fixed-point integers
         for n in (8, 16, 32, 64):
             if len(y) < 2 * n:
                 continue
-            rs_vals = []
+            rs_fp = []
             for s in range(0, len(y) - n + 1, n):
                 blk = y[s : s + n]
                 dev = blk - blk.mean()
@@ -6192,21 +6274,35 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r = z.max() - z.min()
                 sd = blk.std()
                 if sd > 0:
-                    rs_vals.append(r / sd)
-            if rs_vals:
-                pts.append((np.log(n), np.log(np.mean(rs_vals))))
+                    rs_fp.append(int(round(r / sd * 1e9)))
+            if rs_fp:
+                mean_rs = float(sum(rs_fp)) / 1e9 / len(rs_fp)
+                pts.append(
+                    (
+                        int(round(round(float(np.log(n)), 9) * 1e9)),
+                        int(round(round(float(np.log(mean_rs)), 9) * 1e9)),
+                    )
+                )
         if len(pts) >= 2:
-            xs = np.array([p[0] for p in pts])
-            ys = np.array([p[1] for p in pts])
-            h_est = float(np.polyfit(xs, ys, 1)[0])
+            # closed-form least-squares slope over exact integer moment
+            # sums (Python bigint == the oracle's HUGEINT); the 1e18
+            # fixed-point scale cancels in the ratio
+            m = len(pts)
+            sx = sum(p[0] for p in pts)
+            sy = sum(p[1] for p in pts)
+            sxy = sum(p[0] * p[1] for p in pts)
+            sxx = sum(p[0] * p[0] for p in pts)
+            num = m * sxy - sx * sy
+            den = m * sxx - sx * sx
+            h_est = round(float(num) / float(den), 4)
         else:
-            h_est = float("nan")
+            h_est = None
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_hours": [len(y)],
                 "n_scales": [len(pts)],
-                "hurst": [round(h_est, 4)],
+                "hurst": [h_est],
             }
         )
 

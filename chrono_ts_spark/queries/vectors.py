@@ -994,15 +994,75 @@ def emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_matryoshka_eval", oracle=None, tags=("vectors", "X7j", "eval", "no-oracle"))
+@query(
+    "emb_matryoshka_eval",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+full_nn AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id,
+                   {_sql_dot('qv', 'cv')} /
+                   SQRT({_sql_dot('qv', 'qv')} * {_sql_dot('cv', 'cv')}) AS cosine
+            FROM q CROSS JOIN c
+            WHERE neighbor_id <> query_id
+        )
+    )
+    WHERE rnk <= 5
+),
+trunc_nn AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id,
+                   {_sql_dot('qv', 'cv', 16)} /
+                   SQRT({_sql_dot('qv', 'qv', 16)} * {_sql_dot('cv', 'cv', 16)})
+                   AS cosine
+            FROM q CROSS JOIN c
+            WHERE neighbor_id <> query_id
+        )
+    )
+    WHERE rnk <= 5
+),
+base AS (
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_full,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap
+    FROM full_nn f
+    LEFT JOIN trunc_nn t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+)
+SELECT query_id, k_full, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / CAST(k_full AS DOUBLE), 6)
+       AS overlap_at_5
+FROM base
+""",
+    tags=("vectors", "X7j", "eval"),
+)
 def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style evaluation: run the same exact top-5 cosine
     retrieval with only the FIRST 16 of 64 dimensions and report
     per-probe overlap with the full-dimension result — the measurement
     behind prefix-truncation serving decisions (4x cheaper scan for
-    how much quality?). Probe-bounded like emb_recall_eval; rows-only
-    (a ranking-overlap trace), internal consistency + a
-    prefix-dominant planted case pinned in tests.
+    how much quality?). Probe-bounded like emb_recall_eval.
+
+    Oracled (r7 rows-only shrink): both rankings are the driver-proven
+    emb_cosine_topk left-to-right dot walk (the truncated side walks
+    generate_series(1,16) over the same list — identical products in
+    identical order to the engine's slice(embedding,1,16)); the
+    overlap count is a plain join. Internal consistency + a
+    prefix-dominant planted case stay pinned in tests.
     """
     from ..operators.similarity import brute_force_topk
 
@@ -1170,7 +1230,44 @@ def diag_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_contrastive_pairs", oracle=None, tags=("vectors", "X7l", "training", "no-oracle"))
+@query(
+    "emb_contrastive_pairs",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS a_label
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS c_id, embedding AS cv, label AS c_label
+      FROM embeddings),
+scored AS (
+    SELECT a_id, a_label, c_id, c_label,
+           {_sql_dot('av', 'cv')} /
+           SQRT({_sql_dot('av', 'av')} * {_sql_dot('cv', 'cv')}) AS cos
+    FROM c CROSS JOIN a
+    WHERE c_id <> a_id
+),
+pos AS (
+    SELECT a_id, a_label, c_id AS pos_id, round(cos, 6) AS pos_cos
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cos DESC, c_id) AS rn
+        FROM scored WHERE c_label = a_label
+    )
+    WHERE rn = 1
+),
+neg AS (
+    SELECT a_id, c_id AS neg_id, round(cos, 6) AS neg_cos
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cos DESC, c_id) AS rn
+        FROM scored WHERE c_label <> a_label
+    )
+    WHERE rn = 1
+)
+SELECT pos.a_id, a_label, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 6) AS margin
+FROM pos JOIN neg ON neg.a_id = pos.a_id
+""",
+    tags=("vectors", "X7l", "training"),
+)
 def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining: for each anchor (vec_id < 50),
     the POSITIVE is its nearest same-label vector and the NEGATIVE its
@@ -1182,8 +1279,9 @@ def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Anchors broadcast; the corpus is scanned map-side once (the
     brute_force_topk shape), each side cut by WindowGroupLimit per
-    anchor. Rows-only (a ranking trace); planted-cluster semantics
-    pinned in tests.
+    anchor. Oracled (r7 rows-only shrink): the driver-proven
+    emb_cosine_topk dot walk ranks both sides; planted-cluster
+    semantics stay pinned in tests.
     """
     e = load_table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 50).select(
@@ -1324,7 +1422,52 @@ def emb_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_knn_eval", oracle=None, tags=("vectors", "X7n", "eval", "no-oracle"))
+@query(
+    "emb_knn_eval",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id < 100),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+      FROM embeddings),
+scored AS (
+    SELECT query_id, true_label, neighbor_id, n_label,
+           {_sql_dot('qv', 'cv')} /
+           SQRT({_sql_dot('qv', 'qv')} * {_sql_dot('cv', 'cv')}) AS cosine
+    FROM q CROSS JOIN c
+    WHERE neighbor_id <> query_id
+),
+nn AS (
+    SELECT query_id, true_label, n_label
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+),
+votes AS (
+    SELECT query_id, true_label, n_label, COUNT(*) AS v
+    FROM nn GROUP BY query_id, true_label, n_label
+),
+pred AS (
+    SELECT query_id, true_label, n_label AS pred_label
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, n_label) AS rn
+        FROM votes
+    )
+    WHERE rn = 1
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS loo_accuracy
+FROM pred GROUP BY true_label
+""",
+    tags=("vectors", "X7n", "eval"),
+)
 def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN classification accuracy per label: each
     anchor (vec_id < 100) is labeled by the majority vote of its 5
@@ -1335,9 +1478,11 @@ def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this says members are CLOSE TO THEIR OWN).
 
     Probe-bounded exact scoring (brute_force_topk shape); vote ties
-    break toward the smaller label id (deterministic). Rows-only;
-    tight-cluster accuracy=1 and a mislabeled-point catch are pinned
-    in tests.
+    break toward the smaller label id (deterministic). Oracled (r7
+    rows-only shrink): the cosine ranking mirrors the driver-proven
+    emb_cosine_topk left-to-right dot walk, and the majority vote is
+    plain SQL over the top-5 — tight-cluster accuracy=1 and a
+    mislabeled-point catch remain pinned in tests.
     """
     from ..operators.similarity import brute_force_topk
 
@@ -1527,7 +1672,45 @@ def emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_label_medoid", oracle=None, tags=("vectors", "X7q", "no-oracle"))
+@query(
+    "emb_label_medoid",
+    oracle=f"""
+WITH v AS (
+    SELECT label, vec_id, embedding,
+           {_sql_dot('embedding', 'embedding')} AS nsq
+    FROM embeddings
+),
+p AS (
+    SELECT a.label, a.vec_id AS i_id,
+           CAST(round(sqrt(round(greatest(
+                    a.nsq + b.nsq
+                    - 2 * {_sql_dot('a.embedding', 'b.embedding')}, 0), 9))
+                * 1e6, 0) AS BIGINT) AS d_fp
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+tot AS (
+    SELECT v.label, v.vec_id AS i_id,
+           CAST(coalesce(SUM(p.d_fp), 0) AS BIGINT) AS t_fp,
+           CAST(COUNT(p.d_fp) AS BIGINT) AS n_others
+    FROM v LEFT JOIN p ON p.label = v.label AND p.i_id = v.vec_id
+    GROUP BY v.label, v.vec_id
+),
+best AS (
+    SELECT label, i_id, t_fp, n_others,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY t_fp ASC, i_id) AS rn
+    FROM tot
+)
+SELECT CAST(label AS INTEGER) AS label,
+       n_others + 1 AS n_members,
+       i_id AS medoid_id,
+       round(CAST(t_fp AS DOUBLE) / 1e6
+             / CAST(greatest(n_others, 1) AS DOUBLE), 6)
+       AS mean_dist_to_members
+FROM best WHERE rn = 1
+""",
+    tags=("vectors", "X7q"),
+)
 def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medoid per label: the actual MEMBER vector minimizing total L2
     distance to its labelmates — the exemplar a curation/labeling
@@ -1537,9 +1720,14 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-label pairwise distances run as ONE in-group BLAS Gram matrix
     inside applyInPandas (the emb_semdedup shape: members shuffle
-    once, c x c stays in memory per group, labels fan out). Rows-only
-    (an argmin trace); planted center-point recovery and the
-    medoid!=centroid distinction are pinned in tests.
+    once, c x c stays in memory per group, labels fan out). Oracled
+    (r7 rows-only shrink): the a²+b²−2ab Gram form is mirrored
+    term-for-term in SQL, d² rounds 9dp BEFORE the sqrt so BLAS-vs-
+    sequential accumulation ulp (~1e-13) is absorbed, and each
+    distance enters the argmin as a 1e6 fixed-point integer — the
+    total is an exact integer sum on both engines, so the argmin and
+    its tiebreak are exact. Planted center-point recovery and the
+    medoid!=centroid distinction stay pinned in tests.
     """
     from ..session import ensure_package_on_workers
 
@@ -1557,7 +1745,10 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq = (V * V).sum(axis=1)
         d2 = sq[:, None] + sq[None, :] - 2.0 * (V @ V.T)
         np.maximum(d2, 0.0, out=d2)
-        tot = np.sqrt(d2).sum(axis=1)
+        np.round(d2, 9, out=d2)  # absorb BLAS-vs-walk accumulation ulp
+        d_fp = np.round(np.sqrt(d2) * 1e6)  # exact 1e6 fixed point
+        np.fill_diagonal(d_fp, 0.0)
+        tot = d_fp.sum(axis=1).astype(np.int64)
         i = int(np.argmin(tot))  # id-sorted -> lowest vec_id on ties
         return pd.DataFrame(
             {
@@ -1565,7 +1756,7 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_members": [len(pdf)],
                 "medoid_id": [int(pdf["vec_id"].iloc[i])],
                 "mean_dist_to_members": [
-                    round(float(tot[i]) / max(len(pdf) - 1, 1), 6)
+                    round(float(tot[i]) / 1e6 / max(len(pdf) - 1, 1), 6)
                 ],
             }
         )
@@ -1582,7 +1773,49 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_intrinsic_dim", oracle=None, tags=("vectors", "X7r", "no-oracle"))
+_D2_WALK = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST(av[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) "
+    "* (CAST(av[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "emb_intrinsic_dim",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings
+           WHERE vec_id < 200),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT a_id, c_id, {_D2_WALK} AS d2
+    FROM c CROSS JOIN a
+    WHERE a_id <> c_id
+),
+two AS (
+    SELECT a_id,
+           MIN(CASE WHEN rn = 1 THEN d2 END) AS d2_1,
+           MIN(CASE WHEN rn = 2 THEN d2 END) AS d2_2
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY d2 ASC, c_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= 2
+    GROUP BY a_id
+    HAVING MIN(CASE WHEN rn = 1 THEN d2 END) > 0
+),
+l AS (
+    SELECT CAST(round(round(0.5 * ln(d2_2 / d2_1), 9) * 1e9, 0) AS BIGINT)
+           AS l_fp
+    FROM two
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (CAST(SUM(l_fp) AS DOUBLE) / 1e9), 4) AS intrinsic_dim
+FROM l
+""",
+    tags=("vectors", "X7r"),
+)
 def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intrinsic dimension of the embedding manifold via the TwoNN
     estimator (Facco et al. 2017): for each anchor, mu = r2/r1 (its
@@ -1594,8 +1827,12 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Anchors (vec_id < 200) score against the corpus map-side
     (brute_force shape); the estimator itself is a driver-free
-    aggregation of per-anchor ln(mu) in fixed point. Rows-only;
-    planted line (~1) vs plane (~2) recovery pinned in tests.
+    aggregation of per-anchor ln(mu) in fixed point. Oracled (r7
+    rows-only shrink): d2 is the same left-to-right per-dim walk on
+    both engines (bit-identical, so the 2-NN ranking is exact) and
+    ln(mu) rounds 9dp into 1e9 fixed point before the order-immune
+    integer sum (the ts_entropy_rate ln precedent). Planted line (~1)
+    vs plane (~2) recovery stays pinned in tests.
     """
     from ..operators.similarity import brute_force_topk
     from ..session import ensure_package_on_workers
