@@ -2586,8 +2586,64 @@ def ts_rolling_actives_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_dtw_pairs",
-    oracle=None,  # sequential DP has no SQL twin; exactness pinned in
-    # tests/test_r6b_ops.py vs a pure-Python reference DP
+    oracle="""
+WITH RECURSIVE
+hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY event_type, h
+),
+ser AS (
+    SELECT event_type, list(v ORDER BY h) AS vs FROM hourly GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.vs AS av, b.vs AS bv,
+           CAST(len(a.vs) AS BIGINT) AS n, CAST(len(b.vs) AS BIGINT) AS m
+    FROM ser a JOIN ser b ON a.event_type < b.event_type
+),
+-- one recursive step per DP row i; `prev` is the full banded row as a
+-- (m+1)-cell DOUBLE list (cell j at list position j+1, +inf outside
+-- the band). The in-row left-to-right dependency cur[j-1] -> cur[j]
+-- folds via list_reduce with a list accumulator (seeded by a prepended
+-- empty list; acc[len(acc)] is the just-computed left neighbor).
+dp AS (
+    SELECT type_a, type_b, av, bv, n, m, 0 AS i,
+           list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(m AS INTEGER)),
+                              x -> CAST('infinity' AS DOUBLE))) AS prev
+    FROM pairs WHERE abs(n - m) <= 24
+    UNION ALL
+    SELECT type_a, type_b, av, bv, n, m, i + 1,
+           list_transform(generate_series(1, CAST(greatest(1, i + 1 - 24)
+                                                  AS INTEGER)),
+                          x -> CAST('infinity' AS DOUBLE))
+           || list_reduce(
+                list_prepend(CAST([] AS DOUBLE[]),
+                    list_transform(
+                        generate_series(CAST(greatest(1, i + 1 - 24) AS INTEGER),
+                                        CAST(least(m, i + 1 + 24) AS INTEGER)),
+                        j -> [CAST(j AS DOUBLE)])),
+                (acc, jx) -> list_append(acc,
+                    CAST(abs(av[i + 1] - bv[CAST(jx[1] AS BIGINT)]) AS DOUBLE)
+                    + least(prev[CAST(jx[1] AS BIGINT)],
+                            prev[CAST(jx[1] AS BIGINT) + 1],
+                            coalesce(acc[len(acc)],
+                                     CAST('infinity' AS DOUBLE)))))
+           || list_transform(generate_series(1, CAST(m - least(m, i + 1 + 24)
+                                                     AS INTEGER)),
+                          x -> CAST('infinity' AS DOUBLE)) AS prev
+    FROM dp WHERE i < n
+),
+fin AS (SELECT type_a, type_b, prev[CAST(m AS BIGINT) + 1] AS d
+        FROM dp WHERE i = n)
+SELECT p.type_a, p.type_b, p.n AS n_a, p.m AS n_b,
+       CAST(CASE WHEN abs(p.n - p.m) > 24 THEN -1 ELSE f.d END AS BIGINT)
+       AS dtw
+FROM pairs p LEFT JOIN fin f
+  ON f.type_a = p.type_a AND f.type_b = p.type_b
+""",
     tags=("tsdb", "dtw", "similarity"),
 )
 def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,8 +2655,11 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 cells, so the distance is bit-deterministic however the
     pairs partition (docs/scale.md: pairs are the scale axis, the DP
     per pair is O(n*r) numpy inside the sanctioned sequential
-    boundary). Rows-only: the banded DP recurrence has no SQL twin;
-    pytest pins it against an unbanded brute-force DP."""
+    boundary). Oracled (r7 rows-only shrink — the "no SQL twin" claim
+    was wrong): because every DP cell is an exact integer, the banded
+    recurrence replays in DuckDB as a recursive CTE over DP rows with a
+    list_reduce fold for the in-row left-to-right dependency; pytest
+    still pins it against an unbanded brute-force DP."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)

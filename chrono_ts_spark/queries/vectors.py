@@ -822,7 +822,98 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("emb_mmr_diversify", oracle=None, tags=("vectors", "X7h", "retrieval", "no-oracle"))
+def _mmr_oracle() -> str:
+    """Unrolled-greedy MMR oracle: the 5 sequential argmax steps become
+    5 chained CTEs (p1..p5), each ranking the remaining candidates by
+    the 1e9 fixed-point score rel_fp - max(sim_fp to selected) with the
+    lowest-neighbor_id tiebreak — integer comparisons, so the greedy
+    trace is engine-exact."""
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+cand AS (
+    SELECT query_id, neighbor_id, cv, cosine,
+           CAST(round(cosine * 1e9, 0) AS BIGINT) AS rel_fp
+    FROM (
+        SELECT query_id, neighbor_id, cv, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id, cv,
+                   {_sql_dot('qv', 'cv')} /
+                   SQRT({_sql_dot('qv', 'qv')} * {_sql_dot('cv', 'cv')})
+                   AS cosine
+            FROM q CROSS JOIN c0
+            WHERE neighbor_id <> query_id
+        )
+    )
+    WHERE rnk <= 20
+),
+sim AS (
+    SELECT a.query_id, a.neighbor_id AS i_id, b.neighbor_id AS j_id,
+           CAST(round({_sql_dot('a.cv', 'b.cv')} /
+                SQRT({_sql_dot('a.cv', 'a.cv')} * {_sql_dot('b.cv', 'b.cv')})
+                * 1e9, 0) AS BIGINT) AS s_fp
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+p1 AS (
+    SELECT query_id, neighbor_id AS s1, cosine AS r1, rel_fp AS sc1
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel_fp DESC, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn = 1
+)"""
+    parts = [head]
+    for k in range(2, 6):
+        prev = f"p{k - 1}"
+        sel_cols = ", ".join(
+            f"p.s{j}" for j in range(1, k)
+        )  # already-selected ids carried forward
+        carry = ", ".join(
+            f"p.s{j} AS s{j}" for j in range(1, k)
+        )
+        pen = ", ".join(f"sm{j}.s_fp" for j in range(1, k))
+        sim_joins = "\n        ".join(
+            f"JOIN sim sm{j} ON sm{j}.query_id = c.query_id "
+            f"AND sm{j}.i_id = c.neighbor_id AND sm{j}.j_id = p.s{j}"
+            for j in range(1, k)
+        )
+        not_in = ", ".join(f"p.s{j}" for j in range(1, k))
+        parts.append(
+            f""",
+p{k} AS (
+    SELECT *
+    FROM (
+        SELECT query_id, {carry.replace('p.', '')},
+               neighbor_id AS s{k}, cosine AS r{k}, sc AS sc{k},
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sc DESC, neighbor_id) AS rn
+        FROM (
+            SELECT c.query_id, {sel_cols}, c.neighbor_id, c.cosine,
+                   c.rel_fp - greatest({pen}) AS sc
+            FROM cand c
+            JOIN p{k - 1} p ON p.query_id = c.query_id
+                 AND c.neighbor_id NOT IN ({not_in})
+            {sim_joins}
+        ) p
+    )
+    WHERE rn = 1
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({k} AS INTEGER) AS sel_rank, "
+        f"s{k} AS neighbor_id, round(r{k}, 6) AS relevance, "
+        f"round(CAST(sc{k} AS DOUBLE) / 2 / 1e9, 6) AS mmr_score FROM p{k}"
+        for k in range(1, 6)
+    )
+    return "".join(parts) + "\n" + steps
+
+
+@query("emb_mmr_diversify", oracle=_mmr_oracle(), tags=("vectors", "X7h", "retrieval"))
 def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over
     each probe's exact top-20 cosine candidates: greedily pick 5
@@ -835,8 +926,11 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-bounded candidate pool (20 rows + vectors) enters
     applyInPandas, probes fan out. Ties break to the lowest
     neighbor_id; pure-Python reference equality and a planted
-    two-cluster diversity test pin it. Rows-only: the greedy trace has
-    no SQL twin.
+    two-cluster diversity test pin it. Oracled (r7 rows-only shrink —
+    the "no SQL twin" claim was wrong): the 5 greedy steps unroll into
+    5 chained CTEs, and both engines compare candidates on the exact
+    integer rel_fp - max(sim_fp) (1e9 fixed point, absorbing BLAS-vs-
+    walk cosine ulp), so the argmax and tiebreak are engine-exact.
     """
     from ..operators.similarity import brute_force_topk
     from ..session import ensure_package_on_workers
@@ -865,18 +959,22 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = Vn @ Vn.T
         rel = pdf["cosine"].to_numpy()
         ids = pdf["neighbor_id"].to_numpy()
-        lam = 0.5
+        # 1e9 fixed point: the argmax compares exact integers, so the
+        # greedy trace is reproducible by the unrolled-CTE oracle
+        # (score2 = rel_fp - pen_fp is 2x the lambda=0.5 MMR score)
+        rel_fp = np.round(rel * 1e9).astype(np.int64)
+        sim_fp = np.round(sim * 1e9).astype(np.int64)
         selected: list[int] = []
         out = []
         avail = list(range(len(pdf)))
         for step in range(1, min(5, len(avail)) + 1):
             best_i, best_score = None, None
             for i in avail:
-                penalty = max(sim[i, j] for j in selected) if selected else 0.0
-                score = lam * rel[i] - (1 - lam) * penalty
+                pen_fp = max(sim_fp[i, j] for j in selected) if selected else 0
+                score2 = int(rel_fp[i]) - int(pen_fp)
                 # ties -> lowest neighbor_id (avail is id-sorted, strict >)
-                if best_score is None or score > best_score:
-                    best_i, best_score = i, score
+                if best_score is None or score2 > best_score:
+                    best_i, best_score = i, score2
             selected.append(best_i)
             avail.remove(best_i)
             out.append(
@@ -885,7 +983,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     step,
                     int(ids[best_i]),
                     round(float(rel[best_i]), 6),
-                    round(float(best_score), 6),
+                    round(float(best_score) / 2 / 1e9, 6),
                 )
             )
         return pd.DataFrame(
