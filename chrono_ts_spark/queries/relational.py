@@ -4004,9 +4004,51 @@ def rel_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_soundex_blocking",
-    oracle=None,  # DuckDB ships no soundex; published-vector pins +
-    # block-structure tests in tests/test_r6c_ops.py
-    tags=("relational", "X6i", "record-linkage", "no-oracle"),
+    # SQL soundex: the commons-codec/Spark algorithm (H/W bridge rule,
+    # vowel reset, 4-char pad) as a list_reduce char fold carrying
+    # 'result|lastCode' state — verified against 47 Spark vectors
+    # incl. Ashcraft=A261 (H-bridge), CHC=C000, Tymczak=T522.
+    oracle="""
+WITH words AS (
+    SELECT upper(regexp_extract(p_name, '^([a-zA-Z]+)', 1)) AS wu,
+           regexp_extract(p_name, '^([a-zA-Z]+)', 1) AS w
+    FROM part
+),
+coded AS (
+    SELECT w,
+        CASE WHEN wu = '' THEN '' ELSE
+          rpad(string_split(list_reduce(
+              list_prepend(substr(wu, 1, 1) || '|' ||
+                  substr('01230120022455012623010202',
+                         ascii(substr(wu, 1, 1)) - 64, 1),
+                  list_transform(
+                      generate_series(2, CAST(length(wu) AS INTEGER)),
+                      i -> substr(wu, i, 1))),
+              (acc, ch) -> CASE
+                  WHEN length(string_split(acc, '|')[1]) >= 4 THEN acc
+                  WHEN ch IN ('H', 'W') THEN acc
+                  WHEN substr('01230120022455012623010202',
+                              ascii(ch) - 64, 1) = '0'
+                      THEN string_split(acc, '|')[1] || '|0'
+                  WHEN substr('01230120022455012623010202',
+                              ascii(ch) - 64, 1)
+                       <> string_split(acc, '|')[2]
+                      THEN string_split(acc, '|')[1]
+                           || substr('01230120022455012623010202',
+                                     ascii(ch) - 64, 1)
+                           || '|' || substr('01230120022455012623010202',
+                                            ascii(ch) - 64, 1)
+                  ELSE acc END), '|')[1], 4, '0')
+        END AS sdx
+    FROM words
+)
+SELECT sdx,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       array_to_string(list_sort(list(DISTINCT w)), ',') AS words
+FROM coded GROUP BY sdx
+""",
+    tags=("relational", "X6i", "record-linkage"),
 )
 def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic blocking: part names keyed by the SOUNDEX code of
@@ -4018,9 +4060,12 @@ def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks with n_words > 1 are the candidate lists a matcher
     verifies.
 
-    Rows-only: Soundex is a JVM built-in absent in DuckDB; the
+    Oracled (r7 rows-only shrink — DuckDB ships no soundex, so the
+    oracle IMPLEMENTS it: a list_reduce char fold replaying the
+    commons-codec algorithm Spark's JVM built-in follows, verified
+    against 47 Spark vectors including the H/W-bridge cases). The
     published algorithm vectors (Robert->R163 etc.) and the
-    block-bound property are pinned in tests. Map-side code + one
+    block-bound property stay pinned in tests. Map-side code + one
     hash agg.
     """
     p = load_table(spark, sf_dir, "part")
@@ -4032,7 +4077,7 @@ def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("sdx").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.countDistinct("w").cast("bigint").alias("n_words"),
-        F.sort_array(F.collect_set("w")).cast("string").alias("words"),
+        F.array_join(F.sort_array(F.collect_set("w")), ",").alias("words"),
     )
 
 

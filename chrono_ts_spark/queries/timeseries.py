@@ -3832,8 +3832,74 @@ def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_dominant_period",
-    oracle=None,  # FFT has no SQL twin; planted-period recovery and
-    # determinism pinned in tests/test_r6b_ops.py
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, h
+),
+bounds AS (
+    SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+           CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS n,
+           SUM(y) AS s
+    FROM hourly GROUP BY event_type
+),
+-- zero-filled regular grid, mean-removed: x_i = y_i - s/n with the
+-- IDENTICAL double division the engine's grid.mean() performs
+grid AS (
+    SELECT b.event_type, b.n, gs.i,
+           coalesce(CAST(hy.y AS DOUBLE), 0)
+           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS x
+    FROM bounds b
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, CAST(b.n - 1 AS INTEGER))) AS i
+    ) gs
+    LEFT JOIN hourly hy
+      ON hy.event_type = b.event_type AND hy.h = b.h0 + gs.i
+),
+freqs AS (
+    SELECT b.event_type, b.n, ks.k
+    FROM bounds b
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, CAST(b.n // 2 AS INTEGER))) AS k
+    ) ks
+),
+-- naive DFT power per non-DC bin; FFT-vs-naive accumulation differs
+-- only at ~1e-13 relative, absorbed by the 1e9 ratio rounding below
+power AS (
+    SELECT f.event_type, f.n, f.k,
+           SUM(g.x * cos(2 * pi() * f.k * g.i / f.n))
+           * SUM(g.x * cos(2 * pi() * f.k * g.i / f.n))
+           + SUM(g.x * sin(2 * pi() * f.k * g.i / f.n))
+           * SUM(g.x * sin(2 * pi() * f.k * g.i / f.n)) AS p
+    FROM freqs f JOIN grid g ON g.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.k
+),
+tots AS (
+    SELECT event_type, SUM(p) AS tot FROM power GROUP BY event_type
+),
+ranked AS (
+    SELECT p.event_type, p.n, p.k, p.p, t.tot,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_type
+               ORDER BY CASE WHEN t.tot > 0
+                             THEN CAST(round(p.p / t.tot * 1e9, 0) AS BIGINT)
+                             ELSE 0 END DESC,
+                        p.k ASC) AS rn
+    FROM power p JOIN tots t ON t.event_type = p.event_type
+)
+SELECT b.event_type,
+       b.n AS n_hours,
+       CASE WHEN r.k IS NULL THEN NULL
+            ELSE round(CAST(b.n AS DOUBLE) / r.k, 3) END
+       AS dominant_period_hours,
+       CASE WHEN r.k IS NULL THEN 0.0
+            WHEN r.tot > 0 THEN round(r.p / r.tot, 6)
+            ELSE 0.0 END AS peak_power_ratio
+FROM bounds b
+LEFT JOIN ranked r ON r.event_type = b.event_type AND r.rn = 1
+""",
     tags=("tsdb", "spectral", "seasonality"),
 )
 def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3848,8 +3914,12 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aligned series inside applyInPandas (calendar-bounded length,
     series count scales out). Gaps are zero-filled on the regular
     hourly grid — the standard periodogram convention, deterministic.
-    Rows-only: the rFFT has no SQL twin; pytest pins planted
-    24h-cycle recovery.
+    Oracled (r7 rows-only shrink): the oracle computes the NAIVE DFT
+    (per-bin cos/sin sums over the same zero-filled mean-removed
+    grid); FFT and naive accumulations agree to ~1e-13 relative, so
+    the peak pick compares 1e9 fixed-point power RATIOS on both sides
+    (ties -> lowest k) and the reported ratio rounds at 6dp. pytest
+    still pins planted 24h-cycle recovery.
     """
     from ..session import ensure_package_on_workers
 
@@ -3878,19 +3948,31 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = grid - grid.mean()
         power = np.abs(np.fft.rfft(x)) ** 2
         if len(power) > 1:
-            k = 1 + int(np.argmax(power[1:]))  # skip DC; argmax -> first max
-            period = n / k
-            peak = float(power[k])
+            tot = float(power[1:].sum())
+            if tot > 0:
+                # argmax over 1e9 fixed-point POWER RATIOS (not raw
+                # magnitudes): FFT-vs-naive-DFT accumulation differs at
+                # ~1e-13 relative, so the rounded integers — and hence
+                # the argmax and its lowest-k tiebreak — are
+                # oracle-exact
+                ratio_fp = np.round(power[1:] / tot * 1e9).astype(np.int64)
+                k = 1 + int(np.argmax(ratio_fp))  # ties -> lowest k
+                peak_ratio = round(float(power[k]) / tot, 6)
+            else:
+                k = 1
+                peak_ratio = 0.0
+            # n/k is rational, so it CAN land exactly on a 3dp half
+            # boundary (715/176 = 4.0625 did) — round half-away like
+            # the oracle's round(), not Python's half-even
+            period = float(np.floor(n / k * 1000.0 + 0.5) / 1000.0)
         else:
-            period, peak = float("nan"), 0.0
+            period, peak_ratio = None, 0.0
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_hours": [n],
-                "dominant_period_hours": [round(float(period), 3)],
-                "peak_power_ratio": [
-                    round(peak / float(power[1:].sum()), 6) if len(power) > 1 else 0.0
-                ],
+                "dominant_period_hours": [period],
+                "peak_power_ratio": [peak_ratio],
             }
         )
 
