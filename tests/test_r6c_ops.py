@@ -2465,6 +2465,49 @@ class TestSoundexBlocking:
         assert got["S530"] == (2, 2)   # Smith + Smyth
         assert got["A261"] == (1, 1)
 
+    def test_sql_soundex_fold_matches_spark_builtin(self, spark):
+        """The oracle IMPLEMENTS soundex (DuckDB ships none) as a
+        list_reduce char fold. Pin it against Spark's JVM builtin on
+        the adversarial vectors: H/W-bridge collapses (Ashcraft,
+        CHC/CWC), vowel resets (CAHC, Tymczak), leading double-codes
+        (Pfister), 4-char truncation (Lukasiewicz), and short names."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        words = [
+            "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+            "Pfister", "Honeyman", "Smith", "Smyth", "Washington",
+            "Lee", "Gutierrez", "Wu", "Aaa", "Hhh", "CAHC", "CHC",
+            "CWC", "HW", "AWH", "Lukasiewicz", "Lloyd", "Wheaton",
+            "Burroughs", "Burrows", "Schafer", "Sgler", "Swhgler",
+            "goldenrod", "lavender", "A",
+        ]
+        expected = {
+            r.w: r.s
+            for r in spark.createDataFrame([(w,) for w in words], ["w"])
+            .select("w", F.soundex("w").alias("s"))
+            .collect()
+        }
+        con = duckdb.connect()
+        vals = ", ".join(f"('{w}')" for w in words)
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM (VALUES {vals}) t(p_name)"
+        )
+        got = dict(
+            con.execute(
+                "SELECT words, sdx FROM (" +
+                REG["rel_soundex_blocking"].oracle +
+                ")"
+            ).fetchall()
+        )
+        # oracle groups by code; invert via the words column
+        inv = {}
+        for wlist, sdx in got.items():
+            for w in wlist.split(","):
+                inv[w] = sdx
+        assert inv == expected
+
 
 class TestDupClusterSizes:
     def test_identity_with_components(self, spark):
