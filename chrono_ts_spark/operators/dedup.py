@@ -91,6 +91,41 @@ def _hash31_md5(col: Column) -> Column:
     )
 
 
+def _minhash_udf(params: list[tuple[int, int]]):
+    """Vectorized (Arrow) signature finisher: per-doc base-hash array →
+    the num_perm affine minima, one numpy broadcast per document.
+
+    Exactly the JVM aggregate's integer math — a < 2^31 paired with
+    31-bit base hashes keeps a*h + b under 2^63, so int64 never
+    overflows and the minima match the pmod/min aggregate bit-for-bit
+    (pinned in tests). Replacing the explode + groupBy with a map-only
+    batch op removes the signature shuffle altogether.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in params], dtype=np.int64)[None, :]
+
+    def sig(hs):
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)[:, None]  # (shingles, 1)
+            if len(h) == 0:  # unreachable: shingles() emits >= 1
+                out.append(None)
+                continue
+            out.append(((A * h + B) % MERSENNE).min(axis=0).tolist())
+        return pd.Series(out)
+
+    # real annotation objects, not strings: the module-wide
+    # `from __future__ import annotations` would otherwise leave
+    # pandas_udf's type-hint inference with unresolvable 'pd.Series'
+    sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, ArrayType(LongType()))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -129,32 +164,26 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     rows = num_perm // bands
 
-    # Signature via explode + 64 min-aggregates, NOT 64 array_min
-    # expressions over the same array: Catalyst has no common-
-    # subexpression elimination across those, so the column form
-    # re-tokenizes the document 64×. Exploding computes each shingle
-    # hash exactly once, and the groupBy shuffle spreads signature
-    # work across the cluster even when the input is one file/split.
+    # Base shingle hashes stay JVM-side (xxhash64/md5 built-ins compute
+    # each shingle hash exactly once per doc); the 64 affine mins then
+    # run as ONE vectorized Arrow batch op per partition instead of the
+    # r6 explode + 64-min-aggregate shape — same integer math
+    # ((a*h + b) mod 2^61-1 over int64, identical overflow budget), so
+    # signatures are bit-identical and the md5 twin's SQL oracle still
+    # nests verbatim, but the (id, hash) explode SHUFFLE is gone
+    # entirely: the signature is map-only after widen(), which on a
+    # real cluster means zero signature-stage network traffic.
     sh = widen(df).select(
         F.col(id_col).alias("__id"),
         shingles(tokenize(F.col(text_col)), shingle_k).alias("__sh"),
     )
     base_hash = _hash31_md5 if portable else _hash31
-    h = sh.select(
+    hs = sh.select(
         "__id",
-        F.explode(F.transform(F.col("__sh"), lambda s: base_hash(s))).alias("__h"),
+        F.transform(F.col("__sh"), lambda s: base_hash(s)).alias("__hs"),
     )
     params = _perm_params(num_perm, seed)
-    sig = h.groupBy("__id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MERSENNE))).alias(
-                f"__m{i}"
-            )
-            for i, (a, b) in enumerate(params)
-        ]
-    ).select(
-        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
-    )
+    sig = hs.select("__id", _minhash_udf(params)(F.col("__hs")).alias("__sig"))
 
     banded = sig.select(
         "__id",

@@ -66,6 +66,63 @@ class TestMinhashLSH:
         for i in range(5):
             assert (i, 100 + i) in hits, f"planted pair {i} missed"
 
+    def test_arrow_signature_matches_jvm_aggregate(self, spark, corpus):
+        """The r7 map-only Arrow signature finisher must be
+        bit-identical to the r6 explode + 64-min-aggregate it replaced
+        (same (a*h+b) mod 2^61-1 int64 math), for BOTH hash families —
+        this is the claim _minhash_udf's docstring makes."""
+        from chrono_ts_spark.operators.dedup import (
+            MERSENNE,
+            _hash31,
+            _hash31_md5,
+            _minhash_udf,
+            _perm_params,
+            shingles,
+            tokenize,
+            widen,
+        )
+
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        params = _perm_params(64, 42)
+        for base_hash in (_hash31, _hash31_md5):
+            sh = widen(df).select(
+                F.col("doc_id").alias("id"),
+                shingles(tokenize(F.col("text")), 5).alias("sh"),
+            )
+            h = sh.select(
+                "id",
+                F.explode(
+                    F.transform(F.col("sh"), lambda s: base_hash(s))
+                ).alias("h"),
+            )
+            agg = {
+                r["id"]: [r[f"m{i}"] for i in range(64)]
+                for r in h.groupBy("id")
+                .agg(
+                    *[
+                        F.min(
+                            F.pmod(
+                                F.lit(a) * F.col("h") + F.lit(b),
+                                F.lit(MERSENNE),
+                            )
+                        ).alias(f"m{i}")
+                        for i, (a, b) in enumerate(params)
+                    ]
+                )
+                .collect()
+            }
+            hs = sh.select(
+                "id",
+                F.transform(F.col("sh"), lambda s: base_hash(s)).alias("hs"),
+            )
+            arrow = {
+                r["id"]: list(r["sig"])
+                for r in hs.select(
+                    "id", _minhash_udf(params)(F.col("hs")).alias("sig")
+                ).collect()
+            }
+            assert arrow == agg
+
     def test_exact_jaccard_matches_python(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         pairs = spark.createDataFrame(
