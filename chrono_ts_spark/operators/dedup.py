@@ -112,10 +112,13 @@ def _minhash_udf(params: list[tuple[int, int]]):
     def sig(hs):
         out = []
         for arr in hs:
-            h = np.asarray(arr, dtype=np.int64)[:, None]  # (shingles, 1)
-            if len(h) == 0:  # unreachable: shingles() emits >= 1
+            if arr is None or len(arr) == 0:
+                # null text / empty hash array: emit null; the caller
+                # filters these out, matching the old explode+groupBy
+                # shape where such docs produced no signature row
                 out.append(None)
                 continue
+            h = np.asarray(arr, dtype=np.int64)[:, None]  # (shingles, 1)
             out.append(((A * h + B) % MERSENNE).min(axis=0).tolist())
         return pd.Series(out)
 
@@ -183,7 +186,9 @@ def minhash_lsh_candidates(
         F.transform(F.col("__sh"), lambda s: base_hash(s)).alias("__hs"),
     )
     params = _perm_params(num_perm, seed)
-    sig = hs.select("__id", _minhash_udf(params)(F.col("__hs")).alias("__sig"))
+    sig = hs.select(
+        "__id", _minhash_udf(params)(F.col("__hs")).alias("__sig")
+    ).filter(F.col("__sig").isNotNull())
 
     banded = sig.select(
         "__id",
