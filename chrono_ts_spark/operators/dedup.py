@@ -147,6 +147,12 @@ def minhash_lsh_candidates(
     Returns distinct candidate pairs with their estimated jaccard
     (signature agreement fraction).
 
+    Contract: id_col must be unique per row (the document-id shape
+    every caller has). The r6 explode+groupBy signature incidentally
+    merged duplicate ids' shingle unions; the r7 map-only Arrow
+    finisher computes one signature per ROW, so duplicate ids would
+    yield nondeterministic est_jaccard per surviving pair.
+
     portable: use the md5-derived base hash and raw signature-slice
     strings as band keys instead of xxhash64 — every hash then has an
     exact SQL equivalent, so the whole candidate set (and est_jaccard)

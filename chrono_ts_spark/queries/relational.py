@@ -4006,8 +4006,10 @@ def rel_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_soundex_blocking",
     # SQL soundex: the commons-codec/Spark algorithm (H/W bridge rule,
     # vowel reset, 4-char pad) as a list_reduce char fold carrying
-    # 'result|lastCode' state — verified against 47 Spark vectors
-    # incl. Ashcraft=A261 (H-bridge), CHC=C000, Tymczak=T522.
+    # 'result|lastCode' state — pinned code-for-code against Spark's
+    # builtin on the adversarial vector suite in
+    # tests/test_r6c_ops.py (Ashcraft=A261 H-bridge, CHC=C000,
+    # Tymczak=T522, ...).
     oracle="""
 WITH words AS (
     SELECT upper(regexp_extract(p_name, '^([a-zA-Z]+)', 1)) AS wu,
@@ -4062,8 +4064,9 @@ def rel_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracled (r7 rows-only shrink — DuckDB ships no soundex, so the
     oracle IMPLEMENTS it: a list_reduce char fold replaying the
-    commons-codec algorithm Spark's JVM built-in follows, verified
-    against 47 Spark vectors including the H/W-bridge cases). The
+    commons-codec algorithm Spark's JVM built-in follows, pinned
+    code-for-code against F.soundex on the adversarial vector suite
+    in tests, including the H/W-bridge cases). The
     published algorithm vectors (Robert->R163 etc.) and the
     block-bound property stay pinned in tests. Map-side code + one
     hash agg.

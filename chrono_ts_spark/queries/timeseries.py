@@ -3957,14 +3957,15 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # oracle-exact
                 ratio_fp = np.round(power[1:] / tot * 1e9).astype(np.int64)
                 k = 1 + int(np.argmax(ratio_fp))  # ties -> lowest k
-                peak_ratio = round(float(power[k]) / tot, 6)
+                peak_ratio = float(power[k]) / tot
             else:
                 k = 1
                 peak_ratio = 0.0
-            # n/k is rational, so it CAN land exactly on a 3dp half
-            # boundary (715/176 = 4.0625 did) — round half-away like
-            # the oracle's round(), not Python's half-even
-            period = float(np.floor(n / k * 1000.0 + 0.5) / 1000.0)
+            # unrounded: n/k is rational and CAN land exactly on a 3dp
+            # half boundary (715/176 = 4.0625 did), where Python
+            # banker's rounding splits from SQL half-away — both output
+            # columns round JVM-side below
+            period = float(n) / k
         else:
             period, peak_ratio = None, 0.0
         return pd.DataFrame(
@@ -3976,11 +3977,14 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return hourly.groupBy("event_type").applyInPandas(
+    out = hourly.groupBy("event_type").applyInPandas(
         run,
         "event_type string, n_hours long, dominant_period_hours double, "
         "peak_power_ratio double",
     )
+    return out.withColumn(
+        "dominant_period_hours", F.round(F.col("dominant_period_hours"), 3)
+    ).withColumn("peak_power_ratio", F.round(F.col("peak_power_ratio"), 6))
 
 
 # ---------------------------------------------------------------------------
@@ -6435,7 +6439,11 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             sxx = sum(p[0] * p[0] for p in pts)
             num = m * sxy - sx * sy
             den = m * sxx - sx * sx
-            h_est = round(float(num) / float(den), 4)
+            # unrounded: num/den is an exact rational that can land on
+            # a 4dp half boundary, where Python round (banker's) and
+            # SQL round (half-away) split — final rounding happens
+            # JVM-side (the forecast_per_day midpoint precedent)
+            h_est = float(num) / float(den)
         else:
             h_est = None
         return pd.DataFrame(
@@ -6447,9 +6455,10 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return hourly.groupBy("event_type").applyInPandas(
+    out = hourly.groupBy("event_type").applyInPandas(
         run, "event_type string, n_hours long, n_scales int, hurst double"
     )
+    return out.withColumn("hurst", F.round(F.col("hurst"), 4))
 
 
 # ---------------------------------------------------------------------------

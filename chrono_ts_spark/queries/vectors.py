@@ -847,6 +847,7 @@ cand AS (
             FROM q CROSS JOIN c0
             WHERE neighbor_id <> query_id
         )
+        WHERE cosine IS NOT NULL
     )
     WHERE rnk <= 20
 ),
@@ -951,7 +952,18 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # drop null cosines (zero-norm vectors): the oracle's cand CTE
+        # filters them identically; without this the int64 cast of NaN
+        # below would be platform-undefined
+        pdf = pdf[pdf["cosine"].notna()]
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "query_id", "sel_rank", "neighbor_id",
+                    "relevance", "mmr_score",
+                ]
+            )
         V = np.stack(pdf["nv"].to_numpy())
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
@@ -982,8 +994,11 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(pdf["query_id"].iloc[0]),
                     step,
                     int(ids[best_i]),
-                    round(float(rel[best_i]), 6),
-                    round(float(best_score) / 2 / 1e9, 6),
+                    # unrounded: best_score/2/1e9 is an exact rational
+                    # that can land on a 6dp half boundary — rounding
+                    # happens JVM-side to match SQL half-away
+                    float(rel[best_i]),
+                    float(best_score) / 2 / 1e9,
                 )
             )
         return pd.DataFrame(
@@ -991,10 +1006,13 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["query_id", "sel_rank", "neighbor_id", "relevance", "mmr_score"],
         )
 
-    return pool.groupBy("query_id").applyInPandas(
+    out = pool.groupBy("query_id").applyInPandas(
         run,
         "query_id bigint, sel_rank int, neighbor_id bigint, relevance double, "
         "mmr_score double",
+    )
+    return out.withColumn("relevance", F.round(F.col("relevance"), 6)).withColumn(
+        "mmr_score", F.round(F.col("mmr_score"), 6)
     )
 
 
@@ -1853,16 +1871,24 @@ def emb_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label": [int(pdf["label"].iloc[0])],
                 "n_members": [len(pdf)],
                 "medoid_id": [int(pdf["vec_id"].iloc[i])],
+                # unrounded: t_fp/1e6/(n-1) is an exact rational that
+                # CAN land on a 6dp half boundary, where Python round
+                # (banker's, exact-decimal) and SQL round (half-away)
+                # split — final rounding happens JVM-side (the r5
+                # forecast_per_day midpoint-hazard precedent)
                 "mean_dist_to_members": [
-                    round(float(tot[i]) / 1e6 / max(len(pdf) - 1, 1), 6)
+                    float(tot[i]) / 1e6 / max(len(pdf) - 1, 1)
                 ],
             }
         )
 
-    return e.groupBy("label").applyInPandas(
+    out = e.groupBy("label").applyInPandas(
         run,
         "label int, n_members long, medoid_id bigint, "
         "mean_dist_to_members double",
+    )
+    return out.withColumn(
+        "mean_dist_to_members", F.round(F.col("mean_dist_to_members"), 6)
     )
 
 
@@ -1978,8 +2004,12 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = lambda x: x.cast("double")
     return agg.select(
         "n_anchors",
+        # try_divide, not `/`: all-tied 2-NN distances make every
+        # ln(mu) zero -> s_fp = 0, where ANSI `/` would kill the job
+        # but the oracle's `/` yields NULL (the vec_cosine contract)
         F.round(
-            D(F.col("n_anchors")) / (D(F.col("s_fp")) / F.lit(1e9)), 4
+            F.try_divide(D(F.col("n_anchors")), D(F.col("s_fp")) / F.lit(1e9)),
+            4,
         ).alias("intrinsic_dim"),
     )
 
