@@ -1990,6 +1990,70 @@ def io_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "io_footer_totals",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_min_s,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_max_s,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events
+""",
+    tags=("io", "Diag3"),
+)
+def io_footer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diag3, oracled: the footer-vs-scan agreement claim itself. The
+    engine side answers COUNT/min/max for the events table from parquet
+    FOOTER statistics alone (no data pages); the oracle answers the
+    same question with a full DuckDB scan — a green row proves the
+    metadata a pruning planner trusts is exactly the data's truth
+    (io_footer_stats stays the per-file/rows-only detail view; this is
+    its driver-hash-comparable aggregate: min over row-group mins IS
+    the scan min because both stats are exact for timestamps and
+    doubles, and second-truncation commutes with min/max).
+
+    Driver-side work is bounded by file COUNT (footers only; at scale
+    the footer walk distributes as mapPartitions over file paths,
+    exactly like io_footer_stats).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = sorted(_glob.glob(os.path.join(src, "*.parquet"))) or [src]
+    n_rows = 0
+    ts_mins, ts_maxs, v_mins, v_maxs = [], [], [], []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = md.schema.to_arrow_schema().names
+        ts_idx, v_idx = names.index("ts"), names.index("value")
+        n_rows += int(md.num_rows)
+        for rg in range(md.num_row_groups):
+            ts_st = md.row_group(rg).column(ts_idx).statistics
+            v_st = md.row_group(rg).column(v_idx).statistics
+            if ts_st is not None and ts_st.has_min_max:
+                ts_mins.append(ts_st.min)
+                ts_maxs.append(ts_st.max)
+            if v_st is not None and v_st.has_min_max:
+                v_mins.append(v_st.min)
+                v_maxs.append(v_st.max)
+    fmt = lambda v: str(v)[:19].replace("T", " ")
+    row = (
+        n_rows,
+        fmt(min(ts_mins)) if ts_mins else None,
+        fmt(max(ts_maxs)) if ts_maxs else None,
+        float(min(v_mins)) if v_mins else None,
+        float(max(v_maxs)) if v_maxs else None,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, ts_min_s string, ts_max_s string, "
+        "value_min double, value_max double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # S2d: CSV dialect roundtrip (delimiter/quote/escape/null options)
 # ---------------------------------------------------------------------------

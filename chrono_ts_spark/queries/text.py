@@ -3219,35 +3219,60 @@ def doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_weighted_sample",
-    oracle=None,  # the A-ES key u^(1/w) involves pow(): cross-engine
-    # last-ulp order flips near equal keys make an exact oracle
-    # unsound; determinism + weighting bias are pinned in tests
+    oracle="""
+WITH k AS (
+    SELECT doc_id, n_chars, lang,
+           CAST(round(
+               ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS DOUBLE) + 1.0)
+                  / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+               AS key_fp
+    FROM documents
+)
+SELECT doc_id, n_chars, lang, key_fp
+FROM k ORDER BY key_fp DESC, doc_id LIMIT 50
+""",
     tags=("text", "O4c", "sampling"),
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample WITHOUT replacement, k=50, weight = n_chars:
-    the Efraimidis-Spirakis one-pass trick — key_i = u_i^(1/w_i) with
-    u_i a uniform derived from md5(doc_id), take the top-k keys.
-    RNG-free (the hash IS the randomness, same rationale as
-    doc_split_assign): reruns, retries, and repartitions all pick the
-    same sample, yet inclusion probability scales with weight — the
-    standard quality-weighted corpus subsampling primitive.
+    the Efraimidis-Spirakis one-pass trick — rank by key_i =
+    u_i^(1/w_i) with u_i a uniform derived from md5(doc_id), take the
+    top-k keys. RNG-free (the hash IS the randomness, same rationale
+    as doc_split_assign): reruns, retries, and repartitions all pick
+    the same sample, yet inclusion probability scales with weight —
+    the standard quality-weighted corpus subsampling primitive.
+
+    Oracled (r7, was rows-only): ranking by u^(1/w) is ranking by
+    ln(u)/w (ln is monotone), which drops the cross-engine pow() ulp
+    hazard; the key enters the ORDER BY as 1e9 fixed point with doc_id
+    tiebreak (the emb_intrinsic_dim ln-through-fixed-point precedent —
+    ln of an exactly-representable rational is the only transcendental
+    step on either side). key_fp is negative (ln u < 0): largest =
+    closest to zero = the A-ES winner, exactly as with pow keys.
 
     Scale: TakeOrderedAndProject over a map-side key — no shuffle
     beyond the top-k reduction.
     """
     d = load_table(spark, sf_dir, "documents")
     # md5-u32 -> uniform in (0,1): (h + 1) / (2^32 + 1) keeps u strictly
-    # inside the open interval so pow/ln never sees 0
+    # inside the open interval so ln never sees 0
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("double")
         + F.lit(1.0)
     ) / F.lit(4294967297.0)
-    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    key_fp = (
+        F.round(
+            F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0), 0
+        )
+        .cast("bigint")
+        .alias("key_fp")
+    )
     return (
-        d.select("doc_id", "n_chars", "lang", key.alias("aes_key"))
-        .orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+        d.select("doc_id", "n_chars", "lang", key_fp)
+        .orderBy(F.col("key_fp").desc(), F.col("doc_id"))
         .limit(50)
     )
 

@@ -122,8 +122,10 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is portable instead of seeded-numpy.
 _ANN_T, _ANN_J = 8, 6
 
-_ANN_MD5_ORACLE = f"""
-WITH e9 AS (
+# Shared CTE prefix: md5-plane bucket assignment (vec_id, t, bucket) —
+# used by both the ANN rerank oracle and the index-health oracle
+# (diag_lsh_buckets_md5), kept in one literal so the two can't drift.
+_MD5_BUCKET_CTES = f"""e9 AS (
     SELECT vec_id, i.i AS i,
            CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000000, 0) AS BIGINT) AS qi
     FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
@@ -148,7 +150,10 @@ buck AS (
     SELECT vec_id, t,
            CAST(SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id, t
-),
+)"""
+
+_ANN_MD5_ORACLE = f"""
+WITH {_MD5_BUCKET_CTES},
 cand AS (
     SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM buck c JOIN buck q ON q.t = c.t AND q.bucket = c.bucket
@@ -364,9 +369,11 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_kmeans",
-    oracle=None,  # iterative refinement is not SQL-expressible; the
-    # determinism + recovery contract is pinned in tests/test_r6b_ops.py
-    tags=("vector", "clustering", "X7c"),
+    oracle=None,  # the BLAS argmin compares doubles whose accumulation
+    # order SQL can't replay; emb_kmeans_exact is the fully-oracled
+    # fixed-point twin of the same algorithm, and the determinism +
+    # recovery contract is pinned in tests/test_r6b_ops.py
+    tags=("vector", "clustering", "X7c", "no-oracle"),
 )
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean k-means (k=8, 4 deterministic Lloyd rounds) over the
@@ -407,6 +414,211 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("fp_sum").cast("double") / F.lit(1e6)).alias("inertia"),
             F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("majority_label"),
             F.max(F.when(F.col("rk") == 1, F.col("n_label"))).cast("bigint").alias("n_majority"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            "inertia",
+            "majority_label",
+            "n_majority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7c, exact-oracled twin: fixed-point Lloyd's. Every quantity in the
+# loop is an exact int64 — coords quantize to 1e6 fixed point
+# (|v| <= ~0.6 -> q <= ~6e5; per-dim squared diff <= ~1.5e12; 64-dim
+# distance <= ~9.2e13, all comfortably exact in int64 AND float64), the
+# argmin compares exact integers with a lowest-cluster tiebreak, and
+# the centroid update is round(sum/n) where sum <= n*6e5 stays exact in
+# double — so all 4 Lloyd rounds + final assignment replay bit-for-bit
+# in any engine, and the whole algorithm unrolls into SQL CTEs. The
+# BLAS twin (emb_kmeans) stays the throughput path; this is the
+# verification path (the emb_ann_lsh / emb_ann_md5 duality applied to
+# clustering — refutes the "iterative refinement is not SQL-
+# expressible" rows-only docstring for bounded iteration counts).
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS = 8, 4
+
+
+def _kmeans_exact_oracle() -> str:
+    ctes = [
+        f"""e6 AS (
+    SELECT vec_id, i.i AS i,
+           CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS q
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
+)""",
+        f"""c0 AS (
+    SELECT CAST(r.rn - 1 AS INTEGER) AS cluster, e.i, e.q AS cfp
+    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings) r
+    JOIN e6 e ON e.vec_id = r.vec_id
+    WHERE r.rn <= {_KM_K}
+)""",
+    ]
+    for t in range(1, _KM_ITERS + 2):  # rounds 1..4 update; round 5 = final assign
+        ctes.append(
+            f"""d{t} AS (
+    SELECT e.vec_id, c.cluster, SUM((e.q - c.cfp) * (e.q - c.cfp)) AS d
+    FROM e6 e JOIN c{t - 1} c ON c.i = e.i
+    GROUP BY e.vec_id, c.cluster
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, cluster, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cluster) AS rk
+        FROM d{t}
+    ) WHERE rk = 1
+)"""
+        )
+        if t <= _KM_ITERS:
+            ctes.append(
+                f"""c{t} AS (
+    SELECT p.cluster, p.i, COALESCE(u.cfp, p.cfp) AS cfp
+    FROM c{t - 1} p LEFT JOIN (
+        SELECT a.cluster, e.i,
+               CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+                   AS cfp
+        FROM a{t} a JOIN e6 e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.i
+    ) u ON u.cluster = p.cluster AND u.i = p.i
+)"""
+            )
+    fin = _KM_ITERS + 1
+    ctes.append(
+        f"""per_label AS (
+    SELECT a.cluster, emb.label,
+           CAST(COUNT(*) AS BIGINT) AS n_label, SUM(a.d) AS dsum
+    FROM a{fin} a JOIN embeddings emb ON emb.vec_id = a.vec_id
+    GROUP BY a.cluster, emb.label
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY n_label DESC, label) AS rk
+    FROM per_label
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(SUM(n_label) AS BIGINT) AS n_members,
+       round(CAST(SUM(dsum) AS DOUBLE) / 1000000000000.0, 6) AS inertia,
+       MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_label END) AS BIGINT) AS n_majority
+FROM ranked GROUP BY cluster
+"""
+    )
+
+
+@query(
+    "emb_kmeans_exact",
+    oracle=_kmeans_exact_oracle(),
+    tags=("vector", "clustering", "X7c", "exact"),
+)
+def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled k-means twin (k=8, 4 fixed-point Lloyd rounds
+    + final assignment): same report as emb_kmeans (size, inertia,
+    majority label) but every arithmetic step is an exact int64 — see
+    the block comment above for the overflow/exactness budget. Init =
+    first k vectors by vec_id quantized IN the engine (q = round(v *
+    1e6), the engine's half-away rounding — quantizing driver-side with
+    Python round() would diverge on banker's-rounding midpoints);
+    empty clusters keep their previous centroid, mirroring
+    operators/clustering.kmeans_fit.
+
+    Scale: per-round driver traffic is the k x dims fixed-point
+    centroid table (512 rows here — the kmeans_fit sanctioned bounded
+    collect); data-plane work per round is one broadcast join + two
+    integer partial+final aggregates over the exploded (vec, dim)
+    rows. Parameter-k verification path; emb_kmeans (BLAS mapInPandas)
+    is the throughput path, hierarchical_kmeans_assign the
+    corpus-prescribed-k path.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    e6 = e.select(
+        "vec_id",
+        F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.round(F.col("v") * F.lit(1000000.0), 0).cast("bigint").alias("q"),
+    )
+    first = [
+        r.vec_id
+        for r in e.select("vec_id").orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    if len(first) < _KM_K:
+        raise ValueError(f"corpus has fewer than k={_KM_K} vectors")
+    id2c = {vid: c for c, vid in enumerate(sorted(first))}
+    cents = sorted(
+        (id2c[r.vec_id], r.i, r.q)
+        for r in e6.filter(F.col("vec_id").isin(first)).collect()
+    )
+
+    def _assign(cent_rows):
+        cdf = spark.createDataFrame(cent_rows, "cluster int, i int, cfp long")
+        diff = F.col("q") - F.col("cfp")
+        d = (
+            e6.join(F.broadcast(cdf), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("cluster").asc()
+        )
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cluster", "d")
+        )
+
+    for _ in range(_KM_ITERS):
+        upd = (
+            _assign(cents)
+            .join(e6, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 0)
+                .cast("bigint")
+                .alias("cfp")
+            )
+            .collect()
+        )
+        newmap = {(r.cluster, r.i): r.cfp for r in upd}
+        # empty clusters keep their previous centroid (RNG-free carry)
+        cents = [(c, i, newmap.get((c, i), cfp)) for (c, i, cfp) in cents]
+
+    lab = _assign(cents).join(e.select("vec_id", "label"), "vec_id")
+    per_label = lab.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("dsum"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_label").desc(), F.col("label").asc()
+    )
+    ranked = per_label.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.sum("n_label").cast("bigint").alias("n_members"),
+            F.round(
+                F.sum("dsum").cast("double") / F.lit(1000000000000.0), 6
+            ).alias("inertia"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_label")))
+            .cast("bigint")
+            .alias("n_majority"),
         )
         .select(
             F.col("cluster").cast("int").alias("cluster"),
@@ -1330,6 +1542,60 @@ def diag_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     D = lambda c: c.cast("double")
     return occ.groupBy("table_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.round(D(F.sum("sz")) / D(F.count(F.lit(1))), 6).alias("mean_bucket"),
+        F.round(D(F.max("sz")) / D(F.sum("sz")), 6).alias("top_bucket_share"),
+        F.round(
+            D(F.sum(F.col("sz") * F.col("sz"))) / D(F.sum("sz")), 6
+        ).alias("expected_candidates"),
+    )
+
+
+@query(
+    "diag_lsh_buckets_md5",
+    oracle=f"""
+WITH {_MD5_BUCKET_CTES},
+occ AS (
+    SELECT t, bucket, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM buck GROUP BY t, bucket
+)
+SELECT CAST(t AS INTEGER) AS table_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_vectors,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       round(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 6) AS mean_bucket,
+       round(CAST(MAX(sz) AS DOUBLE) / SUM(sz), 6) AS top_bucket_share,
+       round(CAST(SUM(sz * sz) AS DOUBLE) / SUM(sz), 6) AS expected_candidates
+FROM occ GROUP BY t
+""",
+    tags=("vectors", "Diag4", "md5"),
+)
+def diag_lsh_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diag4, fully-oracled twin: the same index-health report as
+    diag_lsh_buckets but over the md5-plane bucket assignment
+    (operators/similarity.md5_sign_buckets), whose bucket ids are exact
+    integers reproducible in any engine — so occupancy, skew share, and
+    the expected-candidate cost are driver-hash-comparable, not just
+    internally consistent. The ratio columns divide exact integers
+    whose denominators (n ≤ corpus, buckets ≤ 2^{_ANN_J}) can't land a
+    terminating decimal on a 6-dp midpoint, so round(…, 6) is
+    engine-stable (the rel_moving_annual_total denominator argument).
+
+    Scale: the sign matrix (t·j·dims rows) broadcasts; occupancy is a
+    two-level partial+final aggregate over (t, bucket) keys — the same
+    shuffle shape the ANN index build itself pays, nothing extra.
+    """
+    from ..operators.similarity import md5_sign_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buck = md5_sign_buckets(e, "vec_id", "embedding", _DIMS, _ANN_J, _ANN_T)
+    occ = buck.groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    D = lambda c: c.cast("double")
+    return occ.groupBy(F.col("t").cast("int").alias("table_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum("sz").cast("bigint").alias("n_vectors"),
         F.max("sz").cast("bigint").alias("max_bucket"),

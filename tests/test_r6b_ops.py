@@ -244,6 +244,31 @@ class TestKmeans:
         b = sorted(map(tuple, fn(spark, sf).collect()))
         assert a == b
 
+    def test_exact_twin_structure_and_agreement(self, spark, tmp_path):
+        # the fixed-point twin (emb_kmeans_exact) must cover the same
+        # corpus and land essentially the same solution quality as the
+        # BLAS path — with k=8 over 3 planted blobs the SURPLUS
+        # clusters may split blobs differently under 1e6 vs 1e9
+        # quantization, so sizes aren't comparable, but total inertia
+        # (both are 4-round Lloyd from the same init) must agree within
+        # a few percent and every cluster's majority label must be a
+        # planted label
+        sf = _planted_vectors(spark, tmp_path)
+        from chrono_ts_spark.queries import load_all
+
+        reg = load_all()
+        exact = reg["emb_kmeans_exact"].fn(spark, sf).collect()
+        blas = reg["emb_kmeans"].fn(spark, sf).collect()
+        assert sum(r.n_members for r in exact) == sum(r.n_members for r in blas)
+        assert all(r.inertia >= 0 for r in exact)
+        ie = sum(r.inertia for r in exact)
+        ib = sum(r.inertia for r in blas)
+        # planted blobs are near-zero variance, so inertia is tiny and
+        # split-dependent in the last digits — compare loosely
+        assert abs(ie - ib) <= 0.15 * ib + 0.01
+        planted = {r.majority_label for r in blas}
+        assert {r.majority_label for r in exact} <= planted
+
     def test_inertia_non_increasing_with_iters(self, spark, tmp_path):
         sf = _planted_vectors(spark, tmp_path)
         from chrono_ts_spark.catalog import load_table
