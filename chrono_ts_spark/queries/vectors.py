@@ -29,6 +29,136 @@ def _sql_dot(a: str, b: str, n: int = _DIMS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point Lloyd machinery shared by the exact-oracled clustering
+# twins (emb_kmeans_exact, emb_ann_ivf_exact): every quantity is an
+# exact int64 — coords quantize to 1e6 fixed point (|v| <= ~0.6 ->
+# q <= ~6e5; per-dim squared diff <= ~1.5e12; 64-dim distance <=
+# ~9.2e13, comfortably exact in int64 AND float64), argmin compares
+# exact integers with a lowest-cluster tiebreak, and the centroid
+# update round(sum/n) stays exact in double — so any number of Lloyd
+# rounds replays bit-for-bit in any engine and unrolls into SQL CTEs.
+# ---------------------------------------------------------------------------
+
+def _fp_lloyd_ctes(k: int, iters: int, init_cte: str) -> tuple[list[str], int]:
+    """Generated SQL CTEs for the fixed-point Lloyd loop: e6 (1e6
+    quantization), c0 = ``init_cte`` (must select cluster, i, cfp),
+    then per round t: d{t} exact-integer distances, a{t} argmin
+    assignment (ties -> lowest cluster), c{t} round(sum/n) centroid
+    update with empty-cluster carry. Returns (ctes, fin) where
+    d{fin}/a{fin} is the final assignment against the last centroids.
+    """
+    ctes = [
+        f"""e6 AS (
+    SELECT vec_id, i.i AS i,
+           CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS q
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
+)""",
+        f"c0 AS ({init_cte})",
+    ]
+    for t in range(1, iters + 2):  # rounds 1..iters update; last = final assign
+        ctes.append(
+            f"""d{t} AS (
+    SELECT e.vec_id, c.cluster, SUM((e.q - c.cfp) * (e.q - c.cfp)) AS d
+    FROM e6 e JOIN c{t - 1} c ON c.i = e.i
+    GROUP BY e.vec_id, c.cluster
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, cluster, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cluster) AS rk
+        FROM d{t}
+    ) WHERE rk = 1
+)"""
+        )
+        if t <= iters:
+            ctes.append(
+                f"""c{t} AS (
+    SELECT p.cluster, p.i, COALESCE(u.cfp, p.cfp) AS cfp
+    FROM c{t - 1} p LEFT JOIN (
+        SELECT a.cluster, e.i,
+               CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+                   AS cfp
+        FROM a{t} a JOIN e6 e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.i
+    ) u ON u.cluster = p.cluster AND u.i = p.i
+)"""
+            )
+    return ctes, iters + 1
+
+
+_KM_K, _KM_ITERS = 8, 4
+
+_KM_INIT_CTE = f"""
+    SELECT CAST(r.rn - 1 AS INTEGER) AS cluster, e.i, e.q AS cfp
+    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings) r
+    JOIN e6 e ON e.vec_id = r.vec_id
+    WHERE r.rn <= {_KM_K}
+"""
+
+
+def _fp_quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, i, q): 1-based dim index, 1e6 fixed-point component."""
+    return e.select(
+        "vec_id",
+        F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.round(F.col("v") * F.lit(1000000.0), 0).cast("bigint").alias("q"),
+    )
+
+
+def _fp_distances(spark: SparkSession, e6: DataFrame, cents) -> DataFrame:
+    """(vec_id, cluster, d): exact-int64 squared distance to every
+    centroid in ``cents`` (list of (cluster, i, cfp) rows)."""
+    cdf = spark.createDataFrame(cents, "cluster int, i int, cfp long")
+    diff = F.col("q") - F.col("cfp")
+    return (
+        e6.join(F.broadcast(cdf), "i")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+
+
+def _fp_assign(spark: SparkSession, e6: DataFrame, cents) -> DataFrame:
+    """(vec_id, cluster, d): nearest centroid, ties -> lowest cluster."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    return (
+        _fp_distances(spark, e6, cents)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster", "d")
+    )
+
+
+def _fp_lloyd_fit(spark: SparkSession, e6: DataFrame, cents, iters: int):
+    """Run ``iters`` fixed-point Lloyd updates; per round the driver
+    collects only the k x dims centroid table (the kmeans_fit
+    sanctioned bounded collect). Empty clusters carry their previous
+    centroid. Returns the final (cluster, i, cfp) list."""
+    for _ in range(iters):
+        upd = (
+            _fp_assign(spark, e6, cents)
+            .join(e6, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 0)
+                .cast("bigint")
+                .alias("cfp")
+            )
+            .collect()
+        )
+        newmap = {(r.cluster, r.i): r.cfp for r in upd}
+        cents = [(c, i, newmap.get((c, i), cfp)) for (c, i, cfp) in cents]
+    return cents
+
+
+
+# ---------------------------------------------------------------------------
 # Norms / basic vector math
 # ---------------------------------------------------------------------------
 
@@ -269,14 +399,161 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (16-cell k-means quantizer, 2 probes).
 
-    Rows-only: the coarse quantizer is iteratively fit (Lloyd's), so
-    no SQL twin exists for the cell assignment; recall >= 0.9 vs the
-    exact top-k is pinned in pytest (tests/test_dedup_similarity.py)."""
+    Rows-only: the BLAS quantizer's double argmin isn't SQL-replayable
+    — emb_ann_ivf_exact is the fully-oracled fixed-point twin of the
+    same design; recall >= 0.9 vs the exact top-k is pinned in pytest
+    (tests/test_dedup_similarity.py)."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     return ivf_topk(e, probes, dims=_DIMS, k=5, n_centroids=16, n_probe=2)
+
+
+_IVF_K, _IVF_ITERS, _IVF_PROBE = 16, 2, 2
+
+_IVF_INIT_CTE = f"""
+    SELECT CAST(r.rn - 1 AS INTEGER) AS cluster, e.i, e.q AS cfp
+    FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings,
+             (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {_IVF_K}.0) AS BIGINT))
+                  AS stride FROM embeddings) s
+        WHERE vec_id % s.stride = 0
+    ) r
+    JOIN e6 e ON e.vec_id = r.vec_id
+    WHERE r.rn <= {_IVF_K}
+"""
+
+
+def _ivf_exact_oracle() -> str:
+    ctes, fin = _fp_lloyd_ctes(_IVF_K, _IVF_ITERS, _IVF_INIT_CTE)
+    ctes.append(
+        f"""probe AS (
+    SELECT vec_id AS query_id, cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cluster) AS rk
+        FROM d{fin}
+    ) WHERE rk <= {_IVF_PROBE} AND vec_id < 10
+)"""
+    )
+    ctes.append(
+        f"""cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probe p JOIN a{fin} a ON a.cluster = p.cluster
+    WHERE a.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_sql_dot('qe.embedding', 'ce.embedding')} /
+           SQRT({_sql_dot('qe.embedding', 'qe.embedding')}
+                * {_sql_dot('ce.embedding', 'ce.embedding')}) AS cosine
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+"""
+    )
+
+
+@query(
+    "emb_ann_ivf_exact",
+    oracle=_ivf_exact_oracle(),
+    tags=("vectors", "ANN", "exact"),
+)
+def emb_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled IVF ANN twin (16 cells, 2 fixed-point Lloyd
+    rounds, 2 probes, exact-cosine rerank): the emb_kmeans_exact
+    machinery used as a coarse quantizer, so the ENTIRE IVF pipeline
+    — quantizer fit, cell assignment, probe routing, candidate scan,
+    rerank — is hash-compared against DuckDB. Init = every
+    (n//16)-th vector by id (ivf_fit_centroids' stride init; assumes
+    the fixture's contiguous id space). Cell routing distances are
+    exact int64 (1e6 fixed point); the rerank is the established
+    left-to-right cosine walk.
+
+    Scale: identical shuffle shape to emb_ann_ivf — bounded k x dims
+    centroid collects per round, then a cluster-id equi-join; the
+    interpreted-fold rerank makes this the verification path, the
+    BLAS ivf_topk the throughput path.
+    """
+    from ..operators.topk import top_k_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e6 = _fp_quantized(e)
+    n = e.count()
+    stride = max(1, n // _IVF_K)
+    first = [
+        r.vec_id
+        for r in e.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(_IVF_K)
+        .collect()
+    ]
+    if len(first) < _IVF_K:
+        raise ValueError(
+            f"stride init found {len(first)} < k={_IVF_K} vectors "
+            "(non-contiguous id space)"
+        )
+    id2c = {vid: c for c, vid in enumerate(sorted(first))}
+    cents = sorted(
+        (id2c[r.vec_id], r.i, r.q)
+        for r in e6.filter(F.col("vec_id").isin(first)).collect()
+    )
+    cents = _fp_lloyd_fit(spark, e6, cents, _IVF_ITERS)
+
+    dists = _fp_distances(spark, e6, cents)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    probe = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= _IVF_PROBE) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("query_id"), "cluster")
+    )
+    cells = _fp_assign(spark, e6, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    cand = (
+        cells.join(F.broadcast(probe), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), vec_double(F.col("embedding")).alias("__qv")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), vec_double(F.col("embedding")).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=5,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -440,56 +717,10 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expressible" rows-only docstring for bounded iteration counts).
 # ---------------------------------------------------------------------------
 
-_KM_K, _KM_ITERS = 8, 4
 
 
 def _kmeans_exact_oracle() -> str:
-    ctes = [
-        f"""e6 AS (
-    SELECT vec_id, i.i AS i,
-           CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
-               AS q
-    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) i
-)""",
-        f"""c0 AS (
-    SELECT CAST(r.rn - 1 AS INTEGER) AS cluster, e.i, e.q AS cfp
-    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-          FROM embeddings) r
-    JOIN e6 e ON e.vec_id = r.vec_id
-    WHERE r.rn <= {_KM_K}
-)""",
-    ]
-    for t in range(1, _KM_ITERS + 2):  # rounds 1..4 update; round 5 = final assign
-        ctes.append(
-            f"""d{t} AS (
-    SELECT e.vec_id, c.cluster, SUM((e.q - c.cfp) * (e.q - c.cfp)) AS d
-    FROM e6 e JOIN c{t - 1} c ON c.i = e.i
-    GROUP BY e.vec_id, c.cluster
-)"""
-        )
-        ctes.append(
-            f"""a{t} AS (
-    SELECT vec_id, cluster, d FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY d, cluster) AS rk
-        FROM d{t}
-    ) WHERE rk = 1
-)"""
-        )
-        if t <= _KM_ITERS:
-            ctes.append(
-                f"""c{t} AS (
-    SELECT p.cluster, p.i, COALESCE(u.cfp, p.cfp) AS cfp
-    FROM c{t - 1} p LEFT JOIN (
-        SELECT a.cluster, e.i,
-               CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
-                   AS cfp
-        FROM a{t} a JOIN e6 e ON e.vec_id = a.vec_id
-        GROUP BY a.cluster, e.i
-    ) u ON u.cluster = p.cluster AND u.i = p.i
-)"""
-            )
-    fin = _KM_ITERS + 1
+    ctes, fin = _fp_lloyd_ctes(_KM_K, _KM_ITERS, _KM_INIT_CTE)
     ctes.append(
         f"""per_label AS (
     SELECT a.cluster, emb.label,
@@ -544,14 +775,7 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-prescribed-k path.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    e6 = e.select(
-        "vec_id",
-        F.posexplode(vec_double(F.col("embedding"))).alias("pos0", "v"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("i"),
-        F.round(F.col("v") * F.lit(1000000.0), 0).cast("bigint").alias("q"),
-    )
+    e6 = _fp_quantized(e)
     first = [
         r.vec_id
         for r in e.select("vec_id").orderBy("vec_id").limit(_KM_K).collect()
@@ -563,41 +787,8 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (id2c[r.vec_id], r.i, r.q)
         for r in e6.filter(F.col("vec_id").isin(first)).collect()
     )
-
-    def _assign(cent_rows):
-        cdf = spark.createDataFrame(cent_rows, "cluster int, i int, cfp long")
-        diff = F.col("q") - F.col("cfp")
-        d = (
-            e6.join(F.broadcast(cdf), "i")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(diff * diff).alias("d"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d").asc(), F.col("cluster").asc()
-        )
-        return (
-            d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cluster", "d")
-        )
-
-    for _ in range(_KM_ITERS):
-        upd = (
-            _assign(cents)
-            .join(e6, "vec_id")
-            .groupBy("cluster", "i")
-            .agg(
-                F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 0)
-                .cast("bigint")
-                .alias("cfp")
-            )
-            .collect()
-        )
-        newmap = {(r.cluster, r.i): r.cfp for r in upd}
-        # empty clusters keep their previous centroid (RNG-free carry)
-        cents = [(c, i, newmap.get((c, i), cfp)) for (c, i, cfp) in cents]
-
-    lab = _assign(cents).join(e.select("vec_id", "label"), "vec_id")
+    cents = _fp_lloyd_fit(spark, e6, cents, _KM_ITERS)
+    lab = _fp_assign(spark, e6, cents).join(e.select("vec_id", "label"), "vec_id")
     per_label = lab.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_label"),
         F.sum(F.col("d").cast("decimal(38,0)")).alias("dsum"),
