@@ -2708,14 +2708,129 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # PELT optimal changepoint segmentation (operators/changepoint.py)
+#
+# Oracled (r7, was rows-only "no SQL twin"): the pruned DP replays
+# bit-for-bit in a recursive CTE because every quantity is either an
+# exact integer in float64 (cents, prefix sums/squares, squared
+# deviations — all << 2^53 at any per-user series length the bounded-
+# group contract admits) or a single correctly-rounded IEEE op chain
+# mirrored in the same order (sse = (pqΔ) - sdiff²/len; v = (fa +
+# sse) + beta; keep: fa + sse <= Fa[t]). The candidate set (PELT's
+# pruning state) travels as a LIST of {c, fa, psc, pqc} structs, one
+# recursion row per (user, t); argmin ties break to the smallest
+# candidate via a {v, c} struct-min, exactly numpy argmin's
+# first-occurrence rule. beta = 2·var·ln(n) uses the EXACT-MOMENT
+# variance (q - s²/n)/n — np.var's pairwise-summed mean of squared
+# deviations is NOT order-replayable, the one engine change this
+# conversion needed. Backtracking is a second recursive CTE walking
+# prev[t] from t=n.
 # ---------------------------------------------------------------------------
+
+
+def _pelt_oracle(lookback: int | None = None) -> str:
+    """Recursive-CTE replay of pelt_l2 (optionally bounded-lookback)."""
+    src = "s.cands" if lookback is None else (
+        f"list_filter(s.cands, e -> e.c >= s.t + 1 - {lookback})"
+    )
+    sse = (
+        "(CAST(p.pq - e.pqc AS DOUBLE)"
+        " - CAST((p.ps - e.psc) * (p.ps - e.psc) AS DOUBLE)"
+        " / (s.t + 1 - e.c))"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100.0) AS BIGINT) AS x,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+pre AS (
+    SELECT user_id, rn, ts,
+           SUM(x) OVER (PARTITION BY user_id ORDER BY rn) AS ps,
+           SUM(x * x) OVER (PARTITION BY user_id ORDER BY rn) AS pq
+    FROM base
+),
+beta_u AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN COUNT(*) > 1
+                     AND ((CAST(SUM(x * x) AS DOUBLE)
+                           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                             / COUNT(*)) / COUNT(*)) > 0
+                THEN 2.0 * ((CAST(SUM(x * x) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                               / COUNT(*)) / COUNT(*)) * ln(COUNT(*))
+                ELSE 1.0 END AS beta
+    FROM base GROUP BY user_id
+),
+dp AS (
+    SELECT user_id, n, beta,
+           CAST(0 AS BIGINT) AS t,
+           -beta AS fa_t,
+           CAST(0 AS BIGINT) AS prev_t,
+           [{{'c': CAST(0 AS BIGINT), 'fa': -beta,
+              'psc': CAST(0 AS BIGINT), 'pqc': CAST(0 AS BIGINT)}}] AS cands
+    FROM beta_u
+    UNION ALL
+    SELECT user_id, n, beta, t1,
+           best.v AS fa_t,
+           best.c AS prev_t,
+           list_append(
+               list_transform(list_filter(scored, e -> e.u <= best.v),
+                              e -> {{'c': e.c, 'fa': e.fa,
+                                     'psc': e.psc, 'pqc': e.pqc}}),
+               {{'c': t1, 'fa': best.v, 'psc': ps_t, 'pqc': pq_t}}) AS cands
+    FROM (
+        SELECT q.*,
+               list_aggregate(list_transform(q.scored,
+                              e -> {{'v': e.v, 'c': e.c}}), 'min') AS best
+        FROM (
+            SELECT s.user_id, s.n, s.beta, s.t + 1 AS t1,
+                   p.ps AS ps_t, p.pq AS pq_t,
+                   list_transform({src},
+                     e -> {{'u': e.fa + {sse},
+                            'v': (e.fa + {sse}) + s.beta,
+                            'c': e.c, 'fa': e.fa,
+                            'psc': e.psc, 'pqc': e.pqc}}) AS scored
+            FROM dp s
+            JOIN pre p ON p.user_id = s.user_id AND p.rn = s.t + 1
+            WHERE s.t < s.n
+        ) q
+    )
+),
+walk AS (
+    SELECT user_id, n AS t FROM beta_u
+    UNION ALL
+    SELECT w.user_id, d.prev_t
+    FROM walk w JOIN dp d ON d.user_id = w.user_id AND d.t = w.t
+    WHERE w.t > 0
+),
+bounds AS (
+    SELECT user_id, t,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS bi
+    FROM (SELECT DISTINCT user_id, t FROM walk)
+),
+segs AS (
+    SELECT lo.user_id, CAST(lo.bi - 1 AS INTEGER) AS seg_idx,
+           lo.t AS lo, hi.t AS hi
+    FROM bounds lo JOIN bounds hi
+      ON hi.user_id = lo.user_id AND hi.bi = lo.bi + 1
+)
+SELECT s.user_id, s.seg_idx,
+       strftime(p_lo.ts, '%Y-%m-%d %H:%M:%S') AS start_ts_s,
+       strftime(p_hi.ts, '%Y-%m-%d %H:%M:%S') AS end_ts_s,
+       CAST(s.hi - s.lo AS BIGINT) AS n_pts,
+       CAST(p_hi.ps - COALESCE(p_lo0.ps, 0) AS DOUBLE) / (s.hi - s.lo)
+           AS mean_cents
+FROM segs s
+JOIN pre p_lo ON p_lo.user_id = s.user_id AND p_lo.rn = s.lo + 1
+JOIN pre p_hi ON p_hi.user_id = s.user_id AND p_hi.rn = s.hi
+LEFT JOIN pre p_lo0 ON p_lo0.user_id = s.user_id AND p_lo0.rn = s.lo
+"""
 
 
 @query(
     "ts_pelt_segments",
-    oracle=None,  # exact optimal segmentation is a pruned sequential DP
-    # with no SQL twin; exactness is pinned in tests vs the unpruned
-    # O(n^2) DP (which PELT provably equals)
+    oracle=_pelt_oracle(),
     tags=("tsdb", "changepoint", "anomaly"),
 )
 def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2735,9 +2850,9 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than L; binary segmentation (O(n log n), approximate)
     remains the named alternative. See docs/scale.md.
 
-    Rows-only: the pruned optimal-partition DP has no SQL twin; pytest
-    pins exact equality with the unpruned O(n^2) DP on planted and
-    random series.
+    Oracled (r7): the pruned DP replays in a recursive CTE — see the
+    block comment above _pelt_oracle; pytest additionally pins exact
+    equality with the unpruned O(n^2) DP on planted and random series.
     """
     from ..session import ensure_package_on_workers
 
@@ -2757,7 +2872,13 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
         n = len(xs)
-        var = float(np.var(xs))
+        # exact-moment variance, NOT np.var: the pairwise-summed mean
+        # of squared deviations inside np.var is accumulation-order-
+        # dependent, while q - s^2/n over exact integer moments is a
+        # fixed correctly-rounded op chain the SQL oracle replays
+        s_tot = float(xs.sum())
+        q_tot = float((xs * xs).sum())
+        var = (q_tot - s_tot * s_tot / n) / n if n > 0 else 0.0
         beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
         bounds = [0] + pelt_l2(xs, beta) + [n]
         rows = []
@@ -2789,7 +2910,7 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PELT_L = 256
 
 
-@query("ts_pelt_bounded", oracle=None, tags=("tsdb", "W12", "no-oracle"))
+@query("ts_pelt_bounded", oracle=_pelt_oracle(_PELT_L), tags=("tsdb", "W12"))
 def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lookback PELT segmentation per user (L={_PELT_L}):
     identical to ts_pelt_segments except candidate segment starts
@@ -2800,9 +2921,10 @@ def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     in pytest); a longer stationary stretch splits at the L boundary —
     the documented price of the bound.
 
-    Rows-only: optimal-partition DP has no SQL twin (same reason as
-    ts_pelt_segments); correctness is pinned by the equals-exact-PELT
-    test plus the shared-reference structure tests.
+    Oracled (r7): same recursive-CTE replay as ts_pelt_segments with
+    the lookback filter applied to the carried candidate list before
+    scoring, exactly where pelt_l2 applies it; the equals-exact-PELT
+    pytest remains.
     """
     from ..session import ensure_package_on_workers
 
@@ -2822,7 +2944,13 @@ def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
         n = len(xs)
-        var = float(np.var(xs))
+        # exact-moment variance, NOT np.var: the pairwise-summed mean
+        # of squared deviations inside np.var is accumulation-order-
+        # dependent, while q - s^2/n over exact integer moments is a
+        # fixed correctly-rounded op chain the SQL oracle replays
+        s_tot = float(xs.sum())
+        q_tot = float((xs * xs).sum())
+        var = (q_tot - s_tot * s_tot / n) / n if n > 0 else 0.0
         beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
         bounds = [0] + pelt_l2(xs, beta, max_lookback=_PELT_L) + [n]
         rows = []
