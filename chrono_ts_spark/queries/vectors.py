@@ -1117,6 +1117,94 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_MD5_ORACLE = f"""
+WITH exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_dot('q.embedding', 'c.embedding')} /
+                            SQRT({_sql_dot('q.embedding', 'q.embedding')}
+                                 * {_sql_dot('c.embedding', 'c.embedding')})
+                            DESC, c.vec_id) AS rnk
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ) WHERE rnk <= 5
+),
+approx AS ({_ANN_MD5_ORACLE}),
+n_exact AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM exact GROUP BY query_id
+),
+n_hit AS (
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+FROM n_exact ne LEFT JOIN n_hit nh ON nh.query_id = ne.query_id
+"""
+
+
+@query(
+    "emb_recall_eval_md5",
+    oracle=_RECALL_MD5_ORACLE,
+    tags=("vectors", "X7f", "eval", "md5"),
+)
+def emb_recall_eval_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 evaluation of the ORACLED ANN path (emb_ann_md5)
+    against the exact cosine top-5 — the emb_recall_eval operator made
+    driver-hash-comparable end to end: the index, the exact baseline,
+    the hit join, and the recall ratio all replay in SQL (the oracle
+    nests the full emb_ann_md5 statement verbatim, the composed-oracle
+    convention from pipeline_alert_rules).
+
+    Scale: same probe-bounded shape as emb_recall_eval — the eval join
+    keys on (probe, neighbor); the corpus is touched only by the two
+    index paths themselves.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, probes, k=5).select("query_id", "neighbor_id")
+    approx = emb_ann_md5(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.a_query)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X7g: label-affinity matrix (centroid separation diagnostics)
 # ---------------------------------------------------------------------------
