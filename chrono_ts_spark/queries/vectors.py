@@ -39,14 +39,25 @@ def _sql_dot(a: str, b: str, n: int = _DIMS) -> str:
 # rounds replays bit-for-bit in any engine and unrolls into SQL CTEs.
 # ---------------------------------------------------------------------------
 
-def _fp_lloyd_ctes(k: int, iters: int, init_cte: str) -> tuple[list[str], int]:
+def _fp_lloyd_ctes(
+    k: int, iters: int, init_cte: str, sub_div: int | None = None
+) -> tuple[list[str], int]:
     """Generated SQL CTEs for the fixed-point Lloyd loop: e6 (1e6
     quantization), c0 = ``init_cte`` (must select cluster, i, cfp),
     then per round t: d{t} exact-integer distances, a{t} argmin
     assignment (ties -> lowest cluster), c{t} round(sum/n) centroid
     update with empty-cluster carry. Returns (ctes, fin) where
     d{fin}/a{fin} is the final assignment against the last centroids.
+
+    ``sub_div`` runs INDEPENDENT Lloyd problems in one pipeline
+    (product quantization): cluster id = sub * sub_div + code, each
+    cluster's c0 rows carry only its subspace's dims (the d{t} join on
+    i then restricts distances to that subspace automatically, and the
+    c{t} carry-join drops any out-of-subspace update rows), and the
+    argmin partitions by (vec_id, cluster // sub_div) so every vector
+    gets one winner PER SUBSPACE.
     """
+    part = "vec_id" if sub_div is None else f"vec_id, cluster // {sub_div}"
     ctes = [
         f"""e6 AS (
     SELECT vec_id, i.i AS i,
@@ -67,7 +78,7 @@ def _fp_lloyd_ctes(k: int, iters: int, init_cte: str) -> tuple[list[str], int]:
         ctes.append(
             f"""a{t} AS (
     SELECT vec_id, cluster, d FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {part}
                                      ORDER BY d, cluster) AS rk
         FROM d{t}
     ) WHERE rk = 1
@@ -124,9 +135,16 @@ def _fp_distances(spark: SparkSession, e6: DataFrame, cents) -> DataFrame:
     )
 
 
-def _fp_assign(spark: SparkSession, e6: DataFrame, cents) -> DataFrame:
-    """(vec_id, cluster, d): nearest centroid, ties -> lowest cluster."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+def _fp_assign(
+    spark: SparkSession, e6: DataFrame, cents, sub_div: int | None = None
+) -> DataFrame:
+    """(vec_id, cluster, d): nearest centroid, ties -> lowest cluster.
+    With ``sub_div``, one winner per (vec_id, cluster // sub_div) —
+    the product-quantization composite (see _fp_lloyd_ctes)."""
+    keys = [F.col("vec_id")]
+    if sub_div is not None:
+        keys.append(F.expr(f"cluster DIV {sub_div}"))
+    w = Window.partitionBy(*keys).orderBy(F.col("d").asc(), F.col("cluster").asc())
     return (
         _fp_distances(spark, e6, cents)
         .withColumn("rk", F.row_number().over(w))
@@ -135,14 +153,19 @@ def _fp_assign(spark: SparkSession, e6: DataFrame, cents) -> DataFrame:
     )
 
 
-def _fp_lloyd_fit(spark: SparkSession, e6: DataFrame, cents, iters: int):
+def _fp_lloyd_fit(
+    spark: SparkSession, e6: DataFrame, cents, iters: int,
+    sub_div: int | None = None,
+):
     """Run ``iters`` fixed-point Lloyd updates; per round the driver
     collects only the k x dims centroid table (the kmeans_fit
     sanctioned bounded collect). Empty clusters carry their previous
-    centroid. Returns the final (cluster, i, cfp) list."""
+    centroid (rebuilding from the previous (cluster, i) keys also
+    drops the out-of-subspace rows the composite sub_div mode's
+    full-e6 join produces). Returns the final (cluster, i, cfp) list."""
     for _ in range(iters):
         upd = (
-            _fp_assign(spark, e6, cents)
+            _fp_assign(spark, e6, cents, sub_div)
             .join(e6, "vec_id")
             .groupBy("cluster", "i")
             .agg(
@@ -628,15 +651,161 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-5 with exact re-rank of the ADC top-50
     (operators/pq.py: 8 subspaces × 16 centroids = 8 B/vector vs 256 B
-    raw; deterministic codebook, so rows-only only because k-means is
-    not SQL-expressible — recall and exactness are pinned in
-    tests/test_pq.py)."""
+    raw; deterministic codebook; rows-only because the BLAS codebook
+    fit isn't SQL-replayable — emb_pq_exact is the fully-oracled
+    fixed-point twin of the same design; recall and exactness are
+    pinned in tests/test_pq.py)."""
     from ..operators.pq import pq_adc_topk, pq_fit
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     codebook = pq_fit(e, dims=_DIMS, m_sub=8, k=16, iters=2)
     return pq_adc_topk(e, probes, codebook, k=5, rerank=50)
+
+
+_PQ_SUB, _PQ_K, _PQ_ITERS, _PQ_RERANK = 8, 16, 2, 50
+_PQ_DIMS = _DIMS // _PQ_SUB  # dims per subspace
+
+# PQ init: vector rank r (1..k) seeds code r-1 in EVERY subspace;
+# cluster id = sub * k + code, carrying only that subspace's dims.
+_PQ_INIT_CTE = f"""
+    SELECT CAST(((e.i - 1) // {_PQ_DIMS}) * {_PQ_K} + r.rn - 1 AS INTEGER)
+               AS cluster,
+           e.i, e.q AS cfp
+    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings) r
+    JOIN e6 e ON e.vec_id = r.vec_id
+    WHERE r.rn <= {_PQ_K}
+"""
+
+
+def _pq_exact_oracle() -> str:
+    ctes, fin = _fp_lloyd_ctes(_PQ_K, _PQ_ITERS, _PQ_INIT_CTE, sub_div=_PQ_K)
+    ctes.append(
+        f"""adc AS (
+    SELECT t.vec_id AS query_id, k.vec_id AS neighbor_id,
+           SUM(t.d) AS adc
+    FROM a{fin} k JOIN d{fin} t ON t.cluster = k.cluster
+    WHERE t.vec_id < 10 AND k.vec_id <> t.vec_id
+    GROUP BY t.vec_id, k.vec_id
+)"""
+    )
+    ctes.append(
+        f"""cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS ark
+        FROM adc
+    ) WHERE ark <= {_PQ_RERANK}
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_sql_dot('qe.embedding', 'ce.embedding')} /
+           SQRT({_sql_dot('qe.embedding', 'qe.embedding')}
+                * {_sql_dot('ce.embedding', 'ce.embedding')}) AS cosine
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+"""
+    )
+
+
+@query(
+    "emb_pq_exact",
+    oracle=_pq_exact_oracle(),
+    tags=("vectors", "ANN", "quantize", "exact"),
+)
+def emb_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled product-quantization ANN twin (8 subspaces x 16
+    codewords, 2 fixed-point Lloyd rounds, ADC top-50 + exact-cosine
+    rerank to top-5): all 8 per-subspace codebooks train as ONE
+    composite Lloyd pipeline — cluster id = sub*16 + code, each
+    cluster's centroid rows carry only its subspace's 8 dims, so the
+    dim join restricts distances per subspace and the argmin partitions
+    by (vector, subspace). ADC distance tables fall out of the final
+    distance relation for free (probe rows of d_fin ARE the tables),
+    the ADC score is an exact-int64 sum of 8 table lookups, and the
+    rerank is the established cosine walk — the ENTIRE
+    compressed-domain ANN pipeline is hash-compared against DuckDB.
+
+    Scale: two bounded collects of (8*16) x 8 centroid rows total (vs
+    per-subspace loops); candidates are ADC-rank-bounded before any
+    raw vector is touched — the same 8 B/vector scan shape as
+    operators/pq.pq_adc_topk, which stays the throughput path.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    e6 = _fp_quantized(e)
+    first = [
+        r.vec_id
+        for r in e.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+    if len(first) < _PQ_K:
+        raise ValueError(f"corpus has fewer than k={_PQ_K} vectors")
+    rank = {vid: r for r, vid in enumerate(sorted(first))}
+    cents = sorted(
+        (((r.i - 1) // _PQ_DIMS) * _PQ_K + rank[r.vec_id], r.i, r.q)
+        for r in e6.filter(F.col("vec_id").isin(first)).collect()
+    )
+    cents = _fp_lloyd_fit(spark, e6, cents, _PQ_ITERS, sub_div=_PQ_K)
+
+    codes = _fp_assign(spark, e6, cents, sub_div=_PQ_K)  # (vec, cluster, d)
+    tab = (
+        _fp_distances(spark, e6.filter(F.col("vec_id") < 10), cents)
+        .select(F.col("vec_id").alias("query_id"), "cluster", F.col("d").alias("td"))
+    )
+    adc = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "cluster")
+        .join(F.broadcast(tab), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("td").alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), vec_double(F.col("embedding")).alias("__qv")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), vec_double(F.col("embedding")).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    from ..operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=5,
+    )
 
 
 # ---------------------------------------------------------------------------
