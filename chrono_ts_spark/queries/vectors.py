@@ -999,9 +999,10 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_semdedup",
-    oracle=None,  # inherits emb_kmeans' iterative no-SQL-twin nature;
-    # dup-dropping semantics pinned on planted data in tests
-    tags=("vector", "dedup", "X6d"),
+    oracle=None,  # the BLAS cosine matmul isn't SQL-replayable;
+    # emb_semdedup_exact is the fully-oracled fixed-point twin, and
+    # dup-dropping semantics are pinned on planted data in tests
+    tags=("vector", "dedup", "X6d", "no-oracle"),
 )
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-cluster the corpus, then inside each cluster
@@ -1058,6 +1059,165 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         prune, schema="vec_id long, label int, cluster int"
+    )
+
+
+# SemDeDup exact twin: fixed-point Lloyd clusters + quantized-integer
+# cosine test. cos(a,b) >= 0.95 is evaluated as dotq > 0 AND dotq^2 >=
+# 0.9025*nsq_a*nsq_b over 1e6-quantized components — dot and norms are
+# exact int64 (<= 64 * (6e5)^2 ~ 2.3e13), the squares/products are
+# fixed chains of correctly-rounded double ops, and no division or
+# sqrt appears, so the drop decision is bit-identical in any engine.
+_SEMDEDUP_INIT_CTE = """
+    SELECT CAST(r.rn - 1 AS INTEGER) AS cluster, e.i, e.q AS cfp
+    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings) r
+    JOIN e6 e ON e.vec_id = r.vec_id
+    WHERE r.rn <= (SELECT GREATEST(2, LEAST(4096, COUNT(*) // 512))
+                   FROM embeddings)
+"""
+
+
+def _semdedup_exact_oracle() -> str:
+    ctes, fin = _fp_lloyd_ctes(0, 2, _SEMDEDUP_INIT_CTE)  # k is dynamic
+    ctes.append(
+        f"""qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+               AS qa
+    FROM embeddings
+)"""
+    )
+    ctes.append(
+        """nq AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) AS nsq
+    FROM qv
+)"""
+    )
+    ctes.append(
+        f"""dropped AS (
+    SELECT DISTINCT vec_id FROM (
+        SELECT hi.vec_id,
+               CAST(list_sum(list_transform(generate_series(1, {_DIMS}),
+                             i -> qlo.qa[i] * qhi.qa[i])) AS BIGINT) AS dotq,
+               nlo.nsq AS nsq_lo, nhi.nsq AS nsq_hi
+        FROM a{fin} lo JOIN a{fin} hi
+          ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+        JOIN qv qlo ON qlo.vec_id = lo.vec_id
+        JOIN qv qhi ON qhi.vec_id = hi.vec_id
+        JOIN nq nlo ON nlo.vec_id = lo.vec_id
+        JOIN nq nhi ON nhi.vec_id = hi.vec_id
+    )
+    WHERE dotq > 0
+      AND CAST(dotq AS DOUBLE) * CAST(dotq AS DOUBLE)
+          >= 0.9025 * CAST(nsq_lo AS DOUBLE) * CAST(nsq_hi AS DOUBLE)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, emb.label, CAST(a.cluster AS INTEGER) AS cluster
+FROM a{fin} a
+JOIN embeddings emb ON emb.vec_id = a.vec_id
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+    )
+
+
+@query(
+    "emb_semdedup_exact",
+    oracle=_semdedup_exact_oracle(),
+    tags=("vector", "dedup", "X6d", "exact"),
+)
+def emb_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracled SemDeDup twin: cluster with the fixed-point Lloyd
+    machinery (k = max(2, min(4096, n//512)), 2 rounds, first-k init),
+    then inside each cluster drop every vector with a
+    cosine >= 0.95 neighbor of lower vec_id — with the threshold test
+    evaluated in quantized integers (see the block comment above), so
+    cluster assignment AND the drop set are hash-compared against
+    DuckDB end to end. Zero-norm vectors are never dropped (dotq = 0
+    fails the > 0 guard) in both engines.
+
+    Scale: the candidate set is cluster-bounded exactly like
+    emb_semdedup (pairs only within a cluster, never materialized
+    cross-cluster); the integer zip_with fold makes this the
+    verification path, the per-cluster BLAS matmul of emb_semdedup the
+    throughput path, and hierarchical_kmeans_assign the
+    corpus-prescribed-k production quantizer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    e6 = _fp_quantized(e)
+    n = e.count()
+    k = max(2, min(4096, n // 512))
+    first = [
+        r.vec_id for r in e.select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    if len(first) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    rank = {vid: c for c, vid in enumerate(sorted(first))}
+    cents = sorted(
+        (rank[r.vec_id], r.i, r.q)
+        for r in e6.filter(F.col("vec_id").isin(first)).collect()
+    )
+    cents = _fp_lloyd_fit(spark, e6, cents, 2)
+    asg = _fp_assign(spark, e6, cents).select("vec_id", "cluster")
+
+    qv = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+        ).alias("qa"),
+    )
+    nq = qv.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
+        ).alias("nsq"),
+    )
+    lo = (
+        asg.select(F.col("vec_id").alias("lo_id"), "cluster")
+        .join(qv.select(F.col("vec_id").alias("lo_id"), F.col("qa").alias("qa_lo")), "lo_id")
+        .join(nq.select(F.col("vec_id").alias("lo_id"), F.col("nsq").alias("nsq_lo")), "lo_id")
+    )
+    hi = (
+        asg.select(F.col("vec_id").alias("hi_id"), "cluster")
+        .join(qv.select(F.col("vec_id").alias("hi_id"), F.col("qa").alias("qa_hi")), "hi_id")
+        .join(nq.select(F.col("vec_id").alias("hi_id"), F.col("nsq").alias("nsq_hi")), "hi_id")
+    )
+    dotq = F.expr(
+        "aggregate(zip_with(qa_lo, qa_hi, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    # the equi-join key has only k (2-4096) distinct values, so without
+    # a round-robin repartition every interpreted fold below would run
+    # on k tasks (r7: 94 s -> ~20 s at sf0.01 on local[32])
+    dropped = (
+        lo.join(hi, "cluster")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("dotq", dotq)
+        .filter(
+            (F.col("dotq") > 0)
+            & (
+                F.col("dotq").cast("double") * F.col("dotq").cast("double")
+                >= F.lit(0.9025)
+                * F.col("nsq_lo").cast("double")
+                * F.col("nsq_hi").cast("double")
+            )
+        )
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(e.select("vec_id", "label"), "vec_id")
+        .join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label", F.col("cluster").cast("int").alias("cluster"))
     )
 
 
