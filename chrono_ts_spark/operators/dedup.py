@@ -192,9 +192,18 @@ def minhash_lsh_candidates(
         F.transform(F.col("__sh"), lambda s: base_hash(s)).alias("__hs"),
     )
     params = _perm_params(num_perm, seed)
+    # Null/empty guard on the UDF's INPUT, not its output: a filter on
+    # the pandas_udf result column sits between the two self-join
+    # branches and defeats AQE's exchange reuse, recomputing the whole
+    # signature pipeline for one side (measured 2x, 3.0 s -> 6.1 s at
+    # 5k docs). Filtering the JVM-side array instead is equivalent —
+    # the finisher yields null exactly for null/empty hash arrays —
+    # and keeps the plan a single shared exchange. shingles() never
+    # emits an empty array, so this (and the finisher's null branch)
+    # is defense in depth for external callers.
     sig = hs.select(
         "__id", _minhash_udf(params)(F.col("__hs")).alias("__sig")
-    ).filter(F.col("__sig").isNotNull())
+    )
 
     banded = sig.select(
         "__id",
@@ -205,13 +214,29 @@ def minhash_lsh_candidates(
                 # portable mode joins on the raw slice string (exact SQL
                 # twin); default hashes it to a fixed 8-byte key so the
                 # shuffle rows stay narrow
+                # Null-sig guard lives HERE, as an expression: a
+                # Filter node on (or upstream of) the pandas_udf
+                # column breaks the two join branches' subtree
+                # identity and defeats AQE's exchange reuse,
+                # recomputing the signature pipeline for one side
+                # (measured 2x, 3.0 s -> 6.1 s at 5k docs). concat_ws
+                # and xxhash64 both swallow nulls (-> '' / seed hash),
+                # so without the when() every null-signature doc would
+                # collide in every band; with it band_hash is null and
+                # the null-rejecting equi-join drops the doc from the
+                # candidate set — the defense e834e0e intended, at
+                # zero plan cost. (shingles() never emits null; this
+                # is for external callers.)
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    (lambda key: key if portable else F.xxhash64(key))(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("__sig"), b * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ))
+                    F.when(
+                        F.col("__sig").isNotNull(),
+                        (lambda key: key if portable else F.xxhash64(key))(
+                            F.concat_ws(",", F.transform(
+                                F.slice(F.col("__sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ))
+                        ),
                     ).alias("band_hash"),
                 ),
             )
@@ -247,8 +272,18 @@ def minhash_lsh_candidates(
     # partitioning. 10k docs ~ 90 MB banded, comfortably under
     # maxResultSize with headroom for wider signatures.
     a = banded.alias("a")
+    # Spill-safety gate for LARGE corpora only: Catalyst has no size
+    # statistics for the Arrow signature node, and left alone at 200k
+    # docs it planned a broadcast of the ~1.6 GB banded table straight
+    # into spark.driver.maxResultSize (reproduced); the explicit
+    # sort-merge pin keeps it spill-safe (200k-doc probe stable at
+    # 14-17 s back-to-back). Small corpora stay UNHINTED: both
+    # branches then share one exchange and AQE picks the join strategy
+    # from accurate runtime sizes — a hint on one alias changes its
+    # subtree and defeats that reuse, recomputing the signature
+    # pipeline (measured 2x at 5k docs, r7).
     if df.count() <= 10_000:
-        b = banded.alias("b").hint("broadcast")
+        b = banded.alias("b")
     else:
         b = banded.alias("b").hint("shuffle_merge")
     pairs = (
