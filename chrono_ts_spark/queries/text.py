@@ -2686,10 +2686,195 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Porter 1980 replayed in SQL (r7): every rule is exact string logic,
+# so the whole 5-step cascade generates into a CTE chain — one CTE per
+# step plus a cv-mask recompute (a list_reduce char fold) wherever the
+# step needs measure/vowel/cvc tests. The mask of a PREFIX equals the
+# prefix of the mask (the y-rule looks only one char back), so every
+# per-stem condition is a substr over one mask column. The soundex
+# precedent (rel_soundex_blocking) applied to a 60-rule algorithm.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "('a','e','i','o','u')"
+
+
+def _sql_cv_mask(s: str) -> str:
+    """cv-mask of string expr ``s``: 'v' for vowels, 'c' otherwise,
+    with y a vowel iff directly after a consonant (Porter's rule),
+    folded left-to-right exactly like operators/textfns._is_cons."""
+    return (
+        f"CASE WHEN length({s}) = 0 THEN '' ELSE list_reduce("
+        f"list_prepend(CASE WHEN substr({s}, 1, 1) IN {_VOWELS} "
+        f"THEN 'v' ELSE 'c' END, "
+        f"list_transform(generate_series(2, CAST(length({s}) AS INTEGER)), "
+        f"i -> substr({s}, i, 1))), "
+        f"(acc, ch) -> acc || CASE WHEN ch IN {_VOWELS} THEN 'v' "
+        f"WHEN ch = 'y' AND substr(acc, length(acc), 1) = 'c' THEN 'v' "
+        f"ELSE 'c' END) END"
+    )
+
+
+def _pm(L: str) -> str:
+    """Porter measure m of the length-L prefix, from mask column mk."""
+    p = f"substr(mk, 1, {L})"
+    return f"((length({p}) - length(replace({p}, 'vc', ''))) // 2)"
+
+
+def _pv(L: str) -> str:
+    """has_vowel of the length-L prefix, from mask column mk."""
+    return f"(substr(mk, 1, {L}) LIKE '%v%')"
+
+
+def _pcvc(L: str) -> str:
+    """*o rule (cvc, last not w/x/y) at prefix length L."""
+    return (
+        f"({L} >= 3 AND substr(mk, {L} - 2, 3) = 'cvc' "
+        f"AND substr(s, {L}, 1) NOT IN ('w','x','y'))"
+    )
+
+
+_P_DC = (
+    "(length(s) >= 2 AND substr(s, length(s), 1) = "
+    "substr(s, length(s) - 1, 1) AND substr(mk, length(s), 1) = 'c')"
+)
+
+
+def _porter_rule_chain(rules, cond: str, keep: str = "s") -> str:
+    """CASE chain mirroring Porter's first-ENDSWITH-match-then-break
+    loops: ``rules`` is [(suffix, replacement)], ``cond`` a format
+    string over {m} (measure of the stem) and {stem}."""
+    whens = []
+    for suf, rep in rules:
+        stem = f"substr(s, 1, length(s) - {len(suf)})"
+        m = _pm(f"length(s) - {len(suf)}")
+        rep_sql = f"{stem} || '{rep}'" if rep else stem
+        whens.append(
+            f"WHEN ends_with(s, '{suf}') THEN "
+            f"CASE WHEN {cond.format(m=m, stem=stem, suf=suf)} "
+            f"THEN {rep_sql} ELSE {keep} END"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {keep} END"
+
+
+def _porter_oracle() -> str:
+    step2 = _porter_rule_chain(
+        [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+         ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+         ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+         ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+         ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+         ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+         ("biliti", "ble")],
+        cond="{m} > 0",
+    )
+    step3 = _porter_rule_chain(
+        [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+         ("ical", "ic"), ("ful", ""), ("ness", "")],
+        cond="{m} > 0",
+    )
+    step4 = _porter_rule_chain(
+        [(suf, "") for suf in
+         ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+          "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+          "ous", "ive", "ize")],
+        cond=("({m} > 1 AND ('{suf}' <> 'ion' OR "
+              "ends_with({stem}, 's') OR ends_with({stem}, 't')))"),
+    )
+    mask = _sql_cv_mask("s")
+    return f"""
+WITH toks AS (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+),
+vocab AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY w
+),
+p0 AS (SELECT w, length(w) <= 2 AS short, w AS s FROM vocab),
+p1a AS (
+    SELECT w, short, CASE
+        WHEN ends_with(s, 'sses') THEN substr(s, 1, length(s) - 2)
+        WHEN ends_with(s, 'ies') THEN substr(s, 1, length(s) - 2)
+        WHEN ends_with(s, 'ss') THEN s
+        WHEN ends_with(s, 's') THEN substr(s, 1, length(s) - 1)
+        ELSE s END AS s
+    FROM p0
+),
+k1 AS (SELECT *, {mask} AS mk FROM p1a),
+p1b1 AS (
+    SELECT w, short,
+        CASE
+            WHEN ends_with(s, 'eed') THEN
+                CASE WHEN {_pm("length(s) - 3")} > 0
+                     THEN substr(s, 1, length(s) - 1) ELSE s END
+            WHEN ends_with(s, 'ed') AND {_pv("length(s) - 2")}
+                THEN substr(s, 1, length(s) - 2)
+            WHEN ends_with(s, 'ing') AND {_pv("length(s) - 3")}
+                THEN substr(s, 1, length(s) - 3)
+            ELSE s END AS s,
+        ((ends_with(s, 'ed') AND NOT ends_with(s, 'eed')
+          AND {_pv("length(s) - 2")})
+         OR (ends_with(s, 'ing') AND {_pv("length(s) - 3")})) AS flag
+    FROM k1
+),
+k2 AS (SELECT *, {mask} AS mk FROM p1b1),
+p1b2 AS (
+    SELECT w, short, CASE
+        WHEN NOT flag THEN s
+        WHEN ends_with(s, 'at') OR ends_with(s, 'bl') OR ends_with(s, 'iz')
+            THEN s || 'e'
+        WHEN {_P_DC} AND substr(s, length(s), 1) NOT IN ('l','s','z')
+            THEN substr(s, 1, length(s) - 1)
+        WHEN {_pm("length(s)")} = 1 AND {_pcvc("length(s)")} THEN s || 'e'
+        ELSE s END AS s
+    FROM k2
+),
+k3 AS (SELECT *, {mask} AS mk FROM p1b2),
+p1c AS (
+    SELECT w, short, CASE
+        WHEN ends_with(s, 'y') AND {_pv("length(s) - 1")}
+            THEN substr(s, 1, length(s) - 1) || 'i'
+        ELSE s END AS s
+    FROM k3
+),
+k4 AS (SELECT *, {mask} AS mk FROM p1c),
+p2 AS (SELECT w, short, {step2} AS s FROM k4),
+k5 AS (SELECT *, {mask} AS mk FROM p2),
+p3 AS (SELECT w, short, {step3} AS s FROM k5),
+k6 AS (SELECT *, {mask} AS mk FROM p3),
+p4 AS (SELECT w, short, {step4} AS s FROM k6),
+k7 AS (SELECT *, {mask} AS mk FROM p4),
+p5a AS (
+    SELECT w, short, CASE
+        WHEN ends_with(s, 'e')
+             AND ({_pm("length(s) - 1")} > 1
+                  OR ({_pm("length(s) - 1")} = 1
+                      AND NOT {_pcvc("length(s) - 1")}))
+            THEN substr(s, 1, length(s) - 1)
+        ELSE s END AS s
+    FROM k7
+),
+k8 AS (SELECT *, {mask} AS mk FROM p5a),
+p5b AS (
+    SELECT w, short, CASE
+        WHEN {_pm("length(s)")} > 1 AND {_P_DC} AND ends_with(s, 'l')
+            THEN substr(s, 1, length(s) - 1)
+        ELSE s END AS s
+    FROM k8
+),
+stems AS (
+    SELECT p.w, CASE WHEN p.short THEN p.w ELSE p.s END AS stem, v.n_tok
+    FROM p5b p JOIN vocab v ON v.w = p.w
+)
+SELECT stem, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_surface_forms
+FROM stems GROUP BY stem
+"""
+
+
+
 @query(
     "doc_stemmed_terms",
-    oracle=None,  # the Porter algorithm has no SQL twin; pinned vs the
-    # published algorithm's vectors in tests/test_r6b_ops.py
+    oracle=_porter_oracle(),
     tags=("text", "X8l", "stemming"),
 )
 def doc_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2701,9 +2886,13 @@ def doc_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stemmer is the published Porter 1980 algorithm
     (operators/textfns.py:porter_stem), applied inside an Arrow
     pandas_udf over exploded tokens; aggregation is two exact hash
-    counts. Deterministic by construction. Rows-only: the 5-step
-    Porter rule cascade is not expressible in portable SQL; pytest
-    pins the stemmer against the published test vectors.
+    counts. Deterministic by construction. Oracled (r7, was rows-only
+    "not expressible in portable SQL"): the whole 5-step cascade IS
+    exact string logic, so it generates into a DuckDB CTE chain
+    (_porter_oracle above — cv-mask char folds + per-step CASE rule
+    chains); pytest pins engine==oracle on the published vectors plus
+    adversarial y/apostrophe/digit words, and the stemmer against the
+    published vectors as before.
     """
     from ..session import ensure_package_on_workers
 

@@ -779,6 +779,54 @@ class TestPorterAndDivision:
         got = {w: porter_stem(w) for w in vectors}
         assert got == vectors
 
+    def test_sql_porter_equals_python(self):
+        # the r7 SQL replay (_porter_oracle) must stem EXACTLY like the
+        # Python reference on the published vectors plus the adversarial
+        # y/apostrophe/digit/hyphen edge cases (cv-mask prefix identity,
+        # 1b2 flag handling, the ion s/t exception, 5a cvc veto)
+        import duckdb
+
+        from chrono_ts_spark.operators.textfns import porter_stem
+        from chrono_ts_spark.queries.text import _porter_oracle
+
+        words = (
+            "caresses ponies ties caress cats feed agreed plastered bled "
+            "motoring sing conflated troubled sized hopping tanned falling "
+            "hissing fizzed failing filing happy sky relational conditional "
+            "rational valenci hesitanci digitizer conformabli radicalli "
+            "differentli vileli analogousli vietnamization predication "
+            "operator feudalism decisiveness hopefulness callousness "
+            "formaliti sensitiviti sensibiliti triplicate formative "
+            "formalize electriciti electrical hopeful goodness revival "
+            "allowance inference airliner gyroscopic adjustable defensible "
+            "irritant replacement adjustment dependent adoption homologou "
+            "communism activate angulariti homologous effective bowdlerize "
+            "probate rate cease controll roll oscillate oscillating y by ay "
+            "yy ey gyy sky's it's don't abc-def 123 a i be the "
+            "generalization generalizations oscillators skies dying lying "
+            "tying agreement crying string spring meetings"
+        ).split()
+        rows = ",".join("('" + w.replace("'", "''") + "')" for w in words)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT col0 AS text "
+            f"FROM (VALUES {rows}) t(col0)"
+        )
+        from collections import Counter, defaultdict
+
+        sql_out = {}
+        for st, n, k in con.execute(_porter_oracle()).fetchall():
+            a, b = sql_out.get(st, (0, 0))
+            sql_out[st] = (a + n, b + k)
+        cnt = Counter(w.lower() for w in words)
+        agg = defaultdict(lambda: [0, set()])
+        for w, n in cnt.items():
+            st = porter_stem(w)
+            agg[st][0] += n
+            agg[st][1].add(w)
+        py_out = {k: (v[0], len(v[1])) for k, v in agg.items()}
+        assert sql_out == py_out
+
     def test_stemmed_terms_compaction(self, spark, tmp_path):
         docs = [
             (1, "connect connected connecting connection connections", "en", "s", 50),
