@@ -259,18 +259,6 @@ def minhash_lsh_candidates(
         from pyspark import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # Explicit size-gated join strategy: the Arrow signature node has
-    # no size statistics, so Catalyst's ESTIMATE for the banded table
-    # is garbage — left alone it planned a BroadcastHashJoin at 200k
-    # docs, collecting the ~1.6 GB banded+signature table to the driver
-    # and dying on spark.driver.maxResultSize (reproduced). But at
-    # bench scale (5k docs, ~45 MB banded) the broadcast genuinely IS
-    # the best plan (~2x over sort-merge). So decide from the real
-    # corpus size — one cheap parquet count-star — instead of trusting
-    # a statistic that no longer exists: small corpus broadcasts, large
-    # corpus takes the spill-safe sort-merge on the shared band
-    # partitioning. 10k docs ~ 90 MB banded, comfortably under
-    # maxResultSize with headroom for wider signatures.
     a = banded.alias("a")
     # Spill-safety gate for LARGE corpora only: Catalyst has no size
     # statistics for the Arrow signature node, and left alone at 200k

@@ -2870,7 +2870,12 @@ def ts_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
             drop=True
         )
-        xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
+        # half-away-from-zero cents, NOT np.round: banker's rounding
+        # diverges from the oracle's SQL round() on exact half-cent
+        # doubles (0.125*100 = 12.5 -> np 12, SQL 13); floor(|v|+0.5)
+        # is SQL round's semantics and safe in this magnitude range
+        v100 = pdf["value"].to_numpy(dtype="float64") * 100.0
+        xs = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
         n = len(xs)
         # exact-moment variance, NOT np.var: the pairwise-summed mean
         # of squared deviations inside np.var is accumulation-order-
@@ -2942,7 +2947,12 @@ def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
             drop=True
         )
-        xs = np.round(pdf["value"].to_numpy(dtype="float64") * 100.0)
+        # half-away-from-zero cents, NOT np.round: banker's rounding
+        # diverges from the oracle's SQL round() on exact half-cent
+        # doubles (0.125*100 = 12.5 -> np 12, SQL 13); floor(|v|+0.5)
+        # is SQL round's semantics and safe in this magnitude range
+        v100 = pdf["value"].to_numpy(dtype="float64") * 100.0
+        xs = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
         n = len(xs)
         # exact-moment variance, NOT np.var: the pairwise-summed mean
         # of squared deviations inside np.var is accumulation-order-

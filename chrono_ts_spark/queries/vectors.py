@@ -40,10 +40,11 @@ def _sql_dot(a: str, b: str, n: int = _DIMS) -> str:
 # ---------------------------------------------------------------------------
 
 def _fp_lloyd_ctes(
-    k: int, iters: int, init_cte: str, sub_div: int | None = None
+    iters: int, init_cte: str, sub_div: int | None = None
 ) -> tuple[list[str], int]:
     """Generated SQL CTEs for the fixed-point Lloyd loop: e6 (1e6
-    quantization), c0 = ``init_cte`` (must select cluster, i, cfp),
+    quantization), c0 = ``init_cte`` (must select cluster, i, cfp —
+    the cluster count is entirely determined by the init CTE),
     then per round t: d{t} exact-integer distances, a{t} argmin
     assignment (ties -> lowest cluster), c{t} round(sum/n) centroid
     update with empty-cluster carry. Returns (ctes, fin) where
@@ -120,6 +121,20 @@ def _fp_quantized(e: DataFrame) -> DataFrame:
         "vec_id",
         (F.col("pos0") + 1).alias("i"),
         F.round(F.col("v") * F.lit(1000000.0), 0).cast("bigint").alias("q"),
+    )
+
+
+def _fp_init_cents(e6: DataFrame, ids, cluster_of):
+    """Initial (cluster, i, cfp) list from the quantized rows of
+    ``ids``: rank = position in sorted(ids), cluster_of(rank, i) maps
+    a vector's rank and 1-based dim to its cluster id (identity-rank
+    for flat k-means/IVF/SemDeDup, sub*k+rank for the PQ composite).
+    Shared by all four exact twins so the tie/sort conventions can't
+    drift."""
+    rank = {vid: r for r, vid in enumerate(sorted(ids))}
+    return sorted(
+        (cluster_of(rank[r.vec_id], r.i), r.i, r.q)
+        for r in e6.filter(F.col("vec_id").isin(list(ids))).collect()
     )
 
 
@@ -450,7 +465,7 @@ _IVF_INIT_CTE = f"""
 
 
 def _ivf_exact_oracle() -> str:
-    ctes, fin = _fp_lloyd_ctes(_IVF_K, _IVF_ITERS, _IVF_INIT_CTE)
+    ctes, fin = _fp_lloyd_ctes(_IVF_ITERS, _IVF_INIT_CTE)
     ctes.append(
         f"""probe AS (
     SELECT vec_id AS query_id, cluster FROM (
@@ -533,11 +548,7 @@ def emb_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stride init found {len(first)} < k={_IVF_K} vectors "
             "(non-contiguous id space)"
         )
-    id2c = {vid: c for c, vid in enumerate(sorted(first))}
-    cents = sorted(
-        (id2c[r.vec_id], r.i, r.q)
-        for r in e6.filter(F.col("vec_id").isin(first)).collect()
-    )
+    cents = _fp_init_cents(e6, first, lambda r, i: r)
     cents = _fp_lloyd_fit(spark, e6, cents, _IVF_ITERS)
 
     dists = _fp_distances(spark, e6, cents)
@@ -680,7 +691,7 @@ _PQ_INIT_CTE = f"""
 
 
 def _pq_exact_oracle() -> str:
-    ctes, fin = _fp_lloyd_ctes(_PQ_K, _PQ_ITERS, _PQ_INIT_CTE, sub_div=_PQ_K)
+    ctes, fin = _fp_lloyd_ctes(_PQ_ITERS, _PQ_INIT_CTE, sub_div=_PQ_K)
     ctes.append(
         f"""adc AS (
     SELECT t.vec_id AS query_id, k.vec_id AS neighbor_id,
@@ -756,10 +767,8 @@ def emb_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if len(first) < _PQ_K:
         raise ValueError(f"corpus has fewer than k={_PQ_K} vectors")
-    rank = {vid: r for r, vid in enumerate(sorted(first))}
-    cents = sorted(
-        (((r.i - 1) // _PQ_DIMS) * _PQ_K + rank[r.vec_id], r.i, r.q)
-        for r in e6.filter(F.col("vec_id").isin(first)).collect()
+    cents = _fp_init_cents(
+        e6, first, lambda r, i: ((i - 1) // _PQ_DIMS) * _PQ_K + r
     )
     cents = _fp_lloyd_fit(spark, e6, cents, _PQ_ITERS, sub_div=_PQ_K)
 
@@ -889,7 +898,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_exact_oracle() -> str:
-    ctes, fin = _fp_lloyd_ctes(_KM_K, _KM_ITERS, _KM_INIT_CTE)
+    ctes, fin = _fp_lloyd_ctes(_KM_ITERS, _KM_INIT_CTE)
     ctes.append(
         f"""per_label AS (
     SELECT a.cluster, emb.label,
@@ -951,11 +960,7 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if len(first) < _KM_K:
         raise ValueError(f"corpus has fewer than k={_KM_K} vectors")
-    id2c = {vid: c for c, vid in enumerate(sorted(first))}
-    cents = sorted(
-        (id2c[r.vec_id], r.i, r.q)
-        for r in e6.filter(F.col("vec_id").isin(first)).collect()
-    )
+    cents = _fp_init_cents(e6, first, lambda r, i: r)
     cents = _fp_lloyd_fit(spark, e6, cents, _KM_ITERS)
     lab = _fp_assign(spark, e6, cents).join(e.select("vec_id", "label"), "vec_id")
     per_label = lab.groupBy("cluster", "label").agg(
@@ -1079,7 +1084,7 @@ _SEMDEDUP_INIT_CTE = """
 
 
 def _semdedup_exact_oracle() -> str:
-    ctes, fin = _fp_lloyd_ctes(0, 2, _SEMDEDUP_INIT_CTE)  # k is dynamic
+    ctes, fin = _fp_lloyd_ctes(2, _SEMDEDUP_INIT_CTE)
     ctes.append(
         f"""qv AS (
     SELECT vec_id,
@@ -1158,11 +1163,7 @@ def emb_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if len(first) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
-    rank = {vid: c for c, vid in enumerate(sorted(first))}
-    cents = sorted(
-        (rank[r.vec_id], r.i, r.q)
-        for r in e6.filter(F.col("vec_id").isin(first)).collect()
-    )
+    cents = _fp_init_cents(e6, first, lambda r, i: r)
     cents = _fp_lloyd_fit(spark, e6, cents, 2)
     asg = _fp_assign(spark, e6, cents).select("vec_id", "cluster")
 
