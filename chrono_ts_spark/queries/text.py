@@ -1730,12 +1730,126 @@ def doc_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact doc_top_terms ships every distinct token. Rows-only
     because MG estimates depend on partition boundaries (inherent to
     the sketch); the error-bound/recall guarantees are pinned in
-    tests/test_heavyhitters.py."""
+    tests/test_heavyhitters.py. doc_cms_heavy_md5 below is the fully-
+    oracled Count-Min twin of the same heavy-hitter task."""
     from ..operators.heavyhitters import misra_gries
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
     return misra_gries(toks, "tok", k=64)
+
+
+# -- doc_cms_heavy_md5: the fully-oracled Count-Min twin of the
+# heavy-hitter sketch family (doc_simhash_md5 pattern applied to
+# doc_heavy_tokens). Misra-Gries estimates depend on partition
+# boundaries, but a Count-Min sketch is pure per-cell SUMs — addition-
+# order-immune — so with an engine-portable md5 hash family the ENTIRE
+# sketch (cells, probe columns, min-over-rows estimate) replays in
+# DuckDB SQL. d=4 rows x w=512 columns; estimate(t) = min_r
+# cells[r, h_r(t)], which can only overestimate (cms_est >= exact).
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOPN = 25
+
+_SQL_CMS_COL = (
+    "CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || ':' || {tok}), 1, 8))"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+
+@query(
+    "doc_cms_heavy_md5",
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+), cells AS (
+    SELECT r.r, {_SQL_CMS_COL.format(r="r.r", tok="tok.token")} AS c,
+           COUNT(*) AS cnt
+    FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+    GROUP BY r.r, c
+), exact AS (
+    SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+), probes AS (
+    SELECT token, exact_cnt FROM (
+        SELECT token, exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rn
+        FROM exact
+    ) WHERE rn <= {_CMS_TOPN}
+), probe_cols AS (
+    SELECT p.token, p.exact_cnt, r.r,
+           {_SQL_CMS_COL.format(r="r.r", tok="p.token")} AS c
+    FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+)
+SELECT pc.token, pc.exact_cnt, MIN(cl.cnt) AS cms_est,
+       MIN(cl.cnt) - pc.exact_cnt AS overestimate
+FROM probe_cols pc JOIN cells cl ON cl.r = pc.r AND cl.c = pc.c
+GROUP BY pc.token, pc.exact_cnt
+""",
+    tags=("text", "X8", "sketch", "md5-twin"),
+)
+def doc_cms_heavy_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters, driver-hash-verifiable end to end.
+
+    The engine-portable twin of doc_heavy_tokens: where Misra-Gries
+    summaries are partition-dependent (inherent), Count-Min cells are
+    per-(row, column) SUMs over md5-derived columns, so the sketch and
+    its min-over-rows estimates are bit-reproducible in any engine.
+    Probes are the exact top-25 tokens (ties to the lexicographically
+    lowest) so overestimate = cms_est - exact is directly witnessed;
+    cms_est >= exact always (the Count-Min one-sided error guarantee,
+    asserted in pytest). Shape at 100 TB: cell building partial-
+    aggregates map-side so the shuffle is capped at d x w = 2048 rows
+    per partition regardless of corpus size; the global top-25 probe
+    ranking is verification scaffolding — a production probe is a
+    supplied candidate list, which skips the exact-count pass
+    entirely."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    rs = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+
+    def cms_col(r, tok):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r.cast("string"), F.lit(":"), tok)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    cells = (
+        toks.select("token", rs)
+        .select("r", cms_col(F.col("r"), F.col("token")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    wname = Window.orderBy(F.desc("exact_cnt"), F.asc("token"))
+    probes = (
+        exact.withColumn("rn", F.row_number().over(wname))
+        .filter(F.col("rn") <= _CMS_TOPN)
+        .drop("rn")
+    )
+    probe_cols = probes.select("token", "exact_cnt", rs).select(
+        "token",
+        "exact_cnt",
+        "r",
+        cms_col(F.col("r"), F.col("token")).alias("c"),
+    )
+    return (
+        probe_cols.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

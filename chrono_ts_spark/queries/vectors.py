@@ -1245,7 +1245,9 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded). Deterministic: exact integer sums, eigh on the same
     matrix, sign fixed by largest-|coordinate|-positive. Rows-only:
     eigendecomposition has no SQL twin; pytest pins the spectrum on
-    planted low-rank data and against numpy full-data PCA.
+    planted low-rank data and against numpy full-data PCA, and
+    emb_pca_power_exact below is the fully-oracled power-method twin
+    of the top component.
     """
     from ..operators.clustering import covariance_matrix, pca_components
 
@@ -1262,6 +1264,166 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "component int, variance double, var_share double"
+    )
+
+
+# -- emb_pca_power_exact: the fully-oracled twin of the PCA family
+# (the fixed-point-Lloyd playbook applied to X7d). eigh itself has no
+# SQL twin, but the POWER METHOD does: the centered scatter matrix
+# C = n*G - S S^T is an exact integer (G = sum q q^T, S = sum q over
+# 1e6-quantized coords — no mean rounding anywhere, because scaling by
+# n clears the division), and each iteration is (a) u = C v via the
+# driver-proven left-to-right dot walk, (b) norm = sqrt of the ordered
+# sum of squares, (c) v' = round((u / norm) * 1e6) back to exact int64
+# — so T rounds unroll into SQL CTEs exactly like the Lloyd twins. The
+# engine runs the same replay driver-side on the collected 64x64 exact
+# C (the sanctioned bounded collect; the distributed part is the Gram
+# self-join over _fp_quantized, whose JVM F.round == DuckDB round).
+
+_PCA_POWER_ITERS = 24  # l2/l1 ~ 0.93 on this corpus -> ~2% Rayleigh
+# error at 24 rounds (each extra round is one 64-row materialized CTE
+# on the oracle side and one 64x64 walk on the driver — near-free next
+# to the once-computed Gram)
+
+
+def _pca_power_ctes() -> str:
+    """The shared CTE chain: e6/s/nn/g/c + v0 and T unrolled
+    (u_t, nr_t, v_t) power steps over the exact integer scatter C."""
+    steps = []
+    prev = "v0"
+    for t in range(1, _PCA_POWER_ITERS + 1):
+        steps.append(
+            f"""u{t} AS MATERIALIZED (
+    SELECT c.i AS i, list_sum(list(CAST(c.c AS DOUBLE) * vv.v ORDER BY c.j)) AS u
+    FROM c JOIN {prev} vv ON vv.i = c.j GROUP BY c.i
+), nr{t} AS (
+    SELECT SQRT(list_sum(list(u * u ORDER BY i))) AS nr FROM u{t}
+), v{t} AS MATERIALIZED (
+    SELECT i, CAST(round(u / (SELECT nr FROM nr{t}) * 1000000.0, 0) AS BIGINT) AS v
+    FROM u{t}
+)"""
+        )
+        prev = f"v{t}"
+    joined = ",\n".join(steps)
+    return f"""e6 AS MATERIALIZED (
+    SELECT vec_id, g.i AS i,
+           CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) g
+), s AS (
+    SELECT i, SUM(q) AS s FROM e6 GROUP BY i
+), nn AS (
+    SELECT COUNT(*) AS n FROM embeddings
+), g AS (
+    SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+    FROM e6 a JOIN e6 b USING (vec_id) GROUP BY a.i, b.i
+), c AS MATERIALIZED (
+    SELECT g.i, g.j, (SELECT n FROM nn) * g.g - si.s * sj.s AS c
+    FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j
+), v0 AS (
+    SELECT i, CAST(1000 AS BIGINT) AS v
+    FROM (SELECT unnest(generate_series(1, {_DIMS})) AS i)
+),
+{joined}"""
+
+
+@query(
+    "emb_pca_power_exact",
+    oracle=f"""
+WITH {_pca_power_ctes()},
+w AS (
+    SELECT c.i AS i, list_sum(list(CAST(c.c AS DOUBLE) * vv.v ORDER BY c.j)) AS w
+    FROM c JOIN v{_PCA_POWER_ITERS} vv ON vv.i = c.j GROUP BY c.i
+), num AS (
+    SELECT list_sum(list(CAST(v.v AS DOUBLE) * w.w ORDER BY v.i)) AS num
+    FROM v{_PCA_POWER_ITERS} v JOIN w ON w.i = v.i
+), den AS (
+    SELECT SUM(v * v) AS den FROM v{_PCA_POWER_ITERS}
+), tr AS (
+    SELECT SUM(c) AS tr FROM c WHERE i = j
+), top AS (
+    SELECT i, v FROM v{_PCA_POWER_ITERS} ORDER BY abs(v) DESC, i ASC LIMIT 1
+)
+SELECT (SELECT n FROM nn) AS n_vecs,
+       CAST((SELECT i FROM top) AS INTEGER) AS top_dim,
+       (SELECT v FROM top) AS top_loading_fp,
+       CAST(floor((SELECT num FROM num) / CAST((SELECT den FROM den) AS DOUBLE)
+                  / CAST((SELECT tr FROM tr) AS DOUBLE)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS var_share_fp
+""",
+    tags=("vector", "pca", "X7d", "exact-twin"),
+)
+def emb_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by fixed-point power iteration —
+    driver-hash-verifiable in full (the exact twin of emb_pca_variance
+    the way emb_kmeans_exact twins emb_kmeans).
+
+    C = n*G - S S^T over 1e6-quantized coordinates is EXACT integer
+    (scaling by n avoids dividing by it, so no mean ever rounds); each
+    of the _PCA_POWER_ITERS power steps re-quantizes the iterate to
+    1e6 fixed point after a left-to-right C@v walk, so both engines
+    take bit-identical steps. Outputs: the Rayleigh var-share of the
+    converged direction (1e9 fixed point), the top-|loading| dimension
+    and its loading. Scale shape: the Gram self-join carries
+    O(n x d^2) multiplies but partial-aggregates to d^2 rows before
+    the shuffle; the driver holds only the 64x64 exact C (bounded) —
+    the production spectrum path stays emb_pca_variance's mapInPandas
+    Gram + eigh, this twin is the verification road."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    e6 = _fp_quantized(emb)
+    a, b = e6.alias("a"), e6.alias("b")
+    g_rows = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias("g")
+        )
+        .collect()
+    )
+    s_rows = (
+        e6.groupBy("i").agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    S = {int(r.i): int(r.s) for r in s_rows}
+    C = {(int(r.i), int(r.j)): n * int(r.g) - S[int(r.i)] * S[int(r.j)]
+         for r in g_rows}
+    d = _DIMS
+
+    def walk(v):
+        out = []
+        for i in range(1, d + 1):
+            acc = 0.0
+            for j in range(1, d + 1):
+                acc += float(C[(i, j)]) * float(v[j - 1])
+            out.append(acc)
+        return out
+
+    def half_away(x: float) -> int:
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    v = [1000] * d
+    for _ in range(_PCA_POWER_ITERS):
+        u = walk(v)
+        norm2 = 0.0
+        for x in u:
+            norm2 += x * x
+        norm = math.sqrt(norm2)
+        v = [half_away(x / norm * 1000000.0) for x in u]
+    w = walk(v)
+    num = 0.0
+    for i in range(d):
+        num += float(v[i]) * w[i]
+    den = sum(x * x for x in v)
+    tr = sum(C[(i, i)] for i in range(1, d + 1))
+    top_dim = max(range(1, d + 1), key=lambda i: (abs(v[i - 1]), -i))
+    share_fp = int(
+        math.floor(num / float(den) / float(tr) * 1000000000.0 + 0.5)
+    )
+    return spark.createDataFrame(
+        [(n, top_dim, v[top_dim - 1], share_fp)],
+        "n_vecs long, top_dim int, top_loading_fp long, var_share_fp long",
     )
 
 
