@@ -4094,7 +4094,8 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     level, fixed input bytes — but the DEFLATE stream is library-
     versioned, so no SQL oracle; planted repetitive-vs-noise ordering
     and a pure-Python byte-equality are pinned in tests). Map-only:
-    no shuffle at all.
+    no shuffle at all. doc_rle_ratio below is the fully-oracled
+    run-length twin of the same compressibility-filter family.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -4123,6 +4124,71 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("compressed_bytes").cast("double")
             / F.greatest(F.col("raw_bytes").cast("double"), F.lit(1.0)),
             6,
+        ),
+    )
+
+
+# -- doc_rle_ratio: the fully-oracled twin of the compression-quality
+# family. zlib's DEFLATE stream is library-versioned (no SQL twin),
+# but the run-length-encoding run count — the simplest member of the
+# same compressibility family — is pure character comparisons, so it
+# replays exactly in SQL. Same filter semantics: single-character spam
+# drives rle_ratio toward 0, natural prose sits near 1.
+
+
+@query(
+    "doc_rle_ratio",
+    oracle="""
+WITH r AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN length(text) <= 1 THEN length(text)
+                ELSE 1 + COALESCE(list_sum(list_transform(
+                         generate_series(2, length(text)),
+                         i -> CASE WHEN substr(text, i, 1) <> substr(text, i - 1, 1)
+                              THEN 1 ELSE 0 END)), 0)
+                END AS BIGINT) AS n_runs
+    FROM documents
+)
+SELECT doc_id, n_chars, n_runs,
+       CASE WHEN n_chars = 0 THEN 0.0
+            ELSE round(CAST(n_runs AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS rle_ratio
+FROM r
+""",
+    tags=("text", "X8q", "quality", "exact-twin"),
+)
+def doc_rle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compressibility per document, driver-hash-verifiable
+    — the engine-portable twin of doc_compression_ratio (whose DEFLATE
+    byte stream is zlib-version-private). n_runs = number of maximal
+    equal-character runs; rle_ratio = n_runs / n_chars in [0, 1].
+
+    All JVM-side (sequence + filter HOFs over character positions — no
+    UDF), map-only with zero shuffle; O(doc length) comparisons per
+    document, the same cost class as the zlib pass. Guard: Spark's
+    sequence(2, n) DESCENDS for n < 2 (it would emit [2, 1, 0], not
+    []), so short documents take the explicit n_runs = n_chars branch
+    on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length(F.col("text"))
+    extra = F.expr(
+        "size(filter(sequence(2, length(text)), "
+        "i -> substring(text, i, 1) != substring(text, i - 1, 1)))"
+    )
+    n_runs = (
+        F.when(n <= 1, n.cast("bigint"))
+        .otherwise((F.lit(1) + extra).cast("bigint"))
+        .alias("n_runs")
+    )
+    return d.select(
+        "doc_id", n.cast("bigint").alias("n_chars"), n_runs
+    ).withColumn(
+        "rle_ratio",
+        F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.col("n_runs").cast("double") / F.col("n_chars").cast("double"),
+                6,
+            )
         ),
     )
 

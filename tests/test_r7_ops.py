@@ -582,3 +582,28 @@ class TestPcaPowerExact:
         # top loading sign/dim and check it's the same axis family
         assert row.n_vecs == n
         assert abs(top_vec[row.top_dim - 1]) == np.abs(top_vec).max()
+
+
+class TestRleRatio:
+    def test_edge_cases(self, spark, tmp_path):
+        docs = [
+            (1, "en", "web", ""),          # empty -> 0 runs, ratio 0
+            (2, "en", "web", "a"),         # single char -> 1 run
+            (3, "en", "web", "aaaa"),      # one run of 4
+            (4, "en", "web", "abab"),      # alternating -> 4 runs
+            (5, "en", "web", "aabbb"),     # 2 runs over 5 chars
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, lang string, source string, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_chars, r.n_runs, r.rle_ratio)
+            for r in REG["doc_rle_ratio"].fn(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            1: (0, 0, 0.0),
+            2: (1, 1, 1.0),
+            3: (4, 1, 0.25),
+            4: (4, 4, 1.0),
+            5: (5, 2, 0.4),
+        }
