@@ -1738,11 +1738,176 @@ def ts_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-off over the emitted items only. Rows-only — like the exact
     `rel_price_percentiles` it answers A4, but with the summary the
     100 TB path needs; rank-error bounds pinned under 1/8/32
-    partitionings in tests/test_quantile_sketch.py."""
+    partitionings in tests/test_quantile_sketch.py.
+    ts_qdigest_quantiles below is the fully-oracled twin of the
+    quantile-sketch family (q-digest over the bounded cents domain —
+    a pure function of the value multiset)."""
     from ..operators.quantile_sketch import kll_quantiles
 
     ev = load_table(spark, sf_dir, "events")
     return kll_quantiles(ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+# -- ts_qdigest_quantiles: the fully-oracled quantile-SKETCH twin.
+# KLL compactions are insertion-order-dependent (inherent), but a
+# q-digest over the bounded cents domain [0, 2^16) is a pure function
+# of the value MULTISET: the histogram is order-immune COUNTs, the
+# bottom-up compression at each of the 16 dyadic levels is a
+# deterministic integer rule (children merge into their parent iff
+# their combined count <= floor(n/k)), and the rank read-off walks
+# exact integer cumulative counts toward an integer ceil(q*n) target.
+# ZERO floating-point operations anywhere — the strongest determinism
+# class on the board. Rank-error bound: <= LEVELS * floor(n/k).
+
+_QDIG_LEVELS = 16
+_QDIG_K = 2048
+_QDIG_TARGETS = [(50, 1, 2), (90, 9, 10), (95, 19, 20), (99, 99, 100)]
+
+
+def _qdigest_sql() -> str:
+    """The q-digest oracle: hist -> 16 (merge, emit, carry) level
+    steps -> digest union -> cumulative rank walk. Every multi-
+    referenced CTE is MATERIALIZED per docs/determinism.md (DuckDB
+    re-inlines twice-referenced chained CTEs exponentially)."""
+    parts = [
+        """hist AS MATERIALIZED (
+    SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS node, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+), nn AS MATERIALIZED (
+    SELECT SUM(cnt) AS n, GREATEST(1, SUM(cnt) // {k}) AS nk FROM hist
+), lvl{levels} AS MATERIALIZED (SELECT node, cnt FROM hist)""".format(
+            k=_QDIG_K, levels=_QDIG_LEVELS
+        )
+    ]
+    for lv in range(_QDIG_LEVELS, 0, -1):
+        parts.append(
+            f"""m{lv} AS MATERIALIZED (
+    SELECT node // 2 AS p, SUM(cnt) AS s FROM lvl{lv} GROUP BY node // 2
+), emit{lv} AS (
+    SELECT l.node, l.cnt, {lv} AS level
+    FROM lvl{lv} l JOIN m{lv} m ON m.p = l.node // 2
+    WHERE m.s > (SELECT nk FROM nn)
+), lvl{lv - 1} AS MATERIALIZED (
+    SELECT p AS node, s AS cnt FROM m{lv} WHERE s <= (SELECT nk FROM nn)
+)"""
+        )
+    emits = "\n    UNION ALL\n    ".join(
+        f"SELECT node, cnt, level FROM emit{lv}"
+        for lv in range(_QDIG_LEVELS, 0, -1)
+    )
+    widths = ", ".join(
+        f"({lv}, {1 << (_QDIG_LEVELS - lv)})" for lv in range(_QDIG_LEVELS + 1)
+    )
+    targets = ", ".join(f"({p}, {nu}, {de})" for p, nu, de in _QDIG_TARGETS)
+    parts.append(
+        f"""digest AS MATERIALIZED (
+    {emits}
+    UNION ALL
+    SELECT node, cnt, 0 AS level FROM lvl0 WHERE cnt > 0
+), widths AS (SELECT * FROM (VALUES {widths}) w(level, width)),
+walk AS MATERIALIZED (
+    SELECT b.*, SUM(cnt) OVER (ORDER BY ub, lb ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+        SELECT d.node, d.cnt, d.level,
+               d.node * w.width AS lb, (d.node + 1) * w.width - 1 AS ub
+        FROM digest d JOIN widths w USING (level)
+    ) b
+), targets AS (SELECT * FROM (VALUES {targets}) t(pct, num, den))"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT t.pct,
+       CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+       CAST(((SELECT n FROM nn) * t.num + t.den - 1) // t.den AS BIGINT)
+           AS target_rank,
+       CAST(MIN(w.ub) AS BIGINT) AS est_cents,
+       (SELECT COUNT(*) FROM digest) AS digest_nodes
+FROM targets t
+JOIN walk w
+  ON w.cum >= ((SELECT n FROM nn) * t.num + t.den - 1) // t.den
+GROUP BY t.pct, t.num, t.den
+"""
+
+
+@query(
+    "ts_qdigest_quantiles",
+    oracle=_qdigest_sql(),
+    tags=("tsdb", "A4", "sketch", "exact-twin"),
+)
+def ts_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-digest value quantiles — the driver-hash-verifiable twin of
+    ts_value_quantile_sketch (whose KLL compactions are insertion-
+    order-dependent by construction).
+
+    Distributed part: one groupBy building the cents histogram —
+    map-side partial counts, shuffle capped at the 2^16 domain size
+    regardless of row count. Driver part: the bounded (<= 65536-row)
+    histogram replays the deterministic bottom-up compression — at
+    each dyadic level, sibling counts merge into their parent iff
+    together <= floor(n/k) (k = 2048), else both children are emitted
+    into the digest — then integer cumulative counts answer each
+    ceil(q*n) rank target with the smallest node upper bound at or
+    past it. Every step is exact integer arithmetic, so the oracle
+    replays it verbatim as 16 chained level CTEs. Rank error
+    <= 16 * floor(n/k) (~0.8% of n), pinned against the exact
+    percentile in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    hist_rows = (
+        ev.groupBy(
+            F.round(F.col("value") * 100.0, 0).cast("bigint").alias("node")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    hist = {int(r.node): int(r.cnt) for r in hist_rows}
+    if hist and (min(hist) < 0 or max(hist) >= (1 << _QDIG_LEVELS)):
+        raise ValueError(
+            "q-digest cents domain violated: values must land in "
+            f"[0, 2^{_QDIG_LEVELS}) cents, got "
+            f"[{min(hist)}, {max(hist)}]"
+        )
+    n = sum(hist.values())
+    nk = max(1, n // _QDIG_K)
+    pend = dict(hist)
+    digest: list[tuple[int, int, int]] = []
+    for lv in range(_QDIG_LEVELS, 0, -1):
+        groups: dict[int, list[tuple[int, int]]] = {}
+        for node, cnt in pend.items():
+            groups.setdefault(node // 2, []).append((node, cnt))
+        newpend: dict[int, int] = {}
+        for p, kids in groups.items():
+            s = sum(c for _, c in kids)
+            if s > nk:
+                digest.extend((node, cnt, lv) for node, cnt in kids)
+            else:
+                newpend[p] = s
+        pend = newpend
+    if pend.get(0, 0) > 0:
+        digest.append((0, pend[0], 0))
+    spans = sorted(
+        (
+            ((node + 1) << (_QDIG_LEVELS - lv)) - 1,  # ub
+            node << (_QDIG_LEVELS - lv),  # lb
+            cnt,
+        )
+        for node, cnt, lv in digest
+    )
+    out = []
+    for pct, num, den in _QDIG_TARGETS:
+        target = (n * num + den - 1) // den
+        cum, est = 0, None
+        for ub, _lb, cnt in spans:
+            cum += cnt
+            if cum >= target:
+                est = ub
+                break
+        out.append((pct, n, target, est, len(digest)))
+    return spark.createDataFrame(
+        out,
+        "pct int, n_events long, target_rank long, est_cents long, "
+        "digest_nodes long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -607,3 +607,49 @@ class TestRleRatio:
             4: (4, 4, 1.0),
             5: (5, 2, 0.4),
         }
+
+
+class TestQdigestQuantiles:
+    def test_rank_error_vs_exact(self, spark):
+        # q-digest guarantee: the reported upper bound sits within
+        # LEVELS * floor(n/k) ranks of the target
+        from chrono_ts_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        cents = sorted(
+            int(r[0])
+            for r in ev.select(
+                F.round(F.col("value") * 100.0, 0).cast("bigint")
+            ).collect()
+        )
+        n = len(cents)
+        err = 16 * max(1, n // 2048)
+        rows = REG["ts_qdigest_quantiles"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert {r.pct for r in rows} == {50, 90, 95, 99}
+        import bisect
+
+        for r in rows:
+            assert r.n_events == n
+            # every item counted toward the target sits at or below its
+            # node's upper bound, so est dominates the true target-rank
+            # value exactly (no error term on this side)
+            assert r.est_cents >= cents[r.target_rank - 1]
+            # and the digest can overshoot by at most err ranks: the
+            # number of items <= est stays within target + err
+            true_rank_of_est = bisect.bisect_right(cents, r.est_cents)
+            assert true_rank_of_est <= r.target_rank + err
+
+    def test_domain_guard_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        rows = [(1, D0, 1, "a", 700.00, "{}")]  # 70000 cents > 2^16
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        with _pt.raises(ValueError, match="cents domain"):
+            REG["ts_qdigest_quantiles"].fn(spark, str(tmp_path)).collect()
