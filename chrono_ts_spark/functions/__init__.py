@@ -143,3 +143,20 @@ def vec_cosine(a: Column, b: Column) -> Column:
     under ORDER BY cosine DESC in both engines (r7 review, sharpened).
     """
     return F.try_divide(vec_dot(a, b), F.sqrt(vec_norm_sq(a) * vec_norm_sq(b)))
+
+
+def md5_u32(col: Column | str) -> Column:
+    """First 32 md5 bits of a string column as an unsigned bigint in
+    [0, 2^32) — the engine-portable hash family behind every *_md5
+    oracle twin. MUST stay byte-identical to ``sql_md5_u32`` (the
+    DuckDB rendering of the same idiom): both take the first 8 hex
+    chars of md5 and parse them base-16. New twins should call these
+    helpers; the pre-helper inline copies across queries/*.py are
+    driver-proven frozen and intentionally left in place."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_md5_u32(expr: str) -> str:
+    """DuckDB twin of ``md5_u32`` — see its parity contract."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"

@@ -1752,16 +1752,18 @@ _CMS_D = 4
 _CMS_W = 512
 _CMS_TOPN = 25
 
+from ..functions import md5_u32 as _md5_u32  # noqa: E402
+from ..functions import sql_md5_u32 as _sql_md5_u32  # noqa: E402
+
 _SQL_CMS_COL = (
-    "CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || ':' || {tok}), 1, 8))"
-    f" AS BIGINT) % {_CMS_W}"
+    _sql_md5_u32("CAST({r} AS VARCHAR) || ':' || {tok}") + f" % {_CMS_W}"
 )
 
 
 @query(
     "doc_cms_heavy_md5",
     oracle=f"""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
     SELECT unnest({_SQL_TOKENS}) AS token FROM documents
 ), cells AS (
     SELECT r.r, {_SQL_CMS_COL.format(r="r.r", tok="tok.token")} AS c,
@@ -1809,16 +1811,7 @@ def doc_cms_heavy_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
 
     def cms_col(r, tok):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(r.cast("string"), F.lit(":"), tok)), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
+        return _md5_u32(F.concat(r.cast("string"), F.lit(":"), tok)) % _CMS_W
 
     cells = (
         toks.select("token", rs)
@@ -4141,11 +4134,12 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH r AS (
     SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(CASE WHEN length(text) <= 1 THEN length(text)
-                ELSE 1 + COALESCE(list_sum(list_transform(
+           CAST(CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) <= 1 THEN length(text)
+                ELSE 1 + list_sum(list_transform(
                          generate_series(2, length(text)),
                          i -> CASE WHEN substr(text, i, 1) <> substr(text, i - 1, 1)
-                              THEN 1 ELSE 0 END)), 0)
+                              THEN 1 ELSE 0 END))
                 END AS BIGINT) AS n_runs
     FROM documents
 )

@@ -1309,9 +1309,9 @@ def _pca_power_ctes() -> str:
     SELECT vec_id, g.i AS i,
            CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
     FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIMS})) AS i) g
-), s AS (
+), s AS MATERIALIZED (
     SELECT i, SUM(q) AS s FROM e6 GROUP BY i
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT COUNT(*) AS n FROM embeddings
 ), g AS (
     SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g

@@ -592,6 +592,7 @@ class TestRleRatio:
             (3, "en", "web", "aaaa"),      # one run of 4
             (4, "en", "web", "abab"),      # alternating -> 4 runs
             (5, "en", "web", "aabbb"),     # 2 runs over 5 chars
+            (6, "en", "web", None),        # NULL propagates on BOTH sides
         ]
         spark.createDataFrame(
             docs, "doc_id long, lang string, source string, text string"
@@ -606,6 +607,7 @@ class TestRleRatio:
             3: (4, 1, 0.25),
             4: (4, 4, 1.0),
             5: (5, 2, 0.4),
+            6: (None, None, None),
         }
 
 
