@@ -160,3 +160,98 @@ def md5_u32(col: Column | str) -> Column:
 def sql_md5_u32(expr: str) -> str:
     """DuckDB twin of ``md5_u32`` — see its parity contract."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog machinery (shared by rel_hll_md5 and the
+# rolling-window twin). The register pipeline is exact integer all the
+# way: index/rank from an md5_u32 hash, bitlen as a sum of comparisons
+# (no float log2), the 2^-M harmonic indicator as the exact integer
+# 2^(WBITS+1-M). Only the closed-form estimate tail touches doubles —
+# one identical IEEE op sequence on both engines, with the small-range
+# ln quantized downstream by the caller.
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 2^10 = 1024 registers -> ~3.25% standard error
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P  # value bits left after the register index
+HLL_WMOD = 1 << HLL_WBITS
+HLL_SCALE = 1 << (HLL_WBITS + 1)  # fixed-point scale of the 2^-M terms
+
+SQL_HLL_BITLEN = " + ".join(
+    f"(CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END)" for k in range(HLL_WBITS)
+)
+SQL_HLL_TERM = (
+    "CASE m "
+    + " ".join(
+        f"WHEN {mm} THEN {1 << (HLL_WBITS + 1 - mm)}"
+        for mm in range(1, HLL_WBITS + 2)
+    )
+    + " END"
+)
+
+
+def hll_reg(h: Column) -> Column:
+    """Register index: top HLL_P bits of the 32-bit hash."""
+    return F.shiftright(h, HLL_WBITS)
+
+
+def hll_w(h: Column) -> Column:
+    """Rank-bearing low bits of the 32-bit hash."""
+    return h % F.lit(HLL_WMOD)
+
+
+def hll_rho(w: Column) -> Column:
+    """Rank = leading zeros of w within HLL_WBITS bits, plus one —
+    as a sum of exact integer comparisons (mirrors SQL_HLL_BITLEN)."""
+    bitlen = None
+    for k in range(HLL_WBITS):
+        t = F.when(w >= F.lit(1 << k), 1).otherwise(0)
+        bitlen = t if bitlen is None else (bitlen + t)
+    return F.lit(HLL_WBITS + 1) - bitlen
+
+
+def hll_term(m: Column) -> Column:
+    """2^(WBITS+1-M) — the 2^-M indicator as an exact scaled integer
+    (mirrors SQL_HLL_TERM)."""
+    term = F.lit(None).cast("bigint")
+    for mm in range(1, HLL_WBITS + 2):
+        term = F.when(m == mm, F.lit(1 << (HLL_WBITS + 1 - mm))).otherwise(term)
+    return term
+
+
+def hll_estimate(s_used: Column, regs_used: Column) -> Column:
+    """The closed-form estimate over (sum of scaled terms, register
+    count): raw harmonic estimate with the standard small-range
+    linear-counting correction. MUST stay op-for-op identical to
+    ``sql_hll_estimate``."""
+    empty = F.lit(HLL_M) - regs_used
+    raw_scaled = s_used + empty.cast("bigint") * F.lit(HLL_SCALE)
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(HLL_SCALE))
+        / raw_scaled.cast("double")
+    )
+    return F.when(
+        (empty > 0) & (e_raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empty.cast("double")),
+    ).otherwise(e_raw)
+
+
+def sql_hll_estimate(s_used: str, regs_used: str) -> str:
+    """DuckDB twin of ``hll_estimate`` (same op sequence; the e_raw
+    text is duplicated across the CASE rather than shared through a
+    CTE, which is equivalent — both branches see the identical IEEE
+    computation)."""
+    raw = f"({s_used} + CAST({HLL_M} - {regs_used} AS BIGINT) * {HLL_SCALE})"
+    e_raw = (
+        f"0.7213 / (1.0 + 1.079 / {HLL_M}.0) * {HLL_M * HLL_M}.0"
+        f" * {HLL_SCALE}.0 / CAST({raw} AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN ({HLL_M} - {regs_used}) > 0 AND {e_raw} <= {2.5 * HLL_M} "
+        f"THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - {regs_used} AS DOUBLE)) "
+        f"ELSE {e_raw} END"
+    )

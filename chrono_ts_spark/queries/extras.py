@@ -210,29 +210,24 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so no float enters until the single closed-form division at the end —
 # which both engines evaluate with the identical IEEE op sequence. The
 # one libm call (ln in the small-range correction) quantizes through 1e6
-# fixed point per docs/determinism.md. Shared constants below generate
-# the SAME CASE chains for the Spark and DuckDB sides, so the oracle is
-# the algorithm, not a re-derivation.
+# fixed point per docs/determinism.md. The register/estimate machinery
+# lives in chrono_ts_spark.functions (HLL_*, hll_*/sql_hll_*) and
+# generates the SAME CASE chains for the Spark and DuckDB sides, so the
+# oracle is the algorithm, not a re-derivation; the rolling-window twin
+# ts_rolling_actives_hll_md5 (timeseries.py) shares it verbatim.
 
-_HLL_P = 10  # 2^10 = 1024 registers -> ~3.25% standard error
-_HLL_M = 1 << _HLL_P
-_HLL_WBITS = 32 - _HLL_P  # value bits left after the register index
-_HLL_WMOD = 1 << _HLL_WBITS
-_HLL_SCALE = 1 << (_HLL_WBITS + 1)  # 2^23: fixed-point scale of 2^-M terms
-
-# bitlen(w) = #{k : 2^k <= w} — an exact integer expression (no log2,
-# whose float rounding at exact powers of two differs across libms).
-_SQL_HLL_BITLEN = " + ".join(
-    f"(CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END)" for k in range(_HLL_WBITS)
-)
-# 2^(23 - M) for M in [1, 23] — the 2^-M indicator as an exact integer.
-_SQL_HLL_TERM = (
-    "CASE m "
-    + " ".join(
-        f"WHEN {mm} THEN {1 << (_HLL_WBITS + 1 - mm)}"
-        for mm in range(1, _HLL_WBITS + 2)
-    )
-    + " END"
+from ..functions import (  # noqa: E402
+    HLL_M,
+    HLL_WBITS,
+    HLL_WMOD,
+    SQL_HLL_BITLEN,
+    SQL_HLL_TERM,
+    hll_estimate,
+    hll_reg,
+    hll_rho,
+    hll_term,
+    hll_w,
+    sql_hll_estimate,
 )
 
 
@@ -244,35 +239,21 @@ WITH h AS (
            {sql_md5_u32("CAST(l_partkey AS VARCHAR)")} AS h
     FROM lineitem
 ), rw AS (
-    SELECT l_returnflag, (h >> {_HLL_WBITS}) AS reg, (h % {_HLL_WMOD}) AS w FROM h
+    SELECT l_returnflag, (h >> {HLL_WBITS}) AS reg, (h % {HLL_WMOD}) AS w FROM h
 ), regs AS (
     SELECT l_returnflag, reg,
-           MAX({_HLL_WBITS + 1} - ({_SQL_HLL_BITLEN})) AS m
+           MAX({HLL_WBITS + 1} - ({SQL_HLL_BITLEN})) AS m
     FROM rw GROUP BY l_returnflag, reg
 ), agg AS (
     SELECT l_returnflag,
-           SUM({_SQL_HLL_TERM}) AS s_used,
+           SUM({SQL_HLL_TERM}) AS s_used,
            COUNT(*) AS regs_used
     FROM regs GROUP BY l_returnflag
-), est AS (
-    SELECT l_returnflag, regs_used, {_HLL_M} - regs_used AS empty_regs,
-           s_used + CAST({_HLL_M} - regs_used AS BIGINT) * {_HLL_SCALE} AS raw_scaled
-    FROM agg
-), e2 AS (
-    SELECT l_returnflag, regs_used, empty_regs,
-           0.7213 / (1.0 + 1.079 / {_HLL_M}.0) * {_HLL_M * _HLL_M}.0
-               * {_HLL_SCALE}.0 / CAST(raw_scaled AS DOUBLE) AS e_raw
-    FROM est
-), fin AS (
-    SELECT l_returnflag, regs_used,
-           CASE WHEN empty_regs > 0 AND e_raw <= {2.5 * _HLL_M}
-                THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(empty_regs AS DOUBLE))
-                ELSE e_raw END AS est
-    FROM e2
 )
-SELECT f.l_returnflag, x.exact_parts, f.regs_used,
-       CAST(floor(f.est * 1000000.0 + 0.5) AS BIGINT) AS hll_fp
-FROM fin f
+SELECT a.l_returnflag, x.exact_parts, a.regs_used,
+       CAST(floor(({sql_hll_estimate("a.s_used", "a.regs_used")})
+                  * 1000000.0 + 0.5) AS BIGINT) AS hll_fp
+FROM agg a
 JOIN (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
       FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
 """,
@@ -293,40 +274,25 @@ def rel_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     error, observed 0.8-1.7% across the three fixture SFs)."""
     li = load_table(spark, sf_dir, "lineitem")
     h = md5_u32(F.col("l_partkey").cast("string"))
-    w = (h % F.lit(_HLL_WMOD)).alias("w")
-    hashed = li.select("l_returnflag", F.shiftright(h, _HLL_WBITS).alias("reg"), w)
-    # bitlen(w) as a sum of exact integer comparisons (mirrors the SQL).
-    bitlen = None
-    for k in range(_HLL_WBITS):
-        t = F.when(F.col("w") >= F.lit(1 << k), 1).otherwise(0)
-        bitlen = t if bitlen is None else (bitlen + t)
-    rho = F.lit(_HLL_WBITS + 1) - bitlen
-    regs = hashed.groupBy("l_returnflag", "reg").agg(F.max(rho).alias("m"))
-    term = F.lit(None).cast("bigint")
-    for mm in range(1, _HLL_WBITS + 2):
-        term = F.when(F.col("m") == mm, F.lit(1 << (_HLL_WBITS + 1 - mm))).otherwise(
-            term
-        )
+    hashed = li.select(
+        "l_returnflag", hll_reg(h).alias("reg"), hll_w(h).alias("w")
+    )
+    regs = hashed.groupBy("l_returnflag", "reg").agg(
+        F.max(hll_rho(F.col("w"))).alias("m")
+    )
     agg = regs.groupBy("l_returnflag").agg(
-        F.sum(term).alias("s_used"), F.count(F.lit(1)).alias("regs_used")
+        F.sum(hll_term(F.col("m"))).alias("s_used"),
+        F.count(F.lit(1)).alias("regs_used"),
     )
-    empty = F.lit(_HLL_M) - F.col("regs_used")
-    raw_scaled = F.col("s_used") + empty.cast("bigint") * F.lit(_HLL_SCALE)
-    e_raw = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
-        * F.lit(float(_HLL_M * _HLL_M))
-        * F.lit(float(_HLL_SCALE))
-        / raw_scaled.cast("double")
-    )
-    est = F.when(
-        (empty > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / empty.cast("double")),
-    ).otherwise(e_raw)
     fin = agg.select(
         "l_returnflag",
         "regs_used",
-        F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("hll_fp"),
+        F.floor(
+            hll_estimate(F.col("s_used"), F.col("regs_used")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("hll_fp"),
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")

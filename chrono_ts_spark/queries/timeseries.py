@@ -13,12 +13,24 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import (
+    HLL_WBITS,
+    HLL_WMOD,
+    SQL_HLL_BITLEN,
+    SQL_HLL_TERM,
     davg,
     dec,
     dsum,
+    hll_estimate,
+    hll_reg,
+    hll_rho,
+    hll_term,
+    hll_w,
+    md5_u32,
     sql_davg,
     sql_dsum,
     sql_dsum_sq,
+    sql_hll_estimate,
+    sql_md5_u32,
     sql_time_bucket,
     sql_ts_str,
     time_bucket,
@@ -2741,6 +2753,97 @@ def ts_rolling_actives_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str("day").alias("day_s"),
             F.hll_sketch_estimate("usk").cast("bigint").alias("wau_approx"),
         )
+    )
+
+
+# -- ts_rolling_actives_hll_md5: the fully-oracled twin of the rolling
+# sketch union above — and the on-the-record demonstration that sketch
+# MERGEABILITY (the actual 100 TB argument for HLL) survives the
+# determinism contract: a 7-day register union is just MAX over the
+# window's per-day register MAXes, order-immune at every stage, so the
+# whole DAU->WAU pipeline replays in SQL with the shared machinery
+# from chrono_ts_spark.functions.
+
+
+@query(
+    "ts_rolling_actives_hll_md5",
+    oracle=f"""
+WITH h AS MATERIALIZED (
+    SELECT {sql_time_bucket("ts", 86400)} AS day,
+           {sql_md5_u32("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+), rw AS (
+    SELECT day, (h >> {HLL_WBITS}) AS reg, (h % {HLL_WMOD}) AS w FROM h
+), daily AS MATERIALIZED (
+    SELECT day, reg, MAX({HLL_WBITS + 1} - ({SQL_HLL_BITLEN})) AS m
+    FROM rw GROUP BY day, reg
+), obs AS MATERIALIZED (SELECT DISTINCT day FROM daily),
+ex AS (
+    SELECT make_timestamp(epoch_us(d.day) + o.o * 86400000000) AS day,
+           d.reg, d.m
+    FROM daily d CROSS JOIN (SELECT unnest(range(7)) AS o) o
+), merged AS (
+    SELECT ex.day, ex.reg, MAX(ex.m) AS m
+    FROM ex JOIN obs ON ex.day = obs.day
+    GROUP BY ex.day, ex.reg
+), agg AS (
+    SELECT day, SUM({SQL_HLL_TERM}) AS s_used, COUNT(*) AS regs_used
+    FROM merged GROUP BY day
+)
+SELECT {sql_ts_str("a.day")} AS day_s, a.regs_used,
+       CAST(floor(({sql_hll_estimate("a.s_used", "a.regs_used")})
+                  * 1000000.0 + 0.5) AS BIGINT) AS wau_hll_fp
+FROM agg a
+""",
+    tags=("tsdb", "A2", "sketch", "md5-twin"),
+)
+def ts_rolling_actives_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users via engine-portable HLL registers —
+    the driver-hash-verifiable twin of ts_rolling_actives_approx
+    (whose Datasketches HLL bytes are engine-private).
+
+    Identical scale shape to the sketch path it twins: one pass over
+    raw events builds <= 1024 (day, register) MAX-rho rows per day;
+    the 7-day union is register-wise MAX of those rows (exploded by a
+    constant 7x, never re-touching events); the estimate tail is the
+    shared closed-form from chrono_ts_spark.functions. Every merge is
+    a MAX of exact integers, so the result is independent of both
+    partitioning and merge order — the mergeability property that
+    makes HLL the 100 TB answer, here with the full pipeline oracled
+    instead of envelope-tested. Accuracy vs the exact ts_rolling_actives
+    WAU is pinned in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_u32(F.col("user_id").cast("string"))
+    rw = ev.select(
+        time_bucket("ts", 86400).alias("day"),
+        hll_reg(h).alias("reg"),
+        hll_w(h).alias("w"),
+    )
+    daily = rw.groupBy("day", "reg").agg(F.max(hll_rho(F.col("w"))).alias("m"))
+    obs = daily.select("day").distinct()
+    ex = daily.select(
+        "day", "reg", "m", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros("day") + F.col("o") * F.lit(86_400_000_000)
+        ).alias("day"),
+        "reg",
+        "m",
+    )
+    merged = ex.join(obs, "day").groupBy("day", "reg").agg(F.max("m").alias("m"))
+    agg = merged.groupBy("day").agg(
+        F.sum(hll_term(F.col("m"))).alias("s_used"),
+        F.count(F.lit(1)).alias("regs_used"),
+    )
+    return agg.select(
+        ts_str("day").alias("day_s"),
+        "regs_used",
+        F.floor(
+            hll_estimate(F.col("s_used"), F.col("regs_used")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wau_hll_fp"),
     )
 
 

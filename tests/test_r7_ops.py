@@ -655,3 +655,22 @@ class TestQdigestQuantiles:
         ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
         with _pt.raises(ValueError, match="cents domain"):
             REG["ts_qdigest_quantiles"].fn(spark, str(tmp_path)).collect()
+
+
+class TestRollingActivesHllMd5:
+    def test_accuracy_vs_exact_wau(self, spark):
+        exact = {
+            r.day_s: r.wau
+            for r in REG["ts_rolling_actives"].fn(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        est = {
+            r.day_s: r.wau_hll_fp / 1e6
+            for r in REG["ts_rolling_actives_hll_md5"].fn(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for day, wau in exact.items():
+            assert abs(est[day] - wau) / wau < 0.13  # 4-sigma at m=1024

@@ -180,6 +180,8 @@ def main() -> None:
         "ts_survival_km",
         "ts_incident_mttr",
         "ts_apdex",
+        # round-7 sketch twins (events-domain)
+        "ts_qdigest_quantiles",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
@@ -194,7 +196,9 @@ def main() -> None:
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
     for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
               "doc_inverted_index", "doc_bm25", "doc_pmi_bigrams",
-              "doc_sentence_stats", "doc_zipf_fit", "doc_rake_keywords"]:
+              "doc_sentence_stats", "doc_zipf_fit", "doc_rake_keywords",
+              # round-7 sketch twins (document-domain)
+              "doc_cms_heavy_md5", "doc_rle_ratio"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
