@@ -123,6 +123,14 @@ _WINDOW_50 = [
 ]
 
 
+# Callbacks run by load_all AFTER every module has imported — for the
+# rare oracle that references another query's oracle text across the
+# module load order (e.g. stream_holt wraps ts_holt_linear's SQL, but
+# extras.py loads after streaming_queries.py). Each binder must be
+# idempotent.
+LATE_BINDERS: list[Callable[[], None]] = []
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (idempotent) and return the registry.
 
@@ -133,6 +141,8 @@ def load_all() -> dict[str, QuerySpec]:
     """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
+    for binder in LATE_BINDERS:
+        binder()
     missing = [n for n in _WINDOW_50 if n not in REGISTRY]
     if missing:
         raise LookupError(f"_WINDOW_50 names not registered: {missing}")

@@ -1,9 +1,13 @@
-"""Streaming queries (SURVEY.md §2.9, rows-only in the driver gate).
+"""Streaming queries (SURVEY.md §2.9).
 
-DuckDB can't replay a stream, so these have no oracle entries; instead
-tests/test_streaming.py asserts batch-equivalence: each replayed
-result must exactly equal the batch version of the same logic (which
-IS oracle-checked — ts_bucket_agg / ts_sessionize / exact counts).
+DuckDB can't replay a STREAM, but it can state what the finished
+replay must EQUAL — since r7's sixth wave, every stream query whose
+replay contract is exact carries the declarative batch SQL as its
+oracle, so the driver hash-verifies the streaming engine end to end;
+tests/test_streaming.py additionally pins stream==batch equivalence
+in Spark. The four that stay rows-only have structural reasons stated
+at the oracle block below (approximate state-resume arithmetic,
+prefix-only left-join flush, side-effectful sinks).
 """
 
 from __future__ import annotations
@@ -18,50 +22,160 @@ from ..streaming import (
     run_stateful_dedup_stream,
     run_tumbling_counts_stream,
 )
-from . import query
+from ..functions import sql_davg, sql_dsum, sql_time_bucket, sql_ts_str
+from . import LATE_BINDERS, REGISTRY, query
+
+# Oracles for the exact-equivalence subset (r7 sixth wave): DuckDB
+# cannot replay a STREAM, but it can state what the finished replay
+# must EQUAL — each oracle below is the declarative batch semantics of
+# the streaming pipeline, and pytest separately pins that the replayed
+# stream is bit-equal to the batch run (tests/test_streaming.py). The
+# driver therefore hash-verifies the streaming results end to end.
+# Queries whose stream contract is weaker stay rows-only: approximate
+# float equality (stream_ema/holt/kalman: resume-from-state arithmetic
+# is only 1e-12-close), prefix semantics (stream_stream_join_left:
+# trailing null-row eviction is best-effort on a bounded replay), or
+# side-effectful sinks (stream_upsert_counts, stream_alert_burst).
 
 
-@query("stream_bucket_counts", oracle=None, tags=("streaming", "ST2", "no-oracle"))
+@query(
+    "stream_bucket_counts",
+    oracle=f"""
+SELECT {sql_ts_str(sql_time_bucket('ts', 300))} AS bucket_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       {sql_davg('value')} AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "ST2", "stream-oracled"),
+)
 def stream_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked 5-min tumbling aggregation over the replayed stream."""
+    """Watermarked 5-min tumbling aggregation over the replayed stream.
+
+    Oracled: the finished replay must equal the unfiltered flagship
+    bucket aggregation (decimal-exact sum/avg) — stream==batch
+    bit-equivalence is pinned separately in tests/test_streaming.py."""
     return run_tumbling_counts_stream(spark, sf_dir, 300)
 
 
-@query("stream_m4", oracle=None, tags=("streaming", "ST2", "A7b", "no-oracle"))
+@query(
+    "stream_m4",
+    # the finished replay must equal the batch M4 downsample EXACTLY
+    # (same composite witness keys), so the oracle IS the batch
+    # oracle, referenced rather than copied so the two can never drift
+    oracle=REGISTRY["ts_m4_downsample"].oracle,
+    tags=("streaming", "ST2", "A7b", "stream-oracled"),
+)
 def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming M4 downsampling (r6): witness-point tiles per tumbling
-    window — batch-equivalence vs ts_m4_downsample in tests."""
+    window — oracled with ts_m4_downsample's SQL verbatim (the stream
+    must reproduce the batch witness points exactly; bit-equivalence
+    additionally pinned in tests/test_streaming.py)."""
     from ..streaming.replay import run_m4_stream
 
     return run_m4_stream(spark, sf_dir, 900)
 
 
-@query("stream_session_windows", oracle=None, tags=("streaming", "ST4", "no-oracle"))
+@query(
+    "stream_session_windows",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT *,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, {sql_ts_str('MIN(ts)')} AS session_start,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+    tags=("streaming", "ST4", "stream-oracled"),
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time session windows (30-min gap) over the replayed stream."""
+    """Event-time session windows (30-min gap) over the replayed stream.
+
+    Oracled with the ts_sessionize gaps-and-islands convention
+    (session_window(start) == MIN(ts) of the island; equivalence to
+    the batch sessionizer pinned in tests/test_streaming.py)."""
     return run_sessionized_stream(spark, sf_dir, 1800)
 
 
-@query("stream_dedup_counts", oracle=None, tags=("streaming", "ST5", "no-oracle"))
+@query(
+    "stream_dedup_counts",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "ST5", "stream-oracled"),
+)
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dedup on event_id, then per-type counts.
 
-    Rows-only: DuckDB cannot replay a stream; exact equivalence with
-    the batch dedup aggregate is pinned in pytest."""
+    Oracled as per-type COUNT(DISTINCT event_id): equal to the
+    stream's first-seen-wins dedup whenever event_id determines
+    event_type — which the fixture (and any sane event log) satisfies;
+    the equivalence is pinned in pytest."""
     return run_stateful_dedup_stream(spark, sf_dir)
 
 
-@query("stream_sliding_counts", oracle=None, tags=("streaming", "ST3", "no-oracle"))
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+WITH w AS (
+    SELECT unnest([{sql_time_bucket('ts', 300)},
+                   {sql_time_bucket('ts', 300)} - INTERVAL 300 SECONDS])
+               AS win_start,
+           event_type
+    FROM events
+)
+SELECT {sql_ts_str('win_start')} AS win_start, event_type,
+       COUNT(*) AS n_events
+FROM w GROUP BY 1, 2
+""",
+    tags=("streaming", "ST3", "stream-oracled"),
+)
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-min windows sliding every 5 min over the replayed stream."""
+    """10-min windows sliding every 5 min over the replayed stream.
+
+    Oracled: each event lands in exactly width/slide = 2 windows, so
+    the finished replay equals the 2-way window-start explode."""
     from ..streaming.stateful import run_sliding_counts_stream
 
     return run_sliding_counts_stream(spark, sf_dir)
 
 
-@query("stream_stream_join", oracle=None, tags=("streaming", "J7", "no-oracle"))
+@query(
+    "stream_stream_join",
+    oracle=f"""
+SELECT p.user_id, p.event_id AS p_id,
+       {sql_ts_str('p.ts')} AS p_ts_s,
+       {sql_ts_str('c.ts')} AS c_ts_s
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 600 SECONDS
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    tags=("streaming", "J7", "stream-oracled"),
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream join: purchases x clicks in 10 min."""
+    """Watermarked stream-stream join: purchases x clicks in 10 min.
+
+    Oracled: the inner join's match set is watermark-independent (a
+    match emits as soon as both sides arrive), so the finished replay
+    equals the batch range predicate exactly."""
     from ..streaming.stateful import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
@@ -87,41 +201,128 @@ def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ema_stream(spark, sf_dir)
 
 
-@query("stream_holt", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+@query(
+    "stream_holt",
+    # the stream replays the identical IEEE Holt recurrence, so its
+    # finished output equals the batch twin minus the forecast_next
+    # projection — the oracle wraps ts_holt_linear's SQL (referenced,
+    # not copied, via a LATE_BINDERS hook because extras.py loads
+    # after this module) and trims that one column
+    oracle=None,  # late-bound below from ts_holt_linear
+    tags=("streaming", "ST6", "stream-oracled"),
+)
 def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op (r6): per-user Holt linear level+trend via
     applyInPandasWithState — the streaming twin of ts_holt_linear,
-    equivalence-tested bit-for-bit in tests/test_streaming.py."""
+    bit-exact on the in-order replay (pinned in pytest), so the batch
+    recursive-CTE oracle verifies the stream directly."""
     from ..streaming.stateful import run_holt_stream
 
     return run_holt_stream(spark, sf_dir)
 
 
-@query("stream_running_extrema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+@query(
+    "stream_running_extrema",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "ST6", "stream-oracled"),
+)
 def stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas: per-user running min/max/count.
 
-    Rows-only: no stream replay in DuckDB; exact equivalence with the
-    batch window extrema is pinned in pytest."""
+    Oracled: the last emitted snapshot per user (max n_events) must
+    equal the batch extrema — min/max/count carry no float arithmetic,
+    so the check is exact."""
     from ..streaming.stateful import run_running_extrema_stream
 
     return run_running_extrema_stream(spark, sf_dir)
 
 
-@query("stream_cusum", oracle=None, tags=("streaming", "ST6", "changepoint", "no-oracle"))
+@query(
+    "stream_cusum",
+    # the online chart's fixed process parameters (mu=150, sigma=85,
+    # k=0.5 sigma -> slack 42.5, h=4 sigma -> 340) are constants, so
+    # the stream's recurrence replays as a recursive CTE exactly like
+    # the (data-estimated) ts_cusum_alarms oracle it mirrors
+    oracle=f"""
+WITH RECURSIVE t AS (
+    SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INTEGER) AS rn
+    FROM events
+), c(user_id, event_id, ts, value, rn, s_plus, s_minus, alarm) AS (
+    SELECT user_id, event_id, ts, value, rn, s_plus, s_minus,
+           CAST(CASE WHEN s_plus > CAST(340.0 AS DOUBLE)
+                       OR s_minus > CAST(340.0 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM (
+        SELECT user_id, event_id, ts, value, rn,
+               greatest(CAST(0 AS DOUBLE),
+                        (value - CAST(150.0 AS DOUBLE))
+                        - CAST(42.5 AS DOUBLE)) AS s_plus,
+               greatest(CAST(0 AS DOUBLE),
+                        (CAST(150.0 AS DOUBLE) - value)
+                        - CAST(42.5 AS DOUBLE)) AS s_minus
+        FROM t WHERE rn = 1
+    )
+    UNION ALL
+    SELECT user_id, event_id, ts, value, rn, s_plus, s_minus,
+           CAST(CASE WHEN s_plus > CAST(340.0 AS DOUBLE)
+                       OR s_minus > CAST(340.0 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM (
+        SELECT t.user_id, t.event_id, t.ts, t.value, t.rn,
+               greatest(CAST(0 AS DOUBLE),
+                        (CASE WHEN c.alarm = 1 THEN CAST(0 AS DOUBLE)
+                              ELSE c.s_plus END)
+                        + ((t.value - CAST(150.0 AS DOUBLE))
+                           - CAST(42.5 AS DOUBLE))) AS s_plus,
+               greatest(CAST(0 AS DOUBLE),
+                        (CASE WHEN c.alarm = 1 THEN CAST(0 AS DOUBLE)
+                              ELSE c.s_minus END)
+                        + ((CAST(150.0 AS DOUBLE) - t.value)
+                           - CAST(42.5 AS DOUBLE))) AS s_minus
+        FROM c JOIN t ON t.user_id = c.user_id AND t.rn = c.rn + 1
+    )
+)
+SELECT user_id, event_id, {sql_ts_str('ts')} AS ts_s, value,
+       s_plus, s_minus, alarm
+FROM c
+""",
+    tags=("streaming", "ST6", "changepoint", "stream-oracled"),
+)
 def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online CUSUM chart per user (applyInPandasWithState; state = two
-    doubles/key). Exact batch equivalence vs operators/changepoint.py
-    with target=(mu, sigma) is pinned in tests/test_streaming.py."""
+    doubles/key). Oracled: the fixed-target recurrence replays as a
+    recursive CTE (slack/threshold fold to constants); exact batch
+    equivalence vs operators/changepoint.py is additionally pinned in
+    tests/test_streaming.py."""
     from ..streaming.stateful import run_cusum_stream
 
     return run_cusum_stream(spark, sf_dir)
 
 
-@query("stream_static_enrich", oracle=None, tags=("streaming", "J7", "no-oracle"))
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT event_id, user_id,
+       CASE user_id % 3 WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+            ELSE 'gold' END AS tier,
+       {sql_ts_str('ts')} AS ts_s
+FROM events
+""",
+    tags=("streaming", "J7", "stream-oracled"),
+)
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment join (stateless, no
-    watermark; batch-equivalence pinned in tests/test_streaming.py)."""
+    watermark; batch-equivalence pinned in tests/test_streaming.py).
+
+    Oracled: the dimension is a deterministic function of user_id and
+    the join is stateless, so the finished replay equals the flat
+    enrichment projection."""
     from ..streaming.replay import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
@@ -199,7 +400,13 @@ def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_kalman", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+@query(
+    "stream_kalman",
+    # bit-exact vs the batch Kalman twin on the in-order replay
+    # (pinned in pytest), so the batch oracle verifies the stream
+    oracle=REGISTRY["ts_kalman_filter"].oracle,
+    tags=("streaming", "ST6", "stream-oracled"),
+)
 def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op (r6 late): per-user scalar Kalman filter via
     applyInPandasWithState — the streaming twin of ts_kalman_filter,
@@ -207,3 +414,23 @@ def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_kalman_stream
 
     return run_kalman_stream(spark, sf_dir)
+
+
+def _bind_stream_holt_oracle() -> None:
+    """Wrap ts_holt_linear's oracle for stream_holt (extras.py loads
+    after this module, so the reference resolves in load_all)."""
+    import dataclasses
+
+    spec = REGISTRY["stream_holt"]
+    if spec.oracle is None:
+        REGISTRY["stream_holt"] = dataclasses.replace(
+            spec,
+            oracle=(
+                "SELECT user_id, event_id, ts_s, value, level, trend FROM ("
+                + REGISTRY["ts_holt_linear"].oracle
+                + ")"
+            ),
+        )
+
+
+LATE_BINDERS.append(_bind_stream_holt_oracle)
