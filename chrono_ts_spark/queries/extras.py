@@ -217,7 +217,6 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts_rolling_actives_hll_md5 (timeseries.py) shares it verbatim.
 
 from ..functions import (  # noqa: E402
-    HLL_M,
     HLL_WBITS,
     HLL_WMOD,
     SQL_HLL_BITLEN,

@@ -31,11 +31,14 @@ from . import LATE_BINDERS, REGISTRY, query
 # the streaming pipeline, and pytest separately pins that the replayed
 # stream is bit-equal to the batch run (tests/test_streaming.py). The
 # driver therefore hash-verifies the streaming results end to end.
-# Queries whose stream contract is weaker stay rows-only: approximate
-# float equality (stream_ema/holt/kalman: resume-from-state arithmetic
-# is only 1e-12-close), prefix semantics (stream_stream_join_left:
-# trailing null-row eviction is best-effort on a bounded replay), or
-# side-effectful sinks (stream_upsert_counts, stream_alert_burst).
+# Four queries stay rows-only, each for a stated structural reason:
+# stream_ema (its batch twin's vectorized recurrence is observed only
+# 1e-12-close to the stream's sequential one, so a hash oracle would
+# be unsound — holt/kalman by contrast replay the IDENTICAL IEEE op
+# sequence and are pinned bit-exact), stream_stream_join_left
+# (trailing null-row eviction is best-effort on a bounded replay —
+# prefix semantics, not equality), and stream_upsert_counts /
+# stream_alert_burst (side-effectful sinks).
 
 
 @query(
@@ -66,8 +69,10 @@ def stream_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_m4",
     # the finished replay must equal the batch M4 downsample EXACTLY
     # (same composite witness keys), so the oracle IS the batch
-    # oracle, referenced rather than copied so the two can never drift
-    oracle=REGISTRY["ts_m4_downsample"].oracle,
+    # oracle, referenced rather than copied so the two can never
+    # drift — bound in _bind_cross_module_oracles below (decoration-
+    # time REGISTRY lookups would break standalone module import)
+    oracle=None,  # late-bound from ts_m4_downsample
     tags=("streaming", "ST2", "A7b", "stream-oracled"),
 )
 def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,24 +87,11 @@ def stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_windows",
-    oracle=f"""
-WITH flagged AS (
-    SELECT user_id, ts,
-           CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                THEN 1 ELSE 0 END AS new_s
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), sessions AS (
-    SELECT *,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS sid
-    FROM flagged
-)
-SELECT user_id, {sql_ts_str('MIN(ts)')} AS session_start,
-       COUNT(*) AS n_events
-FROM sessions GROUP BY user_id, sid
-""",
+    # session_window(start) == MIN(ts) of ts_sessionize's gaps-and-
+    # islands session, so the oracle is that query's (tiebroken,
+    # driver-proven) SQL trimmed to this projection — late-bound below
+    # so the text can never drift from the batch twin
+    oracle=None,  # late-bound from ts_sessionize
     tags=("streaming", "ST4", "stream-oracled"),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,8 +395,9 @@ def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_kalman",
     # bit-exact vs the batch Kalman twin on the in-order replay
-    # (pinned in pytest), so the batch oracle verifies the stream
-    oracle=REGISTRY["ts_kalman_filter"].oracle,
+    # (pinned in pytest), so the batch oracle verifies the stream —
+    # late-bound below
+    oracle=None,  # late-bound from ts_kalman_filter
     tags=("streaming", "ST6", "stream-oracled"),
 )
 def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,21 +409,35 @@ def stream_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_kalman_stream(spark, sf_dir)
 
 
-def _bind_stream_holt_oracle() -> None:
-    """Wrap ts_holt_linear's oracle for stream_holt (extras.py loads
-    after this module, so the reference resolves in load_all)."""
+def _bind_cross_module_oracles() -> None:
+    """Resolve every stream oracle that references a batch twin's SQL.
+
+    Referenced (not copied) so the texts can never drift; bound here
+    rather than at decoration time so this module stays importable on
+    its own and the binding is independent of _MODULES order. Each
+    entry: stream name -> (batch name, optional trimming projection).
+    Idempotent: a spec already bound is left alone."""
     import dataclasses
 
-    spec = REGISTRY["stream_holt"]
-    if spec.oracle is None:
-        REGISTRY["stream_holt"] = dataclasses.replace(
-            spec,
-            oracle=(
-                "SELECT user_id, event_id, ts_s, value, level, trend FROM ("
-                + REGISTRY["ts_holt_linear"].oracle
-                + ")"
-            ),
-        )
+    refs = {
+        "stream_m4": ("ts_m4_downsample", None),
+        "stream_kalman": ("ts_kalman_filter", None),
+        "stream_holt": (
+            "ts_holt_linear",
+            "SELECT user_id, event_id, ts_s, value, level, trend",
+        ),
+        "stream_session_windows": (
+            "ts_sessionize",
+            "SELECT user_id, session_start, n_events",
+        ),
+    }
+    for name, (batch, trim) in refs.items():
+        spec = REGISTRY[name]
+        if spec.oracle is not None:
+            continue
+        base = REGISTRY[batch].oracle
+        sql = base if trim is None else f"{trim} FROM ({base})"
+        REGISTRY[name] = dataclasses.replace(spec, oracle=sql)
 
 
-LATE_BINDERS.append(_bind_stream_holt_oracle)
+LATE_BINDERS.append(_bind_cross_module_oracles)

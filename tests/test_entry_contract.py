@@ -66,6 +66,12 @@ def test_oracled_queries_emit_scalar_columns_only(spark):
     for name, spec in load_all().items():
         if spec.oracle is None:
             continue
+        if "streaming" in spec.tags:
+            # stream fns EXECUTE a full replay before a schema exists
+            # (checkpoint + memory sink), so the analysis-only lint
+            # skips them; their output schemas are the static scalar
+            # StructType constants in streaming/ (r7 sixth-wave review)
+            continue
         schema = spec.fn(spark, sf).schema
         bad = [
             f.name
