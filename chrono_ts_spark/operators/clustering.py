@@ -176,14 +176,26 @@ def covariance_matrix(
     moment at 1e-5) — the shuffle carries O(d^2 x batches) integers,
     never rows. (r7 review: the first cut quantized at 1e-3 while this
     docstring promised finer — the code now delivers the finer grid.)
-    Overflow budget: |coord| <= ~100 -> q <= 1e7, per-batch Gram sums
-    <= 1e14 x rows_per_batch, inside int64 for the ~1e4-row Arrow
-    batches; the driver-side merge re-widens to decimal(38,0). The
+    Overflow budget (ENFORCED, not assumed — ADVICE r7): coordinates
+    must satisfy |coord| <= 100 (raises otherwise) -> q <= 1e7, and
+    each emitted partial covers <= 65536 rows (oversized Arrow batches
+    are chunked), so every int64 Gram cell stays <= 6.6e18 < 2^63;
+    the driver-side merge re-widens to decimal(38,0). The
     driver assembles cov = G/n - mean mean^T on the merged exact sums,
     so the result is addition-order-immune. d is the bounded axis (64
     here): d^2 = 4096 cells per batch, trivially collectable; rows
     scale out.
     """
+
+    # int64 budget, enforced loudly instead of assumed (ADVICE r7):
+    # |coord| <= COORD_BOUND -> q <= 1e7, q*q <= 1e14 per term, so a
+    # chunk of <= CHUNK_ROWS rows keeps every Gram cell sum <=
+    # CHUNK_ROWS * 1e14 < 2^63 ~ 9.2e18. Oversized Arrow batches are
+    # split into chunks (one partial each) rather than trusted to be
+    # ~1e4 rows; out-of-range coordinates raise rather than silently
+    # wrapping the int64 partials.
+    COORD_BOUND = 100.0
+    CHUNK_ROWS = 65_536  # 65_536 * 1e14 ~ 6.6e18 < int64 max
 
     def fn(it):
         for pdf in it:
@@ -193,15 +205,25 @@ def covariance_matrix(
             )
             if mat.size == 0:
                 continue
-            q = np.round(mat * 1e5).astype(np.int64)  # 1e-5 fixed point
-            gram = q.T @ q  # (d, d) int64; see docstring overflow budget
-            s = q.sum(axis=0)
-            yield pd.DataFrame(
-                {
-                    "pos": np.arange(dims * dims + dims, dtype=np.int64),
-                    "v": np.concatenate([gram.reshape(dims * dims), s]),
-                }
-            )
+            amax = float(np.abs(mat).max())
+            if amax > COORD_BOUND:
+                raise ValueError(
+                    f"covariance_matrix fixed-point budget exceeded: "
+                    f"|coord| max {amax} > {COORD_BOUND}; rescale the "
+                    f"vectors or lower the quantization scale"
+                )
+            for lo in range(0, mat.shape[0], CHUNK_ROWS):
+                q = np.round(mat[lo : lo + CHUNK_ROWS] * 1e5).astype(
+                    np.int64
+                )  # 1e-5 fixed point
+                gram = q.T @ q  # (d, d) int64; see budget above
+                s = q.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "pos": np.arange(dims * dims + dims, dtype=np.int64),
+                        "v": np.concatenate([gram.reshape(dims * dims), s]),
+                    }
+                )
 
     partials = df.select(vec_col).mapInPandas(fn, schema="pos long, v long")
     rows = (

@@ -139,6 +139,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     materialize: bool = False,
     portable: bool = False,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -169,6 +170,13 @@ def minhash_lsh_candidates(
     the saving (BASELINE.md crossover guidance). The persisted table
     lives until the caller's session drops it
     (spark.catalog.clearCache() or .unpersist()).
+
+    size_hint: approximate row count of ``df``, used only to decide
+    whether to pin the self-join strategy (see the spill-safety gate
+    below). When None the decision falls back to Catalyst's plan
+    statistics (parquet footer sizes — no scan); an eager df.count()
+    here would silently add a full pass over the corpus at 100 TB
+    just to pick a hint.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -269,11 +277,26 @@ def minhash_lsh_candidates(
     # branches then share one exchange and AQE picks the join strategy
     # from accurate runtime sizes — a hint on one alias changes its
     # subtree and defeats that reuse, recomputing the signature
-    # pipeline (measured 2x at 5k docs, r7).
-    if df.count() <= 10_000:
-        b = banded.alias("b")
+    # pipeline (measured 2x at 5k docs, r7). The small/large decision
+    # is made WITHOUT scanning the corpus: an explicit size_hint wins;
+    # otherwise Catalyst's optimized-plan statistics (parquet footer
+    # totals) stand in — unknown stats default to the spill-safe pin,
+    # never to a broadcast gamble.
+    if size_hint is not None:
+        small = size_hint <= 10_000
     else:
-        b = banded.alias("b").hint("shuffle_merge")
+        try:
+            plan_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            plan_bytes = None
+        # 8 MiB of source bytes comfortably covers the proven-safe
+        # <=10k-doc region (sf0.1's 5k docs = ~0.6 MiB) and stays far
+        # below the 200k-doc regime where the unhinted plan broadcast
+        # a ~1.6 GB banded table into driver.maxResultSize.
+        small = plan_bytes is not None and plan_bytes <= (8 << 20)
+    b = banded.alias("b") if small else banded.alias("b").hint("shuffle_merge")
     pairs = (
         a.join(
             b,

@@ -102,6 +102,8 @@ def lttb_downsample(
     arithmetic (deterministic; see the module doc's note on the r7
     formula change).
     """
+    import math
+
     import pandas as pd
 
     from ..session import ensure_package_on_workers
@@ -124,7 +126,13 @@ def lttb_downsample(
         )
         if value_scale is not None:
             xs = [int(t.value) // 1000 for t in pdf[ts_col]]  # epoch micros
-            ys = [int(round(float(v) * value_scale)) for v in pdf[value_col]]
+            # half-away-from-zero, matching SQL round() — Python's
+            # built-in round() is banker's and diverges on exact .5
+            # doubles (same class as the ts_pelt_segments fix)
+            ys = [
+                int(math.copysign(math.floor(abs(float(v) * value_scale) + 0.5), v))
+                for v in pdf[value_col]
+            ]
         else:
             xs = [t.timestamp() for t in pdf[ts_col]]
             ys = [float(v) for v in pdf[value_col]]

@@ -56,70 +56,75 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-7
-# rotation (VERDICT r6 item 3): (a) the three r6-crashing array-output
-# queries, now serialized to scalar columns on both sides — kept in the
-# window so CORRECTNESS_r07 witnesses the fix; (b) all 46 r4-green rows
-# — the oldest driver rows on the board (3 rounds stale); (c) one
-# top-up from the never-driver-checked set: ts_lttb_downsample, which
-# gains its recursive-CTE oracle this round (VERDICT r6 item 4c), so
-# the window is 50/50 oracled with zero no_oracle rows. Everything
-# outside is r5/r6-green (<=2 rounds old) plus standing pytest
-# coverage; the r5/r6 rows rotate back in r8.
+# per round, so ordering is coverage policy, not cosmetics.  Round-8
+# rotation (docs/coverage.md "Round-8 window plan", executed verbatim —
+# the r7 window landed 50/50 green so no fix re-witness is owed): all
+# 50 slots go to never-driver-witnessed oracled queries, newest
+# correctness machinery first — (1) the r7 engine-portable twins and
+# span family, (1b) the late-r7 rows-only->oracled conversions, (1c)
+# the fixed-point-Lloyd / recursive-CTE-DP exact twins, (1d) the
+# sketch/spectral twins, (1e) six of the stream-oracled family (a
+# driver hash row here witnesses watermarks, state stores and join
+# buffers end to end — the highest-information rows on the board),
+# then (2) ten from the oracled backlog in registration order. The
+# r4–r7 green rows (<=3 rounds old) rotate back starting r9.
 _WINDOW_50 = [
-    # -- (a) r6 array-crash fixes, re-witnessed --
-    "doc_inverted_index",
-    "doc_simhash_md5",
-    "doc_index_incremental",
-    # -- (b) r4-green rows, oldest on the board --
-    "io_csv_scan",
-    "io_json_scan",
-    "io_partitioned_sink",
-    "sql_entry_star_join",
-    "udaf_median_price",
-    "udf_grouped_trend",
-    "udtf_bigrams",
-    "sf_map_funcs",
-    "rel_full_outer_balance",
-    "rel_cube_sales",
-    "rel_median_mode",
-    "rel_window_values",
-    "doc_dedup_stats",
-    "doc_dup_pairs",
-    "doc_dedup_keep_first",
-    "doc_quality",
-    "doc_fingerprints",
-    "doc_lang_id_confusion",
-    "doc_ngram_jaccard_adjacent",
-    "doc_winnow_fingerprints",
-    "pipeline_clean_corpus",
-    "emb_norms",
-    "emb_cosine_topk",
-    "emb_label_centroids",
-    "emb_cosine_near_dups",
-    "ts_downsample_tier",
-    "ts_value_histogram",
-    "rel_collect_priorities",
-    "sf_array_funcs",
-    "ts_rolling_zscore",
-    "rel_top_supplier_revenue",
-    "doc_tfidf_top_terms",
-    "doc_pii_scrub",
-    "doc_chunk_tokens",
-    "doc_dup_clusters",
-    "doc_hash_sample",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "emb_quantize_int8",
-    "rel_promo_revenue",
-    "rel_disjunctive_revenue",
-    "rel_market_share",
-    "rel_only_late_supplier",
-    "rel_idle_rich_customers",
-    "ts_asof_join",
-    "rel_pricing_summary",
-    # -- (c) newly oracled top-up --
-    "ts_lttb_downsample",
+    # -- (1) r7 additions/upgrades, never witnessed --
+    "doc_minhash_md5",
+    "emb_ann_md5",
+    "doc_simhash_md5_neighbors",
+    "doc_repeated_spans",
+    "doc_span_dedup_stats",
+    "ts_theil_sen_windowed",
+    "ts_ema_alpha_sweep",
+    # -- (1b) late-r7 rows-only -> oracled conversions --
+    "emb_knn_eval",
+    "emb_matryoshka_eval",
+    "emb_contrastive_pairs",
+    "emb_intrinsic_dim",
+    "emb_label_medoid",
+    "ts_hurst_exponent",
+    "emb_mmr_diversify",
+    "ts_dtw_pairs",
+    "ts_dominant_period",
+    "rel_soundex_blocking",
+    # -- (1c) fixed-point Lloyd / recursive-CTE DP exact twins --
+    "doc_weighted_sample",
+    "ts_pelt_segments",
+    "ts_pelt_bounded",
+    "diag_lsh_buckets_md5",
+    "io_footer_totals",
+    "emb_kmeans_exact",
+    "emb_ann_ivf_exact",
+    "emb_pq_exact",
+    "emb_recall_eval_md5",
+    "emb_semdedup_exact",
+    # -- (1d) sketch/spectral twins --
+    "doc_stemmed_terms",
+    "rel_hll_md5",
+    "doc_cms_heavy_md5",
+    "emb_pca_power_exact",
+    "doc_rle_ratio",
+    "ts_qdigest_quantiles",
+    "ts_rolling_actives_hll_md5",
+    # -- (1e) stream-oracled family: streaming-engine witnesses --
+    "stream_bucket_counts",
+    "stream_session_windows",
+    "stream_dedup_counts",
+    "stream_stream_join",
+    "stream_kalman",
+    "stream_cusum",
+    # -- (2) oracled backlog, registration order --
+    "ts_rolling_actives",
+    "ts_theil_sen",
+    "ts_sax_symbols",
+    "ts_weekly_profile",
+    "ts_local_day_agg",
+    "ts_event_trigrams",
+    "ts_ks_drift",
+    "ts_welch_t_pairs",
+    "ts_type_user_jaccard",
+    "pipeline_alert_rules",
 ]
 
 

@@ -1954,7 +1954,27 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("gov_forget_user", oracle=None, tags=("governance", "Gov2", "no-oracle"))
+@query(
+    "gov_forget_user",
+    oracle="""
+WITH s AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+       CAST(COUNT(*) FILTER (WHERE user_id % 17 <> 0) AS BIGINT) AS rows_after,
+       CAST(COUNT(*) FILTER (WHERE user_id % 17 = 0) AS BIGINT) AS rows_removed,
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE user_id % 17 = 0) AS BIGINT)
+           AS n_forgotten_users,
+       CAST(1 AS BIGINT) AS n_vacuumed_gens,
+       CAST(1 AS BIGINT) AS n_gens_retained,
+       CAST(0 AS BIGINT) AS leak_rows
+FROM s
+""",
+    tags=("governance", "Gov2"),
+)
 def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gov2: the right-to-erasure workflow on the keyed upsert store —
     build per-(user, day) state from events, DELETE every row for the
@@ -1965,8 +1985,16 @@ def gov_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts before/after, and leak_rows = rows for erased users across
     ALL retained generations, which must be 0.
 
-    Rows-only by nature (filesystem generations); the zero-leak and
-    exact-removal invariants are pinned in tests/test_r6c_ops.py.
+    Oracled (r8): the audit counts are pure SQL over events — rows
+    before/after = distinct (user, day) groups with/without the
+    erasure set — and the workflow's bookkeeping values are structural
+    constants of a SUCCESSFUL run (one upsert commit -> gen0, the
+    delete commit -> gen1, vacuum keep_last=1 removes exactly gen0,
+    leaving 1 retained generation and 0 leaked rows). A run that fails
+    to delete, vacuum, or fully erase diverges from the oracle — which
+    is precisely what the driver hash should witness. The zero-leak
+    and exact-removal invariants are additionally pinned in
+    tests/test_r6c_ops.py.
     """
     import shutil
 
@@ -2532,18 +2560,17 @@ def gov_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (filesystem generations); planted add/update/unchanged
     accounting pinned in tests.
     """
-    import shutil
-
     from ..streaming.upsert import read_state, upsert_batch
 
-    # Fixed per-process store (the _roundtrip_dir pattern), cleared up
-    # front: the returned DataFrame's plan lazily reads the generation
-    # files, so the store can't be deleted on exit — but a fresh
-    # mkdtemp per call leaked a full state copy every invocation
-    # (ADVICE r6). One bounded copy per process instead; the clear
-    # also guarantees gen=0/1 below are THIS run's generations.
-    root = _roundtrip_dir(sf_dir, "snapdiff", "state")
-    shutil.rmtree(root, ignore_errors=True)
+    # Per-invocation numbered store with keep-last-2 retention
+    # (_stream_state_root): a previous call's returned DataFrame stays
+    # lazily readable while disk stays bounded, and the fresh subdir
+    # guarantees gen=0/1 below are THIS run's generations (the r7
+    # fixed-root clear-up-front invalidated live prior results —
+    # ADVICE r7).
+    from .streaming_queries import _stream_state_root
+
+    root = _stream_state_root("snapdiff")
     ev = load_table(spark, sf_dir, "events")
     mid = ev.agg(
         F.expr("percentile_approx(event_id, 0.5, 10000)").alias("m")

@@ -5,9 +5,9 @@ replay must EQUAL — since r7's sixth wave, every stream query whose
 replay contract is exact carries the declarative batch SQL as its
 oracle, so the driver hash-verifies the streaming engine end to end;
 tests/test_streaming.py additionally pins stream==batch equivalence
-in Spark. The four that stay rows-only have structural reasons stated
+in Spark. The two that stay rows-only have structural reasons stated
 at the oracle block below (approximate state-resume arithmetic,
-prefix-only left-join flush, side-effectful sinks).
+prefix-only left-join flush).
 """
 
 from __future__ import annotations
@@ -31,14 +31,18 @@ from . import LATE_BINDERS, REGISTRY, query
 # the streaming pipeline, and pytest separately pins that the replayed
 # stream is bit-equal to the batch run (tests/test_streaming.py). The
 # driver therefore hash-verifies the streaming results end to end.
-# Four queries stay rows-only, each for a stated structural reason:
+# Two queries stay rows-only, each for a stated structural reason:
 # stream_ema (its batch twin's vectorized recurrence is observed only
 # 1e-12-close to the stream's sequential one, so a hash oracle would
 # be unsound — holt/kalman by contrast replay the IDENTICAL IEEE op
-# sequence and are pinned bit-exact), stream_stream_join_left
+# sequence and are pinned bit-exact) and stream_stream_join_left
 # (trailing null-row eviction is best-effort on a bounded replay —
-# prefix semantics, not equality), and stream_upsert_counts /
-# stream_alert_burst (side-effectful sinks).
+# prefix semantics, not equality). stream_upsert_counts /
+# stream_alert_burst joined the oracle gate in r8: their sinks are
+# side-effectful, but the RETURNED state is deterministic — the
+# single-file replay arrives as one micro-batch, so the watermark can
+# never drop rows and the merged store must equal the batch
+# aggregation (the equivalence tests/test_r6b_ops.py pins).
 
 
 @query(
@@ -321,32 +325,67 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RUN_TOKEN = uuid.uuid4().hex[:8]  # per-process isolation
+_STATE_SEQ: dict[str, int] = {}  # per-name invocation counter
 
 
 def _stream_state_root(name: str) -> str:
-    """Fixed per-process scratch root for a streaming query's keyed
-    store, cleared up front (the _roundtrip_dir pattern): the returned
-    DataFrame lazily reads the live generation, so the store cannot be
-    deleted on exit — but a fresh mkdtemp per invocation leaked one
-    full state copy per micro-batch per run (r7 review). One bounded
-    copy per process instead."""
+    """Per-invocation scratch root for a streaming query's keyed store,
+    with bounded retention. The returned DataFrame lazily reads the
+    live generation, so this invocation's store must survive past
+    return — but a fresh mkdtemp per invocation leaked one full state
+    copy per run (r7 review), and clearing a FIXED root up front
+    invalidated the previous invocation's still-lazy result (r7
+    ADVICE). Resolution: each invocation gets a numbered subdir of a
+    fixed per-process base, and the vacuum removes only subdirs two or
+    more invocations old — the immediately previous result stays
+    readable, disk stays bounded at two copies per query name, and
+    results older than one call back are documented as expiring."""
     import shutil
     import tempfile
 
-    root = os.path.join(
+    seq = _STATE_SEQ.get(name, -1) + 1
+    _STATE_SEQ[name] = seq
+    base = os.path.join(
         tempfile.gettempdir(), f"chrono_{name}_state_{_RUN_TOKEN}"
     )
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            try:
+                stale = int(d) <= seq - 2
+            except ValueError:
+                stale = True
+            if stale:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    root = os.path.join(base, str(seq))
     shutil.rmtree(root, ignore_errors=True)
     return root
 
 
-@query("stream_upsert_counts", oracle=None, tags=("streaming", "ST7b", "no-oracle"))
+@query(
+    "stream_upsert_counts",
+    oracle=f"""
+SELECT {sql_ts_str(sql_time_bucket('ts', 300))} AS bucket_ts,
+       user_id,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "ST7b", "stream-oracled"),
+)
 def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7b (r6 late): UPDATE-mode window counts merged into a keyed
     parquet store via foreachBatch (generation-dir MERGE; Delta MERGE
     is the production swap-in). Final state == batch aggregation and
     batch re-application is a no-op — both pinned in
-    tests/test_r6b_ops.py."""
+    tests/test_r6b_ops.py.
+
+    Oracled (r8): the sink is side-effectful but the RETURNED state is
+    deterministic — the whole fixture arrives in one micro-batch
+    (single-file replay, maxFilesPerTrigger=1), so the watermark can
+    never drop rows, UPDATE-mode's last refresh per key carries the
+    full count, and the highest-seq merge keeps exactly that row. The
+    driver hash therefore witnesses the foreachBatch MERGE path end to
+    end against the flat batch aggregation."""
     from ..streaming.upsert import run_upsert_counts, vacuum_generations
 
     root = _stream_state_root("upsert")
@@ -357,7 +396,33 @@ def stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
-@query("stream_alert_burst", oracle=None, tags=("streaming", "ST7b", "alerting", "no-oracle"))
+@query(
+    "stream_alert_burst",
+    oracle=f"""
+WITH counts AS (
+    SELECT {sql_ts_str(sql_time_bucket('ts', 300))} AS bucket_ts,
+           user_id,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+), trailed AS (
+    SELECT user_id, bucket_ts,
+           n_events AS cnt,
+           SUM(n_events) OVER w AS trail,
+           COUNT(*) OVER w AS n_trail
+    FROM counts
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket_ts,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(trail AS BIGINT) AS trail,
+       CAST(cnt * 12 > trail * 3 AS INT) AS is_burst
+FROM trailed
+WHERE n_trail = 12
+""",
+    tags=("streaming", "ST7b", "alerting", "stream-oracled"),
+)
 def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end streaming alert pipeline: events replay through
     the UPDATE-mode windowed aggregation into the keyed upsert store
@@ -366,6 +431,12 @@ def stream_alert_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because the tier holds exactly the batch per-(user, bucket) counts
     (stream_upsert_counts' equivalence proof), the emitted alerts are
     pinned EQUAL to the batch ts_burst_detect rows in tests.
+
+    Oracled (r8, with stream_upsert_counts): the serving tier is
+    deterministic (one-micro-batch replay, highest-seq merge), and the
+    trailing-12 frame orders by the 'yyyy-MM-dd HH:mm:ss' bucket string
+    — lexicographic == chronological for that format, so the frame
+    contents match the SQL window exactly.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -54,8 +54,14 @@ def test_oracled_queries_emit_scalar_columns_only(spark):
     crashes). Any oracled query MUST therefore project complex columns
     through a deterministic serialization (array_join of a sort_array,
     to_json, ...) before returning. This builds every oracled query's
-    plan (analysis only, nothing executes) and fails on the first
-    complex-typed output column so the class can't recur.
+    plan and inspects its schema — for most queries that is analysis
+    only, but queries whose CONSTRUCTION collects driver-side state
+    (the fixed-point Lloyd fits, emb_pca_power_exact's Gram,
+    ts_qdigest_quantiles' histogram, io_footer_totals' footer walk)
+    do execute those collects at sf0.001, so the lint costs a few
+    seconds, not milliseconds (ADVICE r7: the earlier "nothing
+    executes" claim was wrong). It fails on the first complex-typed
+    output column so the class can't recur.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
