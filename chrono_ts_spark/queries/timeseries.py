@@ -2484,10 +2484,11 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     data (fixture: ~67 pts/user at every SF). 100 TB swap-ins for
     unbounded series: ts_theil_sen_windowed (below) IS the implemented
     bounded-pair-offset variant — O(n_s·W) pairs, fully oracled, exact
-    for series shorter than W; sampled Theil–Sen (fixed-size random
-    pair sample) and the repeated-median sketch remain the named
-    alternatives when the rank band itself is unwanted. See
-    docs/scale.md.
+    for series shorter than W — and ts_theil_sen_sampled (r8) IS the
+    implemented fixed-size-sample variant — O(n_s + K²) per series via
+    hash-rank point sampling, also fully oracled; the repeated-median
+    sketch remains the one named alternative (only when its stronger
+    breakdown bound is itself required). See docs/scale.md.
     """
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -2562,12 +2563,142 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers it exactly — pinned in pytest on small series).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # t = unix_micros(ts) is order-equivalent to ts, so the (t,
+    # event_id) window ordering matches the oracle's (ts, event_id)
     base = ev.select(
-        "user_id",
-        F.unix_micros("ts").alias("t"),
-        "value",
-        F.row_number().over(w).alias("rn"),
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    # The rank band rides as ONE bounded window frame — a sliding
+    # collect_list of the next W (t, value) structs — then a map-side
+    # transform+explode into slopes. Shapes measured at the r8 10M-row
+    # x 1000-pts/user probe before settling here:
+    #   (1) alias self-join on user_id with the band as a RANGE
+    #       predicate: Catalyst applies non-equi conjuncts AFTER the
+    #       equi-match, so it enumerated all n_s^2 same-user pairs and
+    #       filtered — the quadratic blowup this operator exists to
+    #       avoid (71 s);
+    #   (2) explode the W offsets + pure equi-join on (user_id, rn):
+    #       linear, but pays two extra shuffles of the W-expanded pair
+    #       set (39 s);
+    #   (3) W distinct lead() columns: one shuffle, but WindowExec
+    #       runs one frame processor PER DISTINCT OFFSET — cost was
+    #       16x a single lead (69 s);
+    #   (4) this form: one shuffle, one frame processor, pair
+    #       expansion entirely map-side, and the final groupBy reuses
+    #       the window's hash-partitioning on user_id (33 s — the
+    #       remaining cost is the inherent O(n_s * W) slope evals plus
+    #       the exact percentile).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, _TS_WIN)
+    )
+    nxt = F.collect_list(F.struct("t", "value")).over(w)
+
+    def m_of(s):
+        slope6 = F.round(
+            (s["value"] - F.col("value"))
+            / ((s["t"] - F.col("t")).cast("double") / F.lit(3600000000.0)),
+            6,
+        )
+        # null on equal-timestamp (infinite slope); nulls drop below.
+        # collect_list already stops at the series end, so no
+        # past-the-end guard is needed — identical arithmetic to the
+        # oracle's rank-band join.
+        return F.when(s["t"] != F.col("t"), F.round(slope6 * 1000000.0, 0)).cast(
+            "bigint"
+        )
+
+    pairs = (
+        base.select("user_id", "t", "value", nxt.alias("__nx"))
+        .select("user_id", F.explode(F.transform("__nx", m_of)).alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
+    )
+
+
+# W9 scale path #2 (r8): SAMPLED Theil-Sen — the other swap named in
+# ts_theil_sen's docstring, implemented. Point sampling (not pair
+# sampling) is the scale-safe form: keeping the K hash-smallest points
+# per series bounds the pair expansion to K(K-1)/2 BEFORE the join, so
+# no series can quadratically expand no matter its length — pair
+# sampling by contrast still enumerates O(n_s^2) pairs to thin them.
+_TS_SAMPLE_K = 24
+
+
+@query(
+    "ts_theil_sen_sampled",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, epoch_us(ts) AS t, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+               {sql_md5_u32("concat(CAST(user_id AS VARCHAR), ':', CAST(event_id AS VARCHAR))")},
+               event_id) AS rn
+    FROM events
+),
+k AS (SELECT * FROM s WHERE rn <= {_TS_SAMPLE_K}),
+p AS (
+    SELECT a.user_id,
+           CAST(round(round((b.value - a.value)
+                 / (CAST(b.t - a.t AS DOUBLE) / 3600000000.0), 6)
+                 * 1000000.0, 0) AS BIGINT) AS m
+    FROM k a JOIN k b
+      ON a.user_id = b.user_id
+     AND b.rn > a.rn
+     AND a.t <> b.t
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(m, 0.5) / 1000000.0 AS slope_per_hour
+FROM p GROUP BY user_id
+""",
+    tags=("tsdb", "robust", "trend", "W9", "sampling"),
+)
+def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Theil-Sen per user (the second 100 TB swap named in
+    ts_theil_sen's docstring, implemented): keep each series' K =
+    {_TS_SAMPLE_K} points with the smallest engine-portable md5_u32
+    hash of (user_id, event_id) — a deterministic uniform sample, no
+    seed state — then run the exact pairwise-median machinery on the
+    bounded sample. Pair count per series is <= K(K-1)/2 regardless of
+    series length, so the estimator costs O(n_s) to sample + O(K^2) to
+    solve where the full version is O(n_s^2); the estimate converges
+    to the full Theil-Sen as K grows (K >= n_s recovers it exactly on
+    the sampled subset = whole series).
+
+    Determinism: the hash ranking is md5_u32 (exact same fold in
+    DuckDB), slope rounding/median interpolation reuse ts_theil_sen's
+    driver-proven integer micro-unit idiom, and equal-timestamp pairs
+    are excluded by integer epoch compare on both sides.
+
+    Scale: one user_id shuffle for the rank, one for the K-sample
+    self-join (both co-partitioned); the sample bound makes every join
+    match finite — the fixed-size-sample contract that lets the
+    estimator run on unbounded series where even the windowed variant
+    grows with n_s.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_u32(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("__h"), F.col("event_id"))
+    base = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            "value",
+            h.alias("__h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_SAMPLE_K)
+        .select("user_id", "t", "value", "rn")
     )
     a = base.alias("a")
     b = base.alias("b")
@@ -2581,7 +2712,6 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
         & (F.col("b.rn") > F.col("a.rn"))
-        & (F.col("b.rn") <= F.col("a.rn") + _TS_WIN)
         & (F.col("a.t") != F.col("b.t")),
     ).select(F.col("a.user_id").alias("user_id"), m.alias("m"))
     return pairs.groupBy("user_id").agg(

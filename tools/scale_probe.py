@@ -182,6 +182,11 @@ def main() -> None:
         "ts_apdex",
         # round-7 sketch twins (events-domain)
         "ts_qdigest_quantiles",
+        # round-8 additions: the two bounded Theil-Sen scale paths —
+        # unlike the full estimator these are IN-contract at 10M rows
+        # (O(n_s*W) and O(n_s + K^2) per series respectively)
+        "ts_theil_sen_windowed",
+        "ts_theil_sen_sampled",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
