@@ -218,10 +218,15 @@ def covariance_matrix(
                 )  # 1e-5 fixed point
                 gram = q.T @ q  # (d, d) int64; see budget above
                 s = q.sum(axis=0)
+                # last cell = this chunk's row count, so the merged
+                # partials carry n and no second df.count() pass over
+                # the source is needed (r8 review)
                 yield pd.DataFrame(
                     {
-                        "pos": np.arange(dims * dims + dims, dtype=np.int64),
-                        "v": np.concatenate([gram.reshape(dims * dims), s]),
+                        "pos": np.arange(dims * dims + dims + 1, dtype=np.int64),
+                        "v": np.concatenate(
+                            [gram.reshape(dims * dims), s, [q.shape[0]]]
+                        ),
                     }
                 )
 
@@ -231,12 +236,12 @@ def covariance_matrix(
         .agg(F.sum(F.col("v").cast("decimal(38,0)")).cast("double").alias("v"))
         .collect()
     )
-    total_n = df.count()
-    flat = np.zeros(dims * dims + dims)
+    flat = np.zeros(dims * dims + dims + 1)
     for r in rows:
         flat[int(r.pos)] = r.v
+    total_n = int(flat[-1])
     gram = flat[: dims * dims].reshape(dims, dims) / 1e10  # (1e5)^2
-    s = flat[dims * dims :] / 1e5
+    s = flat[dims * dims : -1] / 1e5
     mean = s / total_n
     cov = gram / total_n - np.outer(mean, mean)
     return mean, cov, total_n

@@ -2560,17 +2560,14 @@ def gov_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (filesystem generations); planted add/update/unchanged
     accounting pinned in tests.
     """
-    from ..streaming.upsert import read_state, upsert_batch
+    from ..streaming.upsert import read_state, state_scratch_root, upsert_batch
 
-    # Per-invocation numbered store with keep-last-2 retention
-    # (_stream_state_root): a previous call's returned DataFrame stays
-    # lazily readable while disk stays bounded, and the fresh subdir
-    # guarantees gen=0/1 below are THIS run's generations (the r7
-    # fixed-root clear-up-front invalidated live prior results —
-    # ADVICE r7).
-    from .streaming_queries import _stream_state_root
-
-    root = _stream_state_root("snapdiff")
+    # Per-invocation numbered store with keep-last-2 retention: a
+    # previous call's returned DataFrame stays lazily readable while
+    # disk stays bounded, and the fresh subdir guarantees gen=0/1
+    # below are THIS run's generations (the r7 fixed-root
+    # clear-up-front invalidated live prior results — ADVICE r7).
+    root = state_scratch_root("snapdiff")
     ev = load_table(spark, sf_dir, "events")
     mid = ev.agg(
         F.expr("percentile_approx(event_id, 0.5, 10000)").alias("m")

@@ -12,9 +12,6 @@ prefix-only left-join flush).
 
 from __future__ import annotations
 
-import os
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
@@ -324,41 +321,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich(spark, sf_dir)
 
 
-_RUN_TOKEN = uuid.uuid4().hex[:8]  # per-process isolation
-_STATE_SEQ: dict[str, int] = {}  # per-name invocation counter
-
-
-def _stream_state_root(name: str) -> str:
-    """Per-invocation scratch root for a streaming query's keyed store,
-    with bounded retention. The returned DataFrame lazily reads the
-    live generation, so this invocation's store must survive past
-    return — but a fresh mkdtemp per invocation leaked one full state
-    copy per run (r7 review), and clearing a FIXED root up front
-    invalidated the previous invocation's still-lazy result (r7
-    ADVICE). Resolution: each invocation gets a numbered subdir of a
-    fixed per-process base, and the vacuum removes only subdirs two or
-    more invocations old — the immediately previous result stays
-    readable, disk stays bounded at two copies per query name, and
-    results older than one call back are documented as expiring."""
-    import shutil
-    import tempfile
-
-    seq = _STATE_SEQ.get(name, -1) + 1
-    _STATE_SEQ[name] = seq
-    base = os.path.join(
-        tempfile.gettempdir(), f"chrono_{name}_state_{_RUN_TOKEN}"
-    )
-    if os.path.isdir(base):
-        for d in os.listdir(base):
-            try:
-                stale = int(d) <= seq - 2
-            except ValueError:
-                stale = True
-            if stale:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    root = os.path.join(base, str(seq))
-    shutil.rmtree(root, ignore_errors=True)
-    return root
+# Scratch-root lifecycle lives with the state store it serves
+# (streaming/upsert.py, next to read_state/vacuum_generations) — this
+# module just picks the per-query names.
+from ..streaming.upsert import state_scratch_root as _stream_state_root  # noqa: E402
 
 
 @query(

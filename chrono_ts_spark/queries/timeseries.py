@@ -2550,8 +2550,8 @@ FROM p GROUP BY user_id
 def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-pair-offset Theil-Sen per user (the 100 TB scale path
     ts_theil_sen's docstring names, implemented): slopes only between
-    points <= {_TS_WIN} time-order ranks apart, so the pair set is
-    O(n_s * {_TS_WIN}) per series — linear in series length — while
+    points <= W = 16 (_TS_WIN) time-order ranks apart, so the pair set
+    is O(n_s * W) per series — linear in series length — while
     keeping the estimator's robustness for locally-dense outliers.
     Same exactness machinery as the full version: 6dp slope rounding
     into integer micro-units, exact interpolated median, one final
@@ -2658,8 +2658,8 @@ FROM p GROUP BY user_id
 )
 def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled Theil-Sen per user (the second 100 TB swap named in
-    ts_theil_sen's docstring, implemented): keep each series' K =
-    {_TS_SAMPLE_K} points with the smallest engine-portable md5_u32
+    ts_theil_sen's docstring, implemented): keep each series' K = 24
+    (_TS_SAMPLE_K) points with the smallest engine-portable md5_u32
     hash of (user_id, event_id) — a deterministic uniform sample, no
     seed state — then run the exact pairwise-median machinery on the
     bounded sample. Pair count per series is <= K(K-1)/2 regardless of

@@ -34,6 +34,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_RUN_TOKEN: str | None = None  # per-process isolation token, lazy
+_STATE_SEQ: dict[str, int] = {}  # per-name invocation counter
+
+
+def state_scratch_root(name: str) -> str:
+    """Per-invocation scratch root for a keyed store, with bounded
+    retention. A caller's returned DataFrame lazily reads the live
+    generation, so this invocation's store must survive past return —
+    but a fresh mkdtemp per invocation leaked one full state copy per
+    run (r7 review), and clearing a FIXED root up front invalidated
+    the previous invocation's still-lazy result (r7 ADVICE).
+    Resolution: each invocation gets a numbered subdir of a fixed
+    per-process base, and the vacuum removes only subdirs two or more
+    invocations old — the immediately previous result stays readable,
+    disk stays bounded at two copies per name, and results older than
+    one call back are documented as expiring."""
+    import shutil
+    import tempfile
+    import uuid
+
+    global _RUN_TOKEN
+    if _RUN_TOKEN is None:
+        _RUN_TOKEN = uuid.uuid4().hex[:8]
+    seq = _STATE_SEQ.get(name, -1) + 1
+    _STATE_SEQ[name] = seq
+    base = os.path.join(
+        tempfile.gettempdir(), f"chrono_{name}_state_{_RUN_TOKEN}"
+    )
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            try:
+                stale = int(d) <= seq - 2
+            except ValueError:
+                stale = True
+            if stale:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    root = os.path.join(base, str(seq))
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 def _current_gen(root: str) -> int:
     ptr = os.path.join(root, "_CURRENT")
     if not os.path.exists(ptr):

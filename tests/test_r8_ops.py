@@ -112,18 +112,18 @@ class TestStreamStateRetention:
     def test_previous_invocations_root_survives_one_call(self):
         import os
 
-        from chrono_ts_spark.queries.streaming_queries import _stream_state_root
+        from chrono_ts_spark.streaming.upsert import state_scratch_root
 
-        r1 = _stream_state_root("r8test")
+        r1 = state_scratch_root("r8test")
         os.makedirs(r1, exist_ok=True)
         probe = os.path.join(r1, "gen=0")
         os.makedirs(probe, exist_ok=True)
-        r2 = _stream_state_root("r8test")
+        r2 = state_scratch_root("r8test")
         # the immediately previous store is retained (its returned
         # DataFrame may still lazily read it) ...
         assert os.path.isdir(probe)
         os.makedirs(r2, exist_ok=True)
-        r3 = _stream_state_root("r8test")
+        r3 = state_scratch_root("r8test")
         # ... but two invocations later it is vacuumed (bounded disk)
         assert not os.path.isdir(r1)
         assert os.path.isdir(r2)

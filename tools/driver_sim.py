@@ -69,6 +69,23 @@ def main() -> int:
                 f"cols {list(a.columns)} vs {list(b.columns)}"
             )
             assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
+            # the driver also compares schemas — a stringified-value
+            # match must not mask an int32-vs-int64 / float-vs-decimal
+            # divergence (r8 review). Canonicalize like oracle_check:
+            # datetime granularities fold to string later, the rest
+            # must agree exactly.
+            a_dt = [
+                "ts" if str(t).startswith("datetime") else str(t)
+                for t in a.dtypes
+            ]
+            b_dt = [
+                "ts" if str(t).startswith("datetime") else str(t)
+                for t in b.dtypes
+            ]
+            assert a_dt == b_dt, (
+                f"dtypes spark={dict(zip(a.columns, a_dt))} "
+                f"duck={dict(zip(b.columns, b_dt))}"
+            )
             # pandas sort over all columns — exactly what crashed the
             # r6 driver on array cells; arrays must fail here too
             a = a.sort_values(list(a.columns), kind="mergesort").reset_index(drop=True)
