@@ -169,6 +169,76 @@ def pelt_l2(xs, beta: float, max_lookback: int | None = None):
 
     if max_lookback is not None and max_lookback < 1:
         raise ValueError(f"max_lookback must be >= 1, got {max_lookback}")
+    return _pelt_l2_impl(np, xs, beta, max_lookback)
+
+
+def binseg_l2(xs, beta: float):
+    """Binary segmentation, L2 cost — the O(n log n)-typical
+    approximate swap for pelt_l2 (Scott & Knott 1974 lineage; the
+    second 100 TB alternative named in ts_pelt_segments' docstring,
+    now implemented, completing the W9-style both-swaps-implemented
+    treatment for W12).
+
+    Greedy top-down: each segment splits at the point of maximum SSE
+    reduction (gain) whenever that gain exceeds beta, then recurses
+    into both halves; a segment whose best gain is <= beta is final.
+    Unlike PELT it never revisits a split, so pure-noise series cost
+    O(n) per level x O(log n) levels typically (O(n^2) only on the
+    adversarial peel-one-point-per-split tree — and each level is one
+    vectorized numpy argmax, the same mitigation as pelt_l2's scan).
+    The price of greediness: a split can be locally best but globally
+    sub-optimal, so the result may differ from exact PELT (pinned in
+    tests both ways — equality on well-separated planted steps,
+    divergence allowed elsewhere).
+
+    Determinism contract (mirrored verbatim by the recursive-CTE
+    oracle in queries/timeseries.py::_binseg_oracle): xs are exact
+    integer cents in float64; prefix sums/squares are exact integers
+    in float64; sse = (pqΔ) - psΔ·psΔ/len and gain =
+    (sse_parent - sse_left) - sse_right are fixed correctly-rounded
+    op chains; the argmax breaks ties to the SMALLEST split index
+    (np.argmax first occurrence over the ascending candidate array);
+    the split test is strict (gain > beta). The set of final segments
+    is independent of traversal order — each segment's best split
+    depends only on its own bounds — so the stack walk here and the
+    level-wise recursion in SQL produce identical leaves.
+
+    Returns the sorted list of changepoint indices (each the first
+    index of a new segment; [] = no change), same contract as pelt_l2.
+    """
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.float64)
+    n = len(xs)
+    if n < 2:
+        return []
+    ps = np.concatenate([[0.0], np.cumsum(xs)])
+    pq = np.concatenate([[0.0], np.cumsum(xs * xs)])
+
+    out: list[int] = []
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        sd_p = ps[hi] - ps[lo]
+        sse_p = (pq[hi] - pq[lo]) - sd_p * sd_p / (hi - lo)
+        s = np.arange(lo + 1, hi)
+        sd_l = ps[s] - ps[lo]
+        sse_l = (pq[s] - pq[lo]) - sd_l * sd_l / (s - lo)
+        sd_r = ps[hi] - ps[s]
+        sse_r = (pq[hi] - pq[s]) - sd_r * sd_r / (hi - s)
+        gains = (sse_p - sse_l) - sse_r
+        i = int(np.argmax(gains))  # first max -> smallest split index
+        if gains[i] > beta:
+            cp = lo + 1 + i
+            out.append(cp)
+            stack.append((lo, cp))
+            stack.append((cp, hi))
+    return sorted(out)
+
+
+def _pelt_l2_impl(np, xs, beta: float, max_lookback: int | None):
     xs = np.asarray(xs, dtype=np.float64)
     n = len(xs)
     if n == 0:
