@@ -129,6 +129,28 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# Physical (as-inferred) schema per parquet path, cached per process.
+# Schema inference on a parquet path launches a footer-read Spark job
+# on EVERY spark.read.parquet call — ~1 job per table per query build,
+# hundreds per sweep, and the reason the contract lint could never be
+# job-free. Fixture files are immutable for the life of a process
+# (driver and tests alike), so one inference per distinct path is
+# enough; every later read declares the cached schema, which skips the
+# inference job entirely. At 100 TB the same discipline matters more,
+# not less: declared schemas avoid re-listing/footer-sampling wide
+# partitioned trees on every query.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
+def observed_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The parquet file's schema exactly as this session infers it
+    (post runtime-confs, e.g. nanosAsLong), cached per path."""
+    if path not in _SCHEMA_CACHE:
+        apply_runtime_confs(spark)
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to SCHEMAS[name].
 
@@ -149,7 +171,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     o_orderdate / l_shipdate cannot re-open the same hole.
     """
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.schema(observed_schema(spark, path)).parquet(path)
     # ns-as-bigint rule generalized over SCHEMAS (r7 review: it was
     # hard-coded to events.ts while the docstring promised every
     # column): any column DECLARED TimestampType that loads as bigint

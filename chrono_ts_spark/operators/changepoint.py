@@ -177,7 +177,9 @@ def binseg_l2(xs, beta: float):
     approximate swap for pelt_l2 (Scott & Knott 1974 lineage; the
     second 100 TB alternative named in ts_pelt_segments' docstring,
     now implemented, completing the W9-style both-swaps-implemented
-    treatment for W12).
+    treatment for W12). Registered as the ts_binseg_segments query
+    (queries/timeseries.py), oracled by _binseg_oracle there, and
+    pinned against pelt_l2 in tests/test_r9_ops.py.
 
     Greedy top-down: each segment splits at the point of maximum SSE
     reduction (gain) whenever that gain exceeds beta, then recurses
@@ -188,8 +190,8 @@ def binseg_l2(xs, beta: float):
     vectorized numpy argmax, the same mitigation as pelt_l2's scan).
     The price of greediness: a split can be locally best but globally
     sub-optimal, so the result may differ from exact PELT (pinned in
-    tests both ways — equality on well-separated planted steps,
-    divergence allowed elsewhere).
+    tests/test_r9_ops.py both ways — equality on well-separated
+    planted steps, a constructed up-then-down divergence case).
 
     Determinism contract (mirrored verbatim by the recursive-CTE
     oracle in queries/timeseries.py::_binseg_oracle): xs are exact

@@ -205,6 +205,15 @@ def covariance_matrix(
             )
             if mat.size == 0:
                 continue
+            # NaN/inf must be caught explicitly: `nan > bound` is False,
+            # so a pure magnitude check would let non-finite coordinates
+            # flow into round().astype(int64) and produce platform-
+            # dependent garbage in the exact integer partials.
+            if not np.isfinite(mat).all():
+                raise ValueError(
+                    "covariance_matrix fixed-point budget violated: "
+                    "non-finite coordinate (NaN/inf) in the vector column"
+                )
             amax = float(np.abs(mat).max())
             if amax > COORD_BOUND:
                 raise ValueError(

@@ -31,15 +31,31 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Declared output schema (Spark DDL string) for queries whose
+    # CONSTRUCTION executes Spark jobs (driver-side fits/collects: the
+    # fixed-point Lloyd family, iterative connected components, the
+    # q-digest histogram, the erasure audit, ...). The contract lint
+    # (tests/test_entry_contract.py) checks the declaration statically
+    # instead of building those plans, so linting launches zero jobs;
+    # tools/oracle_check.py asserts declaration == actual schema on
+    # every sweep, so a drifted declaration cannot survive a round.
+    out_schema: str | None = None
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    out_schema: str | None = None,
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tuple(tags), fn.__doc__ or "", out_schema
+        )
         return fn
 
     return deco
@@ -56,75 +72,70 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-8
-# rotation (docs/coverage.md "Round-8 window plan", executed verbatim —
-# the r7 window landed 50/50 green so no fix re-witness is owed): all
-# 50 slots go to never-driver-witnessed oracled queries, newest
-# correctness machinery first — (1) the r7 engine-portable twins and
-# span family, (1b) the late-r7 rows-only->oracled conversions, (1c)
-# the fixed-point-Lloyd / recursive-CTE-DP exact twins, (1d) the
-# sketch/spectral twins, (1e) six of the stream-oracled family (a
-# driver hash row here witnesses watermarks, state stores and join
-# buffers end to end — the highest-information rows on the board),
-# then (2) ten from the oracled backlog in registration order. The
-# r4–r7 green rows (<=3 rounds old) rotate back starting r9.
+# per round, so ordering is coverage policy, not cosmetics.  Round-9
+# rotation (docs/coverage.md "Round-9 window plan", executed verbatim —
+# the r8 window landed 50/50 green so no fix re-witness is owed): all
+# 50 slots again go to never-driver-witnessed oracled queries — (1) the
+# four r8 additions/conversions (newest correctness machinery: the
+# sampled Theil-Sen serving path, the foreachBatch MERGE tier, the
+# burst-alert rule on that tier, and the erasure audit), (2) the five
+# remaining never-witnessed stream queries (with r8's six plus item 1's
+# two, this completes driver witness for the ENTIRE oracled streaming
+# family), then (3) 41 from the oracled backlog in registration order.
 _WINDOW_50 = [
-    # -- (1) r7 additions/upgrades, never witnessed --
-    "doc_minhash_md5",
-    "emb_ann_md5",
-    "doc_simhash_md5_neighbors",
-    "doc_repeated_spans",
-    "doc_span_dedup_stats",
-    "ts_theil_sen_windowed",
-    "ts_ema_alpha_sweep",
-    # -- (1b) late-r7 rows-only -> oracled conversions --
-    "emb_knn_eval",
-    "emb_matryoshka_eval",
-    "emb_contrastive_pairs",
-    "emb_intrinsic_dim",
-    "emb_label_medoid",
-    "ts_hurst_exponent",
-    "emb_mmr_diversify",
-    "ts_dtw_pairs",
-    "ts_dominant_period",
-    "rel_soundex_blocking",
-    # -- (1c) fixed-point Lloyd / recursive-CTE DP exact twins --
-    "doc_weighted_sample",
-    "ts_pelt_segments",
-    "ts_pelt_bounded",
-    "diag_lsh_buckets_md5",
-    "io_footer_totals",
-    "emb_kmeans_exact",
-    "emb_ann_ivf_exact",
-    "emb_pq_exact",
-    "emb_recall_eval_md5",
-    "emb_semdedup_exact",
-    # -- (1d) sketch/spectral twins --
-    "doc_stemmed_terms",
-    "rel_hll_md5",
-    "doc_cms_heavy_md5",
-    "emb_pca_power_exact",
-    "doc_rle_ratio",
-    "ts_qdigest_quantiles",
-    "ts_rolling_actives_hll_md5",
-    # -- (1e) stream-oracled family: streaming-engine witnesses --
-    "stream_bucket_counts",
-    "stream_session_windows",
-    "stream_dedup_counts",
-    "stream_stream_join",
-    "stream_kalman",
-    "stream_cusum",
-    # -- (2) oracled backlog, registration order --
-    "ts_rolling_actives",
-    "ts_theil_sen",
-    "ts_sax_symbols",
-    "ts_weekly_profile",
-    "ts_local_day_agg",
-    "ts_event_trigrams",
-    "ts_ks_drift",
-    "ts_welch_t_pairs",
-    "ts_type_user_jaccard",
-    "pipeline_alert_rules",
+    # -- (1) r8 additions / rows-only->oracled conversions --
+    "ts_theil_sen_sampled",
+    "stream_upsert_counts",
+    "stream_alert_burst",
+    "gov_forget_user",
+    # -- (2) remaining never-witnessed stream queries --
+    "stream_m4",
+    "stream_sliding_counts",
+    "stream_holt",
+    "stream_running_extrema",
+    "stream_static_enrich",
+    # -- (3) oracled backlog, registration order --
+    "ts_gorilla_size_estimate",
+    "ts_xcorr_best_lag",
+    "ts_entropy_by_type",
+    "ts_order_inversions",
+    "ts_attribution_last_touch",
+    "ts_debounce",
+    "ts_activity_streaks",
+    "ts_burn_rate",
+    "ts_rolling_median",
+    "ts_kalman_filter",
+    "ts_multi_resolution",
+    "ts_seasonal_decompose",
+    "ts_top_movers",
+    "ts_interval_coverage",
+    "ts_markov_transitions",
+    "ts_attribution_linear",
+    "ts_apdex",
+    "ts_burstiness",
+    "ts_incident_mttr",
+    "ts_survival_km",
+    "ts_acf",
+    "ts_haar_energy",
+    "ts_seasonality_strength",
+    "ts_parkinson_volatility",
+    "ts_peak_detection",
+    "ts_missing_hours",
+    "ts_ljung_box",
+    "ts_anova_types",
+    "ts_poisson_bootstrap_ci",
+    "ts_max_drawdown",
+    "ts_entropy_rate",
+    "ts_quantile_table",
+    "ts_stl_anomaly",
+    "ts_rle_stats",
+    "ts_value_shape",
+    "ts_croston",
+    "ts_expected_shortfall",
+    "ts_naive_baselines",
+    "ts_mann_whitney",
+    "ts_record_counts",
+    "ts_spearman_pairs",
 ]
 
 

@@ -183,12 +183,23 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join_left(spark, sf_dir)
 
 
-@query("stream_ema", oracle=None, tags=("streaming", "ST6", "no-oracle"))
+@query(
+    "stream_ema",
+    # the stream replays the identical IEEE EMA recurrence over the
+    # in-order single-file replay, so its finished output equals the
+    # batch twin exactly (pinned in pytest) — the oracle IS
+    # ts_ema's recursive CTE, referenced via the late binder below
+    # (the stream_holt/stream_kalman pattern; converted r9 from
+    # rows-only, VERDICT r8 item 5)
+    oracle=None,  # late-bound from ts_ema
+    tags=("streaming", "ST6", "stream-oracled"),
+)
 def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful op: per-user EMA via applyInPandasWithState.
 
-    Rows-only: no stream replay in DuckDB; bit-exact equivalence with
-    batch ts_ema (itself recursive-CTE-oracled) is pinned in pytest."""
+    Oracled (r9): same output columns as batch ts_ema and bit-exact
+    equivalence on the in-order replay (pytest), so the batch
+    recursive-CTE oracle verifies the stream directly."""
     from ..streaming.stateful import run_ema_stream
 
     return run_ema_stream(spark, sf_dir)
@@ -459,6 +470,7 @@ def _bind_cross_module_oracles() -> None:
     refs = {
         "stream_m4": ("ts_m4_downsample", None),
         "stream_kalman": ("ts_kalman_filter", None),
+        "stream_ema": ("ts_ema", None),
         "stream_holt": (
             "ts_holt_linear",
             "SELECT user_id, event_id, ts_s, value, level, trend",

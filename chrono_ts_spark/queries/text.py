@@ -1089,6 +1089,7 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_dup_clusters",
+    out_schema="doc_id bigint, cluster_id bigint, cluster_size bigint",
     oracle=f"""
 WITH RECURSIVE t AS (
     SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
@@ -4490,6 +4491,7 @@ from . import REGISTRY as _TEXT_REGISTRY  # noqa: E402
 
 @query(
     "doc_dup_cluster_sizes",
+    out_schema="cluster_size bigint, n_clusters bigint, n_docs bigint",
     oracle=f"""
 WITH cc AS ({{CC}})
 , sizes AS (

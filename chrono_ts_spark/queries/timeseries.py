@@ -1844,6 +1844,7 @@ GROUP BY t.pct, t.num, t.den
 
 @query(
     "ts_qdigest_quantiles",
+    out_schema="pct int, n_events bigint, target_rank bigint, est_cents bigint, digest_nodes bigint",
     oracle=_qdigest_sql(),
     tags=("tsdb", "A4", "sketch", "exact-twin"),
 )
@@ -3361,6 +3362,186 @@ def ts_pelt_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         var = (q_tot - s_tot * s_tot / n) / n if n > 0 else 0.0
         beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
         bounds = [0] + pelt_l2(xs, beta, max_lookback=_PELT_L) + [n]
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            rows.append(
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "seg_idx": i,
+                    "start_ts_s": pdf["ts"].iloc[lo].strftime("%Y-%m-%d %H:%M:%S"),
+                    "end_ts_s": pdf["ts"].iloc[hi - 1].strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_pts": hi - lo,
+                    "mean_cents": float(xs[lo:hi].sum() / (hi - lo)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        run,
+        "user_id bigint, seg_idx int, start_ts_s string, end_ts_s string, "
+        "n_pts long, mean_cents double",
+    )
+
+
+def _binseg_oracle() -> str:
+    """Recursive-CTE replay of binseg_l2 (operators/changepoint.py).
+
+    Level-wise recursion over OPEN segments: each recursion row is one
+    segment {lo, hi, closed}; the per-segment best split is a pure
+    list computation (no aggregate in the recursive term) — gains are
+    evaluated by list_transform over range(lo+1, hi) against the full
+    prefix-sum/square arrays carried per user in `arrays`, and the
+    argmax-with-first-occurrence rule replays as a struct-min over
+    {v: -gain, s: split} (smallest v = largest gain, ties to the
+    smallest split index — exactly np.argmax). Every gain is the same
+    fixed correctly-rounded op chain as the numpy solver (exact
+    integer prefix moments in float64; sse = pqΔ - psΔ²/len; gain =
+    (sse_p - sse_l) - sse_r), so the leaves are bit-identical. A
+    segment whose best gain fails the strict `> beta` test (or that
+    has < 2 points) re-emits itself `closed`; the final answer is the
+    closed rows. Carrying O(n_s) arrays per open-segment row is an
+    oracle-side cost only (the engine never does this).
+    """
+    return """
+WITH RECURSIVE base AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100.0) AS BIGINT) AS x,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+pre AS (
+    SELECT user_id, rn, ts,
+           CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS ps,
+           CAST(SUM(x * x) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS pq
+    FROM base
+),
+arrays AS (
+    SELECT user_id,
+           list_prepend(CAST(0 AS BIGINT), list(ps ORDER BY rn)) AS psl,
+           list_prepend(CAST(0 AS BIGINT), list(pq ORDER BY rn)) AS pql,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pre GROUP BY user_id
+),
+beta_u AS (
+    SELECT user_id,
+           CASE WHEN COUNT(*) > 1
+                     AND ((CAST(SUM(x * x) AS DOUBLE)
+                           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                             / COUNT(*)) / COUNT(*)) > 0
+                THEN 2.0 * ((CAST(SUM(x * x) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                               / COUNT(*)) / COUNT(*)) * ln(COUNT(*))
+                ELSE 1.0 END AS beta
+    FROM base GROUP BY user_id
+),
+segs AS (
+    SELECT a.user_id, CAST(0 AS BIGINT) AS lo, a.n AS hi, (a.n < 2) AS closed
+    FROM arrays a
+    UNION ALL
+    SELECT w.user_id,
+           CAST(u.ch['lo'] AS BIGINT) AS lo,
+           CAST(u.ch['hi'] AS BIGINT) AS hi,
+           CAST(u.ch['closed'] AS BOOLEAN) AS closed
+    FROM (
+        SELECT q.user_id,
+               CASE WHEN q.best IS NOT NULL AND -q.best.v > q.beta THEN
+                    [{'lo': q.lo, 'hi': q.best.s, 'closed': q.best.s - q.lo < 2},
+                     {'lo': q.best.s, 'hi': q.hi, 'closed': q.hi - q.best.s < 2}]
+               ELSE [{'lo': q.lo, 'hi': q.hi, 'closed': TRUE}] END AS children
+        FROM (
+            SELECT s.user_id, s.lo, s.hi, b.beta,
+                   list_aggregate(
+                     list_transform(range(s.lo + 1, s.hi),
+                       sp -> {'v': -(((CAST(a.pql[s.hi + 1] - a.pql[s.lo + 1] AS DOUBLE)
+                                       - CAST((a.psl[s.hi + 1] - a.psl[s.lo + 1])
+                                              * (a.psl[s.hi + 1] - a.psl[s.lo + 1]) AS DOUBLE)
+                                         / (s.hi - s.lo))
+                                      - (CAST(a.pql[sp + 1] - a.pql[s.lo + 1] AS DOUBLE)
+                                         - CAST((a.psl[sp + 1] - a.psl[s.lo + 1])
+                                                * (a.psl[sp + 1] - a.psl[s.lo + 1]) AS DOUBLE)
+                                           / (sp - s.lo)))
+                                     - (CAST(a.pql[s.hi + 1] - a.pql[sp + 1] AS DOUBLE)
+                                        - CAST((a.psl[s.hi + 1] - a.psl[sp + 1])
+                                               * (a.psl[s.hi + 1] - a.psl[sp + 1]) AS DOUBLE)
+                                          / (s.hi - sp))),
+                              's': sp}),
+                     'min') AS best
+            FROM segs s
+            JOIN arrays a ON a.user_id = s.user_id
+            JOIN beta_u b ON b.user_id = s.user_id
+            WHERE NOT s.closed
+        ) q
+    ) w, UNNEST(w.children) AS u(ch)
+),
+final_segs AS (
+    SELECT user_id, lo, hi,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lo) - 1
+                AS INTEGER) AS seg_idx
+    FROM segs WHERE closed
+)
+SELECT s.user_id AS user_id, s.seg_idx,
+       strftime(p_lo.ts, '%Y-%m-%d %H:%M:%S') AS start_ts_s,
+       strftime(p_hi.ts, '%Y-%m-%d %H:%M:%S') AS end_ts_s,
+       CAST(s.hi - s.lo AS BIGINT) AS n_pts,
+       CAST(p_hi.ps - COALESCE(p_lo0.ps, 0) AS DOUBLE) / (s.hi - s.lo)
+           AS mean_cents
+FROM final_segs s
+JOIN pre p_lo ON p_lo.user_id = s.user_id AND p_lo.rn = s.lo + 1
+JOIN pre p_hi ON p_hi.user_id = s.user_id AND p_hi.rn = s.hi
+LEFT JOIN pre p_lo0 ON p_lo0.user_id = s.user_id AND p_lo0.rn = s.lo
+"""
+
+
+@query(
+    "ts_binseg_segments",
+    oracle=_binseg_oracle(),
+    tags=("tsdb", "changepoint", "W12"),
+)
+def ts_binseg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint split per user — the greedy
+    O(n log n)-typical approximate alternative to exact PELT named in
+    ts_pelt_segments' docstring (now implemented and oracled,
+    completing W12's both-swaps treatment alongside ts_pelt_bounded).
+    Same penalty (beta = 2*var*ln n, exact-moment variance), same
+    integer-cents quantization, same output contract as the PELT pair,
+    so the three results are directly comparable; greedy splits may
+    differ from PELT's optimum (pinned both ways in
+    tests/test_r9_ops.py — equality on well-separated planted steps,
+    a constructed divergence case where greediness misses the
+    up-then-down double step).
+
+    Oracled (r9): the greedy recursion replays leaf-for-leaf in a
+    recursive CTE — see _binseg_oracle. One shuffle on user_id into
+    the sanctioned sequential boundary, same as ts_pelt_segments.
+    """
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def run(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from chrono_ts_spark.operators.changepoint import binseg_l2
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        # same determinism idioms as ts_pelt_segments: half-away cents
+        # (SQL round semantics) and exact-moment variance (a fixed
+        # correctly-rounded op chain, unlike np.var's pairwise sums)
+        v100 = pdf["value"].to_numpy(dtype="float64") * 100.0
+        xs = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
+        n = len(xs)
+        s_tot = float(xs.sum())
+        q_tot = float((xs * xs).sum())
+        var = (q_tot - s_tot * s_tot / n) / n if n > 0 else 0.0
+        beta = 2.0 * var * math.log(n) if n > 1 and var > 0 else 1.0
+        bounds = [0] + binseg_l2(xs, beta) + [n]
         rows = []
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]

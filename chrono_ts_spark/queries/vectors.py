@@ -510,6 +510,7 @@ WHERE rnk <= 5
 
 @query(
     "emb_ann_ivf_exact",
+    out_schema="query_id bigint, neighbor_id bigint, cosine double, rnk int",
     oracle=_ivf_exact_oracle(),
     tags=("vectors", "ANN", "exact"),
 )
@@ -738,6 +739,7 @@ WHERE rnk <= 5
 
 @query(
     "emb_pq_exact",
+    out_schema="query_id bigint, neighbor_id bigint, cosine double, rnk int",
     oracle=_pq_exact_oracle(),
     tags=("vectors", "ANN", "quantize", "exact"),
 )
@@ -930,6 +932,7 @@ FROM ranked GROUP BY cluster
 
 @query(
     "emb_kmeans_exact",
+    out_schema="cluster int, n_members bigint, inertia double, majority_label int, n_majority bigint",
     oracle=_kmeans_exact_oracle(),
     tags=("vector", "clustering", "X7c", "exact"),
 )
@@ -1134,6 +1137,7 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 
 @query(
     "emb_semdedup_exact",
+    out_schema="vec_id bigint, label int, cluster int",
     oracle=_semdedup_exact_oracle(),
     tags=("vector", "dedup", "X6d", "exact"),
 )
@@ -1328,6 +1332,7 @@ def _pca_power_ctes() -> str:
 
 @query(
     "emb_pca_power_exact",
+    out_schema="n_vecs bigint, top_dim int, top_loading_fp bigint, var_share_fp bigint",
     oracle=f"""
 WITH {_pca_power_ctes()},
 w AS (

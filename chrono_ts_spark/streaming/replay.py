@@ -21,6 +21,7 @@ watermark eviction claim above actually applies.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -37,8 +38,11 @@ def _observed_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     rounds, naive µs → TIMESTAMP_NTZ since; see docs/determinism.md).
     readStream requires a declared schema, so we declare whatever the
     footer actually says and normalize afterwards — the same rule
-    ``catalog.load_table`` applies on the batch path."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    ``catalog.load_table`` applies on the batch path (shared per-path
+    cache, so repeat replays skip the inference job)."""
+    from ..catalog import observed_schema
+
+    return observed_schema(spark, f"{sf_dir.rstrip('/')}/events.parquet")
 
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,6 +64,33 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Session TZ pinned UTC → value-identical cast (docs/determinism.md).
         return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
+
+
+def assert_single_file_replay(sf_dir: str) -> None:
+    """Fail loudly if the events fixture is not ONE regular file.
+
+    The stream_upsert_counts / stream_alert_burst oracles (r8) rest on
+    the premise that the whole fixture arrives as a single micro-batch
+    (one file matched by pathGlobFilter + maxFilesPerTrigger=1), so the
+    10-minute watermark can never drop rows. If the fixture is ever
+    sharded into part files (``events.parquet`` becomes a directory),
+    replay turns multi-batch and out-of-order files could be
+    watermark-dropped — that must surface HERE as a clear error, not
+    downstream as an inscrutable oracle hash mismatch (ADVICE r8).
+    Local-path check only: the driver fixtures are local; remote URIs
+    (no such fixture exists today) pass through un-checked.
+    """
+    base = sf_dir.rstrip("/")
+    if "://" in base:  # non-local URI — not a driver fixture layout
+        return
+    p = os.path.join(base, "events.parquet")
+    if not os.path.isfile(p):
+        raise AssertionError(
+            f"single-micro-batch replay premise violated: {p} is not a "
+            "regular file (sharded/multi-file fixtures make the replay "
+            "multi-batch, so the watermark could drop rows and the "
+            "stream_upsert/alert oracles no longer hold)"
+        )
 
 
 def _run_to_memory(

@@ -215,9 +215,15 @@ def run_upsert_counts(
     """Streaming per-(bucket, user) event counts upserted into ``root``:
     UPDATE output mode emits refreshed window rows each batch; the sink
     merges them by key, so the store always holds the current count —
-    never duplicate window rows. Returns the final state."""
-    from .replay import replay_events_stream
+    never duplicate window rows. Returns the final state.
 
+    Guarded by the single-micro-batch premise check: the r8 oracles of
+    stream_upsert_counts / stream_alert_burst hold only while the whole
+    fixture replays as ONE batch (no watermark drops possible), so a
+    sharded fixture must fail loudly here, not as a hash mismatch."""
+    from .replay import assert_single_file_replay, replay_events_stream
+
+    assert_single_file_replay(sf_dir)
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     run_upsert_sink(windowed_counts(ev, width_seconds), root)
     state = read_state(spark, root)

@@ -464,7 +464,8 @@ class TestCompaction:
         sf = "/root/testdata/sf0.001"
         r = REG["io_compaction"].fn(spark, sf).collect()[0]
         assert r.files_before == 50
-        assert r.files_after < r.files_before
+        assert r.compacted == 1  # files_after < files_before
+        assert r.sized_to_target == 1  # files_after == ceil(bytes/8MB)
         src = spark.read.parquet(f"{sf}/events.parquet")
         import pyspark.sql.functions as F
 

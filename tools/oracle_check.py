@@ -143,7 +143,24 @@ def main() -> int:
         spec = registry[name]
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, args.sf).toPandas()
+            rdf = spec.fn(spark, args.sf)
+            if spec.out_schema is not None:
+                # the static contract lint trusts this declaration
+                # instead of building the plan — drift dies here, on
+                # every sweep, before it can reach the lint or driver
+                from pyspark.sql.types import StructType
+
+                declared = StructType.fromDDL(spec.out_schema)
+                as_pairs = lambda st: [(f.name, f.dataType) for f in st.fields]  # noqa: E731
+                if as_pairs(declared) != as_pairs(rdf.schema):
+                    print(
+                        f"FAIL {name}: out_schema declaration drifted: "
+                        f"declared <{declared.simpleString()}> actual "
+                        f"<{rdf.schema.simpleString()}>"
+                    )
+                    failures += 1
+                    continue
+            sdf = rdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1

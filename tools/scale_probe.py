@@ -55,8 +55,39 @@ def build(spark, path: str, rows: int, users: int) -> None:
 
 def build_documents(spark, path: str, docs: int) -> None:
     """Synthetic word-soup documents (~50 words from a 100-word vocab)
-    for the text-pipeline probes."""
+    for the text-pipeline probes.
+
+    r9: the corpus now contains REAL repeated content, because a
+    word-soup of unique docs gives the span/dedup family nothing to
+    find (a probe that exercises only the explode+groupBy half of the
+    plan hides the candidate-join and island-merge cost — the
+    windowed-theil lesson applied to text):
+    - every doc_id % 50 == 49 is an EXACT clone of doc_id - 1
+      (adjacent duplicate pairs, ~2% of the corpus);
+    - every doc_id % 20 == 0 embeds a fixed 14-token boilerplate
+      passage (a hot repeated span shared by ~5% of the corpus — the
+      skewed-hash case a real boilerplate footer produces);
+    - every doc_id % 7 == 3 embeds a second, different boilerplate.
+    """
     vocab = F.array(*[F.lit(f"w{i}") for i in range(100)])
+    seed = F.when(
+        F.col("id") % 50 == 49, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    boiler_a = " ".join(f"ba{i}" for i in range(14))
+    boiler_b = " ".join(f"bb{i}" for i in range(14))
+    soup = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                (F.pmod(F.xxhash64(seed), F.lit(40)) + 30).cast("int"),
+            ),
+            lambda i: F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(seed, i), F.lit(100)) + 1).cast("int"),
+            ),
+        ),
+    )
     df = (
         spark.range(docs)
         .withColumn("doc_id", F.col("id"))
@@ -64,16 +95,9 @@ def build_documents(spark, path: str, docs: int) -> None:
             "text",
             F.concat_ws(
                 " ",
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        (F.pmod(F.xxhash64(F.col("id")), F.lit(40)) + 30).cast("int"),
-                    ),
-                    lambda i: F.element_at(
-                        vocab,
-                        (F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) + 1).cast("int"),
-                    ),
-                ),
+                soup,
+                F.when(seed % 20 == 0, F.lit(boiler_a)).otherwise(F.lit("")),
+                F.when(seed % 7 == 3, F.lit(boiler_b)).otherwise(F.lit("")),
             ),
         )
         .withColumn(
@@ -121,7 +145,9 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     reg = load_all()
-    path = f"/tmp/chrono_scale_{rows}"
+    # v2: documents now carry planted duplicate passages/clones (r9) —
+    # versioned dir so a stale pre-r9 corpus can't serve silently
+    path = f"/tmp/chrono_scale_v2_{rows}"
     if not Path(f"{path}/events.parquet").exists():
         build(spark, path, rows, users)
     n_docs = max(10_000, rows // 50)
@@ -203,7 +229,10 @@ def main() -> None:
               "doc_inverted_index", "doc_bm25", "doc_pmi_bigrams",
               "doc_sentence_stats", "doc_zipf_fit", "doc_rake_keywords",
               # round-7 sketch twins (document-domain)
-              "doc_cms_heavy_md5", "doc_rle_ratio"]:
+              "doc_cms_heavy_md5", "doc_rle_ratio",
+              # round-9: the span family probed against planted
+              # repeats (VERDICT r8 item 3)
+              "doc_repeated_spans", "doc_span_dedup_stats"]:
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
