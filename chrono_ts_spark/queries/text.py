@@ -3330,10 +3330,29 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = widen(d).select("doc_id", F.explode(win).alias("x")).select(
         "doc_id", F.col("x.pos").alias("pos"), F.col("x.wh").alias("wh")
     )
+    # Materialize the hashed-window stream through ONE wh-partitioned
+    # shuffle shared by both consumers. Without this the md5+explode
+    # pipeline sits above the only common exchange and runs structurally
+    # TWICE — once under the frequency groupBy, once under the
+    # candidate join (r9 probe at 1M docs: two full Generate subtrees,
+    # zero ReusedExchange). For AQE to dedupe the two exchange stages
+    # their subtrees must canonicalize IDENTICALLY, so the frequency
+    # branch must not let column pruning drop `pos` below its exchange
+    # — the throwaway max(pos) keeps the projections equal (same trick
+    # class as the r7 when()-not-Filter rule: keep shared subtrees
+    # bit-identical or pay the pipeline twice).
+    w = w.repartition(F.col("wh"))
     rep = (
         w.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            # pruning barrier: an UNUSED agg column gets optimized away
+            # (and with it `pos` below the exchange), so it must feed
+            # the filter — max(pos) >= 1 is always true (positions are
+            # 1-based) but not provably so without stats
+            F.max("pos").alias("_mx"),
+        )
+        .filter((F.col("ndocs") >= 2) & (F.col("_mx") >= 1))
         .select("wh")
     )
     hit = w.join(rep, "wh").select("doc_id", "pos")
