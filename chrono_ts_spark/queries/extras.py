@@ -1173,6 +1173,7 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "io_csv_malformed",
+    out_schema="src string, n_rows bigint, n_corrupt bigint, clean_value_sum double",
     # The planted file is a compile-time constant, so the PERMISSIVE
     # accounting it must produce is too: 40 clean rows (value sum
     # 0+0.5+...+19.5 = 390.0), 10 type-broken rows dead-lettered into
@@ -1829,6 +1830,7 @@ def compact_parquet(
 
 @query(
     "io_compaction",
+    out_schema="files_before int, compacted int, sized_to_target int, rows bigint, sum_event_id bigint, sum_cents bigint",
     oracle="""
 SELECT CAST(50 AS INTEGER) AS files_before,
        CAST(1 AS INTEGER) AS compacted,
@@ -2433,6 +2435,7 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "io_dynamic_overwrite",
+    out_schema="day string, n_events bigint, cents_sum bigint",
     # The final table state is fully declarative: every day keeps its
     # original rows except the earliest day, whose values are doubled
     # (the corrected backfill). The cents chain mirrors the engine op
@@ -2636,6 +2639,7 @@ def io_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gov_snapshot_diff",
+    out_schema="added bigint, deleted bigint, updated bigint, unchanged bigint",
     # The two snapshots are declarative functions of the source: gen0
     # aggregates events with event_id <= floor(max/2), gen1 the full
     # set, so the diff accounting replays as two grouped CTEs and one
