@@ -2615,9 +2615,52 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.explode(F.transform("__nx", m_of)).alias("m"))
         .filter(F.col("m").isNotNull())
     )
-    return pairs.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
+    # Exact interpolated median WITHOUT the Percentile aggregate:
+    # F.percentile buffers every group's values in a per-group
+    # OpenHashMap (TypedAggregateWithHashMapAsBuffer) — at the 10M-row
+    # probe that is ~160M mostly-distinct micro-units held as live
+    # heap during the merge phase, and the r9 probe OOMed an 8g
+    # local[32] JVM there (passes solo, dies after a dozen prior
+    # queries — exactly the marginal-memory signature). The count-
+    # table form is the scalable shape: group to (user, m) counts,
+    # one cumulative-count window, pick the two middle ranks, and
+    # interpolate. Every step is satisfied by the SAME user_id hash
+    # partitioning the slope window already established (groupBy
+    # (user_id, m), the per-user window, and the final groupBy all
+    # accept HashPartitioning(user_id)), so the query still shuffles
+    # ONCE and the sort spills gracefully instead of OOMing.
+    # Interpolation mirrors quantile_cont's op order — dlo + (dhi -
+    # dlo) * 0.5 in doubles — so the oracle stays bit-identical.
+    counts = pairs.groupBy("user_id", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    wm = wu.orderBy("m")
+    cum = F.sum("c").over(wm.rowsBetween(Window.unboundedPreceding, 0))
+    ranked = counts.select(
+        "user_id",
+        "m",
+        "c",
+        cum.alias("cum"),
+        F.sum("c").over(wu).alias("n"),
+    )
+    lo_rank = F.floor((F.col("n") - 1) / 2)  # 0-indexed lower middle
+    hi_rank = F.floor(F.col("n") / 2)  # 0-indexed upper middle
+    covers_lo = (F.col("cum") - F.col("c") <= lo_rank) & (lo_rank < F.col("cum"))
+    covers_hi = (F.col("cum") - F.col("c") <= hi_rank) & (hi_rank < F.col("cum"))
+    picked = ranked.select(
+        "user_id",
+        "n",
+        F.when(covers_lo, F.col("m")).alias("mlo"),
+        F.when(covers_hi, F.col("m")).alias("mhi"),
+    )
+    dlo = F.max("mlo").cast("double")
+    dhi = F.max("mhi").cast("double")
+    return picked.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        ((dlo + (dhi - dlo) * F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "slope_per_hour"
+        ),
     )
 
 

@@ -220,11 +220,28 @@ def main() -> None:
         # documents. Probe it at <=2M rows (docs/scale.md).
         names.append("ts_theil_sen")
     timings = {}
-    for n in names:
+    ran = 0
+
+    def run_one(n):
+        # r9: restart the session every 15 probes. A single long-lived
+        # local[32] JVM accumulates enough heap pressure over ~45
+        # heavy queries that JDK-17 G1's GCLocker retry limit can trip
+        # on the collect_list-frame sorts (observed once at query #44;
+        # the same query passes solo in 39 s). Probes are independent,
+        # so a fresh JVM per chunk costs ~5 s and removes the flake.
+        nonlocal spark, reg, ran
+        if ran and ran % 15 == 0:
+            spark.stop()
+            spark = get_spark("scale-probe")
+            reg = load_all()
+        ran += 1
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
         print(f"  {n}: {timings[n]}s", file=sys.stderr)
+
+    for n in names:
+        run_one(n)
     for n in ["doc_repetition_filter", "doc_dedup_stats", "doc_mixture_sample",
               "doc_inverted_index", "doc_bm25", "doc_pmi_bigrams",
               "doc_sentence_stats", "doc_zipf_fit", "doc_rake_keywords",
@@ -233,17 +250,12 @@ def main() -> None:
               # round-9: the span family probed against planted
               # repeats (VERDICT r8 item 3)
               "doc_repeated_spans", "doc_span_dedup_stats"]:
-        t0 = time.time()
-        reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
-        timings[n] = round(time.time() - t0, 2)
-        print(f"  {n}: {timings[n]}s", file=sys.stderr)
+        run_one(n)
     n_vecs = max(50_000, rows // 20)
     if not Path(f"{path}/embeddings.parquet").exists():
         build_embeddings(spark, path, n_vecs)
-    t0 = time.time()
-    reg["emb_kmeans"].fn(spark, path).write.mode("overwrite").format("noop").save()
-    timings["emb_kmeans"] = round(time.time() - t0, 2)
-    print(f"  emb_kmeans: {timings['emb_kmeans']}s ({n_vecs} vecs)", file=sys.stderr)
+    run_one("emb_kmeans")
+    print(f"  ({n_vecs} vecs)", file=sys.stderr)
     print(json.dumps({"rows": rows, "users": users, "docs": n_docs, "queries": timings}))
     spark.stop()
 
