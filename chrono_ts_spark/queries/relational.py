@@ -787,12 +787,25 @@ def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90/p99) per return flag —
     rounded 6dp on both sides (r6: the sf0.1 winsorized-stats red row
     proved quantile interpolation can diverge by 1 ulp between engines
-    on real data; every percentile OUTPUT now rounds)."""
+    on real data; every percentile OUTPUT now rounds).
+
+    r9: count-table quantiles (operators/quantiles.py) instead of
+    F.percentile — THREE return-flag groups each buffering a third of
+    lineitem in a per-group hashmap is the worst case of the
+    Percentile-buffer hazard at 100 TB (docs/scale.md); the count
+    table is exact, mergeable, and spills."""
+    from ..operators.quantiles import count_table_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    q = count_table_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.9, 0.99], ["__q50", "__q90", "__q99"],
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("__q50", 6).alias("p50"),
+        F.round("__q90", 6).alias("p90"),
+        F.round("__q99", 6).alias("p99"),
     )
 
 

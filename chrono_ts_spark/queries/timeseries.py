@@ -612,19 +612,30 @@ def ts_bucket_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides (r6 percentile-output rule — interpolation can
     diverge by 1 ulp between engines; see docs/determinism.md).
 
-    Scale: one hash agg; exact percentiles buffer each group's values,
-    so at 100 TB the same query swaps F.percentile for
-    percentile_approx (t-digest, mergeable partial aggs) or the KLL
-    sketch — plan shape unchanged.
+    Scale (r9): count-table quantiles (operators/quantiles.py) — a
+    hot bucket no longer buffers its whole value multiset in one
+    Percentile hashmap (docs/scale.md); the count table is exact,
+    mergeable, and spills. percentile_approx (t-digest) and the KLL
+    sketch remain the cheaper-still approximate swaps.
     """
+    from ..operators.quantiles import count_table_quantiles
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        time_bucket("ts", 3600).alias("bucket"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    q = count_table_quantiles(
+        ev.select(time_bucket("ts", 3600).alias("bucket"), "event_type", "value"),
+        ["bucket", "event_type"],
+        "value",
+        [0.5, 0.95, 0.99],
+        ["__q50", "__q95", "__q99"],
+        n_name="n",
+    )
+    return q.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round("__q50", 6).alias("p50"),
+        F.round("__q95", 6).alias("p95"),
+        F.round("__q99", 6).alias("p99"),
     ).select(
         ts_str("bucket").alias("bucket_ts"),
         "event_type",
@@ -2130,9 +2141,17 @@ def ts_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same integer where a floor one ulp below a boundary would not.
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.groupBy("user_id").agg(
-        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    # count-table quantiles (r9): the per-user bound no longer buffers
+    # the user's whole value multiset in a Percentile hashmap
+    # (operators/quantiles.py, docs/scale.md)
+    from ..operators.quantiles import count_table_quantiles
+
+    bounds = count_table_quantiles(
+        ev, ["user_id"], "value", [0.05, 0.95], ["__lo", "__hi"]
+    ).select(
+        "user_id",
+        F.round("__lo", 6).alias("lo"),
+        F.round("__hi", 6).alias("hi"),
     )
     w = ev.join(bounds, "user_id").select(
         "user_id",
@@ -2622,45 +2641,20 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap during the merge phase, and the r9 probe OOMed an 8g
     # local[32] JVM there (passes solo, dies after a dozen prior
     # queries — exactly the marginal-memory signature). The count-
-    # table form is the scalable shape: group to (user, m) counts,
-    # one cumulative-count window, pick the two middle ranks, and
-    # interpolate. Every step is satisfied by the SAME user_id hash
-    # partitioning the slope window already established (groupBy
-    # (user_id, m), the per-user window, and the final groupBy all
-    # accept HashPartitioning(user_id)), so the query still shuffles
-    # ONCE and the sort spills gracefully instead of OOMing.
-    # Interpolation mirrors quantile_cont's op order — dlo + (dhi -
-    # dlo) * 0.5 in doubles — so the oracle stays bit-identical.
-    counts = pairs.groupBy("user_id", "m").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # table form (operators/quantiles.py, docs/scale.md) keeps the
+    # query's single shuffle — every step accepts the slope window's
+    # HashPartitioning(user_id) — and its sorts spill gracefully
+    # where the hashmap buffer could only grow. Interpolation mirrors
+    # quantile_cont's op order, so the oracle stays bit-identical.
+    from ..operators.quantiles import count_table_quantiles
+
+    med = count_table_quantiles(
+        pairs, ["user_id"], "m", [0.5], ["__med"], n_name="n_pairs"
     )
-    wu = Window.partitionBy("user_id")
-    wm = wu.orderBy("m")
-    cum = F.sum("c").over(wm.rowsBetween(Window.unboundedPreceding, 0))
-    ranked = counts.select(
+    return med.select(
         "user_id",
-        "m",
-        "c",
-        cum.alias("cum"),
-        F.sum("c").over(wu).alias("n"),
-    )
-    lo_rank = F.floor((F.col("n") - 1) / 2)  # 0-indexed lower middle
-    hi_rank = F.floor(F.col("n") / 2)  # 0-indexed upper middle
-    covers_lo = (F.col("cum") - F.col("c") <= lo_rank) & (lo_rank < F.col("cum"))
-    covers_hi = (F.col("cum") - F.col("c") <= hi_rank) & (hi_rank < F.col("cum"))
-    picked = ranked.select(
-        "user_id",
-        "n",
-        F.when(covers_lo, F.col("m")).alias("mlo"),
-        F.when(covers_hi, F.col("m")).alias("mhi"),
-    )
-    dlo = F.max("mlo").cast("double")
-    dhi = F.max("mhi").cast("double")
-    return picked.groupBy("user_id").agg(
-        F.max("n").cast("bigint").alias("n_pairs"),
-        ((dlo + (dhi - dlo) * F.lit(0.5)) / F.lit(1000000.0)).alias(
-            "slope_per_hour"
-        ),
+        "n_pairs",
+        (F.col("__med") / F.lit(1000000.0)).alias("slope_per_hour"),
     )
 
 

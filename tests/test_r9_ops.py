@@ -197,3 +197,70 @@ class TestSingleFileReplayGuard:
 
         with pytest.raises(AssertionError, match="single-micro-batch"):
             assert_single_file_replay(str(tmp_path))
+
+
+class TestCountTableQuantiles:
+    def test_matches_percentile_aggregate(self, spark):
+        # the count-table form must land within the documented 1-ulp
+        # band of Spark's exact Percentile on arbitrary doubles (the
+        # r6 rule rounds percentile OUTPUTS to 6dp; assert well inside)
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from chrono_ts_spark.operators.quantiles import count_table_quantiles
+
+        rng = np.random.RandomState(5)
+        rows = [
+            (int(k), float(v))
+            for k in range(7)
+            for v in rng.randint(-1000, 1000, 50 + k * 13) / 8.0
+        ]
+        df = spark.createDataFrame(rows, "k long, v double")
+        ps = [0.05, 0.5, 0.9, 0.99]
+        got = {
+            r.k: (r.n, r.q0, r.q1, r.q2, r.q3)
+            for r in count_table_quantiles(
+                df, ["k"], "v", ps, ["q0", "q1", "q2", "q3"], n_name="n"
+            ).collect()
+        }
+        want = {
+            r.k: (r.n, r.q0, r.q1, r.q2, r.q3)
+            for r in df.groupBy("k")
+            .agg(
+                F.count("v").alias("n"),
+                *[
+                    F.percentile("v", F.lit(p)).alias(f"q{i}")
+                    for i, p in enumerate(ps)
+                ],
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k][0] == want[k][0]
+            for a, b in zip(got[k][1:], want[k][1:]):
+                assert abs(a - b) < 1e-9, (k, a, b)
+
+    def test_single_value_and_duplicates(self, spark):
+        from chrono_ts_spark.operators.quantiles import count_table_quantiles
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 3.0), (2, 3.0), (2, 3.0), (3, 1.0), (3, 2.0)],
+            "k long, v double",
+        )
+        got = {
+            r.k: (r.n, r.med)
+            for r in count_table_quantiles(
+                df, ["k"], "v", [0.5], ["med"], n_name="n"
+            ).collect()
+        }
+        assert got == {1: (1, 5.0), 2: (3, 3.0), 3: (2, 1.5)}
+
+    def test_nulls_skipped(self, spark):
+        from chrono_ts_spark.operators.quantiles import count_table_quantiles
+
+        df = spark.createDataFrame(
+            [(1, None), (1, 4.0), (1, 2.0)], "k long, v double"
+        )
+        r = count_table_quantiles(df, ["k"], "v", [0.5], ["med"], n_name="n").collect()[0]
+        assert (r.n, r.med) == (2, 3.0)
