@@ -816,9 +816,17 @@ def rel_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.col("cnt").desc(), F.col("o_orderpriority")],
         k=1,
     ).select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
-    med = o.groupBy("o_orderstatus").agg(
-        F.round(F.median("o_totalprice"), 6).alias("median_price"),
-        F.count(F.lit(1)).alias("n"),
+    # count-table median (r9): three status groups each buffering a
+    # third of orders in one Median hashmap is the Percentile-buffer
+    # hazard (operators/quantiles.py, docs/scale.md)
+    from ..operators.quantiles import count_table_quantiles
+
+    med = count_table_quantiles(
+        o, ["o_orderstatus"], "o_totalprice", [0.5], ["__med"], n_name="n"
+    ).select(
+        "o_orderstatus",
+        F.round("__med", 6).alias("median_price"),
+        "n",
     )
     return med.join(mode_pick, "o_orderstatus").select(
         "o_orderstatus", "median_price", "mode_priority", "n"

@@ -696,20 +696,25 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     computations on both sides.
 
     Scale: two aggregate passes over events plus a broadcast of the
-    |types|-row median/MAD tables — exact medians at 100 TB would move
-    to percentile_approx or the KLL sketch (ts_value_quantile_sketch),
-    which slot into the same two-pass shape.
+    |types|-row median/MAD tables. r9: both exact medians are
+    count-table quantiles (operators/quantiles.py) — |types| is tiny,
+    so each Median hashmap buffered a types-th of ALL events, the
+    Percentile-buffer hazard (docs/scale.md); percentile_approx / KLL
+    (ts_value_quantile_sketch) remain the cheaper approximate swaps in
+    the same two-pass shape.
     """
+    from ..operators.quantiles import count_table_quantiles
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.round(F.median("value"), 6).alias("med")
-    )
+    med = count_table_quantiles(
+        ev, ["event_type"], "value", [0.5], ["__med"]
+    ).select("event_type", F.round("__med", 6).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.median("adev"), 6).alias("mad")
-    )
+    mad = count_table_quantiles(
+        dev, ["event_type"], "adev", [0.5], ["__mad"]
+    ).select("event_type", F.round("__mad", 6).alias("mad"))
     j = dev.join(F.broadcast(mad), "event_type")
     is_out = F.col("adev") > F.lit(4.4478) * F.col("mad")
     return j.groupBy("event_type").agg(
@@ -2531,6 +2536,10 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("user_id"), m.alias("m"))
     )
+    # F.percentile is safe here: the group's value count is bounded by
+    # this operator's contract (bounded series / K(K-1)/2 sample pairs),
+    # so the Percentile hashmap buffer is bounded too — the unbounded-
+    # group sites use operators/quantiles.py (docs/scale.md)
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
@@ -2752,6 +2761,10 @@ def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.rn") > F.col("a.rn"))
         & (F.col("a.t") != F.col("b.t")),
     ).select(F.col("a.user_id").alias("user_id"), m.alias("m"))
+    # F.percentile is safe here: the group's value count is bounded by
+    # this operator's contract (bounded series / K(K-1)/2 sample pairs),
+    # so the Percentile hashmap buffer is bounded too — the unbounded-
+    # group sites use operators/quantiles.py (docs/scale.md)
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (F.percentile("m", F.lit(0.5)) / F.lit(1000000.0)).alias("slope_per_hour"),
