@@ -434,7 +434,14 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: xxhash64 is Spark-private, so no cross-engine oracle
     exists for THIS hash family — doc_simhash_md5 is the fully-oracled
     twin of the same algorithm, and pytest pins this one's clustering
-    behavior on planted permutation/duplicate docs."""
+    behavior on planted permutation/duplicate docs.
+
+    Scale note: the comma-joined membership list makes each output row
+    O(cluster size) — fine for fingerprint-exact clusters (near-dup
+    families are small), but a pathologically viral document would
+    concentrate its whole cluster in one row. The row-per-member shape
+    (doc_dup_clusters: doc_id, cluster_id, cluster_size) is the
+    100 TB-safe form when clusters can be data-sized."""
     d = load_table(spark, sf_dir, "documents")
     s = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
     grp = s.groupBy("simhash64").agg(
@@ -558,6 +565,9 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_ids serialize to a comma-joined string (sorted, so
     # deterministic) — the driver canonicalizer can't hash array
     # columns (r6 crash; see tests/test_entry_contract.py lint).
+    # Scale note: each row is O(cluster size) — see doc_simhash's
+    # docstring; doc_dup_clusters' row-per-member shape is the
+    # 100 TB-safe form when clusters can be data-sized.
     return fp.groupBy("sim_hi", "sim_lo").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
@@ -1149,10 +1159,19 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingles(tokenize(F.col("text")), 5)).alias("shingle"),
     )
+    # Shared shingle-partitioned exchange: `ex` (the expensive
+    # tokenize+shingle explode) feeds BOTH the df aggregate and the
+    # posting join — the twice-run-pipeline shape the r9 span probe
+    # exposed (docs/scale.md). The max(doc_id) filter term is the
+    # load-bearing pruning barrier (always true, unprovable without
+    # stats) that keeps doc_id below the aggregate branch's exchange
+    # so the two subtrees stay canonically identical and AQE runs the
+    # explode stage once.
+    ex = ex.repartition(F.col("shingle"))
     rare = (
         ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 5))
+        .agg(F.count(F.lit(1)).alias("df"), F.max("doc_id").alias("__mx"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 5) & (F.col("__mx") >= 0))
         .select("shingle")
     )
     posting = ex.join(rare, "shingle")
