@@ -121,6 +121,41 @@ def _run_to_memory(
     return spark.table(name)
 
 
+def run_to_parquet(
+    result: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run an availableNow query into a PARQUET sink; return a reader.
+
+    The memory sink materializes the whole result driver-side, which
+    caps per-event-output streams (Kalman/EMA/Holt emit one row per
+    input event) at spark.driver.maxResultSize — the r9 10M streaming
+    probe hit exactly that (1 GiB of task results aborting the memory
+    sink's MicroBatchWrite). This is the production sink shape: state
+    stays on executors, output goes to files, the driver never holds
+    rows. The fixture-scale query registry keeps the memory sink (the
+    driver wants a collectable table); scale probes and any real
+    deployment use this.
+    """
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="chrono_ckpt_")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
 def run_m4_stream(
     spark: SparkSession, sf_dir: str, width_seconds: int = 900
 ) -> DataFrame:

@@ -284,9 +284,18 @@ def kalman_update_fn(q: float, r_noise: float):
 
 
 def run_kalman_stream(
-    spark: SparkSession, sf_dir: str, q: float = 1.0, r_noise: float = 4.0
+    spark: SparkSession,
+    sf_dir: str,
+    q: float = 1.0,
+    r_noise: float = 4.0,
+    sink_dir: str | None = None,
 ) -> DataFrame:
-    """ST6: per-user scalar Kalman filter over the replayed stream."""
+    """ST6: per-user scalar Kalman filter over the replayed stream.
+
+    ``sink_dir`` switches the memory sink (fixture-scale: the driver
+    collects the table) for the production parquet sink — per-event
+    output streams exceed driver.maxResultSize through the memory sink
+    at probe scale (replay.run_to_parquet)."""
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     kf = ev.groupBy("user_id").applyInPandasWithState(
         kalman_update_fn(q, r_noise),
@@ -295,6 +304,10 @@ def run_kalman_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(kf, spark, sink_dir, output_mode="append")
     return _run_to_memory(kf, spark, output_mode="append")
 
 

@@ -264,3 +264,24 @@ class TestCountTableQuantiles:
         )
         r = count_table_quantiles(df, ["k"], "v", [0.5], ["med"], n_name="n").collect()[0]
         assert (r.n, r.med) == (2, 3.0)
+
+
+class TestParquetSinkRunner:
+    def test_parquet_sink_equals_memory_sink(self, spark, tmp_path):
+        # run_to_parquet is the production sink for per-event-output
+        # streams (the memory sink caps at driver.maxResultSize — the
+        # r9 10M probe aborted there); both sinks must carry the same
+        # rows at fixture scale.
+        from chrono_ts_spark.streaming.stateful import run_kalman_stream
+
+        sf = "/root/testdata/sf0.001"
+        mem = sorted(map(tuple, run_kalman_stream(spark, sf).collect()))
+        pq = sorted(
+            map(
+                tuple,
+                run_kalman_stream(
+                    spark, sf, sink_dir=str(tmp_path / "kalman_sink")
+                ).collect(),
+            )
+        )
+        assert mem == pq
