@@ -48,7 +48,11 @@ def count_table_quantiles(
 
     Returns one row per group: [*keys, (n_name,)? *names]. Nulls in
     ``col`` are skipped (F.percentile's semantics). ``n_name``, when
-    given, adds the non-null value count as a bigint column.
+    given, adds the non-null value count as a bigint column. One
+    deliberate edge difference vs F.percentile: a group whose values
+    are ALL null disappears here (no count rows survive the filter),
+    where percentile would keep it with null quantiles — callers that
+    must retain empty groups re-join against the key table.
     """
     if len(ps) != len(names):
         raise ValueError("ps and names must pair up")
