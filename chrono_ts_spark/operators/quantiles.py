@@ -26,6 +26,14 @@ Every step is satisfied by hash partitioning on the group keys (the
 accept ClusteredDistribution with keys ⊆ clustering), so a query that
 was already partitioned by the keys gains NO new shuffle, and the
 window sort spills to disk where the hashmap buffer could only grow.
+
+Known bound (r9 50× relational probe): with FEW groups the cumulative
+window's parallelism collapses to the group count — three returnflag
+groups over 30M lineitem rows ran the window on 3 tasks (21.5 s;
+correct, memory-flat, linear, but not width-parallel). Where that
+matters the swaps are percentile_approx (t-digest, fully parallel) or
+a two-pass range-bucketed exact scan (per-range counts → locate each
+target rank's range → rescan only those ranges).
 """
 
 from __future__ import annotations

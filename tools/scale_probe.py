@@ -136,7 +136,151 @@ def build_embeddings(spark, path: str, vecs: int, dims: int = 64) -> None:
     df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
+def build_tpch(spark, path: str, mult: int = 50, fixture: str = "/root/testdata/sf0.1") -> None:
+    """Synthetic TPC-H-ish tables at `mult`x the sf0.1 fixture sizes
+    (lineitem 600k -> 30M at mult=50), schema- and value-range-
+    compatible with the fixtures (dates 1995+, FK keys modular within
+    the parent key space) so the relational registry queries run
+    unmodified. region/nation copy from the fixture (they are
+    dimension constants)."""
+    h = F.xxhash64
+
+    def pm(col, n):
+        return F.pmod(h(col), F.lit(n))
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{fixture}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{t}.parquet")
+    n_cust, n_supp, n_part = 15_000 * mult, 1_000 * mult, 20_000 * mult
+    n_ord, n_li = 150_000 * mult, 600_000 * mult
+    day_us = 86_400_000_000
+    t0 = 788_918_400_000_000  # 1995-01-01 UTC in micros
+    seg = F.array(*[F.lit(s) for s in
+                    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]])
+    (
+        spark.range(n_cust)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("Customer#"), F.col("id").cast("string")).alias("c_name"),
+            pm(F.col("id") + 1, 25).cast("int").alias("c_nationkey"),
+            (pm(F.col("id") + 2, 1_100_000).cast("double") / 100.0 - 1000.0).alias("c_acctbal"),
+            F.element_at(seg, (pm(F.col("id") + 3, 5) + 1).cast("int")).alias("c_mktsegment"),
+        )
+        .write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    )
+    (
+        spark.range(n_supp)
+        .select(
+            F.col("id").alias("s_suppkey"),
+            F.concat(F.lit("Supplier#"), F.col("id").cast("string")).alias("s_name"),
+            pm(F.col("id") + 4, 25).cast("int").alias("s_nationkey"),
+            (pm(F.col("id") + 5, 1_100_000).cast("double") / 100.0 - 1000.0).alias("s_acctbal"),
+        )
+        .write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+    )
+    brands = F.array(*[F.lit(f"Brand#{i}{j}") for i in range(1, 6) for j in range(1, 6)])
+    types = F.array(*[F.lit(f"{a} {b} {c}")
+                      for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+                      for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+                      for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")])
+    words = F.array(*[F.lit(w) for w in
+                      ["almond", "antique", "aquamarine", "azure", "beige", "bisque",
+                       "black", "blanched", "blue", "blush", "brown", "burlywood"]])
+    (
+        spark.range(n_part)
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.concat_ws(" ",
+                        F.element_at(words, (pm(F.col("id") + 6, 12) + 1).cast("int")),
+                        F.element_at(words, (pm(F.col("id") + 7, 12) + 1).cast("int"))).alias("p_name"),
+            F.element_at(brands, (pm(F.col("id") + 8, 25) + 1).cast("int")).alias("p_brand"),
+            F.element_at(types, (pm(F.col("id") + 9, 150) + 1).cast("int")).alias("p_type"),
+            (pm(F.col("id") + 10, 50) + 1).cast("int").alias("p_size"),
+            (F.lit(900.0) + pm(F.col("id") + 11, 110_000).cast("double") / 100.0).alias("p_retailprice"),
+        )
+        .write.mode("overwrite").parquet(f"{path}/part.parquet")
+    )
+    status = F.array(F.lit("O"), F.lit("F"), F.lit("P"))
+    prio = F.array(*[F.lit(p) for p in
+                     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]])
+    (
+        spark.range(n_ord)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            pm(F.col("id") + 12, n_cust).alias("o_custkey"),
+            F.element_at(status, (pm(F.col("id") + 13, 3) + 1).cast("int")).alias("o_orderstatus"),
+            (F.lit(1000.0) + pm(F.col("id") + 14, 45_000_000).cast("double") / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(F.lit(t0) + pm(F.col("id") + 15, 2_400) * F.lit(day_us)).alias("o_orderdate"),
+            F.element_at(prio, (pm(F.col("id") + 16, 5) + 1).cast("int")).alias("o_orderpriority"),
+        )
+        .write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    )
+    rflag = F.array(F.lit("R"), F.lit("A"), F.lit("N"))
+    lstat = F.array(F.lit("O"), F.lit("F"))
+    (
+        spark.range(n_li)
+        .select(
+            pm(F.col("id") + 17, n_ord).alias("l_orderkey"),
+            pm(F.col("id") + 18, n_part).alias("l_partkey"),
+            pm(F.col("id") + 19, n_supp).alias("l_suppkey"),
+            (pm(F.col("id") + 20, 7) + 1).cast("int").alias("l_linenumber"),
+            (pm(F.col("id") + 21, 50) + 1).cast("double").alias("l_quantity"),
+            (F.lit(900.0) + pm(F.col("id") + 22, 9_500_000).cast("double") / 100.0).alias("l_extendedprice"),
+            (pm(F.col("id") + 23, 11).cast("double") / 100.0).alias("l_discount"),
+            (pm(F.col("id") + 24, 9).cast("double") / 100.0).alias("l_tax"),
+            F.element_at(rflag, (pm(F.col("id") + 25, 3) + 1).cast("int")).alias("l_returnflag"),
+            F.element_at(lstat, (pm(F.col("id") + 26, 2) + 1).cast("int")).alias("l_linestatus"),
+            F.timestamp_micros(F.lit(t0) + pm(F.col("id") + 27, 2_500) * F.lit(day_us)).alias("l_shipdate"),
+        )
+        .write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    )
+
+
+_TPCH_PROBE = [
+    "rel_pricing_summary",
+    "rel_nation_revenue",
+    "rel_market_share",
+    "rel_top_supplier_revenue",
+    "rel_bloom_join_revenue",
+    "rel_returned_revenue_customers",
+    "rel_top_revenue_orders",
+    "rel_rfm_segments",
+    "rel_abc_xyz",
+    "rel_ols_coefficients",
+    "rel_price_percentiles",
+    "rel_median_mode",
+    "rel_weighted_median",
+    "rel_acctbal_distribution",
+    "rel_cube_sales",
+    "rel_market_basket",
+]
+
+
+def main_tpch() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.session import get_spark
+
+    spark = get_spark("scale-probe-tpch")
+    reg = load_all()
+    path = f"/tmp/chrono_tpch_{mult}x"
+    if not Path(f"{path}/lineitem.parquet").exists():
+        build_tpch(spark, path, mult)
+    timings = {}
+    for n in _TPCH_PROBE:
+        t0 = time.time()
+        reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
+        timings[n] = round(time.time() - t0, 2)
+        print(f"  {n}: {timings[n]}s", file=sys.stderr)
+    print(json.dumps({"mult": mult, "queries": timings}))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--tpch":
+        return main_tpch()
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     users = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
 
