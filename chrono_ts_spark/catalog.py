@@ -133,22 +133,56 @@ SCHEMAS: dict[str, T.StructType] = {
 # Schema inference on a parquet path launches a footer-read Spark job
 # on EVERY spark.read.parquet call — ~1 job per table per query build,
 # hundreds per sweep, and the reason the contract lint could never be
-# job-free. Fixture files are immutable for the life of a process
-# (driver and tests alike), so one inference per distinct path is
-# enough; every later read declares the cached schema, which skips the
-# inference job entirely. At 100 TB the same discipline matters more,
-# not less: declared schemas avoid re-listing/footer-sampling wide
-# partitioned trees on every query.
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+# job-free. One inference per distinct path is enough; every later
+# read declares the cached schema, which skips the inference job
+# entirely. At 100 TB the same discipline matters more, not less:
+# declared schemas avoid re-listing/footer-sampling wide partitioned
+# trees on every query. The immutability premise is ENFORCED, not
+# assumed (ADVICE r10): the cache key carries the path's (mtime_ns,
+# size) fingerprint, so a fixture rewritten in-process at the same
+# path re-infers instead of silently serving a stale schema.
+# Directory-style parquet paths fingerprint the directory listing
+# (names + sizes + mtimes of the data files).
+_SCHEMA_CACHE: dict[tuple[str, tuple], T.StructType] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) fingerprint of a local parquet file, or a
+    sorted per-file fingerprint tuple for a directory-style dataset.
+    Non-local / unstatable paths (e.g. s3://) fingerprint as a
+    constant — falling back to the r9 per-path-forever behavior for
+    storage where mtime probing isn't free."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("nostat",)
+    if os.path.isdir(path):
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.startswith(("_", ".")):
+                    continue
+                s = e.stat()
+                entries.append((e.name, s.st_mtime_ns, s.st_size))
+        return tuple(sorted(entries))
+    return (st.st_mtime_ns, st.st_size)
 
 
 def observed_schema(spark: SparkSession, path: str) -> T.StructType:
     """The parquet file's schema exactly as this session infers it
-    (post runtime-confs, e.g. nanosAsLong), cached per path."""
-    if path not in _SCHEMA_CACHE:
+    (post runtime-confs, e.g. nanosAsLong), cached per
+    (path, mtime, size) so an in-process rewrite invalidates."""
+    key = (path, _path_fingerprint(path))
+    if key not in _SCHEMA_CACHE:
         apply_runtime_confs(spark)
-        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    return _SCHEMA_CACHE[path]
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+        # Drop superseded fingerprints for the same path so a
+        # rewrite-heavy process (io_* tests) can't grow the cache.
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path and k != key]:
+            del _SCHEMA_CACHE[k]
+    return _SCHEMA_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -72,70 +72,67 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-9
-# rotation (docs/coverage.md "Round-9 window plan", executed verbatim —
-# the r8 window landed 50/50 green so no fix re-witness is owed): all
+# per round, so ordering is coverage policy, not cosmetics.  Round-10
+# rotation (docs/coverage.md "Round-10 window plan", executed verbatim —
+# the r9 window landed 50/50 green so no fix re-witness is owed): all
 # 50 slots again go to never-driver-witnessed oracled queries — (1) the
-# four r8 additions/conversions (newest correctness machinery: the
-# sampled Theil-Sen serving path, the foreachBatch MERGE tier, the
-# burst-alert rule on that tier, and the erasure audit), (2) the five
-# remaining never-witnessed stream queries (with r8's six plus item 1's
-# two, this completes driver witness for the ENTIRE oracled streaming
-# family), then (3) 41 from the oracled backlog in registration order.
+# six r9 additions/conversions (the W12 binary-segmentation swap, the
+# last oracled stream query, and the four structural-constants /
+# declarative-final-state conversions), then (2) 44 from the oracled
+# backlog in registration order.
 _WINDOW_50 = [
-    # -- (1) r8 additions / rows-only->oracled conversions --
-    "ts_theil_sen_sampled",
-    "stream_upsert_counts",
-    "stream_alert_burst",
-    "gov_forget_user",
-    # -- (2) remaining never-witnessed stream queries --
-    "stream_m4",
-    "stream_sliding_counts",
-    "stream_holt",
-    "stream_running_extrema",
-    "stream_static_enrich",
-    # -- (3) oracled backlog, registration order --
-    "ts_gorilla_size_estimate",
-    "ts_xcorr_best_lag",
-    "ts_entropy_by_type",
-    "ts_order_inversions",
-    "ts_attribution_last_touch",
-    "ts_debounce",
-    "ts_activity_streaks",
-    "ts_burn_rate",
-    "ts_rolling_median",
-    "ts_kalman_filter",
-    "ts_multi_resolution",
-    "ts_seasonal_decompose",
-    "ts_top_movers",
-    "ts_interval_coverage",
-    "ts_markov_transitions",
-    "ts_attribution_linear",
-    "ts_apdex",
-    "ts_burstiness",
-    "ts_incident_mttr",
-    "ts_survival_km",
-    "ts_acf",
-    "ts_haar_energy",
-    "ts_seasonality_strength",
-    "ts_parkinson_volatility",
-    "ts_peak_detection",
-    "ts_missing_hours",
-    "ts_ljung_box",
-    "ts_anova_types",
-    "ts_poisson_bootstrap_ci",
-    "ts_max_drawdown",
-    "ts_entropy_rate",
-    "ts_quantile_table",
-    "ts_stl_anomaly",
-    "ts_rle_stats",
-    "ts_value_shape",
-    "ts_croston",
-    "ts_expected_shortfall",
-    "ts_naive_baselines",
-    "ts_mann_whitney",
-    "ts_record_counts",
-    "ts_spearman_pairs",
+    # -- (1) r9 additions / rows-only->oracled conversions --
+    "ts_binseg_segments",
+    "stream_ema",
+    "io_csv_malformed",
+    "io_compaction",
+    "io_dynamic_overwrite",
+    "gov_snapshot_diff",
+    # -- (2) oracled backlog, registration order --
+    "ts_time_of_day_circular",
+    "ts_variance_ratio",
+    "ts_user_hod_entropy",
+    "ts_effective_sample_size",
+    "ts_channel_breakouts",
+    "rel_triangle_parts",
+    "rel_stratified_sample",
+    "rel_unpivot_metric_stats",
+    "rel_division_all_priorities",
+    "rel_skyline_orders",
+    "rel_ols_coefficients",
+    "rel_topk_with_ties",
+    "rel_market_basket",
+    "rel_rfm_segments",
+    "rel_cohort_ltv",
+    "rel_abc_analysis",
+    "rel_cdc_compact",
+    "rel_calendar_coverage",
+    "rel_weighted_median",
+    "rel_growth_rates",
+    "rel_benford_law",
+    "rel_nullsafe_join",
+    "rel_moving_annual_total",
+    "rel_clamped_balance",
+    "rel_not_in_null_trap",
+    "rel_ratio_to_report",
+    "rel_mix_shift_chi2",
+    "rel_segment_migration",
+    "rel_ship_latency",
+    "rel_hhi_concentration",
+    "rel_discount_elasticity",
+    "rel_price_volume_mix",
+    "rel_basket_size_histogram",
+    "rel_loo_target_encoding",
+    "rel_duplicate_payments",
+    "rel_new_vs_returning",
+    "rel_abc_xyz",
+    "rel_numeric_correlations",
+    "sf_url_funcs",
+    "sf_bitwise_funcs",
+    "sf_masking_funcs",
+    "sf_struct_funcs",
+    "sf_encoding_funcs",
+    "sf_try_funcs",
 ]
 
 

@@ -796,9 +796,10 @@ WITH counts AS (
 SELECT m.o_orderstatus,
        round(median(o.o_totalprice), 6) AS median_price,
        any_value(m.mode_priority) AS mode_priority,
-       COUNT(*) AS n
+       COUNT(o.o_totalprice) AS n
 FROM orders o JOIN mode_pick m USING (o_orderstatus)
 GROUP BY m.o_orderstatus
+HAVING COUNT(o.o_totalprice) > 0
 """,
     tags=("relational", "A4"),
 )
@@ -1808,11 +1809,13 @@ def compact_parquet(
     src: str,
     dst: str,
     target_bytes: int = 8 * 1024 * 1024,
-) -> tuple[int, int]:
+) -> tuple[int, int, int]:
     """Compact a parquet directory to ~target-sized files: size the
     output file count from the INPUT's on-disk bytes (sum of part
     files), then rewrite with one round-robin repartition. Returns
-    (files_before, files_after).
+    (files_before, files_after, n_out) — n_out is the computed target
+    file count, returned so callers verify sizing against THIS
+    function's math instead of re-deriving it (ADVICE r10).
 
     The OPTIMIZE/compaction maintenance op every long-lived table
     needs: streaming sinks and fine-grained partitions accrete small
@@ -1833,7 +1836,7 @@ def compact_parquet(
     after = [
         f for r, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
     ]
-    return len(files), len(after)
+    return len(files), len(after), n_out
 
 
 @query(
@@ -1862,26 +1865,24 @@ def io_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the source table (losslessness), and the filesystem facts
     are emitted as structural INVARIANTS rather than raw counts —
     files_before is 50 by construction, `compacted` is files_after <
-    files_before, `sized_to_target` is files_after == ceil(input_bytes
-    / target). A failed or no-op compaction (after == before), a
-    size-targeting bug, or any lost/duplicated row diverges from the
-    oracle constants; the invariant form stays fixture-size-portable
-    where a raw files_after count would pin one SF's byte size.
-    File-count reduction and checksum identity also pinned in
+    files_before, `sized_to_target` is files_after == the target file
+    count compact_parquet itself computed (returned as n_out — ADVICE
+    r10 removed the oracle's independent re-derivation of the sizing
+    math and its second 8 MiB constant), capped at `rows` because a
+    round-robin repartition writes no file for an empty partition, so
+    inputs smaller than n_out rows legitimately emit fewer files. A
+    failed or no-op compaction (after == before), a size-targeting
+    bug, or any lost/duplicated row diverges from the oracle
+    constants; the invariant form stays fixture-size-portable where a
+    raw files_after count would pin one SF's byte size. File-count
+    reduction and checksum identity also pinned in
     tests/test_r6c_ops.py.
     """
     frag = _roundtrip_dir(sf_dir, "frag", "events")
     comp = _roundtrip_dir(sf_dir, "compact", "events")
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(50).write.mode("overwrite").parquet(frag)
-    files_before, files_after = compact_parquet(spark, frag, comp)
-    frag_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(frag)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    expected_after = max(1, -(-frag_bytes // (8 * 1024 * 1024)))
+    files_before, files_after, n_out = compact_parquet(spark, frag, comp)
     back = spark.read.parquet(comp)
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("rows"),
@@ -1892,9 +1893,12 @@ def io_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(int(files_after < files_before)).cast("int").alias("compacted"),
-        F.lit(int(files_after == expected_after)).cast("int").alias(
-            "sized_to_target"
-        ),
+        (
+            F.lit(files_after).cast("bigint")
+            == F.least(F.lit(n_out).cast("bigint"), F.col("rows"))
+        )
+        .cast("int")
+        .alias("sized_to_target"),
         "rows",
         "sum_event_id",
         "sum_cents",

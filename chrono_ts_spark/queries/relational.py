@@ -780,6 +780,7 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
 FROM lineitem
 GROUP BY l_returnflag
+HAVING COUNT(l_extendedprice) > 0
 """,
     tags=("relational", "A4"),
 )
@@ -798,6 +799,46 @@ def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     q = count_table_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.9, 0.99], ["__q50", "__q90", "__q99"],
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("__q50", 6).alias("p50"),
+        F.round("__q90", 6).alias("p90"),
+        F.round("__q99", 6).alias("p99"),
+    )
+
+
+@query(
+    "rel_price_percentiles_ranged",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+HAVING COUNT(l_extendedprice) > 0
+""",
+    tags=("relational", "A4", "scale-path"),
+)
+def rel_price_percentiles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_price_percentiles on the TWO-PASS RANGE-BUCKETED exact
+    quantile scan (operators/quantiles.py::range_bucketed_quantiles,
+    r10) — the few-groups swap that closes count_table_quantiles'
+    documented parallelism bound: with three return-flag groups that
+    helper's cumulative window ran on 3 tasks over 30M lineitem rows
+    at the r9 50x probe, where this form keeps every heavy stage
+    (both scans, both aggregations) width-parallel and touches only
+    the ~2|ps| needed range buckets per group in pass 2. Same oracle
+    as rel_price_percentiles — the two paths are exact-interchange
+    (interpolation mirrors quantile_cont's op order bit for bit;
+    equality also pinned in tests/test_r10_ops.py)."""
+    from ..operators.quantiles import range_bucketed_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = range_bucketed_quantiles(
         li, ["l_returnflag"], "l_extendedprice",
         [0.5, 0.9, 0.99], ["__q50", "__q90", "__q99"],
     )

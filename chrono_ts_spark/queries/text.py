@@ -1162,16 +1162,18 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared shingle-partitioned exchange: `ex` (the expensive
     # tokenize+shingle explode) feeds BOTH the df aggregate and the
     # posting join — the twice-run-pipeline shape the r9 span probe
-    # exposed (docs/scale.md). The max(doc_id) filter term is the
-    # load-bearing pruning barrier (always true, unprovable without
-    # stats) that keeps doc_id below the aggregate branch's exchange
-    # so the two subtrees stay canonically identical and AQE runs the
-    # explode stage once.
+    # exposed (docs/scale.md). The count(doc_id) filter term is the
+    # load-bearing pruning barrier (structurally true for EVERY group
+    # — a group exists iff it has >= 1 row, regardless of doc_id's
+    # sign or value — yet unprovable without stats) that keeps doc_id
+    # below the aggregate branch's exchange so the two subtrees stay
+    # canonically identical and AQE runs the explode stage once.
+    # (r10: was max(doc_id) >= 0, a fixture-only truth — ADVICE r10.)
     ex = ex.repartition(F.col("shingle"))
     rare = (
         ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"), F.max("doc_id").alias("__mx"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 5) & (F.col("__mx") >= 0))
+        .agg(F.count(F.lit(1)).alias("df"), F.count("doc_id").alias("__nid"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 5) & (F.col("__nid") >= 1))
         .select("shingle")
     )
     posting = ex.join(rare, "shingle")

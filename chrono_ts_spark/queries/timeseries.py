@@ -596,12 +596,13 @@ def ts_tier_routed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {sql_ts_str(sql_time_bucket('ts', 3600))} AS bucket_ts,
        event_type,
-       COUNT(*) AS n,
+       COUNT(value) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.95), 6) AS p95,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events
 GROUP BY 1, 2
+HAVING COUNT(value) > 0
 """,
     tags=("tsdb", "A4", "A6", "percentiles"),
 )
@@ -657,6 +658,7 @@ def ts_bucket_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH med AS (
     SELECT event_type, round(median(value), 6) AS med
     FROM events GROUP BY event_type
+    HAVING COUNT(value) > 0
 ),
 dev AS (
     SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
@@ -2111,6 +2113,7 @@ WITH bounds AS (
            round(quantile_cont(value, 0.05), 6) AS lo,
            round(quantile_cont(value, 0.95), 6) AS hi
     FROM events GROUP BY user_id
+    HAVING COUNT(value) > 0
 ), w AS (
     SELECT e.user_id,
            CASE WHEN value < lo THEN lo

@@ -1,0 +1,169 @@
+"""Round-10 guard tests: the two-pass range-bucketed exact quantile
+scan (the few-groups width-parallel swap for count_table_quantiles —
+VERDICT r9 item 2), the structurally-true doc_dup_clusters pruning
+barrier, the schema-cache invalidation on rewrite, and
+compact_parquet's returned sizing target (ADVICE r10 items).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+
+class TestRangeBucketedQuantiles:
+    """range_bucketed_quantiles must be bit-for-bit interchangeable
+    with count_table_quantiles — same ranks, same interpolation op
+    order, same null/all-null semantics — at any bucket width."""
+
+    def _both(self, df, keys, col, ps, names, **kw):
+        from chrono_ts_spark.operators.quantiles import (
+            count_table_quantiles,
+            range_bucketed_quantiles,
+        )
+
+        a = count_table_quantiles(df, keys, col, ps, names, **kw)
+        b = range_bucketed_quantiles(df, keys, col, ps, names, **kw)
+        ka = {tuple(r[k] for k in keys): r.asDict() for r in a.collect()}
+        kb = {tuple(r[k] for k in keys): r.asDict() for r in b.collect()}
+        return ka, kb
+
+    def test_bit_identical_on_fixture_lineitem(self, spark):
+        from chrono_ts_spark.catalog import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        ka, kb = self._both(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            [0.0, 0.5, 0.9, 0.99, 1.0],
+            ["q0", "p50", "p90", "p99", "q100"],
+            n_name="n",
+        )
+        assert ka.keys() == kb.keys() and len(ka) == 3
+        for k in ka:
+            assert ka[k] == kb[k]
+
+    def test_degenerate_groups_and_null_semantics(self, spark):
+        rows = [
+            ("a", 5.0),            # n=1: every quantile = the value
+            ("b", 1.0), ("b", 1.0), ("b", 1.0),   # constant: mn == mx
+            ("c", -3.5), ("c", 7.25),             # negative lower bound
+            ("d", None), ("d", 2.0),              # null skipped, n=1
+            ("e", None),                          # all-null: group DROPS
+        ]
+        df = spark.createDataFrame(rows, "k string, v double")
+        ka, kb = self._both(
+            df, ["k"], "v", [0.5, 0.9], ["p50", "p90"], n_name="n"
+        )
+        assert ka.keys() == kb.keys() == {("a",), ("b",), ("c",), ("d",)}
+        for k in ka:
+            assert ka[k] == kb[k]
+        assert ka[("a",)]["p50"] == 5.0 and ka[("a",)]["n"] == 1
+        assert ka[("b",)]["p50"] == 1.0
+        assert ka[("d",)]["n"] == 1  # null skipped from the count
+
+    def test_tiny_bucket_count_still_exact(self, spark):
+        # B=2 forces many values per bucket — the bucket-local rank
+        # resolution (pass 2) must carry the full exactness.
+        rows = [("g", float(v)) for v in [9, 1, 7, 3, 5, 2, 8, 4, 6, 0]]
+        df = spark.createDataFrame(rows, "k string, v double")
+        from chrono_ts_spark.operators.quantiles import (
+            range_bucketed_quantiles,
+        )
+
+        out = range_bucketed_quantiles(
+            df, ["k"], "v", [0.25, 0.5, 0.75], ["q1", "q2", "q3"],
+            n_buckets=2,
+        ).collect()[0]
+        # 0..9: pos(0.25)=2.25 -> 2 + 0.25*(3-2); etc.
+        assert out["q1"] == pytest.approx(2.25)
+        assert out["q2"] == pytest.approx(4.5)
+        assert out["q3"] == pytest.approx(6.75)
+
+    def test_bigint_domain(self, spark):
+        rows = [("g", v) for v in [10, 20, 20, 40, 1000000000000]]
+        df = spark.createDataFrame(rows, "k string, v bigint")
+        ka, kb = self._both(df, ["k"], "v", [0.5, 1.0], ["p50", "mx"])
+        assert ka == kb
+        assert ka[("g",)]["p50"] == 20.0
+        assert ka[("g",)]["mx"] == 1000000000000.0
+
+
+class TestDupClustersBarrier:
+    def test_negative_doc_ids_keep_rare_shingles(self, spark, tmp_path):
+        # ADVICE r10: the old max(doc_id) >= 0 barrier silently dropped
+        # qualifying shingle groups when every doc_id in the group was
+        # negative. The count(doc_id) >= 1 barrier is structurally true
+        # for any bigint input: two near-identical docs with NEGATIVE
+        # ids must still pair up and cluster together.
+        import pyspark.sql.functions as F  # noqa: F401
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(-5, text, "en", "s", len(text)),
+             (-9, text, "en", "s", len(text)),
+             (7, "totally different words entirely unrelated content here pad pad", "en", "s", 62)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        sf = str(tmp_path / "negdocs")
+        docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        out = {r.doc_id: r for r in REG["doc_dup_clusters"].fn(spark, sf).collect()}
+        assert out[-5].cluster_id == out[-9].cluster_id
+        assert out[-5].cluster_size == 2
+        assert out[7].cluster_size == 1
+
+
+class TestSchemaCacheInvalidation:
+    def test_rewrite_at_same_path_reinfers(self, spark, tmp_path):
+        # ADVICE r10: the r9 per-path-forever cache served a stale
+        # schema after an in-process rewrite. The (path, mtime, size)
+        # key must re-infer.
+        import os
+        import time
+
+        from chrono_ts_spark.catalog import observed_schema
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+        s1 = observed_schema(spark, p)
+        assert [f.name for f in s1.fields] == ["a"]
+        time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse fs
+        spark.range(3).selectExpr(
+            "id AS a", "CAST(id AS STRING) AS b"
+        ).write.mode("overwrite").parquet(p)
+        os.utime(p)
+        s2 = observed_schema(spark, p)
+        assert [f.name for f in s2.fields] == ["a", "b"]
+
+    def test_unchanged_path_serves_cache(self, spark, tmp_path):
+        from chrono_ts_spark import catalog
+
+        p = str(tmp_path / "u.parquet")
+        spark.range(2).write.mode("overwrite").parquet(p)
+        catalog.observed_schema(spark, p)
+        hits = [k for k in catalog._SCHEMA_CACHE if k[0] == p]
+        assert len(hits) == 1
+        catalog.observed_schema(spark, p)
+        assert [k for k in catalog._SCHEMA_CACHE if k[0] == p] == hits
+
+
+class TestCompactParquetSizing:
+    def test_returns_its_own_target(self, spark, tmp_path):
+        from chrono_ts_spark.queries.extras import compact_parquet
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        spark.range(100000).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).repartition(20).write.mode("overwrite").parquet(src)
+        before, after, n_out = compact_parquet(
+            spark, src, dst, target_bytes=256 * 1024
+        )
+        assert before == 20
+        # the caller-facing invariant io_compaction now asserts:
+        # files_after == min(n_out, rows); here rows >> n_out
+        assert after == n_out
