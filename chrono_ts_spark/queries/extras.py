@@ -817,12 +817,15 @@ def rel_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.col("cnt").desc(), F.col("o_orderpriority")],
         k=1,
     ).select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
-    # count-table median (r9): three status groups each buffering a
-    # third of orders in one Median hashmap is the Percentile-buffer
-    # hazard (operators/quantiles.py, docs/scale.md)
-    from ..operators.quantiles import count_table_quantiles
+    # r9: count-table median replaced the Percentile-buffer hazard
+    # (three status groups each buffering a third of orders in one
+    # Median hashmap). r10: range-bucketed median replaces the
+    # count-table form's 3-task cumulative window — two-pass exact,
+    # width-parallel at any group count, bit-interchangeable
+    # (operators/quantiles.py, docs/scale.md r10 addendum).
+    from ..operators.quantiles import range_bucketed_quantiles
 
-    med = count_table_quantiles(
+    med = range_bucketed_quantiles(
         o, ["o_orderstatus"], "o_totalprice", [0.5], ["__med"], n_name="n"
     ).select(
         "o_orderstatus",

@@ -793,12 +793,17 @@ def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9: count-table quantiles (operators/quantiles.py) instead of
     F.percentile — THREE return-flag groups each buffering a third of
     lineitem in a per-group hashmap is the worst case of the
-    Percentile-buffer hazard at 100 TB (docs/scale.md); the count
-    table is exact, mergeable, and spills."""
-    from ..operators.quantiles import count_table_quantiles
+    Percentile-buffer hazard at 100 TB (docs/scale.md). r10: swapped
+    onto range_bucketed_quantiles — with only three groups the
+    count-table cumulative window ran on 3 tasks over 30M rows (the
+    r9 50x probe finding); the two-pass range-bucketed scan is
+    bit-interchangeable and width-parallel at any group count
+    (7.0-9.1 s vs 23.4-25.6 s at 50x; docs/scale.md r10 addendum).
+    count_table_quantiles remains the many-group form."""
+    from ..operators.quantiles import range_bucketed_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    q = count_table_quantiles(
+    q = range_bucketed_quantiles(
         li, ["l_returnflag"], "l_extendedprice",
         [0.5, 0.9, 0.99], ["__q50", "__q90", "__q99"],
     )
@@ -1765,29 +1770,56 @@ FROM corners GROUP BY part_id
 )
 def rel_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-order graph (parts are
-    adjacent iff some order contains both): the classic edge-iterator
-    triangle count — every triangle a<b<c is discovered exactly once
-    through its two out-edges from a plus the closing edge check.
+    adjacent iff some order contains both): edge-iterator triangle
+    count under DEGREE-ORIENTATION — every triangle is discovered
+    exactly once through the total order (degree, id) on its corners.
 
-    Shape: dedup (order, part), one self-join per order for edges
-    (bounded by per-order line counts, ~C(4,2) pairs/order), then two
-    hash equi-joins over the oriented edge list — no wedge ever
-    materializes unless its first two edges share the oriented
-    midpoint. At 100 TB the id-orientation (u < v) is replaced by
-    degree-orientation (point each edge at the higher-degree endpoint),
-    which caps out-degree at O(sqrt(m)) and tames hub skew — the
-    standard production refinement; id order is its fixture-scale
-    stand-in. All joins shuffle on part ids; nothing global, nothing
-    collected.
+    r10: the r6 id-orientation (u < v) OOMed the 50x probe — a hub
+    part with a low id keeps its ENTIRE co-order neighborhood as
+    out-edges, so the wedge join both skews (one hot midpoint key
+    holds in x out wedge rows) and blows the build-side hash table.
+    Degree-orientation is the standard fix (compact-forward lineage):
+    point every edge at the higher-(degree, id) endpoint, which
+    provably caps out-degree at O(sqrt(m)) — a vertex with more than
+    ~2*sqrt(m) out-neighbors would need that many neighbors of equal
+    or higher degree, more total degree than m edges provide — so the
+    wedge count is O(m^1.5) with no skewed key, hub or not. The
+    triangle SET is identical under any total order, so the id-order
+    DuckDB oracle is unchanged and the hash compare proves the
+    orientations agree triangle for triangle.
+
+    Shape: dedup (order, part), per-order pair explode (bounded by
+    per-order line counts), one aggregate for degrees, two hash
+    equi-joins over the oriented edge list. All joins shuffle on part
+    ids; nothing global, nothing collected.
     """
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a = op.alias("a")
     b = op.alias("b")
-    e = (
+    und = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("p"))
+        .unionAll(und.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
     )
     e1 = e.alias("e1")
     e2 = e.alias("e2")

@@ -698,23 +698,26 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     computations on both sides.
 
     Scale: two aggregate passes over events plus a broadcast of the
-    |types|-row median/MAD tables. r9: both exact medians are
-    count-table quantiles (operators/quantiles.py) — |types| is tiny,
-    so each Median hashmap buffered a types-th of ALL events, the
-    Percentile-buffer hazard (docs/scale.md); percentile_approx / KLL
-    (ts_value_quantile_sketch) remain the cheaper approximate swaps in
-    the same two-pass shape.
+    |types|-row median/MAD tables. r9: both exact medians left the
+    Percentile-buffer hazard (each Median hashmap buffered a types-th
+    of ALL events) for count-table quantiles. r10: |types| is tiny,
+    which is exactly the count-table form's few-groups window bound —
+    both medians now run the range-bucketed two-pass scan
+    (operators/quantiles.py, width-parallel at any group count,
+    bit-interchangeable; docs/scale.md r10 addendum).
+    percentile_approx / KLL (ts_value_quantile_sketch) remain the
+    cheaper approximate swaps in the same two-pass shape.
     """
-    from ..operators.quantiles import count_table_quantiles
+    from ..operators.quantiles import range_bucketed_quantiles
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = count_table_quantiles(
+    med = range_bucketed_quantiles(
         ev, ["event_type"], "value", [0.5], ["__med"]
     ).select("event_type", F.round("__med", 6).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = count_table_quantiles(
+    mad = range_bucketed_quantiles(
         dev, ["event_type"], "adev", [0.5], ["__mad"]
     ).select("event_type", F.round("__mad", 6).alias("mad"))
     j = dev.join(F.broadcast(mad), "event_type")

@@ -254,6 +254,38 @@ _TPCH_PROBE = [
     "rel_acctbal_distribution",
     "rel_cube_sales",
     "rel_market_basket",
+    # r10: the round-10 window's relational members that had never run
+    # beyond sf0.1 (probe-gate discipline: find scale hazards BEFORE
+    # the driver window runs them), plus the r10 quantile swap.
+    "rel_price_percentiles_ranged",
+    "rel_triangle_parts",
+    "rel_stratified_sample",
+    "rel_unpivot_metric_stats",
+    "rel_division_all_priorities",
+    "rel_skyline_orders",
+    "rel_topk_with_ties",
+    "rel_cohort_ltv",
+    "rel_abc_analysis",
+    "rel_cdc_compact",
+    "rel_calendar_coverage",
+    "rel_growth_rates",
+    "rel_benford_law",
+    "rel_nullsafe_join",
+    "rel_moving_annual_total",
+    "rel_clamped_balance",
+    "rel_not_in_null_trap",
+    "rel_ratio_to_report",
+    "rel_mix_shift_chi2",
+    "rel_segment_migration",
+    "rel_ship_latency",
+    "rel_hhi_concentration",
+    "rel_discount_elasticity",
+    "rel_price_volume_mix",
+    "rel_basket_size_histogram",
+    "rel_loo_target_encoding",
+    "rel_duplicate_payments",
+    "rel_new_vs_returning",
+    "rel_numeric_correlations",
 ]
 
 
@@ -269,7 +301,12 @@ def main_tpch() -> None:
     if not Path(f"{path}/lineitem.parquet").exists():
         build_tpch(spark, path, mult)
     timings = {}
-    for n in _TPCH_PROBE:
+    for i, n in enumerate(_TPCH_PROBE):
+        # same restart-every-15 GCLocker guard as main() (r9 rule)
+        if i and i % 15 == 0:
+            spark.stop()
+            spark = get_spark("scale-probe-tpch")
+            reg = load_all()
         t0 = time.time()
         reg[n].fn(spark, path).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.time() - t0, 2)
@@ -357,6 +394,12 @@ def main() -> None:
         # (O(n_s*W) and O(n_s + K^2) per series respectively)
         "ts_theil_sen_windowed",
         "ts_theil_sen_sampled",
+        # round-10 window members never probed beyond sf0.1
+        "ts_time_of_day_circular",
+        "ts_variance_ratio",
+        "ts_user_hod_entropy",
+        "ts_effective_sample_size",
+        "ts_channel_breakouts",
     ]
     if rows <= 2_000_000:
         # O(n_s^2) pair expansion: at 10M rows / 10k users the pair set
