@@ -1788,6 +1788,14 @@ def rel_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is unchanged and the hash compare proves the
     orientations agree triangle for triangle.
 
+    Measured (r10 probe, BASELINE.md): max out-degree 97-99 at BOTH
+    10x and 50x (vs the ~2 sqrt(m) ~= 6,900 cap — skew is gone), and
+    oriented wedges scale linearly with the corpus (4.95e8 at 10x,
+    2.48e9 at 50x). Exact enumeration is Theta(wedges) by nature:
+    182 s at 10x on local[32]; 50x exceeds this box's 77 GB spill
+    disk — the operator's scale path is the cluster it is written
+    for (every stage is a plain shuffle on part ids), not one node.
+
     Shape: dedup (order, part), per-order pair explode (bounded by
     per-order line counts), one aggregate for degrees, two hash
     equi-joins over the oriented edge list. All joins shuffle on part
@@ -3077,38 +3085,49 @@ def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset vs the NULL-NULL pairs that only <=> finds, making the
     semantic difference a checked number rather than a footnote.
 
-    Spark's eqNullSafe compiles to the same hash-join family as `=`
-    (NULL becomes an ordinary key value); pair explosion is bounded by
-    (segment, key) group sizes — the record-linkage blocking bound.
+    r10: the r7 row-level pair join enumerated every within-block
+    pair — C(block, 2) rows, QUADRATIC in customers per block (the
+    50x probe measured 144.9 s on ~1e10 pairs; blocks scale with the
+    data, so the 'blocking bound' was no bound). Since the output
+    only ever aggregates pair COUNTS, the pairs are now computed in
+    closed form from the (segment, key) COUNT TABLE: the eqNullSafe
+    self-join runs over one row per key class (NULL class included —
+    drop the <=> for `=` and the NULL class vanishes, turning the
+    oracle compare red, so the null-safe semantics stay load-bearing),
+    and each diagonal match contributes n*(n-1)/2 pairs in exact
+    bigint arithmetic. The unchanged pair-enumeration oracle proves
+    the closed form. Linear scan + |segments x keys|-row join at any
+    scale.
     """
     c = load_table(spark, sf_dir, "customer")
     k = c.select(
-        "c_custkey",
         "c_mktsegment",
         F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("nk"),
     )
-    a = k.select(
-        F.col("c_custkey").alias("ck_a"),
-        F.col("c_mktsegment"),
-        F.col("nk").alias("nk_a"),
+    ct = k.groupBy("c_mktsegment", "nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    b = k.select(
-        F.col("c_custkey").alias("ck_b"),
+    a = ct.select(
+        "c_mktsegment",
+        F.col("nk").alias("nk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = ct.select(
         F.col("c_mktsegment").alias("seg_b"),
         F.col("nk").alias("nk_b"),
+        F.col("n").alias("n_b"),
     )
     j = a.join(
         b,
-        (a.c_mktsegment == b.seg_b)
-        & a.nk_a.eqNullSafe(b.nk_b)
-        & (a.ck_a < b.ck_b),
+        (a.c_mktsegment == b.seg_b) & a.nk_a.eqNullSafe(b.nk_b),
     )
+    pairs = F.expr("n_a * (n_b - 1) div 2")
     return j.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nullsafe_pairs"),
-        F.sum((F.col("nk_a") == F.col("nk_b")).cast("int"))
+        F.sum(pairs).cast("bigint").alias("n_nullsafe_pairs"),
+        F.sum(F.when(F.col("nk_a").isNotNull(), pairs).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("n_eq_pairs"),
-        F.sum(F.col("nk_a").isNull().cast("int"))
+        F.sum(F.when(F.col("nk_a").isNull(), pairs).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("n_null_pairs"),
     )
@@ -3187,14 +3206,22 @@ def rel_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W17: clamped running balance (floor-at-zero prefix sum, sequential)
+# W17: clamped running balance (floor-at-zero prefix sum, closed form)
 # ---------------------------------------------------------------------------
-# max(0, prev + delta) is NOT a plain prefix sum: the clamp makes it
-# non-associative (order-dependent state), the credit-ledger /
-# inventory-level recurrence. Sanctioned sequential boundary (numpy
-# loop per customer); the recursive-CTE oracle replays it — and since
-# the whole recursion is INTEGER cents, there is no IEEE sequencing
-# concern at all, just exact arithmetic.
+# max(0, prev + delta) is NOT a plain prefix sum: the clamp makes the
+# step non-associative (order-dependent state), the credit-ledger /
+# inventory-level recurrence. r10: it nonetheless has the classic
+# CLOSED FORM over prefix sums — with s_i the running sum of deltas,
+#     b_i = s_i - min(0, min_{j<=i} s_j)
+#     clamped_i = [ s_i < min(0, min_{j<i} s_j) ]
+# so what the r6 form ran as a per-customer Python loop (the 50x probe
+# measured 92.5 s — ~12 us/row of interpreter time) is just TWO window
+# aggregates over ONE sort: running sum + running min, whole-stage
+# codegen, no Python anywhere (5.1 s at the same probe). The
+# recursive-CTE oracle still replays the literal recurrence, so the
+# hash compare PROVES the closed form against the sequential
+# definition — and the whole computation is INTEGER cents, exact on
+# both sides.
 
 
 @query(
@@ -3230,15 +3257,15 @@ def rel_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-at-zero running balance per customer: open orders credit,
     finalized orders debit, and the balance CLAMPS at zero (credits
     can't go negative) — the ledger/inventory recurrence
-    b_i = max(0, b_{i-1} + delta_i). The clamp destroys associativity,
-    so no window frame computes it: this is the sanctioned sequential
-    boundary (batch_ema contract — one user shuffle, numpy loop,
-    series fan-out is the parallelism), and the entire recursion is
-    INTEGER cents, so oracle equality is exact by construction.
+    b_i = max(0, b_{i-1} + delta_i). r10: computed by the closed form
+    over prefix sums (b_i = s_i - min(0, cummin(s)_i); clamped_i iff
+    s_i drops below the PREVIOUS row's floor) — two window aggregates
+    sharing one (custkey, date-ordered) sort, pure JVM, replacing the
+    r6 per-customer Python loop that cost 92.5 s at the 50x probe
+    (see the section comment). The recursive-CTE oracle replays the
+    literal sequential recurrence, so the hash compare proves the
+    closed form; everything is INTEGER cents, exact by construction.
     """
-    from ..session import ensure_package_on_workers
-
-    ensure_package_on_workers(spark)
     o = load_table(spark, sf_dir, "orders")
     seq = o.select(
         "o_custkey",
@@ -3251,41 +3278,21 @@ def rel_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .alias("delta"),
     )
-
-    def run(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values(
-            ["o_orderdate", "o_orderkey"], kind="mergesort"
-        ).reset_index(drop=True)
-        deltas = pdf["delta"].to_numpy(dtype="int64")
-        bal = np.empty(len(deltas), dtype="int64")
-        clamped = np.zeros(len(deltas), dtype="int32")
-        b = 0
-        for i, d in enumerate(deltas):
-            b = b + int(d)
-            if b < 0:
-                b = 0
-                clamped[i] = 1
-            bal[i] = b
-        return pd.DataFrame(
-            {
-                "o_custkey": pdf["o_custkey"],
-                "o_orderkey": pdf["o_orderkey"],
-                "delta_cents": pdf["delta"],
-                "balance_cents": bal,
-                "clamped": clamped,
-            }
-        )
-
-    return (
-        seq.groupBy("o_custkey")
-        .applyInPandas(
-            run,
-            "o_custkey bigint, o_orderkey bigint, delta_cents bigint, "
-            "balance_cents bigint, clamped int",
-        )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast("bigint")
+    step = seq.withColumn("s", F.sum("delta").over(wcum))
+    # F.least skips nulls, so the first row's empty prev-frame min
+    # resolves to floor 0 — exactly the b_0 = 0 initial condition.
+    floor_cum = F.least(zero, F.min("s").over(wcum))
+    floor_prev = F.least(zero, F.min("s").over(wprev))
+    return step.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("delta").alias("delta_cents"),
+        (F.col("s") - floor_cum).cast("bigint").alias("balance_cents"),
+        (F.col("s") < floor_prev).cast("int").alias("clamped"),
     )
 
 

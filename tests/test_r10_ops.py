@@ -151,6 +151,87 @@ class TestSchemaCacheInvalidation:
         assert [k for k in catalog._SCHEMA_CACHE if k[0] == p] == hits
 
 
+class TestClampedBalanceClosedForm:
+    def test_matches_sequential_replay_on_planted_deltas(self, spark, tmp_path):
+        # b_i = s_i - min(0, cummin(s)_i) must replay the literal
+        # max(0, prev + delta) recurrence through repeated clamps,
+        # zero-crossings, and an all-negative series.
+        from datetime import date
+
+        rows = []
+        ok = 0
+        series = {
+            1: [5.0, -10.0, 3.0],                 # clamp mid-series
+            2: [-5.0, -5.0, 10.0, -100.0, 50.0],  # repeated clamps
+            3: [-1.0, -2.0, -3.0],                # never leaves zero
+            4: [7.0, 7.0],                        # never clamps
+        }
+        for cust, deltas in series.items():
+            for i, d in enumerate(deltas):
+                ok += 1
+                # status F debits (negative), O credits — encode the
+                # sign via status so the query's CASE sees both arms
+                status = "F" if d < 0 else "O"
+                rows.append(
+                    (ok, cust, status, abs(d), date(2024, 1, i + 1), "1-URGENT")
+                )
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date, o_orderpriority string",
+        )
+        sf = str(tmp_path / "orders_fixture")
+        df.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+        out = REG["rel_clamped_balance"].fn(spark, sf).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.o_custkey, []).append(
+                (r.o_orderkey, r.balance_cents, r.clamped)
+            )
+        for cust, deltas in series.items():
+            bal, expect = 0, []
+            for d in deltas:
+                cents = int(round(d * 100))
+                bal += cents
+                clamped = 1 if bal < 0 else 0
+                bal = max(0, bal)
+                expect.append((bal, clamped))
+            rows_for = sorted(got[cust])
+            assert [(b, c) for _, b, c in rows_for] == expect, (cust, rows_for, expect)
+
+
+class TestNullsafeJoinClosedForm:
+    def test_count_table_matches_pair_enumeration(self, spark, tmp_path):
+        # closed-form n*(n-1)/2 per (segment, key-class incl NULL)
+        # must equal brute-force pair enumeration, and the NULL class
+        # must survive only via <=>.
+        rows = []
+        ck = 0
+        # segment A: nk classes 0 (3 members), NULL (2 members)
+        for nation in (0, 5, 10):   # %5 == 0 -> nk 0
+            ck += 1
+            rows.append((ck, f"c{ck}", nation, 100.0, "A"))
+        for nation in (3, 8):       # %5 == 3 -> NULLIF -> NULL
+            ck += 1
+            rows.append((ck, f"c{ck}", nation, 100.0, "A"))
+        # segment B: one lone NULL (no pairs at all)
+        ck += 1
+        rows.append((ck, f"c{ck}", 13, 100.0, "B"))
+        df = spark.createDataFrame(
+            rows,
+            "c_custkey bigint, c_name string, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        sf = str(tmp_path / "cust_fixture")
+        df.write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+        out = {r.c_mktsegment: r for r in REG["rel_nullsafe_join"].fn(spark, sf).collect()}
+        assert out["A"].n_nullsafe_pairs == 3 + 1  # C(3,2) + C(2,2)
+        assert out["A"].n_eq_pairs == 3
+        assert out["A"].n_null_pairs == 1
+        assert out["B"].n_nullsafe_pairs == 0
+        assert out["B"].n_null_pairs == 0
+
+
 class TestCompactParquetSizing:
     def test_returns_its_own_target(self, spark, tmp_path):
         from chrono_ts_spark.queries.extras import compact_parquet
