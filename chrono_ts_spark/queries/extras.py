@@ -193,12 +193,27 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-specific, so the approximate column has no cross-engine
     oracle; the exact column rides alongside and the ±5% envelope is
     asserted in pytest. rel_hll_md5 below is the fully-oracled twin of
-    the same sketch over an engine-portable md5 hash family."""
+    the same sketch over an engine-portable md5 hash family.
+
+    Plan shape (r10): mixing the DISTINCT aggregate with the sketch in
+    ONE agg forces Catalyst's Expand rewrite — partial aggregation is
+    lost and every raw row ships to the |groups| final tasks (the r10
+    probe measured 42.9-50.0 s over 30M rows with 3 groups). The
+    decomposed form — sketch pass, exact pass as the classic two-level
+    dedup-then-count (both map-side combinable, width-parallel), then
+    a |groups|-row join — is the 100 TB plan: 4.0 s on the same probe,
+    identical output."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
     )
+    ex = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return ap.join(ex, "l_returnflag")
 
 
 # -- rel_hll_md5: the fully-oracled HyperLogLog twin of rel_approx_distinct

@@ -232,6 +232,40 @@ class TestNullsafeJoinClosedForm:
         assert out["B"].n_null_pairs == 0
 
 
+class TestApproxDistinctDecomposed:
+    def test_envelope_and_equality_with_combined_form(self, spark):
+        # The r10 decomposition (sketch pass + two-level exact pass +
+        # |groups|-row join) must return exactly what the old
+        # single-agg Expand form returned, and the sketch must sit in
+        # the +-5% envelope the docstring promises.
+        import pyspark.sql.functions as F
+
+        from chrono_ts_spark.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.l_returnflag: r
+            for r in REG["rel_approx_distinct"].fn(spark, sf).collect()
+        }
+        li = load_table(spark, sf, "lineitem")
+        old = {
+            r.l_returnflag: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+                F.countDistinct("l_partkey").alias("exact_parts"),
+            )
+            .collect()
+        }
+        assert got.keys() == old.keys() and len(got) == 3
+        for k in got:
+            assert got[k].exact_parts == old[k].exact_parts
+            assert got[k].approx_parts == old[k].approx_parts  # same sketch
+            assert abs(got[k].approx_parts - got[k].exact_parts) <= max(
+                2, 0.05 * got[k].exact_parts
+            )
+
+
 class TestCompactParquetSizing:
     def test_returns_its_own_target(self, spark, tmp_path):
         from chrono_ts_spark.queries.extras import compact_parquet
