@@ -255,3 +255,129 @@ def range_bucketed_quantiles(
         dhi = F.element_at(F.col("__m"), F.ceil(pos)).cast("double")
         out.append((dlo + (dhi - dlo) * frac).alias(name))
     return res.select(*out)
+
+
+def range_bucketed_weighted_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    w: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Lower/upper WEIGHTED medians of integer ``col`` under integer
+    weights ``w`` per ``keys`` group, via the same two-pass
+    range-bucketed scan as :func:`range_bucketed_quantiles` (r10) —
+    weight sums replace counts everywhere, so every heavy stage stays
+    width-parallel at any group count and nothing ever materializes a
+    per-row cumulative weight (the banded-prefix-sum form this
+    replaces in rel_weighted_median carried a running sum across ALL
+    rows: correct, linear, but 86 s at the 100x probe for THREE
+    groups).
+
+    Definitions (integer cross-multiplied, no division):
+      lo = min v such that 2 * W(<= v) >= W_total
+      hi = min v such that 2 * W(<= v) >  W_total
+    Value-level cumulative weights suffice: within a run of equal
+    values the first row to cross and the run's end-of-run cumulative
+    cross at the same value, so the per-row and per-value definitions
+    agree exactly — the plain-window oracle proves it.
+
+    Returns [*keys, __tw (bigint total weight), __lo, __hi (col's
+    type)]. Assumes non-negative weights (zero-weight rows cannot
+    shift a crossing); null values are skipped.
+    """
+    keys = list(keys)
+    vals = df.select(
+        *keys, F.col(col).alias("__v"), F.col(w).cast("bigint").alias("__w")
+    ).filter(F.col("__v").isNotNull())
+    ext = vals.groupBy(*keys).agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.sum("__w").cast("bigint").alias("__tw"),
+    )
+    dv = F.col("__v").cast("double")
+    mnd = F.col("__mn").cast("double")
+    mxd = F.col("__mx").cast("double")
+    bucket = (
+        F.when(mxd == mnd, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1).cast("bigint"),
+                F.floor((dv - mnd) / (mxd - mnd) * F.lit(float(n_buckets))),
+            )
+        )
+        .alias("__b")
+    )
+    tagged = vals.join(F.broadcast(ext), keys).select(
+        *keys, "__v", "__w", "__tw", bucket
+    )
+    cnt = tagged.groupBy(*keys, "__b").agg(
+        F.sum("__w").cast("bigint").alias("__c"),
+        F.max("__tw").alias("__tw"),
+    )
+    wk = Window.partitionBy(*keys).orderBy("__b")
+    bcum = cnt.select(
+        *keys,
+        "__b",
+        "__c",
+        "__tw",
+        F.sum("__c")
+        .over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+    )
+
+    def resolve(strict: bool, out_name: str) -> DataFrame:
+        crossed = (
+            (F.col("__cum") * 2 > F.col("__tw"))
+            if strict
+            else (F.col("__cum") * 2 >= F.col("__tw"))
+        )
+        target = (
+            bcum.filter(crossed)
+            .groupBy(*keys)
+            .agg(
+                F.min("__b").alias("__bt"),
+                F.min_by(F.col("__cum") - F.col("__c"), F.col("__b")).alias(
+                    "__below"
+                ),
+            )
+            .select(
+                *[F.col(k).alias(f"__t_{i}") for i, k in enumerate(keys)],
+                "__bt",
+                "__below",
+            )
+        )
+        cond = [tagged[k] == target[f"__t_{i}"] for i, k in enumerate(keys)]
+        cond.append(tagged["__b"] == target["__bt"])
+        hit = tagged.join(F.broadcast(target), cond).select(
+            *[tagged[k] for k in keys], "__v", "__w", tagged["__tw"], "__below"
+        )
+        loc = hit.groupBy(*keys, "__below", "__tw", "__v").agg(
+            F.sum("__w").cast("bigint").alias("__c2")
+        )
+        w2 = Window.partitionBy(*keys).orderBy("__v")
+        loc2 = loc.select(
+            *keys,
+            "__v",
+            "__tw",
+            (
+                F.col("__below")
+                + F.sum("__c2").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+            ).alias("__cw"),
+        )
+        crossed2 = (
+            (F.col("__cw") * 2 > F.col("__tw"))
+            if strict
+            else (F.col("__cw") * 2 >= F.col("__tw"))
+        )
+        return (
+            loc2.filter(crossed2)
+            .groupBy(*keys)
+            .agg(F.min("__v").alias(out_name))
+        )
+
+    lo = resolve(False, "__lo")
+    hi = resolve(True, "__hi")
+    return (
+        ext.select(*keys, "__tw").join(lo, keys).join(hi, keys)
+    )

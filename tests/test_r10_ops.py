@@ -232,6 +232,37 @@ class TestNullsafeJoinClosedForm:
         assert out["B"].n_null_pairs == 0
 
 
+class TestWeightedMedianTwoPass:
+    def test_planted_weights_including_exact_half_tie(self, spark):
+        # lo != hi exactly when the half-weight point falls between
+        # two values; the bucket-local resolution must agree with the
+        # per-row definition on ties, singletons, and heavy tails.
+        from chrono_ts_spark.operators.quantiles import (
+            range_bucketed_weighted_median,
+        )
+
+        rows = [
+            # key a: weights 1,1 over values 10,20 -> W=2, half=1:
+            # lo = 10 (2*1 >= 2), hi = 20 (2*1 > 2 is false at 10)
+            ("a", 10, 1), ("a", 20, 1),
+            # key b: one heavy value dominates
+            ("b", 5, 100), ("b", 99, 1),
+            # key c: singleton
+            ("c", 7, 3),
+            # key d: equal-value run crossing mid-run
+            ("d", 4, 1), ("d", 4, 1), ("d", 9, 1),
+        ]
+        df = spark.createDataFrame(rows, "k string, v bigint, w bigint")
+        got = {
+            r["k"]: (r["__tw"], r["__lo"], r["__hi"])
+            for r in range_bucketed_weighted_median(df, ["k"], "v", "w").collect()
+        }
+        assert got["a"] == (2, 10, 20)
+        assert got["b"] == (101, 5, 5)
+        assert got["c"] == (3, 7, 7)
+        assert got["d"] == (3, 4, 4)
+
+
 class TestApproxDistinctDecomposed:
     def test_envelope_and_equality_with_combined_form(self, spark):
         # The r10 decomposition (sketch pass + two-level exact pass +
