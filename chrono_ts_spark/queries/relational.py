@@ -2315,10 +2315,15 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (observed / independence). lift > 1 = brands bought together more
     often than chance — the recommender / cross-sell primitive.
 
-    Scale shape: DISTINCT (order, brand) first, so the pair self-join
-    is bounded by sum(basket_size^2) with basket_size <= |brands| = 25
-    — never items^2 — and the item-frequency side is a 25-row broadcast.
-    Every ratio is a single division of exact integers (deterministic,
+    Scale shape (r10): DISTINCT (order, brand) first, then ONE
+    groupBy(order) collects each basket's sorted brand set and a HOF
+    transform emits the C(k,2) ordered pairs in-place — the r7 form
+    self-joined the basket table on l_orderkey, which reads the
+    baskets exchange twice and pays a second sort-merge sort (the
+    100x probe measured 24.8 s vs 18.7 s for this shape; both bounded
+    by sum(basket_size^2) with basket_size <= |brands| = 25, never
+    items^2). The item-frequency side is a 25-row broadcast. Every
+    ratio is a single division of exact integers (deterministic,
     order-immune), rounded 6dp on both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -2334,11 +2339,20 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = baskets.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
-    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    bl = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        bl.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= 50)
