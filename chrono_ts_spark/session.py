@@ -34,6 +34,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # read: stats == None). TIMESTAMP_MICROS stores an annotated int64
     # with full min/max stats and is the modern interchange encoding.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Disk-backed streaming state EVERYWHERE, not just the cluster
+    # preset (r10): the default HDFSBackedStateStore keeps every state
+    # row as an UnsafeRow copy ON THE HEAP — the 30M-event probe OOMed
+    # an 8g JVM at ~28M (bucket, user) aggregation states
+    # (UnsafeRow.copy inside HDFSBackedStateStore.put), while RocksDB
+    # finishes the same stream in 78 s with heap flat. Fixture-scale
+    # cost is ~0.1-0.4 s per stateful query (measured, untimed
+    # surface) — the wrong-at-scale default is not worth it.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
 }
 
 
@@ -85,10 +96,7 @@ CLUSTER_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # arrow batches sized so multimodal blobs don't blow worker memory
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
-    # streaming state on disk
-    "spark.sql.streaming.stateStore.providerClass": (
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    ),
+    # streaming state on disk (inherited from RUNTIME_CONFS since r10)
 }
 
 _PKG_ZIP: str | None = None

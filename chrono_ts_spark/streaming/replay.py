@@ -224,9 +224,24 @@ def run_tumbling_counts_stream(
 
 
 def run_sessionized_stream(
-    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: int = 1800,
+    sink_dir: str | None = None,
 ) -> DataFrame:
-    """ST4: session-window aggregation per user (event-time sessions)."""
+    """ST4: session-window aggregation per user (event-time sessions).
+
+    Session count is PROPORTIONAL TO DATA (unlike the bounded
+    tumbling/M4 results), so the memory sink is fixture-scale only —
+    the r10 30M-event probe lost the driver to TaskResultLost
+    collecting ~millions of session rows. Pass ``sink_dir`` for the
+    production parquet path (state on executors, rows to files), the
+    same split stream_kalman established in r9. Sink semantics differ
+    by contract: memory+complete emits EVERY session; parquet+append
+    emits only watermark-CLOSED sessions, withholding each user's
+    trailing open session at end-of-replay — the correct production
+    behavior for an unbounded stream (a session not yet closed is not
+    yet a result)."""
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(
         F.session_window("ts", f"{gap_seconds} seconds"), F.col("user_id")
@@ -236,6 +251,8 @@ def run_sessionized_stream(
         ts_str(F.col("session_window.start")).alias("session_start"),
         "n_events",
     )
+    if sink_dir is not None:
+        return run_to_parquet(out, spark, sink_dir, output_mode="append")
     return _run_to_memory(out, spark)
 
 
@@ -248,7 +265,9 @@ def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, sink_dir: str | None = None
+) -> DataFrame:
     """Stream-static enrichment join (the standard dimension-lookup
     ingest pattern): the replayed event stream inner-joins a BATCH
     dimension (per-user tier derived deterministically from user_id).
@@ -257,7 +276,11 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is (re)read per micro-batch and the join needs no watermark or
     state store, which is why this is the preferred shape for enriching
     a 100 TB/day stream with reference data (vs a stream-stream join
-    whose state grows with the watermark gap)."""
+    whose state grows with the watermark gap). Output is one row PER
+    EVENT, so the memory sink is fixture-scale only (the stream_kalman
+    r9 finding); pass ``sink_dir`` for the production parquet path —
+    append semantics are identical here (stateless join, every row
+    emits immediately)."""
     from ..catalog import load_table
 
     static = (
@@ -276,4 +299,6 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = ev.join(static, "user_id").select(
         "event_id", "user_id", "tier", ts_str(F.col("ts")).alias("ts_s")
     )
+    if sink_dir is not None:
+        return run_to_parquet(enriched, spark, sink_dir, output_mode="append")
     return _run_to_memory(enriched, spark, output_mode="append")

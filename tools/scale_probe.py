@@ -447,5 +447,60 @@ def main() -> None:
     spark.stop()
 
 
+def main_names() -> None:
+    """Ad-hoc probe runner (r10): `--names q1,q2,... --dir PATH` runs
+    the named registry queries against an existing probe corpus dir,
+    with the restart-every-15 GCLocker guard AND a restart after any
+    error (a heap-blown JVM poisons every later query in the session —
+    the r10 triangle-probe lesson). This is the harness the r10/r11
+    window gates used; it replaces per-round one-off scripts."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", required=True, help="comma-separated query names")
+    ap.add_argument("--dir", required=True, help="probe corpus directory")
+    args = ap.parse_args()
+
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.session import get_spark
+
+    spark = get_spark("scale-probe-names")
+    reg = load_all()
+    names = [n.strip() for n in args.names.split(",") if n.strip()]
+    missing = [n for n in names if n not in reg]
+    if missing:
+        raise SystemExit(f"not registered: {missing}")
+    timings: dict[str, object] = {}
+
+    def restart():
+        nonlocal spark, reg
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        spark = get_spark("scale-probe-names")
+        reg = load_all()
+
+    for i, n in enumerate(names):
+        if i and i % 15 == 0:
+            restart()
+        t0 = time.time()
+        try:
+            reg[n].fn(spark, args.dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            timings[n] = round(time.time() - t0, 2)
+            print(f"  {n}: {timings[n]}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — probe harness records and moves on
+            timings[n] = f"ERROR {type(e).__name__}: {str(e)[:300]}"
+            print(f"  {n}: {timings[n]}", file=sys.stderr)
+            restart()
+    print(json.dumps({"dir": args.dir, "queries": timings}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--names" in sys.argv:
+        main_names()
+    else:
+        main()
