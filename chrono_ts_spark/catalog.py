@@ -149,8 +149,12 @@ _SCHEMA_CACHE: dict[tuple[str, tuple], T.StructType] = {}
 def _path_fingerprint(path: str) -> tuple:
     """(mtime_ns, size) fingerprint of a local parquet file, or a
     sorted per-file fingerprint tuple for a directory-style dataset.
-    Non-local / unstatable paths (e.g. s3://) fingerprint as a
-    constant — falling back to the r9 per-path-forever behavior for
+    Directory trees recurse (os.walk, same _/. pruning) so a rewrite
+    INSIDE a partition subdirectory — which need not touch the parent
+    directory's mtime — still changes the fingerprint (r11, ADVICE:
+    the one-level scandir could serve a stale schema for partitioned
+    trees). Non-local / unstatable paths (e.g. s3://) fingerprint as
+    a constant — falling back to the r9 per-path-forever behavior for
     storage where mtime probing isn't free."""
     import os
 
@@ -160,12 +164,14 @@ def _path_fingerprint(path: str) -> tuple:
         return ("nostat",)
     if os.path.isdir(path):
         entries = []
-        with os.scandir(path) as it:
-            for e in it:
-                if e.name.startswith(("_", ".")):
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            rel = os.path.relpath(root, path)
+            for name in files:
+                if name.startswith(("_", ".")):
                     continue
-                s = e.stat()
-                entries.append((e.name, s.st_mtime_ns, s.st_size))
+                s = os.stat(os.path.join(root, name))
+                entries.append((rel, name, s.st_mtime_ns, s.st_size))
         return tuple(sorted(entries))
     return (st.st_mtime_ns, st.st_size)
 

@@ -286,9 +286,11 @@ def minhash_lsh_candidates(
         small = size_hint <= 10_000
     else:
         try:
-            plan_bytes = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            from ..planinfo import optimized_plan_size_bytes
+
+            # Public-API EXPLAIN COST parse (r11 — retires the private
+            # py4j bridge, VERDICT r10 item 4); None on no estimate.
+            plan_bytes = optimized_plan_size_bytes(df)
         except Exception:
             plan_bytes = None
         # 8 MiB of source bytes comfortably covers the proven-safe

@@ -156,16 +156,21 @@ def range_bucketed_quantiles(
     few-/bounded-group form (count_table_quantiles remains the
     many-group form — there the group count IS the width). Bucketing
     casts values to double, monotone for the fixture domains (double,
-    bigint < 2^53); nulls are skipped and all-null groups drop,
-    exactly as count_table_quantiles.
+    bigint < 2^53); null VALUES are skipped and all-null groups drop,
+    exactly as count_table_quantiles. Null KEYS are kept (r11, ADVICE):
+    every internal join runs on one struct(*keys) column — Spark's
+    struct equality treats null fields as equal — so null-keyed groups
+    survive exactly as they do under count_table_quantiles' plain
+    groupBy, keeping the drop-in contract on nullable keys too.
     """
     if len(ps) != len(names):
         raise ValueError("ps and names must pair up")
     keys = list(keys)
-    vals = df.select(*keys, F.col(col).alias("__v")).filter(
+    kcol = F.struct(*keys).alias("__k")
+    vals = df.select(kcol, F.col(col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    ext = vals.groupBy(*keys).agg(
+    ext = vals.groupBy("__k").agg(
         F.min("__v").alias("__mn"),
         F.max("__v").alias("__mx"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -183,15 +188,15 @@ def range_bucketed_quantiles(
         )
         .alias("__b")
     )
-    tagged = vals.join(F.broadcast(ext), keys).select(*keys, "__v", bucket)
+    tagged = vals.join(F.broadcast(ext), "__k").select("__k", "__v", bucket)
     # -- pass 1: bucket histogram + rank location (width-parallel agg;
     #    the per-key window below it covers <= n_buckets rows/key) --
-    cnt = tagged.groupBy(*keys, "__b").agg(
+    cnt = tagged.groupBy("__k", "__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    wk = Window.partitionBy(*keys).orderBy("__b")
+    wk = Window.partitionBy("__k").orderBy("__b")
     bcum = cnt.select(
-        *keys,
+        "__k",
         "__b",
         "__c",
         F.sum("__c")
@@ -203,30 +208,30 @@ def range_bucketed_quantiles(
         pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
         rank_exprs += [F.floor(pos), F.ceil(pos)]
     targets = ext.select(
-        *keys,
+        "__k",
         F.explode(F.array_distinct(F.array(*rank_exprs))).alias("__rk"),
     )
     located = (
         F.broadcast(targets)
-        .join(bcum, keys)
+        .join(bcum, "__k")
         .filter(
             (F.col("__cum") - F.col("__c") <= F.col("__rk"))
             & (F.col("__rk") < F.col("__cum"))
         )
         .select(
-            *keys, "__rk", "__b", (F.col("__cum") - F.col("__c")).alias("__below")
+            "__k", "__rk", "__b", (F.col("__cum") - F.col("__c")).alias("__below")
         )
     )
-    needed = located.select(*keys, "__b", "__below").distinct()
+    needed = located.select("__k", "__b", "__below").distinct()
     # -- pass 2: rescan only the needed buckets, resolve exact values
     #    at the bucket-local offsets --
-    hit = tagged.join(F.broadcast(needed), [*keys, "__b"])
-    loc = hit.groupBy(*keys, "__b", "__below", "__v").agg(
+    hit = tagged.join(F.broadcast(needed), ["__k", "__b"])
+    loc = hit.groupBy("__k", "__b", "__below", "__v").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c2")
     )
-    w2 = Window.partitionBy(*keys, "__b").orderBy("__v")
+    w2 = Window.partitionBy("__k", "__b").orderBy("__v")
     loc2 = loc.select(
-        *keys,
+        "__k",
         "__b",
         "__below",
         "__v",
@@ -237,15 +242,17 @@ def range_bucketed_quantiles(
     )
     lrk = F.col("__rk") - F.col("__below")
     at_rank = (
-        loc2.join(F.broadcast(located.select(*keys, "__b", "__rk")), [*keys, "__b"])
+        loc2.join(
+            F.broadcast(located.select("__k", "__b", "__rk")), ["__k", "__b"]
+        )
         .filter((F.col("__cum2") - F.col("__c2") <= lrk) & (lrk < F.col("__cum2")))
-        .select(*keys, "__rk", "__v")
+        .select("__k", "__rk", "__v")
     )
-    m = at_rank.groupBy(*keys).agg(
+    m = at_rank.groupBy("__k").agg(
         F.map_from_entries(F.collect_list(F.struct("__rk", "__v"))).alias("__m")
     )
-    res = ext.join(m, keys)
-    out: list = list(keys)
+    res = ext.join(m, "__k")
+    out: list = [F.col("__k").getField(k).alias(k) for k in keys]
     if n_name is not None:
         out.append(F.col("__n").cast("bigint").alias(n_name))
     for p, name in zip(ps, names):
@@ -284,13 +291,17 @@ def range_bucketed_weighted_median(
 
     Returns [*keys, __tw (bigint total weight), __lo, __hi (col's
     type)]. Assumes non-negative weights (zero-weight rows cannot
-    shift a crossing); null values are skipped.
+    shift a crossing); null values are skipped. Null KEYS are kept
+    (r11, ADVICE): internal joins run on one struct(*keys) column
+    whose struct equality treats null fields as equal, matching
+    plain-groupBy semantics on nullable keys.
     """
     keys = list(keys)
+    kcol = F.struct(*keys).alias("__k")
     vals = df.select(
-        *keys, F.col(col).alias("__v"), F.col(w).cast("bigint").alias("__w")
+        kcol, F.col(col).alias("__v"), F.col(w).cast("bigint").alias("__w")
     ).filter(F.col("__v").isNotNull())
-    ext = vals.groupBy(*keys).agg(
+    ext = vals.groupBy("__k").agg(
         F.min("__v").alias("__mn"),
         F.max("__v").alias("__mx"),
         F.sum("__w").cast("bigint").alias("__tw"),
@@ -308,16 +319,16 @@ def range_bucketed_weighted_median(
         )
         .alias("__b")
     )
-    tagged = vals.join(F.broadcast(ext), keys).select(
-        *keys, "__v", "__w", "__tw", bucket
+    tagged = vals.join(F.broadcast(ext), "__k").select(
+        "__k", "__v", "__w", "__tw", bucket
     )
-    cnt = tagged.groupBy(*keys, "__b").agg(
+    cnt = tagged.groupBy("__k", "__b").agg(
         F.sum("__w").cast("bigint").alias("__c"),
         F.max("__tw").alias("__tw"),
     )
-    wk = Window.partitionBy(*keys).orderBy("__b")
+    wk = Window.partitionBy("__k").orderBy("__b")
     bcum = cnt.select(
-        *keys,
+        "__k",
         "__b",
         "__c",
         "__tw",
@@ -334,30 +345,25 @@ def range_bucketed_weighted_median(
         )
         target = (
             bcum.filter(crossed)
-            .groupBy(*keys)
+            .groupBy("__k")
             .agg(
                 F.min("__b").alias("__bt"),
                 F.min_by(F.col("__cum") - F.col("__c"), F.col("__b")).alias(
                     "__below"
                 ),
             )
-            .select(
-                *[F.col(k).alias(f"__t_{i}") for i, k in enumerate(keys)],
-                "__bt",
-                "__below",
-            )
         )
-        cond = [tagged[k] == target[f"__t_{i}"] for i, k in enumerate(keys)]
-        cond.append(tagged["__b"] == target["__bt"])
-        hit = tagged.join(F.broadcast(target), cond).select(
-            *[tagged[k] for k in keys], "__v", "__w", tagged["__tw"], "__below"
+        hit = (
+            tagged.join(F.broadcast(target), "__k")
+            .filter(F.col("__b") == F.col("__bt"))
+            .select("__k", "__v", "__w", "__tw", "__below")
         )
-        loc = hit.groupBy(*keys, "__below", "__tw", "__v").agg(
+        loc = hit.groupBy("__k", "__below", "__tw", "__v").agg(
             F.sum("__w").cast("bigint").alias("__c2")
         )
-        w2 = Window.partitionBy(*keys).orderBy("__v")
+        w2 = Window.partitionBy("__k").orderBy("__v")
         loc2 = loc.select(
-            *keys,
+            "__k",
             "__v",
             "__tw",
             (
@@ -372,12 +378,20 @@ def range_bucketed_weighted_median(
         )
         return (
             loc2.filter(crossed2)
-            .groupBy(*keys)
+            .groupBy("__k")
             .agg(F.min("__v").alias(out_name))
         )
 
     lo = resolve(False, "__lo")
     hi = resolve(True, "__hi")
     return (
-        ext.select(*keys, "__tw").join(lo, keys).join(hi, keys)
+        ext.select("__k", "__tw")
+        .join(lo, "__k")
+        .join(hi, "__k")
+        .select(
+            *[F.col("__k").getField(k).alias(k) for k in keys],
+            "__tw",
+            "__lo",
+            "__hi",
+        )
     )

@@ -72,67 +72,69 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-10
-# rotation (docs/coverage.md "Round-10 window plan", executed verbatim —
-# the r9 window landed 50/50 green so no fix re-witness is owed): all
-# 50 slots again go to never-driver-witnessed oracled queries — (1) the
-# six r9 additions/conversions (the W12 binary-segmentation swap, the
-# last oracled stream query, and the four structural-constants /
-# declarative-final-state conversions), then (2) 44 from the oracled
-# backlog in registration order.
+# per round, so ordering is coverage policy, not cosmetics.  Round-11
+# rotation (docs/coverage.md "Round-11 window", executed verbatim — the
+# r10 window landed 50/50 green so no fix re-witness is owed): (1) the
+# full 35-query oracled backlog, rel_price_percentiles_ranged first
+# (newest machinery first, the standing pattern) then registration
+# order — landing these green EMPTIES the oracled backlog: every
+# oracled query in the registry will then have a driver hash row;
+# (2) the first 15 (registration order) of the 17 never-witnessed
+# rows-only queries, each taking its first driver rows-only row
+# (io_footer_stats and io_sorted_write are the 2 left for r12).
 _WINDOW_50 = [
-    # -- (1) r9 additions / rows-only->oracled conversions --
-    "ts_binseg_segments",
-    "stream_ema",
-    "io_csv_malformed",
-    "io_compaction",
-    "io_dynamic_overwrite",
-    "gov_snapshot_diff",
-    # -- (2) oracled backlog, registration order --
-    "ts_time_of_day_circular",
-    "ts_variance_ratio",
-    "ts_user_hod_entropy",
-    "ts_effective_sample_size",
-    "ts_channel_breakouts",
-    "rel_triangle_parts",
-    "rel_stratified_sample",
-    "rel_unpivot_metric_stats",
-    "rel_division_all_priorities",
-    "rel_skyline_orders",
-    "rel_ols_coefficients",
-    "rel_topk_with_ties",
-    "rel_market_basket",
-    "rel_rfm_segments",
-    "rel_cohort_ltv",
-    "rel_abc_analysis",
-    "rel_cdc_compact",
-    "rel_calendar_coverage",
-    "rel_weighted_median",
-    "rel_growth_rates",
-    "rel_benford_law",
-    "rel_nullsafe_join",
-    "rel_moving_annual_total",
-    "rel_clamped_balance",
-    "rel_not_in_null_trap",
-    "rel_ratio_to_report",
-    "rel_mix_shift_chi2",
-    "rel_segment_migration",
-    "rel_ship_latency",
-    "rel_hhi_concentration",
-    "rel_discount_elasticity",
-    "rel_price_volume_mix",
-    "rel_basket_size_histogram",
-    "rel_loo_target_encoding",
-    "rel_duplicate_payments",
-    "rel_new_vs_returning",
-    "rel_abc_xyz",
-    "rel_numeric_correlations",
-    "sf_url_funcs",
-    "sf_bitwise_funcs",
-    "sf_masking_funcs",
-    "sf_struct_funcs",
-    "sf_encoding_funcs",
-    "sf_try_funcs",
+    # -- (1) the oracled backlog: 35 queries, drained in full --
+    "rel_price_percentiles_ranged",
+    "sf_interval_funcs",
+    "doc_pmi_bigrams",
+    "doc_sentence_stats",
+    "doc_zipf_fit",
+    "doc_canonical_dedup",
+    "doc_rake_keywords",
+    "doc_containment_adjacent",
+    "doc_ngram_novelty",
+    "doc_bigram_lm",
+    "doc_jaccard_threshold_curve",
+    "doc_lsh_s_curve",
+    "doc_char_entropy",
+    "doc_lix_readability",
+    "doc_vocab_richness",
+    "doc_ascii_ratio",
+    "doc_prefix_dup_groups",
+    "doc_dup_cluster_sizes",
+    "emb_outliers",
+    "emb_label_affinity",
+    "emb_rp_project",
+    "emb_centroid_drift",
+    "emb_concentration",
+    "emb_quantization_error",
+    "emb_range_search",
+    "emb_similarity_histogram",
+    "ts_holt_winters",
+    "ts_forecast_intervals",
+    "dq_expectations",
+    "diag_key_skew",
+    "io_nested_json",
+    "sql_recursive_reach",
+    "io_csv_dialect",
+    "dq_column_profile",
+    "udtf_user_profile",
+    # -- (2) rows-only first witnesses: 15 of 17, registration order --
+    "ts_rolling_actives_approx",
+    "rel_approx_percentiles",
+    "doc_simhash",
+    "doc_simhash_neighbors",
+    "mm_features",
+    "doc_heavy_tokens",
+    "doc_compression_ratio",
+    "emb_kmeans",
+    "emb_semdedup",
+    "emb_pca_variance",
+    "emb_recall_eval",
+    "diag_lsh_buckets",
+    "stream_stream_join_left",
+    "rel_approx_distinct",
+    "rel_sample",
 ]
 
 

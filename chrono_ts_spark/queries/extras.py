@@ -202,13 +202,17 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposed form — sketch pass, exact pass as the classic two-level
     dedup-then-count (both map-side combinable, width-parallel), then
     a |groups|-row join — is the 100 TB plan: 4.0 s on the same probe,
-    identical output."""
+    identical output. NULL keys (r11, ADVICE): countDistinct skips
+    nulls, so the dedup pass filters l_partkey IS NOT NULL explicitly —
+    without it a null key would count as one distinct value, an
+    off-by-one the non-null fixture could never show."""
     li = load_table(spark, sf_dir, "lineitem")
     ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
     )
     ex = (
-        li.groupBy("l_returnflag", "l_partkey")
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_returnflag", "l_partkey")
         .agg(F.lit(1))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_parts"))

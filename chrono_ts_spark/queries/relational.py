@@ -793,17 +793,18 @@ def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9: count-table quantiles (operators/quantiles.py) instead of
     F.percentile — THREE return-flag groups each buffering a third of
     lineitem in a per-group hashmap is the worst case of the
-    Percentile-buffer hazard at 100 TB (docs/scale.md). r10: swapped
-    onto range_bucketed_quantiles — with only three groups the
-    count-table cumulative window ran on 3 tasks over 30M rows (the
-    r9 50x probe finding); the two-pass range-bucketed scan is
-    bit-interchangeable and width-parallel at any group count
-    (7.0-9.1 s vs 23.4-25.6 s at 50x; docs/scale.md r10 addendum).
-    count_table_quantiles remains the many-group form."""
-    from ..operators.quantiles import range_bucketed_quantiles
+    Percentile-buffer hazard at 100 TB (docs/scale.md). r11 (ADVICE):
+    this BASE entry stays on count_table_quantiles, the many-group
+    form it documents — the r10 swap had put both registry entries on
+    the identical range-bucketed plan, so the _ranged twin no longer
+    exercised a distinct path. The few-groups production plan (the
+    right choice for 3 return flags at scale: 7.0-9.1 s vs
+    23.4-25.6 s at the 50x probe) is the twin below; the two are
+    bit-interchangeable and share this oracle."""
+    from ..operators.quantiles import count_table_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    q = range_bucketed_quantiles(
+    q = count_table_quantiles(
         li, ["l_returnflag"], "l_extendedprice",
         [0.5, 0.9, 0.99], ["__q50", "__q90", "__q99"],
     )
@@ -3090,8 +3091,17 @@ def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle compare red, so the null-safe semantics stay load-bearing),
     and each diagonal match contributes n*(n-1)/2 pairs in exact
     bigint arithmetic. The unchanged pair-enumeration oracle proves
-    the closed form. Linear scan + |segments x keys|-row join at any
-    scale.
+    the closed form. Linear scan + |segments x keys|-row join; the
+    n*(n-1)/2 product overflows bigint once a single (segment, key)
+    class nears ~4.3e9 rows — far past any fixture but a real ceiling,
+    so "any scale" is bounded by class size, not row count.
+
+    r11 (ADVICE): the closed form used to emit a zeros row for a
+    segment whose key classes are all singletons, where the oracle's
+    `a.c_custkey < b.c_custkey` pair join emits no row at all.
+    Zero-pair segments are now filtered out (HAVING-equivalent), so
+    the closed form matches the pair enumeration on EVERY input, not
+    just fixtures where each segment happens to have pairs.
     """
     c = load_table(spark, sf_dir, "customer")
     k = c.select(
@@ -3116,14 +3126,22 @@ def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a.c_mktsegment == b.seg_b) & a.nk_a.eqNullSafe(b.nk_b),
     )
     pairs = F.expr("n_a * (n_b - 1) div 2")
-    return j.groupBy("c_mktsegment").agg(
-        F.sum(pairs).cast("bigint").alias("n_nullsafe_pairs"),
-        F.sum(F.when(F.col("nk_a").isNotNull(), pairs).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("n_eq_pairs"),
-        F.sum(F.when(F.col("nk_a").isNull(), pairs).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("n_null_pairs"),
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.sum(pairs).cast("bigint").alias("n_nullsafe_pairs"),
+            F.sum(
+                F.when(F.col("nk_a").isNotNull(), pairs).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_eq_pairs"),
+            F.sum(F.when(F.col("nk_a").isNull(), pairs).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_null_pairs"),
+        )
+        # A segment with zero pairs never appears in the oracle's
+        # pair-enumeration join; drop its zeros row here too.
+        .filter(F.col("n_nullsafe_pairs") > 0)
     )
 
 

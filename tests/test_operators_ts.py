@@ -255,7 +255,9 @@ class TestRangeJoin:
         )
         pairs = sorted((row.lid, row.rid) for row in out.collect())
         assert pairs == [(1, 10), (1, 11)]
-        assert "dropDuplicates" not in out._jdf.queryExecution().logical().toString()
+        from chrono_ts_spark.planinfo import analyzed_plan
+
+        assert "Deduplicate" not in analyzed_plan(out)
 
     def test_pre_epoch_floor_bucketing(self, spark):
         # Truncation-toward-zero would misbucket pre-1970 timestamps;

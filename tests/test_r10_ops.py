@@ -84,6 +84,41 @@ class TestRangeBucketedQuantiles:
         assert out["q2"] == pytest.approx(4.5)
         assert out["q3"] == pytest.approx(6.75)
 
+    def test_null_keys_kept(self, spark):
+        # ADVICE r11: a NULL group key must survive the internal
+        # equi-joins (struct-key join treats null fields as equal),
+        # matching count_table_quantiles' plain groupBy — the drop-in
+        # contract on nullable keys.
+        rows = [
+            (None, 1.0), (None, 3.0), (None, 5.0),
+            ("a", 10.0), ("a", 20.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, v double")
+        ka, kb = self._both(
+            df, ["k"], "v", [0.5], ["p50"], n_name="n"
+        )
+        assert ka.keys() == kb.keys() == {(None,), ("a",)}
+        for k in ka:
+            assert ka[k] == kb[k]
+        assert ka[(None,)]["p50"] == 3.0 and ka[(None,)]["n"] == 3
+
+    def test_null_key_weighted_median(self, spark):
+        from chrono_ts_spark.operators.quantiles import (
+            range_bucketed_weighted_median,
+        )
+
+        rows = [(None, 1, 1), (None, 2, 2), (None, 3, 1), ("a", 7, 5)]
+        df = spark.createDataFrame(rows, "k string, v bigint, w bigint")
+        out = {
+            r.k: (r["__tw"], r["__lo"], r["__hi"])
+            for r in range_bucketed_weighted_median(
+                df, ["k"], "v", "w"
+            ).collect()
+        }
+        # null key: weights 1,2,1 over 1,2,3 -> W=4, lo=hi=2
+        assert out[None] == (4, 2, 2)
+        assert out["a"] == (5, 7, 7)
+
     def test_bigint_domain(self, spark):
         rows = [("g", v) for v in [10, 20, 20, 40, 1000000000000]]
         df = spark.createDataFrame(rows, "k string, v bigint")
@@ -228,8 +263,10 @@ class TestNullsafeJoinClosedForm:
         assert out["A"].n_nullsafe_pairs == 3 + 1  # C(3,2) + C(2,2)
         assert out["A"].n_eq_pairs == 3
         assert out["A"].n_null_pairs == 1
-        assert out["B"].n_nullsafe_pairs == 0
-        assert out["B"].n_null_pairs == 0
+        # segment B has only singleton classes -> zero pairs -> the
+        # oracle's a.c_custkey < b.c_custkey join emits NO row, and
+        # (r11) the closed form now matches that exactly.
+        assert "B" not in out
 
 
 class TestWeightedMedianTwoPass:

@@ -206,8 +206,10 @@ class TestRrfFusion:
         sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
         from explain_audit import unguarded_global_windows
 
+        from chrono_ts_spark.planinfo import optimized_plan
+
         df = REG["doc_rrf_fusion"].fn(spark, "/root/testdata/sf0.001")
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = optimized_plan(df)
         assert unguarded_global_windows(plan) == []
         assert "GlobalLimit 200" in plan  # the pool cut survives optimization
 

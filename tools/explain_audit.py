@@ -335,8 +335,10 @@ def audit_windows(registry, spark, sf: str, names=None) -> int:
             print(f"SKIP window-audit {name}: {GLOBAL_WINDOW_ALLOWLIST[name]}")
             continue
         try:
+            from chrono_ts_spark.planinfo import optimized_plan
+
             df = spec.fn(spark, sf)
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            plan = optimized_plan(df)
         except Exception as ex:  # build failures surface in oracle_check
             print(f"ERR  window-audit {name}: {str(ex)[:90]}")
             failures += 1
