@@ -110,3 +110,94 @@ def connected_components(
         "component", F.col("node")
     )
     return comp.unionByName(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# DOULION: triangle counting on a sparsified graph
+# ---------------------------------------------------------------------------
+
+
+def doulion_triangle_counts(
+    edges: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+) -> DataFrame:
+    """Per-vertex SAMPLED triangle counts on a deterministically
+    sparsified graph — the DOULION estimator (Tsourakakis, Kang,
+    Miller, Faloutsos, KDD 2009; public paper): keep each edge with
+    probability p, count triangles among the survivors, scale by
+    1/p³. The estimate is unbiased and its variance vanishes as the
+    true count grows, which is exactly the regime where exact
+    enumeration dies — Θ(wedges) exceeded one box's spill disk at the
+    r10 50x probe (2.48e9 wedge rows vs 77 GB), while sparsifying at
+    p halves^k the wedge load by p² BEFORE the quadratic stage.
+
+    Sampling is HASH-DETERMINISTIC, not RNG (the O4c pattern): edge
+    (u, v) survives iff md5_u32(u ':' v) % keep_den < keep_num, so
+    p = keep_num/keep_den, every engine and every rerun keeps the
+    same edge set, and a DuckDB oracle can replay the whole estimator
+    — sampling, enumeration, scaling — value for value.
+
+    Input contract: ``edges`` has columns (u, v), canonical undirected
+    (u < v, distinct). Survivor edges are DEGREE-ORIENTED before the
+    wedge join (the r10 rel_triangle_parts fix): out-degree is capped
+    at O(sqrt(m_kept)), so no skewed wedge key exists, hub or not.
+
+    Returns (part aside) one row per vertex that closes at least one
+    sampled triangle: (node bigint, tri_sampled bigint). Callers scale
+    by keep_den³/keep_num³ for the per-vertex estimate, or aggregate
+    first — the global sum counts each sampled triangle three times.
+    """
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("need 0 < keep_num <= keep_den")
+    from ..functions import md5_u32
+
+    kept = edges.select("u", "v").filter(
+        md5_u32(
+            F.concat(
+                F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+            )
+        )
+        % F.lit(int(keep_den))
+        < F.lit(int(keep_num))
+    )
+    deg = (
+        kept.select(F.col("u").alias("p"))
+        .unionAll(kept.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        kept.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri_sampled")
+    )

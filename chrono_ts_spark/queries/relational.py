@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import davg, dec, dsum, sql_davg, sql_dsum
+from ..functions import davg, dec, dsum, md5_u32, sql_davg, sql_dsum, sql_md5_u32
 from ..operators.topk import top_k_per_group
 from . import query
 
@@ -1845,6 +1845,112 @@ def rel_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corners.groupBy("part_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph (approx): DOULION sparsified triangle count — the implemented
+# scale swap for rel_triangle_parts (VERDICT r10 item 2)
+# ---------------------------------------------------------------------------
+
+
+_DOULION_KEEP = "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)"
+
+
+@query(
+    "rel_triangle_doulion",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+k AS (
+    SELECT u, v FROM e
+    WHERE {sql_md5_u32(_DOULION_KEEP)} % 2 < 1
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM k e1
+    JOIN k e2 ON e2.u = e1.v
+    JOIN k e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_edges_kept,
+       CAST(COUNT(*) AS BIGINT) AS tri_sampled,
+       CAST(COUNT(*) * 8 AS BIGINT) AS est_triangles
+FROM tri
+""",
+    tags=("graph", "approx", "scale-path"),
+)
+def rel_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sparsified triangle count over the co-order part graph
+    (Tsourakakis/Kang/Miller/Faloutsos, KDD 2009; public paper) — the
+    implemented scale swap for rel_triangle_parts, whose EXACT
+    enumeration is Θ(wedges) by nature and exceeded one box's spill
+    disk at the r10 50x probe (2.48e9 wedge rows vs 77 GB free).
+    Keeping each edge with probability p cuts the wedge load by p²
+    BEFORE the quadratic stage; the count among survivors scaled by
+    1/p³ is an unbiased estimate whose relative error shrinks as the
+    true count grows — exactly the regime where exact enumeration
+    dies.
+
+    Sampling is hash-deterministic (md5_u32(u ':' v) % 2 < 1, p=1/2,
+    so the 1/p³ scale-up is an EXACT bigint *8), which makes the
+    whole estimator — sampling, degree-oriented enumeration, scaling
+    — replayable by the DuckDB oracle value for value: the approx
+    algorithm itself is hash-verified, the O4c sampler pattern
+    applied to graphs. p=1 reduces the operator to the exact
+    enumerator, pinned equal to rel_triangle_parts per corner in
+    tests/test_r11_ops.py.
+
+    Output: one summary row — canonical edge count, kept edge count,
+    sampled triangle count, and the 1/p³ estimate of the true global
+    triangle count (fixture truth: the exact query's corner sum / 3).
+    """
+    from ..operators.graph import doulion_triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    keep = (
+        md5_u32(
+            F.concat(
+                F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+            )
+        )
+        % 2
+        < 1
+    )
+    ecnt = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    kcnt = und.filter(keep).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges_kept")
+    )
+    # each sampled triangle contributes one corner row per vertex ->
+    # global sampled count = corner sum div 3, exact integer
+    tcnt = doulion_triangle_counts(und, 1, 2).agg(
+        F.coalesce(F.expr("sum(tri_sampled) div 3"), F.lit(0))
+        .cast("bigint")
+        .alias("tri_sampled")
+    )
+    return (
+        ecnt.crossJoin(kcnt)
+        .crossJoin(tcnt)
+        .select(
+            "n_edges",
+            "n_edges_kept",
+            "tri_sampled",
+            (F.col("tri_sampled") * 8).cast("bigint").alias("est_triangles"),
+        )
     )
 
 

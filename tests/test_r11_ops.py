@@ -1,0 +1,76 @@
+"""Round-11 guard tests: the DOULION sparsified triangle estimator
+(the implemented scale swap for rel_triangle_parts — VERDICT r10
+item 2) and its reduction to the exact enumerator at p=1.
+"""
+
+from __future__ import annotations
+
+from chrono_ts_spark.queries import load_all
+
+REG = load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _coorder_edges(spark):
+    from pyspark.sql import functions as F
+
+    from chrono_ts_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+class TestDoulionTriangles:
+    def test_p1_reduces_to_exact_enumerator(self, spark):
+        # keep_num == keep_den keeps every edge: the DOULION path IS
+        # the exact degree-oriented enumerator, so its per-corner
+        # counts must equal rel_triangle_parts corner for corner.
+        from chrono_ts_spark.operators.graph import doulion_triangle_counts
+
+        exact = {
+            r.part_id: r.n_triangles
+            for r in REG["rel_triangle_parts"].fn(spark, SF).collect()
+        }
+        full = {
+            r.node: r.tri_sampled
+            for r in doulion_triangle_counts(
+                _coorder_edges(spark), 1, 1
+            ).collect()
+        }
+        assert full == exact and len(exact) > 0
+
+    def test_estimate_brackets_truth_at_fixture_scale(self, spark):
+        # p=1/2 on the fixture graph: the deterministic estimate must
+        # land within a loose envelope of the exact global count
+        # (DOULION std err ~ sqrt((1/p^3 - 1)/T); T is in the
+        # thousands here, so 50% is generous against fixture regens)
+        # and the sampled edge count near half the canonical edges.
+        exact_total = (
+            sum(
+                r.n_triangles
+                for r in REG["rel_triangle_parts"].fn(spark, SF).collect()
+            )
+            // 3
+        )
+        row = REG["rel_triangle_doulion"].fn(spark, SF).collect()[0]
+        assert row.est_triangles == row.tri_sampled * 8
+        assert 0.35 <= row.n_edges_kept / row.n_edges <= 0.65
+        assert abs(row.est_triangles - exact_total) / exact_total < 0.5
+
+    def test_sampler_rejects_bad_probability(self):
+        import pytest
+        from chrono_ts_spark.operators.graph import doulion_triangle_counts
+
+        with pytest.raises(ValueError):
+            doulion_triangle_counts(None, 0, 2)
+        with pytest.raises(ValueError):
+            doulion_triangle_counts(None, 3, 2)
