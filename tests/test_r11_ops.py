@@ -29,6 +29,41 @@ def _coorder_edges(spark):
     )
 
 
+class TestPlanInfo:
+    """planinfo = the public replacement for private plan access
+    (VERDICT r10 item 4): section extraction and the EXPLAIN COST
+    size parse must agree with Catalyst's own rendering."""
+
+    def test_sections_and_cost_size(self, spark):
+        from chrono_ts_spark.catalog import load_table
+        from chrono_ts_spark.planinfo import (
+            analyzed_plan,
+            optimized_plan,
+            optimized_plan_size_bytes,
+        )
+
+        li = load_table(spark, SF, "lineitem")
+        df = li.select("l_partkey", "l_extendedprice").filter(
+            "l_extendedprice > 100"
+        )
+        opt = optimized_plan(df)
+        ana = analyzed_plan(df)
+        assert "Project" in opt and "Relation" in opt
+        assert "l_partkey" in ana
+        size = optimized_plan_size_bytes(df)
+        assert size is not None and size > 0
+
+    def test_size_unit_parse(self):
+        from chrono_ts_spark.planinfo import _SIZE_RE, _SIZE_UNITS
+
+        m = _SIZE_RE.search("Statistics(sizeInBytes=24.3 GiB, rowCount=5)")
+        assert m is not None
+        assert int(float(m.group(1)) * _SIZE_UNITS[m.group(2)]) == int(
+            24.3 * (1 << 30)
+        )
+        assert _SIZE_RE.search("sizeInBytes=1616.0 B").group(2) == "B"
+
+
 class TestDoulionTriangles:
     def test_p1_reduces_to_exact_enumerator(self, spark):
         # keep_num == keep_den keeps every edge: the DOULION path IS
