@@ -1909,6 +1909,21 @@ def rel_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one summary row — canonical edge count, kept edge count,
     sampled triangle count, and the 1/p³ estimate of the true global
     triangle count (fixture truth: the exact query's corner sum / 3).
+
+    Plan shape (r11 probe find): the first form computed n_edges,
+    n_edges_kept and the enumeration as THREE independent subtrees
+    over the expensive pair-explode edge pipeline, crossJoined — ONE
+    fused job running three edge builds plus the wedge join
+    concurrently, which OOMed an 8g heap at the 100x probe even
+    though the identical work executed SEQUENTIALLY (stepwise counts)
+    completes in ~260 s. The fix is structural, not p: tag each
+    canonical edge with its keep bit ONCE behind a repartition(u, v)
+    exchange; both counts come from one aggregate over that exchange
+    and the enumeration consumes its kept-filtered rows — the edge
+    pipeline materializes once (ReusedExchange; the kp column is
+    load-bearing in both consumers so pruning cannot de-identify the
+    subtrees, the r9 shared-exchange rule). 100x after the fix:
+    completes where the fused form OOMed.
     """
     from ..operators.graph import doulion_triangle_counts
 
@@ -1931,26 +1946,29 @@ def rel_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
         < 1
     )
-    ecnt = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    kcnt = und.filter(keep).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_edges_kept")
+    tagged = und.select(
+        "u", "v", keep.cast("bigint").alias("kp")
+    ).repartition("u", "v")
+    counts = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("kp").cast("bigint").alias("n_edges_kept"),
     )
+    # sampling already applied via kp; keep_num == keep_den makes the
+    # operator a pure degree-oriented enumerator over the survivors.
     # each sampled triangle contributes one corner row per vertex ->
     # global sampled count = corner sum div 3, exact integer
-    tcnt = doulion_triangle_counts(und, 1, 2).agg(
+    tcnt = doulion_triangle_counts(
+        tagged.filter(F.col("kp") == 1).select("u", "v"), 1, 1
+    ).agg(
         F.coalesce(F.expr("sum(tri_sampled) div 3"), F.lit(0))
         .cast("bigint")
         .alias("tri_sampled")
     )
-    return (
-        ecnt.crossJoin(kcnt)
-        .crossJoin(tcnt)
-        .select(
-            "n_edges",
-            "n_edges_kept",
-            "tri_sampled",
-            (F.col("tri_sampled") * 8).cast("bigint").alias("est_triangles"),
-        )
+    return counts.crossJoin(tcnt).select(
+        "n_edges",
+        "n_edges_kept",
+        "tri_sampled",
+        (F.col("tri_sampled") * 8).cast("bigint").alias("est_triangles"),
     )
 
 
