@@ -77,9 +77,19 @@ def ema_update_fn(alpha: float):
 
 
 def run_ema_stream(
-    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.2,
+    sink_dir: str | None = None,
 ) -> DataFrame:
-    """ST6: per-user EMA over the replayed stream (arbitrary state)."""
+    """ST6: per-user EMA over the replayed stream (arbitrary state).
+
+    ``sink_dir`` switches the memory sink (fixture-scale: the driver
+    collects the table) for the production parquet sink — EMA emits
+    ONE ROW PER INPUT EVENT, so its output is data-proportional and
+    the memory sink OOMs the local driver heap at the r11 30M probe
+    (same class as run_kalman_stream / sessions / enrich; the 30M
+    parquet-sink run completes)."""
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     ema = ev.groupBy("user_id").applyInPandasWithState(
         ema_update_fn(alpha),
@@ -88,6 +98,10 @@ def run_ema_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(ema, spark, sink_dir, output_mode="append")
     return _run_to_memory(ema, spark, output_mode="append")
 
 
@@ -208,9 +222,17 @@ def holt_update_fn(alpha: float, beta: float):
 
 
 def run_holt_stream(
-    spark: SparkSession, sf_dir: str, alpha: float = 0.3, beta: float = 0.1
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    sink_dir: str | None = None,
 ) -> DataFrame:
-    """ST6: per-user Holt linear (level+trend) over the replayed stream."""
+    """ST6: per-user Holt linear (level+trend) over the replayed stream.
+
+    ``sink_dir``: production parquet sink for the per-event output —
+    data-proportional through the memory sink, the r11 30M stream_ema
+    OOM class (see run_ema_stream)."""
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     holt = ev.groupBy("user_id").applyInPandasWithState(
         holt_update_fn(alpha, beta),
@@ -219,6 +241,10 @@ def run_holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(holt, spark, sink_dir, output_mode="append")
     return _run_to_memory(holt, spark, output_mode="append")
 
 
