@@ -2596,6 +2596,14 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, so no series can quadratically expand; the windowed
     estimate converges to the full Theil-Sen as W grows (W = n_s
     recovers it exactly — pinned in pytest on small series).
+
+    Measured one-box boundary (r11): linear to 60M rows (170 s solo),
+    and the n*W exploded-slope working set crosses the default 8g
+    heap between 60M and 120M on one 32-thread JVM — 120M OOMs at 8g
+    and completes in 426 s at 16g (CHRONO_DRIVER_MEM). On a cluster
+    this is executor sizing, not an algorithmic bound; for a fixed
+    memory budget at any scale, ts_theil_sen_sampled is the
+    documented swap (32.5 s at 120M, fixed K(K-1)/2 pairs/series).
     """
     ev = load_table(spark, sf_dir, "events")
     # t = unix_micros(ts) is order-equivalent to ts, so the (t,
