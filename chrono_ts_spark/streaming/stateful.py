@@ -630,10 +630,18 @@ def run_cusum_stream(
     sigma: float = 85.0,
     k_sigma: float = 0.5,
     h_sigma: float = 4.0,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """ST6b: per-user online CUSUM over the replayed stream. State is
     two doubles per key regardless of history length — the O(keys)
-    state property that makes the chart viable on an unbounded stream."""
+    state property that makes the chart viable on an unbounded stream.
+
+    ``sink_dir``: production parquet sink. The chart emits ONE ROW PER
+    INPUT EVENT (the monitored statistic, alarm flagged), so its output
+    is data-proportional — the stream_ema memory-sink OOM class the r11
+    30M probe established. The r11 sink_dir sweep missed this runner
+    (it was never probed past fixture scale); tools/stream_probe.py's
+    first smoke run caught it via the rows==input count."""
     ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     out = ev.groupBy("user_id").applyInPandasWithState(
         cusum_update_fn(mu, sigma, k_sigma, h_sigma),
@@ -642,4 +650,8 @@ def run_cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(out, spark, sink_dir, output_mode="append")
     return _run_to_memory(out, spark, output_mode="append")

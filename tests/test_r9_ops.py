@@ -285,3 +285,22 @@ class TestParquetSinkRunner:
             )
         )
         assert mem == pq
+
+    def test_cusum_parquet_sink_equals_memory_sink(self, spark, tmp_path):
+        # r11 (stream_probe smoke find): CUSUM emits one row per input
+        # event — same data-proportional class as EMA/Holt/Kalman — so
+        # it carries the same production sink_dir path; both sinks must
+        # agree row-for-row at fixture scale.
+        from chrono_ts_spark.streaming.stateful import run_cusum_stream
+
+        sf = "/root/testdata/sf0.001"
+        mem = sorted(map(tuple, run_cusum_stream(spark, sf).collect()))
+        pq = sorted(
+            map(
+                tuple,
+                run_cusum_stream(
+                    spark, sf, sink_dir=str(tmp_path / "cusum_sink")
+                ).collect(),
+            )
+        )
+        assert mem == pq
