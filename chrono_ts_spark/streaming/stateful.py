@@ -360,6 +360,7 @@ def _purchase_click_join(
     lookback_s: int,
     how: str,
     watermark: str,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Shared purchases-to-preceding-clicks join body for the inner and
     left variants (r7 review: the two copies had silently drifted on
@@ -391,20 +392,33 @@ def _purchase_click_join(
         ts_str(F.col("p_ts")).alias("p_ts_s"),
         ts_str(F.col("c_ts")).alias("c_ts_s"),
     )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(out, spark, sink_dir, output_mode="append")
     return _run_to_memory(out, spark, output_mode="append")
 
 
 def run_stream_stream_join(
-    spark: SparkSession, sf_dir: str, lookback_s: int = 600
+    spark: SparkSession, sf_dir: str, lookback_s: int = 600,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """J7: stream-stream inner join — purchases to clicks within the
     preceding `lookback_s` by the same user, with watermarks bounding
-    both join-state buffers."""
-    return _purchase_click_join(spark, sf_dir, lookback_s, "inner", "1 hour")
+    both join-state buffers.
+
+    ``sink_dir``: production parquet sink. Inner-join output is
+    candidate-pair-bound (sparse on the probe corpus), but on skewed
+    real traffic it can approach O(purchases x clicks-in-window) — the
+    probe runs it through the parquet path alongside the left variant."""
+    return _purchase_click_join(
+        spark, sf_dir, lookback_s, "inner", "1 hour", sink_dir=sink_dir
+    )
 
 
 def run_stream_stream_join_left(
-    spark: SparkSession, sf_dir: str, lookback_s: int = 600
+    spark: SparkSession, sf_dir: str, lookback_s: int = 600,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """J7 outer flavor: LEFT stream-stream join — every purchase, with
     NULL click columns when no click landed in the preceding window.
@@ -421,9 +435,16 @@ def run_stream_stream_join_left(
     watermark keeps advancing and every unmatched row is eventually
     emitted. The equivalence test pins: emitted ⊆ batch, matched part
     == batch inner part, null rows near-complete.
+
+    ``sink_dir``: production parquet sink. The LEFT join emits AT
+    LEAST one row per purchase — O(input) output — so it belongs to
+    the data-proportional class (EMA/Holt/Kalman/CUSUM/sessions/
+    enrich): the r11 60M stream probe OOMed the 8g heap through the
+    memory sink (~12M buffered output rows + two-sided join state),
+    the same failure the inner variant's sparse output hid.
     """
     return _purchase_click_join(
-        spark, sf_dir, lookback_s, "leftOuter", "10 minutes"
+        spark, sf_dir, lookback_s, "leftOuter", "10 minutes", sink_dir=sink_dir
     )
 
 

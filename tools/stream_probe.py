@@ -14,9 +14,11 @@ data-proportional ones (the r11 rule: EMA/Holt/Kalman/sessions/enrich
 emit O(input) rows and must never cross a collecting sink at probe
 scale).
 
-    python tools/stream_probe.py [rows] [users]
+    python tools/stream_probe.py [rows] [users] [--only name1,name2]
     # default 60_000_000 rows, rows//1000 users (the ts-probe series
-    # convention: constant 1000 events/series as rows scale)
+    # convention: constant 1000 events/series as rows scale);
+    # --only reruns a subset against an existing corpus (solo timings,
+    # partial-run resume)
 
 Internal evidence only — correctness always runs on driver fixtures.
 """
@@ -56,8 +58,14 @@ def build_single_file_events(spark, path: str, rows: int, users: int) -> None:
 
 
 def main() -> int:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000_000
-    users = int(sys.argv[2]) if len(sys.argv) > 2 else max(1000, rows // 1000)
+    only = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    rows = int(argv[0]) if argv else 60_000_000
+    users = int(argv[1]) if len(argv) > 1 else max(1000, rows // 1000)
 
     from chrono_ts_spark.queries import load_all
     from chrono_ts_spark.session import get_spark
@@ -111,9 +119,10 @@ def main() -> int:
         # the serving tier + the pipeline on top of it
         ("upsert_merge", lambda s, sf: reg["stream_upsert_counts"].fn(s, sf).count()),
         ("alert_burst", lambda s, sf: reg["stream_alert_burst"].fn(s, sf).count()),
-        # two-sided state
-        ("ss_join", lambda s, sf: run_stream_stream_join(s, sf).count()),
-        ("ss_join_left", lambda s, sf: run_stream_stream_join_left(s, sf).count()),
+        # two-sided state; LEFT emits >=1 row per purchase (O(input) —
+        # the 60M memory-sink OOM find), so both ride the parquet sink
+        ("ss_join", sink(run_stream_stream_join)),
+        ("ss_join_left", sink(run_stream_stream_join_left)),
         # data-proportional output -> production parquet sink
         ("sessions_parquet", sink(run_sessionized_stream)),
         ("enrich_parquet", sink(run_stream_static_enrich)),
@@ -124,13 +133,44 @@ def main() -> int:
         ("cusum_parquet", sink(run_cusum_stream)),
     ]
 
-    def restart():
+    def restart(hard: bool = False):
+        """Fresh session; ``hard`` additionally discards the JVM.
+
+        After an executor-thread OOM in local mode the JVM is wedged:
+        spark.stop() does not fully clear the dying context, and the
+        next SparkContext constructor fails assertNoOtherContextIsRunning
+        (observed on the first 60M run — the error handler itself then
+        died and the harness lost the remaining probes). The only
+        reliable recovery is a brand-new gateway JVM, which PySpark
+        allows once the module-level gateway globals are cleared."""
         nonlocal spark
         try:
             spark.stop()
         except Exception:
             pass
+        if hard:
+            import os
+
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession as _SS
+
+            try:
+                if SparkContext._gateway is not None:
+                    SparkContext._gateway.shutdown()
+            except Exception:
+                pass
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            with SparkContext._lock:
+                SparkContext._active_spark_context = None
+            _SS._instantiatedSession = None
+            _SS._activeSession = None
+            os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+            os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
         spark = get_spark("stream-probe")
+
+    if only is not None:
+        probes = [(n, f) for n, f in probes if n in only]
 
     results: dict[str, object] = {}
     for i, (name, fn) in enumerate(probes):
@@ -144,7 +184,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — probe harness records and moves on
             results[name] = f"ERROR {type(e).__name__}: {str(e)[:300]}"
             print(f"  {name}: {results[name]}", file=sys.stderr)
-            restart()
+            restart(hard=True)
     print(json.dumps({"rows": rows, "users": users, "queries": results}))
     spark.stop()
     return 0
