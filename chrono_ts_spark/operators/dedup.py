@@ -91,7 +91,7 @@ def _hash31_md5(col: Column) -> Column:
     )
 
 
-def _minhash_udf(params: list[tuple[int, int]]):
+def _minhash_udf(params: list[tuple[int, int]], drop_hashes=None):
     """Vectorized (Arrow) signature finisher: per-doc base-hash array →
     the num_perm affine minima, one numpy broadcast per document.
 
@@ -100,6 +100,15 @@ def _minhash_udf(params: list[tuple[int, int]]):
     overflows and the minima match the pmod/min aggregate bit-for-bit
     (pinned in tests). Replacing the explode + groupBy with a map-only
     batch op removes the signature shuffle altogether.
+
+    ``drop_hashes`` (late r11): optional sorted int64 numpy array of
+    base hashes to EXCLUDE from every document's shingle set before
+    the minima (the df-capped hot-shingle set — boilerplate). The
+    filter is a vectorized np.searchsorted membership test inside the
+    same Arrow batch, so the stage stays map-only. A doc whose every
+    shingle is dropped yields a null signature — the existing null
+    path then excludes it from candidates (correct: a boilerplate-only
+    document has no distinguishing content to match on).
     """
     import numpy as np
     import pandas as pd
@@ -108,6 +117,9 @@ def _minhash_udf(params: list[tuple[int, int]]):
 
     A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
     B = np.array([b for _, b in params], dtype=np.int64)[None, :]
+    drop = None
+    if drop_hashes is not None and len(drop_hashes):
+        drop = np.sort(np.asarray(drop_hashes, dtype=np.int64))
 
     def sig(hs):
         out = []
@@ -118,7 +130,14 @@ def _minhash_udf(params: list[tuple[int, int]]):
                 # shape where such docs produced no signature row
                 out.append(None)
                 continue
-            h = np.asarray(arr, dtype=np.int64)[:, None]  # (shingles, 1)
+            h = np.asarray(arr, dtype=np.int64)
+            if drop is not None:
+                idx = np.clip(np.searchsorted(drop, h), 0, len(drop) - 1)
+                h = h[drop[idx] != h]
+                if len(h) == 0:
+                    out.append(None)
+                    continue
+            h = h[:, None]  # (shingles, 1)
             out.append(((A * h + B) % MERSENNE).min(axis=0).tolist())
         return pd.Series(out)
 
@@ -140,6 +159,7 @@ def minhash_lsh_candidates(
     materialize: bool = False,
     portable: bool = False,
     size_hint: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -177,6 +197,28 @@ def minhash_lsh_candidates(
     statistics (parquet footer sizes — no scan); an eager df.count()
     here would silently add a full pass over the corpus at 100 TB
     just to pick a hint.
+
+    max_shingle_df (late r11): drop shingles whose DOCUMENT FREQUENCY
+    exceeds this count before minhashing. Motivation is measured, not
+    hypothetical: on the 2M-doc probe corpus the planted boilerplate
+    footers (14 tokens shared by 5-14% of docs) produced 5,021,194
+    LSH candidates — stripping the boilerplate collapses that to
+    exactly the 40,000 planted clone pairs, i.e. >99% of candidate
+    volume came from hot spans whose pairwise est_jaccard (~0.12) is
+    far below any useful threshold, admitted anyway because n² pairs
+    beat the s-curve's small per-pair probability. Real corpora have
+    exactly this shape (site footers, license headers), and the
+    candidate floor grows quadratically in the footer-sharing count.
+    Cost: one extra linear aggregate pass (distinct (doc, shingle) →
+    df counts; the shuffle carries 8-byte hashes); the hot set — by
+    definition at most total_shingle_incidences / max_shingle_df
+    entries — is pulled to the driver (guarded at 1M entries) and
+    applied as a vectorized membership filter inside the existing
+    Arrow signature batch, so the signature stage stays map-only.
+    est_jaccard is then estimated over the CAPPED shingle sets; docs
+    consisting only of hot shingles yield no candidates (documented
+    null-signature path). The md5/SQL twin remains uncapped — this is
+    the scale knob for the native path.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -200,6 +242,24 @@ def minhash_lsh_candidates(
         F.transform(F.col("__sh"), lambda s: base_hash(s)).alias("__hs"),
     )
     params = _perm_params(num_perm, seed)
+    drop_hashes = None
+    if max_shingle_df is not None:
+        # df pass: distinct (doc, shingle-hash) incidences → per-hash doc
+        # counts; partial aggregation keeps the shuffle at 8-byte keys.
+        hot = (
+            hs.select(F.explode(F.array_distinct("__hs")).alias("__h"))
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__h")
+        )
+        drop_hashes = [r[0] for r in hot.limit(1_000_001).collect()]
+        if len(drop_hashes) > 1_000_000:
+            raise ValueError(
+                "max_shingle_df admits >1M hot shingles — the cap is "
+                "below this corpus's common-shingle regime; raise it "
+                "(driver pull is bounded by design, not by luck)"
+            )
     # Null/empty guard on the UDF's INPUT, not its output: a filter on
     # the pandas_udf result column sits between the two self-join
     # branches and defeats AQE's exchange reuse, recomputing the whole
@@ -210,7 +270,10 @@ def minhash_lsh_candidates(
     # emits an empty array, so this (and the finisher's null branch)
     # is defense in depth for external callers.
     sig = hs.select(
-        "__id", _minhash_udf(params)(F.col("__hs")).alias("__sig")
+        "__id",
+        _minhash_udf(params, drop_hashes=drop_hashes)(F.col("__hs")).alias(
+            "__sig"
+        ),
     )
 
     banded = sig.select(

@@ -162,6 +162,57 @@ class TestMinhashLSH:
             assert 0.0 <= r.est_jaccard <= 1.0
             assert (r.est_jaccard * 64) == int(r.est_jaccard * 64)
 
+    def test_df_cap_removes_boilerplate_candidates(self, spark, corpus):
+        """max_shingle_df (late r11, probe-motivated): on the 2M probe
+        corpus >99% of LSH candidates came from hot boilerplate spans
+        (5,021,194 candidates -> exactly the 40,000 planted clone pairs
+        once the boilerplate is stripped). The df cap must (a) kill
+        boilerplate-induced candidates, (b) keep true near-dup recall,
+        and (c) null out boilerplate-only docs instead of matching
+        them all-pairs."""
+        boiler = " ".join(f"zz{i}" for i in range(14))
+        docs = [
+            # every doc carries the hot footer; 0..19 soup + footer
+            (i, f"{txt} {boiler}") for i, txt in
+            ((j, make_doc(random.Random(100 + j))) for j in range(20))
+        ]
+        # planted true near-dups of docs 0 and 1 (footer included)
+        for i in (0, 1):
+            base = docs[i][1].split()
+            base[3] = "EDITED"
+            docs.append((200 + i, " ".join(base)))
+        # two boilerplate-ONLY docs: with the cap they have no signal
+        docs.append((300, boiler))
+        docs.append((301, boiler))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        uncapped = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
+        capped = minhash_lsh_candidates(
+            df, "doc_id", "text", 64, 16, 5, max_shingle_df=10
+        )
+        un_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+        cap_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        # (b) recall: the true near-dups survive the cap
+        for i in (0, 1):
+            assert (i, 200 + i) in cap_pairs, f"true pair {i} lost to cap"
+        # (a) the candidate set shrinks strictly (boilerplate pairs gone)
+        assert len(cap_pairs) < len(un_pairs)
+        # (c) boilerplate-only docs: matched all-pairs without the cap,
+        # candidate-free with it
+        assert (300, 301) in un_pairs
+        assert not any(300 in p or 301 in p for p in cap_pairs)
+
+    def test_df_cap_none_is_bit_identical(self, spark, corpus):
+        # the default path must be untouched by the new parameter
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        base = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
+        off = minhash_lsh_candidates(
+            df, "doc_id", "text", 64, 16, 5, max_shingle_df=None
+        )
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, off.collect())
+        )
+
     def test_est_jaccard_correlates(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         cands = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)

@@ -53,9 +53,18 @@ def build(spark, path: str, rows: int, users: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/events.parquet")
 
 
-def build_documents(spark, path: str, docs: int) -> None:
+def build_documents(spark, path: str, docs: int, vocab_size: int = 100) -> None:
     """Synthetic word-soup documents (~50 words from a 100-word vocab)
     for the text-pipeline probes.
+
+    ``vocab_size`` (late r11): the fixed 100-word vocabulary makes
+    random shingle collisions Θ(n²) — at 2M docs the LSH candidate set
+    is dominated by that corpus artifact, not the planted clones (the
+    wave-2 finding). Real corpora grow vocabulary with size (Heaps'
+    law), keeping collision rates roughly flat; passing a scaled
+    vocab_size (e.g. docs // 10_000) builds a corpus that measures the
+    ENGINE's scaling instead of the artifact. The default stays 100 so
+    the chrono_scale_v2 baselines remain comparable across rounds.
 
     r9: the corpus now contains REAL repeated content, because a
     word-soup of unique docs gives the span/dedup family nothing to
@@ -69,7 +78,6 @@ def build_documents(spark, path: str, docs: int) -> None:
       skewed-hash case a real boilerplate footer produces);
     - every doc_id % 7 == 3 embeds a second, different boilerplate.
     """
-    vocab = F.array(*[F.lit(f"w{i}") for i in range(100)])
     seed = F.when(
         F.col("id") % 50 == 49, F.col("id") - 1
     ).otherwise(F.col("id"))
@@ -82,9 +90,11 @@ def build_documents(spark, path: str, docs: int) -> None:
                 F.lit(1),
                 (F.pmod(F.xxhash64(seed), F.lit(40)) + 30).cast("int"),
             ),
-            lambda i: F.element_at(
-                vocab,
-                (F.pmod(F.xxhash64(seed, i), F.lit(100)) + 1).cast("int"),
+            # direct word synthesis (w0..w{v-1}) instead of element_at
+            # over a literal array, so vocab_size scales to any value
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(seed, i), F.lit(vocab_size)).cast("string"),
             ),
         ),
     )
