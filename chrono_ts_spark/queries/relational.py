@@ -2709,8 +2709,14 @@ cls AS (
     -- class by the cumulative share BEFORE this part: the part that
     -- CROSSES a boundary still belongs to the upper class (a monopoly
     -- part with 99% share is A, not C)
-    SELECT CASE WHEN (cum - rev_e4) * 100 < total * 80 THEN 'A'
-                WHEN (cum - rev_e4) * 100 < total * 95 THEN 'B'
+    -- DECIMAL(38,0) cross-multiplications: at 400x fixture scale the
+    -- e4 revenue total reaches ~1e17 and total*100 overflows BIGINT
+    -- (found live by the r11 240M-row probe); exact decimals keep the
+    -- integer comparison semantics with 38-digit headroom
+    SELECT CASE WHEN CAST(cum - rev_e4 AS DECIMAL(38,0)) * 100
+                     < CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
+                WHEN CAST(cum - rev_e4 AS DECIMAL(38,0)) * 100
+                     < CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
                 ELSE 'C' END AS abc_class,
            rev_e4
     FROM c CROSS JOIN tot
@@ -2751,10 +2757,13 @@ def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = banded_prefix_sum(
         pr, "rev_e4", ["l_partkey"], "rev_e4", ascending=False, out="cum"
     )
-    prev = F.col("cum") - F.col("rev_e4")
+    # decimal(38,0) comparisons: total*100 overflows bigint at the 400x
+    # probe scale (~1e17 e4-revenue total, found live at 240M rows)
+    prev = (F.col("cum") - F.col("rev_e4")).cast("decimal(38,0)")
+    tot38 = F.col("total").cast("decimal(38,0)")
     cls = c.join(F.broadcast(tot)).select(
-        F.when(prev * 100 < F.col("total") * 80, "A")
-        .when(prev * 100 < F.col("total") * 95, "B")
+        F.when(prev * 100 < tot38 * 80, "A")
+        .when(prev * 100 < tot38 * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
         "rev_e4",
@@ -4541,8 +4550,12 @@ cum AS (
 ),
 abc AS (
     SELECT cum.l_partkey,
-           CASE WHEN (c - rev_e4) * 100 < total * 80 THEN 'A'
-                WHEN (c - rev_e4) * 100 < total * 95 THEN 'B'
+           -- DECIMAL(38,0): bigint total*100 overflows at 400x fixture
+           -- scale (r11 probe find; matches the Spark side in lockstep)
+           CASE WHEN CAST(c - rev_e4 AS DECIMAL(38,0)) * 100
+                     < CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
+                WHEN CAST(c - rev_e4 AS DECIMAL(38,0)) * 100
+                     < CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum CROSS JOIN tot
 )
@@ -4606,11 +4619,15 @@ def rel_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = banded_prefix_sum(
         rev, "rev_e4", ["l_partkey"], "rev_e4", ascending=False, out="c"
     )
-    prev_c = F.col("c") - F.col("rev_e4")
+    # decimal(38,0) comparisons — the bigint form overflowed at the r11
+    # 400x probe (total*100 > 2^63 at ~1e17 e4-revenue; same fix as
+    # rel_abc_analysis, oracle updated in lockstep)
+    prev_c = (F.col("c") - F.col("rev_e4")).cast("decimal(38,0)")
+    tot38x = F.col("total").cast("decimal(38,0)")
     abc = cum.join(F.broadcast(tot)).select(
         "l_partkey",
-        F.when(prev_c * 100 < F.col("total") * 80, "A")
-        .when(prev_c * 100 < F.col("total") * 95, "B")
+        F.when(prev_c * 100 < tot38x * 80, "A")
+        .when(prev_c * 100 < tot38x * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )

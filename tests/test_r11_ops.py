@@ -109,3 +109,63 @@ class TestDoulionTriangles:
             doulion_triangle_counts(None, 0, 2)
         with pytest.raises(ValueError):
             doulion_triangle_counts(None, 3, 2)
+
+
+class TestAbcDecimalHeadroom:
+    def test_abc_classes_survive_e17_revenue_totals(self, spark, tmp_path):
+        """The r11 400x probe (240M lineitem) found the ABC banding's
+        bigint cross-multiplications overflowing: total*100 > 2^63
+        once the e4 fixed-point revenue total passes ~9.2e16. Both
+        rel_abc_analysis and rel_abc_xyz (and their oracles, in
+        lockstep) now compare in DECIMAL(38,0). This corpus reproduces
+        the overflow regime with 2,000 max-price rows — the old bigint
+        form raises ARITHMETIC_OVERFLOW on it; the decimal form must
+        classify correctly."""
+        import datetime
+
+        import pandas as pd
+
+        n = 2000
+        li = pd.DataFrame(
+            {
+                "l_orderkey": range(n),
+                "l_partkey": [i % 200 for i in range(n)],
+                "l_suppkey": [1] * n,
+                "l_linenumber": pd.array([1] * n, dtype="int32"),
+                "l_quantity": [float(1 + i % 7) for i in range(n)],
+                # max-ish price: rev_e4 ~ 1e14/row; 2000 rows -> ~2e17
+                # total, past the 9.2e18/100 bigint comparison ceiling
+                "l_extendedprice": [9_999_999_999.0] * n,
+                "l_discount": [0.0] * n,
+                "l_tax": [0.0] * n,
+                "l_returnflag": ["N"] * n,
+                "l_linestatus": ["O"] * n,
+                "l_shipdate": [datetime.datetime(2024, 1, 1)] * n,
+            }
+        )
+        o = pd.DataFrame(
+            {
+                "o_orderkey": range(n),
+                "o_custkey": [1] * n,
+                "o_orderstatus": ["F"] * n,
+                "o_totalprice": [1.0] * n,
+                "o_orderdate": [
+                    datetime.datetime(2024, 1 + (i % 12), 1) for i in range(n)
+                ],
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        )
+        li.to_parquet(tmp_path / "lineitem.parquet")
+        o.to_parquet(tmp_path / "orders.parquet")
+
+        from chrono_ts_spark.queries import load_all
+
+        reg = load_all()
+        abc = reg["rel_abc_analysis"].fn(spark, str(tmp_path)).collect()
+        assert {r.abc_class for r in abc} <= {"A", "B", "C"}
+        # equal-revenue parts: the first 80% of parts are A, to 95% B
+        counts = {r.abc_class: r.n_parts for r in abc}
+        assert counts == {"A": 160, "B": 30, "C": 10}
+        grid = reg["rel_abc_xyz"].fn(spark, str(tmp_path)).collect()
+        assert sum(r.n_parts for r in grid) == 200
+        assert {r.abc_class for r in grid} <= {"A", "B", "C"}
