@@ -2423,8 +2423,11 @@ SELECT brand_a, brand_b, n_pair,
        round(CAST(n_pair AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
        round(CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS conf_ab,
        round(CAST(n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6) AS conf_ba,
-       round(CAST(n_pair * n AS DOUBLE)
-             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+       -- HUGEINT products: bigint n_pair*n crosses 2^63 once basket
+       -- counts reach ~3e9 (the ABC-banding ceiling class, late r11)
+       round(CAST(CAST(n_pair AS HUGEINT) * n AS DOUBLE)
+             / CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item AS DOUBLE), 6)
+           AS lift
 FROM pairs
 JOIN item ia ON pairs.brand_a = ia.p_brand
 JOIN item ib ON pairs.brand_b = ib.p_brand
@@ -2498,8 +2501,19 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(D(F.col("n_pair")) / D(F.col("n")), 6).alias("support"),
             F.round(D(F.col("n_pair")) / D(F.col("n_a")), 6).alias("conf_ab"),
             F.round(D(F.col("n_pair")) / D(F.col("n_b")), 6).alias("conf_ba"),
+            # decimal(38,0) products — bigint n_pair*n crosses 2^63 once
+            # basket counts reach ~3e9 (the ABC ceiling class, late r11;
+            # oracle uses HUGEINT in lockstep)
             F.round(
-                D(F.col("n_pair") * F.col("n")) / D(F.col("n_a") * F.col("n_b")), 6
+                D(
+                    F.col("n_pair").cast("decimal(38,0)")
+                    * F.col("n").cast("decimal(38,0)")
+                )
+                / D(
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ),
+                6,
             ).alias("lift"),
         )
     )
