@@ -61,6 +61,28 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def recommended_shingle_df_cap(n_docs: int) -> int:
+    """Production default for ``minhash_lsh_candidates(max_shingle_df=)``.
+
+    ``max(512, n_docs // 1000)`` — i.e. drop shingles shared by more
+    than 0.1% of a large corpus. Rationale (r11 2M/4M-doc probes,
+    docs/scale.md "LSH banding"): true near-dup families are
+    duplication events (mirrored pages, reposts) and stay far below
+    0.1% of any web-scale corpus, while boilerplate spans (site
+    footers, license headers) appear in 5-14%+ of docs and contribute
+    a quadratically-growing candidate floor (~10^11 pairs
+    extrapolated at 1B docs). The 0.1% cap bounds any admitted
+    shingle's worst-case pair contribution at (n/1000)²/2 while
+    leaving genuine duplicate clusters untouched. The 512 floor keeps
+    the cap inert on small/fixture corpora (every fixture shingle df
+    is far below it), so capped and uncapped output are identical
+    there — pinned by the pipeline-level test. Corpora where hot
+    spans CARRY signal (e.g. legal boilerplate retrieval) should keep
+    the cap off; see the docstring below.
+    """
+    return max(512, n_docs // 1000)
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Affine permutation params, pre-reduced for overflow safety:
     a < 2^31 (paired with 31-bit-reduced hashes, a*h + b stays under
@@ -217,8 +239,26 @@ def minhash_lsh_candidates(
     Arrow signature batch, so the signature stage stays map-only.
     est_jaccard is then estimated over the CAPPED shingle sets; docs
     consisting only of hot shingles yield no candidates (documented
-    null-signature path). The md5/SQL twin remains uncapped — this is
-    the scale knob for the native path.
+    null-signature path).
+
+    Setting the cap changes two contracts (both deliberate):
+
+    - EAGERNESS: the df pass runs AT BUILD TIME (the hot set must be
+      on the driver before the signature UDF can close over it), so
+      this function stops being fully lazy — it scans the corpus once
+      when called, not when the returned pairs are consumed. The
+      tokenize/shingle/hash table is persisted (MEMORY_AND_DISK)
+      across the df pass and the signature pass so that scan is paid
+      once, not twice; like ``materialize``, the cached table lives
+      until the caller's session drops it (``.unpersist()`` /
+      ``spark.catalog.clearCache()``).
+    - The cap applies in BOTH hash modes, portable included — the
+      capped shingle universe is what est_jaccard is estimated over,
+      whichever base hash keys it. A portable=True caller who also
+      sets the cap therefore needs the SAME drop-set applied in their
+      SQL oracle to keep parity; the registry's doc_minhash_md5
+      oracle query simply leaves the cap unset (the knob is for
+      production corpora, not the fixture).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -244,6 +284,15 @@ def minhash_lsh_candidates(
     params = _perm_params(num_perm, seed)
     drop_hashes = None
     if max_shingle_df is not None:
+        import numpy as np
+        from pyspark import StorageLevel
+
+        # The cap makes construction EAGER (docstring): the hot set is
+        # collected here, before the signature UDF exists. Persist the
+        # tokenize/shingle/hash table so the corpus text pipeline — the
+        # dominant per-row cost — is computed once for the df pass and
+        # reread from cache by the signature pass, not recomputed.
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
         # df pass: distinct (doc, shingle-hash) incidences → per-hash doc
         # counts; partial aggregation keeps the shuffle at 8-byte keys.
         hot = (
@@ -253,13 +302,18 @@ def minhash_lsh_candidates(
             .filter(F.col("__df") > max_shingle_df)
             .select("__h")
         )
-        drop_hashes = [r[0] for r in hot.limit(1_000_001).collect()]
-        if len(drop_hashes) > 1_000_000:
+        pulled = [r[0] for r in hot.limit(1_000_001).collect()]
+        if len(pulled) > 1_000_000:
             raise ValueError(
                 "max_shingle_df admits >1M hot shingles — the cap is "
                 "below this corpus's common-shingle regime; raise it "
                 "(driver pull is bounded by design, not by luck)"
             )
+        # Ship the drop set as a SORTED int64 numpy array: the pandas
+        # UDF pickles its closure with the command, and a 1M-entry
+        # Python int list is tens of MB of pickle vs 8 MB of numpy
+        # buffer — and the searchsorted side needs it sorted anyway.
+        drop_hashes = np.sort(np.asarray(pulled, dtype=np.int64))
     # Null/empty guard on the UDF's INPUT, not its output: a filter on
     # the pandas_udf result column sits between the two self-join
     # branches and defeats AQE's exchange reuse, recomputing the whole

@@ -72,69 +72,73 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-11
-# rotation (docs/coverage.md "Round-11 window", executed verbatim — the
-# r10 window landed 50/50 green so no fix re-witness is owed): (1) the
-# full 35-query oracled backlog, rel_price_percentiles_ranged first
-# (newest machinery first, the standing pattern) then registration
-# order — landing these green EMPTIES the oracled backlog: every
-# oracled query in the registry will then have a driver hash row;
-# (2) the first 15 (registration order) of the 17 never-witnessed
-# rows-only queries, each taking its first driver rows-only row
-# (io_footer_stats and io_sorted_write are the 2 left for r12).
+# per round, so ordering is coverage policy, not cosmetics.  Round-12
+# rotation (docs/coverage.md "Round-12 window", executed verbatim;
+# backlog recomputed from CORRECTNESS_r01–r11 at round start — it
+# matches the written plan): (1) the last 2 never-witnessed rows-only
+# queries; (2) the r11 DOULION swap's first driver row; (2b) the 3
+# CHANGED-SINCE-WITNESS re-witnesses whose r10 hash rows predate their
+# r11 decimal rewrites; (3) the 7 r6-stale rows-only re-witnesses;
+# (4) 37 staleness re-witnesses of oracled greens, OLDEST last-witness
+# first (the r5 cohort, 7 rounds stale), registration order within the
+# round.  sf_math/conditional/json_funcs move to the r13 ladder to keep
+# 50 slots.
 _WINDOW_50 = [
-    # -- (1) the oracled backlog: 35 queries, drained in full --
-    "rel_price_percentiles_ranged",
-    "sf_interval_funcs",
-    "doc_pmi_bigrams",
-    "doc_sentence_stats",
-    "doc_zipf_fit",
-    "doc_canonical_dedup",
-    "doc_rake_keywords",
-    "doc_containment_adjacent",
-    "doc_ngram_novelty",
-    "doc_bigram_lm",
-    "doc_jaccard_threshold_curve",
-    "doc_lsh_s_curve",
-    "doc_char_entropy",
-    "doc_lix_readability",
-    "doc_vocab_richness",
-    "doc_ascii_ratio",
-    "doc_prefix_dup_groups",
-    "doc_dup_cluster_sizes",
-    "emb_outliers",
-    "emb_label_affinity",
-    "emb_rp_project",
-    "emb_centroid_drift",
-    "emb_concentration",
-    "emb_quantization_error",
-    "emb_range_search",
-    "emb_similarity_histogram",
-    "ts_holt_winters",
-    "ts_forecast_intervals",
-    "dq_expectations",
-    "diag_key_skew",
-    "io_nested_json",
-    "sql_recursive_reach",
-    "io_csv_dialect",
-    "dq_column_profile",
-    "udtf_user_profile",
-    # -- (2) rows-only first witnesses: 15 of 17, registration order --
-    "ts_rolling_actives_approx",
-    "rel_approx_percentiles",
-    "doc_simhash",
-    "doc_simhash_neighbors",
-    "mm_features",
-    "doc_heavy_tokens",
-    "doc_compression_ratio",
-    "emb_kmeans",
-    "emb_semdedup",
-    "emb_pca_variance",
-    "emb_recall_eval",
-    "diag_lsh_buckets",
-    "stream_stream_join_left",
-    "rel_approx_distinct",
-    "rel_sample",
+    # -- (1) last 2 never-witnessed rows-only --
+    "io_footer_stats",
+    "io_sorted_write",
+    # -- (2) first driver row for the r11 G2+ DOULION swap --
+    "rel_triangle_doulion",
+    # -- (2b) changed-since-witness: r11 decimal rewrites --
+    "rel_abc_analysis",
+    "rel_abc_xyz",
+    "rel_market_basket",
+    # -- (3) the 7 r6-stale rows-only re-witnesses --
+    "doc_minhash_near_dups",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "emb_pq_topk",
+    "io_binary_scan",
+    "mm_byte_features",
+    "ts_value_quantile_sketch",
+    # -- (4) 37 staleness re-witnesses, r5 cohort, registration order --
+    "ts_bucket_agg",
+    "ts_rate",
+    "ts_sessionize",
+    "ts_cumsum",
+    "ts_gapfill_locf",
+    "ts_range_join_counts",
+    "ts_range_join_left",
+    "ts_interval_overlap",
+    "ts_scd2_user_state",
+    "ts_cusum_alarms",
+    "ts_zorder_values",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
+    "ts_rolling_autocorr",
+    "ts_event_pattern",
+    "ts_rollup_incremental",
+    "ts_pit_join_status",
+    "ts_salted_join_enrich",
+    "ts_winsorized_stats",
+    "ts_time_weighted_avg",
+    "rel_brand_stats",
+    "rel_cust_order_histogram",
+    "rel_union_nationkeys",
+    "rel_nations_cust_not_supp",
+    "rel_rollup_sales",
+    "rel_order_gap_days",
+    "rel_acctbal_distribution",
+    "rel_stats_moments",
+    "rel_price_percentiles",
+    "rel_filter_project",
+    "rel_distinct_type_brand",
+    "rel_bloom_join_revenue",
+    "rel_grouping_sets",
+    "rel_fuzzy_part_names",
+    "rel_part_pagerank",
+    "sf_string_funcs",
+    "sf_datetime_funcs",
 ]
 
 

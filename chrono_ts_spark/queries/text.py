@@ -319,6 +319,20 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch — the cluster-scale setting (see operators/dedup.py and
     BASELINE.md crossover guidance); default recompute wins locally.
 
+    SPARK_GRAFT_MINHASH_MAX_DF sets the hot-shingle document-frequency
+    cap (r11, operators/dedup.py max_shingle_df): an integer for an
+    explicit cap, or "auto" for recommended_shingle_df_cap(n_docs) —
+    THE production-corpus setting. Real corpora are boilerplate-heavy
+    (site footers, license headers), and uncapped LSH admits a
+    quadratically-growing candidate floor from those hot spans
+    (measured: 5.0M candidates at 2M docs → exactly the 40k true
+    pairs once capped; docs/scale.md "LSH banding"). Unset by default
+    because (a) the driver/bench fixture corpus has no boilerplate —
+    capped output is identical there (pinned in
+    tests/test_dedup_similarity.py::test_recommended_cap_identical_on_fixture)
+    while the extra df pass costs wall time below ~8M docs — and
+    (b) the cap makes construction eager (see the operator docstring).
+
     Rows-only: xxhash64 is Spark-private, so these signatures have no
     cross-engine oracle — doc_minhash_md5 is the fully-oracled twin of
     the same pipeline; pytest additionally pins planted near-dup
@@ -327,9 +341,17 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = load_table(spark, sf_dir, "documents")
+    max_df_env = os.environ.get("SPARK_GRAFT_MINHASH_MAX_DF")
+    if max_df_env == "auto":
+        from ..operators.dedup import recommended_shingle_df_cap
+
+        max_df = recommended_shingle_df_cap(d.count())
+    else:
+        max_df = int(max_df_env) if max_df_env else None
     cands = minhash_lsh_candidates(
         d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
         materialize=os.environ.get("SPARK_GRAFT_MINHASH_MATERIALIZE") == "1",
+        max_shingle_df=max_df,
     )
     verified = exact_jaccard_pairs(d, cands, "doc_id", "text", shingle_k=5)
     return verified.filter(F.col("jaccard") >= 0.5).select(
@@ -1944,7 +1966,17 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/10/10 split -> per-(lang, split) accounting. Every stage is the
     same operator the standalone queries use; the whole chain stays one
     declarative plan (Catalyst pipelines the three shuffles: repetition
-    counts, dedup window, final rollup)."""
+    counts, dedup window, final rollup).
+
+    Production guidance (r12): deployments that add a NEAR-dup stage
+    between the exact dedup and the split (the doc_minhash_near_dups
+    pipeline) should set max_shingle_df =
+    recommended_shingle_df_cap(n_docs) (operators/dedup.py) — real
+    corpora are boilerplate-heavy and the uncapped LSH candidate floor
+    grows quadratically in footer-sharing docs (docs/scale.md "LSH
+    banding"; measured 5.0M -> 40k candidates at 2M docs, identical
+    duplicates found). The fixture corpus has no boilerplate, so the
+    cap is deliberately absent here."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     scored = d.select(

@@ -213,6 +213,38 @@ class TestMinhashLSH:
             map(tuple, off.collect())
         )
 
+    def test_recommended_cap_identical_on_fixture(self, spark):
+        """Pipeline-level pin for the r12 production guidance (VERDICT
+        r11 item 4): running the doc_minhash_near_dups pipeline (LSH
+        candidates + exact-Jaccard verify + >= 0.5 gate) on the fixture
+        documents corpus with max_shingle_df =
+        recommended_shingle_df_cap(n_docs) keeps the near-dup
+        ACCOUNTING identical to the uncapped default — the fixture has
+        no boilerplate, so the recommended cap must be inert there and
+        the knob is a pure scale lever, never a semantics change on
+        clean corpora."""
+        from chrono_ts_spark.catalog import load_table
+        from chrono_ts_spark.operators.dedup import recommended_shingle_df_cap
+        from tests.conftest import SF_SMOKE
+
+        d = load_table(spark, SF_SMOKE, "documents")
+        cap = recommended_shingle_df_cap(d.count())
+
+        def accounting(max_df):
+            cands = minhash_lsh_candidates(
+                d, "doc_id", "text", 64, 16, 5, max_shingle_df=max_df
+            )
+            ver = exact_jaccard_pairs(d, cands, "doc_id", "text", 5)
+            return sorted(
+                (r.id_a, r.id_b, r.est_jaccard, r.jaccard)
+                for r in ver.filter(F.col("jaccard") >= 0.5).collect()
+            )
+
+        try:
+            assert accounting(cap) == accounting(None)
+        finally:
+            spark.catalog.clearCache()  # the capped path persists hs
+
     def test_est_jaccard_correlates(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         cands = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
