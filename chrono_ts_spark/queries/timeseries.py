@@ -2513,11 +2513,16 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned), but the pair expansion is inherently O(n_s^2) per
     series — correct for the bounded per-series densities of metrics
     data (fixture: ~67 pts/user at every SF). 100 TB swap-ins for
-    unbounded series: ts_theil_sen_windowed (below) IS the implemented
-    bounded-pair-offset variant — O(n_s·W) pairs, fully oracled, exact
-    for series shorter than W — and ts_theil_sen_sampled (r8) IS the
-    implemented fixed-size-sample variant — O(n_s + K²) per series via
-    hash-rank point sampling, also fully oracled; the repeated-median
+    unbounded series (guidance settled r12 after the 240M probe,
+    docs/scale.md "watch resolution"): ts_theil_sen_sampled is the
+    DEFAULT — O(n_s + K²) per series via hash-rank point sampling,
+    fully oracled, memory-safe at every probed scale (its one
+    super-constant stage is a disk-spillable window sort) and 7.7x
+    faster than windowed at 240M; ts_theil_sen_windowed is the
+    BOUNDED-SERIES alternative — O(n_s·W) pairs, fully oracled, exact
+    for series shorter than W, preferred when local slope density
+    matters, but its exploded-slope working set is GC-heavy
+    (2.4x/doubling at 16g, 8g ceiling at 120M). The repeated-median
     sketch remains the one named alternative (only when its stronger
     breakdown bound is itself required). See docs/scale.md.
     """
@@ -2597,13 +2602,17 @@ def ts_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate converges to the full Theil-Sen as W grows (W = n_s
     recovers it exactly — pinned in pytest on small series).
 
-    Measured one-box boundary (r11): linear to 60M rows (170 s solo),
-    and the n*W exploded-slope working set crosses the default 8g
-    heap between 60M and 120M on one 32-thread JVM — 120M OOMs at 8g
-    and completes in 426 s at 16g (CHRONO_DRIVER_MEM). On a cluster
-    this is executor sizing, not an algorithmic bound; for a fixed
-    memory budget at any scale, ts_theil_sen_sampled is the
-    documented swap (32.5 s at 120M, fixed K(K-1)/2 pairs/series).
+    Measured one-box boundary (r11, watch resolved r12): linear to
+    60M rows (170 s solo); the n*W exploded-slope working set crosses
+    the default 8g heap between 60M and 120M on one 32-thread JVM —
+    120M OOMs at 8g, completes at 16g (426 s r11 / 363.6 s r12), and
+    the 240M doubling completes at 16g in 877.2 s (2.41x/doubling,
+    GC-heavy but stable; docs/scale.md "watch resolution"). Contract
+    settled r12: this is the BOUNDED-SERIES variant — prefer it when
+    series length is bounded and locally-dense slope pairs matter;
+    for unbounded series ts_theil_sen_sampled is the documented
+    default (memory-safe spill-bound sort, 113.7-123.3 s at 240M,
+    fixed K(K-1)/2 pairs/series).
     """
     ev = load_table(spark, sf_dir, "events")
     # t = unix_micros(ts) is order-equivalent to ts, so the (t,
@@ -2738,7 +2747,13 @@ def ts_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (both co-partitioned); the sample bound makes every join
     match finite — the fixed-size-sample contract that lets the
     estimator run on unbounded series where even the windowed variant
-    grows with n_s.
+    grows with n_s. Settled r12 as the DEFAULT Theil-Sen for
+    unbounded series (docs/scale.md "watch resolution"): the only
+    super-constant stage is the full-table window sort behind the
+    exact deterministic sample — disk-spillable, never OOMed at any
+    probed scale — measured 44.5-61.7 s at 120M and 113.7-123.3 s at
+    240M (16g, solo fresh-JVM band), 7.7x faster than windowed at
+    240M.
     """
     ev = load_table(spark, sf_dir, "events")
     h = md5_u32(
