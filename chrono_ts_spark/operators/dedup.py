@@ -292,7 +292,13 @@ def minhash_lsh_candidates(
         # tokenize/shingle/hash table so the corpus text pipeline — the
         # dominant per-row cost — is computed once for the df pass and
         # reread from cache by the signature pass, not recomputed.
-        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY, not MEMORY_AND_DISK (r12 8M-doc probe): the cache
+        # exists purely to avoid a second corpus scan and is read once,
+        # sequentially — but heap-resident columnar cache blocks compete
+        # with execution memory, and at 8M docs (~3-4 GB of hashes) the
+        # capped pipeline GCLocker-failed a default 8g JVM; on disk it
+        # completes there, and the one re-read costs seconds.
+        hs = hs.persist(StorageLevel.DISK_ONLY)
         # df pass: distinct (doc, shingle-hash) incidences → per-hash doc
         # counts; partial aggregation keeps the shuffle at 8-byte keys.
         hot = (
