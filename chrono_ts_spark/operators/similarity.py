@@ -134,15 +134,29 @@ def lsh_bucket_topk(
         F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
     )
 
-    cands = (
+    # Score BEFORE the cross-table dedup (r12, found at the 8M-vector
+    # probe): the broadcast join + filter + cosine are all map-side, so
+    # the dedup shuffle is this plan's ONLY corpus-sized exchange —
+    # and with the vectors projected away it carries (query_id,
+    # neighbor_id, cosine) ≈ 32 B/row instead of two dims-wide double
+    # arrays (~1 KB/row at 64 dims). Dedup saves almost no compute
+    # anyway (tables use independent hyperplanes, so cross-table
+    # collisions are mostly DISTINCT pairs), while the wide shuffle
+    # was a measured cliff — same corpora, solo fresh-JVM A/B:
+    # wide 66.8 s at 4M vectors → 197.6 s at 8M (2.96x/doubling,
+    # spill-bound); narrow 53.4 s → 82.6 s (1.55x/doubling, linear
+    # again), output bit-identical at sf0.01. Duplicate pairs score
+    # identical cosines, so dropDuplicates after scoring returns the
+    # exact same candidate set.
+    scored = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     return top_k_per_group(
         scored,
