@@ -1038,8 +1038,20 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     # ~512 members per cluster: recall needs dup families to share a
-    # cluster, so k must not exceed the natural grouping scale
-    k = max(2, min(4096, n // 512))
+    # cluster, so k must not exceed the natural grouping scale. No
+    # upper cap (r12): the old min(4096, ...) was vestigial from the
+    # flat-kmeans era — hierarchical_kmeans_assign exists precisely to
+    # serve corpus-prescribed k with capped driver traffic — and it
+    # silently broke the "per-cluster pairwise term is constant"
+    # promise beyond 2M vectors: with k frozen the pairwise work is
+    # n²/k, measured 43.0 s at 4M -> 84.6 s at 8M where the uncapped k
+    # keeps clusters at ~512 and the probe trend linear (35.4 ->
+    # 63.7 s, 1.8x/doubling). Fixture scales (n < 2M) are unaffected
+    # (k = n//512 < 4096 either way); emb_semdedup_exact — the
+    # fixture-scale verification twin — keeps the cap deliberately,
+    # since its SQL oracle embeds it and its flat Lloyd fit's driver
+    # collect DOES scale with k.
+    k = max(2, n // 512)
     assigned = hierarchical_kmeans_assign(emb, dims=_DIMS, k=k).select(
         "vec_id", "label", "cluster", "embedding"
     )
