@@ -247,7 +247,10 @@ def minhash_lsh_candidates(
       on the driver before the signature UDF can close over it), so
       this function stops being fully lazy — it scans the corpus once
       when called, not when the returned pairs are consumed. The
-      tokenize/shingle/hash table is persisted (MEMORY_AND_DISK)
+      tokenize/shingle/hash table is persisted (DISK_ONLY — heap
+      cache blocks compete with execution memory, and the r12 8M-doc
+      probe GCLocker-failed an 8g JVM under MEMORY_AND_DISK; the
+      table is read once, sequentially, so disk costs only seconds)
       across the df pass and the signature pass so that scan is paid
       once, not twice; like ``materialize``, the cached table lives
       until the caller's session drops it (``.unpersist()`` /

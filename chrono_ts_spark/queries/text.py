@@ -346,8 +346,18 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.dedup import recommended_shingle_df_cap
 
         max_df = recommended_shingle_df_cap(d.count())
+    elif max_df_env:
+        max_df = int(max_df_env)
+        if max_df < 1:
+            # A cap of 0 would drop EVERY shingle with df>0 — i.e. all
+            # of them — yielding null signatures everywhere (or the 1M
+            # hot-shingle guard), not "no cap". Fail loudly instead.
+            raise ValueError(
+                "SPARK_GRAFT_MINHASH_MAX_DF must be >= 1 or 'auto' "
+                f"(got {max_df_env!r}); unset it to disable the cap"
+            )
     else:
-        max_df = int(max_df_env) if max_df_env else None
+        max_df = None
     cands = minhash_lsh_candidates(
         d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
         materialize=os.environ.get("SPARK_GRAFT_MINHASH_MATERIALIZE") == "1",

@@ -245,6 +245,23 @@ class TestMinhashLSH:
         finally:
             spark.catalog.clearCache()  # the capped path persists hs
 
+    def test_max_df_env_zero_rejected(self, spark, monkeypatch):
+        """SPARK_GRAFT_MINHASH_MAX_DF=0 must fail loudly (ADVICE r12):
+        the string '0' is truthy, so before the guard it parsed to
+        max_shingle_df=0 — dropping every shingle with df>0, i.e. all
+        of them — instead of meaning 'no cap'."""
+        import pytest as _pytest
+
+        from chrono_ts_spark.catalog import load_table  # noqa: F401
+        from chrono_ts_spark.queries import load_all
+        from tests.conftest import SF_SMOKE
+
+        q = load_all()["doc_minhash_near_dups"].fn
+        for bad in ("0", "-3"):
+            monkeypatch.setenv("SPARK_GRAFT_MINHASH_MAX_DF", bad)
+            with _pytest.raises(ValueError, match="must be >= 1"):
+                q(spark, SF_SMOKE)
+
     def test_est_jaccard_correlates(self, spark, corpus):
         df = spark.createDataFrame(corpus, "doc_id long, text string")
         cands = minhash_lsh_candidates(df, "doc_id", "text", 64, 16, 5)
