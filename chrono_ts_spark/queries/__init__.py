@@ -72,73 +72,72 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-12
-# rotation (docs/coverage.md "Round-12 window", executed verbatim;
-# backlog recomputed from CORRECTNESS_r01–r11 at round start — it
-# matches the written plan): (1) the last 2 never-witnessed rows-only
-# queries; (2) the r11 DOULION swap's first driver row; (2b) the 3
-# CHANGED-SINCE-WITNESS re-witnesses whose r10 hash rows predate their
-# r11 decimal rewrites; (3) the 7 r6-stale rows-only re-witnesses;
-# (4) 37 staleness re-witnesses of oracled greens, OLDEST last-witness
-# first (the r5 cohort, 7 rounds stale), registration order within the
-# round.  sf_math/conditional/json_funcs move to the r13 ladder to keep
-# 50 slots.
+# per round, so ordering is coverage policy, not cosmetics.  Round-13
+# rotation (docs/coverage.md "Round-13 window", backlog recomputed from
+# CORRECTNESS_r01-r12 at round start + changed-since-witness recomputed
+# from the r12 post-seal commits, per VERDICT r12 items 1 and 3):
+# (1) the 2 CHANGED-SINCE-WITNESS front-loads — emb_semdedup
+# (vectors.py k-cap removal, commit 65297f0) and emb_recall_eval
+# (consumes the lsh_bucket_topk narrow-shuffle fix, commit 2014ee3)
+# both changed AFTER their r11 driver rows; (2) the 13 remaining
+# r5-cohort greens (8 rounds stale), registration order; (3) the first
+# 35 of the r6 cohort, registration order.  doc_rrf_fusion and
+# sql_correlated_above_avg displace to the r14 ladder to make room for
+# the front-loads.
 _WINDOW_50 = [
-    # -- (1) last 2 never-witnessed rows-only --
-    "io_footer_stats",
-    "io_sorted_write",
-    # -- (2) first driver row for the r11 G2+ DOULION swap --
-    "rel_triangle_doulion",
-    # -- (2b) changed-since-witness: r11 decimal rewrites --
-    "rel_abc_analysis",
-    "rel_abc_xyz",
-    "rel_market_basket",
-    # -- (3) the 7 r6-stale rows-only re-witnesses --
-    "doc_minhash_near_dups",
-    "emb_ann_ivf",
-    "emb_ann_lsh",
-    "emb_pq_topk",
-    "io_binary_scan",
-    "mm_byte_features",
-    "ts_value_quantile_sketch",
-    # -- (4) 37 staleness re-witnesses, r5 cohort, registration order --
-    "ts_bucket_agg",
-    "ts_rate",
-    "ts_sessionize",
-    "ts_cumsum",
-    "ts_gapfill_locf",
-    "ts_range_join_counts",
-    "ts_range_join_left",
-    "ts_interval_overlap",
-    "ts_scd2_user_state",
-    "ts_cusum_alarms",
-    "ts_zorder_values",
-    "ts_funnel_steps",
-    "ts_cohort_retention",
-    "ts_rolling_autocorr",
-    "ts_event_pattern",
-    "ts_rollup_incremental",
-    "ts_pit_join_status",
-    "ts_salted_join_enrich",
-    "ts_winsorized_stats",
-    "ts_time_weighted_avg",
-    "rel_brand_stats",
-    "rel_cust_order_histogram",
-    "rel_union_nationkeys",
-    "rel_nations_cust_not_supp",
-    "rel_rollup_sales",
-    "rel_order_gap_days",
-    "rel_acctbal_distribution",
-    "rel_stats_moments",
-    "rel_price_percentiles",
-    "rel_filter_project",
-    "rel_distinct_type_brand",
-    "rel_bloom_join_revenue",
-    "rel_grouping_sets",
-    "rel_fuzzy_part_names",
-    "rel_part_pagerank",
-    "sf_string_funcs",
-    "sf_datetime_funcs",
+    # -- (1) changed-since-witness front-loads (r12 post-seal commits) --
+    "emb_semdedup",
+    "emb_recall_eval",
+    # -- (2) the 13 remaining r5-cohort staleness re-witnesses --
+    "sf_math_funcs",
+    "sf_conditional_funcs",
+    "sf_json_funcs",
+    "sf_hash_funcs",
+    "doc_token_stats",
+    "doc_repetition_filter",
+    "doc_mixture_sample",
+    "doc_split_assign",
+    "doc_chunk_dedup",
+    "pipeline_curate_corpus",
+    "doc_feature_hash",
+    "io_orc_scan",
+    "io_schema_evolution",
+    # -- (3) first 35 of the r6 cohort, registration order --
+    "ts_ohlc_daily",
+    "ts_m4_downsample",
+    "ts_seasonal_baseline",
+    "ts_value_drift_psi",
+    "ts_sla_availability",
+    "ts_tier_routed_daily",
+    "ts_bucket_percentiles",
+    "ts_mad_outliers",
+    "ts_topk_users",
+    "ts_asof_join_forward",
+    "ts_salted_agg",
+    "ts_series_corr",
+    "ts_burst_detect",
+    "rel_top_revenue_orders",
+    "rel_order_priority_counts",
+    "rel_nation_revenue",
+    "rel_revenue_forecast",
+    "rel_customers_without_orders",
+    "rel_big_spender_customers",
+    "rel_nation_pairs",
+    "rel_nations_cust_and_supp",
+    "rel_pivot_status",
+    "rel_top_orders_per_cust",
+    "rel_cust_running_total",
+    "rel_first_last_order",
+    "rel_large_volume_customers",
+    "rel_below_avg_quantity",
+    "rel_returned_revenue_customers",
+    "rel_nation_trade_volume",
+    "rel_priority_lateness",
+    "sf_agg_predicates",
+    "doc_top_terms",
+    "doc_bm25",
+    "doc_unigram_logprob",
+    "doc_rrf_bm25",
 ]
 
 
