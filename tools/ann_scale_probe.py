@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""ANN/SemDeDup scale A/B probe (r13 backfill of the two r12 8M-vector
+probes, VERDICT r12 item 2; extended to 16M per item 4).
+
+The two r12 findings this script reproduces, each a one-variant-per-
+invocation solo fresh-JVM run over the shared corpora at
+/tmp/chrono_scale_v2_emb_<vecs>:
+
+1. ``lsh``  — lsh_bucket_topk shuffle-width A/B (commit 2014ee3).
+   ``narrow`` is the shipped plan (score map-side, THEN dedup: the only
+   corpus-sized exchange carries (query_id, neighbor_id, cosine) ≈
+   32 B/row). ``wide`` is the pre-r12 plan reconstructed inline below
+   (dedup BEFORE scoring: the exchange carries both 64-dim double
+   vectors, ~1 KB/row). r12 readings, same corpora, solo fresh-JVM:
+   wide 66.8 s @ 4M → 197.6 s @ 8M (2.96×/doubling, spill-bound);
+   narrow 53.4 s @ 4M → 82.6 s @ 8M (1.55×/doubling). Output
+   bit-identical at sf0.01 (duplicate pairs score identical cosines,
+   so dedup-after-scoring returns the exact same candidate set).
+
+2. ``semdedup`` — emb_semdedup k-cap A/B (commit 65297f0,
+   vectors.py:1038). ``uncapped`` is the shipped pipeline via the
+   registry (k = max(2, n // 512), clusters stay ~512 so the
+   per-cluster pairwise term is constant). ``capped`` is the pre-r12
+   k = max(2, min(4096, n // 512)) reconstructed inline — beyond 2M
+   vectors the frozen k makes the pairwise work n²/k. r12 readings:
+   capped 43.0 s @ 4M → 84.6 s @ 8M (n²/k regime); uncapped 35.4 s @
+   4M → 63.7 s @ 8M (1.8×/doubling). Fixture scales (n < 2M) are
+   unaffected (k = n // 512 < 4096 either way).
+
+Usage (one variant per invocation — fresh-JVM probe discipline;
+CHRONO_DRIVER_MEM=16g for the 16M runs):
+
+    python tools/ann_scale_probe.py lsh <vecs> narrow|wide
+    python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
+
+Prints one JSON line {mode, variant, vecs, out_rows, sec}. Internal
+evidence only — correctness always runs on driver fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DIMS = 64
+
+
+def _corpus(spark, vecs: int):
+    from tools.scale_probe import build_embeddings
+
+    path = f"/tmp/chrono_scale_v2_emb_{vecs}"
+    if not Path(f"{path}/embeddings.parquet").exists():
+        t0 = time.time()
+        build_embeddings(spark, path, vecs, DIMS)
+        print(f"  built {path} in {time.time() - t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def lsh_wide_legacy(corpus, queries, dims, k, n_planes, n_tables):
+    """The pre-r12 lsh_bucket_topk plan (reconstructed from the
+    2014ee3 diff): dedup the candidate pairs BEFORE scoring, so the
+    cross-table dropDuplicates exchange carries both dims-wide double
+    vectors per row. Kept ONLY as the probe's A-side; the shipped
+    operator is the narrow variant in operators/similarity.py."""
+    from chrono_ts_spark.functions import vec_cosine, vec_double
+    from chrono_ts_spark.operators.similarity import _bucket_udf
+    from chrono_ts_spark.operators.topk import top_k_per_group
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed=7)
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec_double(F.col("embedding")).alias("__cv"),
+        F.posexplode(bucket_fn(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        vec_double(F.col("embedding")).alias("__qv"),
+        F.posexplode(bucket_fn(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+    cands = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, group=["query_id"], order=[F.col("cosine").desc(), "neighbor_id"], k=k
+    )
+
+
+def run_lsh(spark, path: str, variant: str):
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.similarity import lsh_bucket_topk
+
+    e = load_table(spark, path, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    if variant == "narrow":
+        return lsh_bucket_topk(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
+    return lsh_wide_legacy(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
+
+
+def semdedup_capped_legacy(spark, path: str):
+    """The pre-r12 emb_semdedup: identical pipeline to the registry
+    query (vectors.py:1038 prune closure mirrored verbatim) except
+    k = max(2, min(4096, n // 512)) — the vestigial flat-kmeans cap
+    whose frozen k makes the per-cluster pairwise term n²/k."""
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, path, "embeddings")
+    n = emb.count()
+    k = max(2, min(4096, n // 512))
+    assigned = hierarchical_kmeans_assign(emb, dims=DIMS, k=k).select(
+        "vec_id", "label", "cluster", "embedding"
+    )
+
+    def prune(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((mat**2).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        c = len(pdf)
+        iu = np.triu_indices(c, k=1)
+        drop = np.zeros(c, dtype=bool)
+        hits = sims[iu] >= 0.95
+        np.logical_or.at(drop, iu[1][hits], True)
+        return pdf.loc[~drop, ["vec_id", "label", "cluster"]]
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, label int, cluster long"
+    )
+
+
+def main() -> int:
+    mode = sys.argv[1]
+    vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    variant = sys.argv[3] if len(sys.argv) > 3 else (
+        "narrow" if mode == "lsh" else "uncapped"
+    )
+
+    from chrono_ts_spark.queries import load_all
+    from chrono_ts_spark.session import get_spark
+
+    spark = get_spark("ann-scale-probe")
+    path = _corpus(spark, vecs)
+
+    t0 = time.time()
+    if mode == "lsh":
+        df = run_lsh(spark, path, variant)
+    elif variant == "uncapped":
+        df = load_all()["emb_semdedup"].fn(spark, path)
+    else:
+        df = semdedup_capped_legacy(spark, path)
+    out_rows = df.count()
+    sec = round(time.time() - t0, 1)
+    print(json.dumps({
+        "mode": mode, "variant": variant, "vecs": vecs,
+        "out_rows": out_rows, "sec": sec,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
