@@ -47,15 +47,40 @@ def _observed_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame replaying <sf_dir>/events.parquet, with
-    ``ts`` normalized to TIMESTAMP regardless of the fixture encoding."""
+    ``ts`` normalized to TIMESTAMP regardless of the fixture encoding.
+
+    SPARK_GRAFT_REPLAY_GLOB (default ``events.parquet``) selects the
+    source files: the default replays the one-file fixture as a single
+    micro-batch (the premise the upsert/alert oracles assert via
+    ``assert_single_file_replay``); production posture sets it to a
+    multi-file pattern (e.g. ``slice_*.parquet`` over a time-sliced,
+    mtime-ordered layout) so maxFilesPerTrigger=1 replays one slice
+    per micro-batch and the watermark actually advances — the
+    bounded-state deployment shape the r12/r13 60M probes measure
+    (docs/scale.md stream-stream join state retention)."""
     apply_runtime_confs(spark)
-    raw_schema = _observed_events_schema(spark, sf_dir)
+    base = sf_dir.rstrip("/")
+    glob_pat = os.environ.get("SPARK_GRAFT_REPLAY_GLOB", "events.parquet")
+    if glob_pat == "events.parquet":
+        raw_schema = _observed_events_schema(spark, sf_dir)
+    else:
+        import glob as _glob
+
+        from ..catalog import observed_schema
+
+        matches = sorted(_glob.glob(os.path.join(base, glob_pat)))
+        if not matches:
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_REPLAY_GLOB={glob_pat!r} matches nothing "
+                f"under {base}"
+            )
+        raw_schema = observed_schema(spark, matches[0])
     raw = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob_pat)
         .option("maxFilesPerTrigger", "1")
-        .load(sf_dir.rstrip("/"))
+        .load(base)
     )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
     if ts_type == "bigint":

@@ -539,3 +539,28 @@ def test_kalman_stream_equals_batch(spark):
     b_rows = as_sorted_rows(batch, cols)
     assert len(s_rows) == len(b_rows)
     assert s_rows == b_rows
+
+
+def test_replay_glob_sliced_equals_single_file(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_REPLAY_GLOB (r13, production posture): replaying the
+    fixture as N time-sliced, mtime-ordered files — one micro-batch per
+    slice, so the watermark actually advances between batches — must
+    produce exactly the single-micro-batch output. Pins the knob that
+    the 60M state-retention probes (tools/stream_probe.py --sliced)
+    run production posture through."""
+    from chrono_ts_spark.streaming.stateful import run_ema_stream
+    from tools.ss_join_state_probe import build_sliced_events
+
+    sliced_dir = str(tmp_path / "sliced")
+    build_sliced_events(
+        spark, f"{SF_SMOKE}/events.parquet", sliced_dir, slices=4
+    )
+
+    single = as_sorted_rows(
+        run_ema_stream(spark, SF_SMOKE), ["event_id", "user_id", "ema"]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_GLOB", "slice_*.parquet")
+    sliced = as_sorted_rows(
+        run_ema_stream(spark, sliced_dir), ["event_id", "user_id", "ema"]
+    )
+    assert sliced == single

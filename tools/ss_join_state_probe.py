@@ -28,6 +28,11 @@ from StreamingQueryProgress (numRowsTotal / stateMemory / SST sizes):
 
     python tools/ss_join_state_probe.py [rows] [users] [slices]
     # default 30_000_000 rows, rows//1000 users, 64 time slices
+    python tools/ss_join_state_probe.py [rows] --only sliced_inner_1h,...
+    # r13: variant-name filter (substring ok) — the 60M production-
+    # posture run (VERDICT r12 item 5) needs only the sliced modes;
+    # single-file at 60M is state-maximal by construction and adds
+    # nothing beyond the measured 30M point.
 
 Matrix: {single-file, time-sliced multi-batch} x {inner W=1h (the
 registry setting), inner W=10min, left W=10min}. Inner output must be
@@ -147,9 +152,15 @@ def run_variant(
 
 
 def main() -> int:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
-    users = int(sys.argv[2]) if len(sys.argv) > 2 else max(1000, rows // 1000)
-    slices = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    only = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    rows = int(argv[0]) if argv else 30_000_000
+    users = int(argv[1]) if len(argv) > 1 else max(1000, rows // 1000)
+    slices = int(argv[2]) if len(argv) > 2 else 64
 
     from chrono_ts_spark.session import get_spark
     from tools.stream_probe import build_single_file_events
@@ -174,6 +185,10 @@ def main() -> int:
         ("sliced_inner_10m", sliced, "slice_*.parquet", "inner", "10 minutes"),
         ("sliced_left_10m", sliced, "slice_*.parquet", "leftOuter", "10 minutes"),
     ]
+    if only is not None:
+        matrix = [
+            row for row in matrix if any(pat in row[0] for pat in only)
+        ]
     results = {}
     for name, src, glob, how, wm in matrix:
         try:

@@ -19,6 +19,14 @@ scale).
     # convention: constant 1000 events/series as rows scale);
     # --only reruns a subset against an existing corpus (solo timings,
     # partial-run resume)
+    python tools/stream_probe.py [rows] --sliced 64 [--only ...]
+    # r13, VERDICT r12 item 5: PRODUCTION POSTURE — replay the
+    # time-sliced mtime-ordered corpus one slice per micro-batch
+    # (SPARK_GRAFT_REPLAY_GLOB=slice_*.parquet), so watermarks
+    # actually advance and state stays bounded; peak state rows/mem/
+    # SST are harvested per probe via a StreamingQueryListener.
+    # upsert_merge/alert_burst are excluded (their oracles assert the
+    # single-file premise).
 
 Internal evidence only — correctness always runs on driver fixtures.
 """
@@ -57,12 +65,76 @@ def build_single_file_events(spark, path: str, rows: int, users: int) -> None:
     shutil.rmtree(compact_dir, ignore_errors=True)
 
 
+class _PeakStateListener:
+    """StreamingQueryListener that folds every progress event into
+    peak state-operator metrics; ``snap()`` reads and resets them.
+    Registered once per session (re-registered after restart())."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.peak_rows = 0
+        self.peak_mem = 0
+        self.peak_sst = 0
+        self.batches = 0
+
+    def snap(self) -> dict:
+        return {
+            "batches": self.batches,
+            "peak_state_rows": self.peak_rows,
+            "peak_state_mem_mb": round(self.peak_mem / 2**20, 1),
+            "peak_sst_mb": round(self.peak_sst / 2**20, 1),
+        }
+
+    def make(self):
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = _json.loads(event.progress.json)
+                outer.batches += 1
+                for op in p.get("stateOperators", []) or []:
+                    outer.peak_rows = max(
+                        outer.peak_rows, op.get("numRowsTotal", 0) or 0
+                    )
+                    outer.peak_mem = max(
+                        outer.peak_mem, op.get("memoryUsedBytes", 0) or 0
+                    )
+                    cm = op.get("customMetrics", {}) or {}
+                    outer.peak_sst = max(
+                        outer.peak_sst, cm.get("rocksdbSstFileSize", 0) or 0
+                    )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        return _L()
+
+
 def main() -> int:
+    import os
+
     only = None
+    sliced = None
     argv = sys.argv[1:]
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    if "--sliced" in argv:
+        i = argv.index("--sliced")
+        sliced = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     rows = int(argv[0]) if argv else 60_000_000
     users = int(argv[1]) if len(argv) > 1 else max(1000, rows // 1000)
@@ -76,6 +148,19 @@ def main() -> int:
         t0 = time.time()
         build_single_file_events(spark, path, rows, users)
         print(f"  built {path} in {time.time() - t0:.1f}s", file=sys.stderr)
+    if sliced is not None:
+        from tools.ss_join_state_probe import build_sliced_events
+
+        sliced_path = f"/tmp/probe_stream_sliced_{rows}_{sliced}"
+        if not list(Path(sliced_path).glob("slice_*.parquet")):
+            t0 = time.time()
+            build_sliced_events(spark, f"{path}/events.parquet", sliced_path, sliced)
+            print(
+                f"  sliced into {sliced_path} in {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
+        os.environ["SPARK_GRAFT_REPLAY_GLOB"] = "slice_*.parquet"
+        path = sliced_path
 
     from chrono_ts_spark.streaming.replay import (
         run_m4_stream,
@@ -169,23 +254,45 @@ def main() -> int:
             os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
         spark = get_spark("stream-probe")
 
+    if sliced is not None:
+        # single-file oracle premise (assert_single_file_replay) — the
+        # serving-tier pair cannot run in multi-batch posture
+        probes = [
+            (n, f) for n, f in probes if n not in ("upsert_merge", "alert_burst")
+        ]
     if only is not None:
         probes = [(n, f) for n, f in probes if n in only]
+
+    collector = _PeakStateListener()
+    listener = collector.make()
+    spark.streams.addListener(listener)
 
     results: dict[str, object] = {}
     for i, (name, fn) in enumerate(probes):
         if i and i % 5 == 0:
             restart()  # heavy stateful streams: bound heap/RocksDB carryover
+            listener = collector.make()
+            spark.streams.addListener(listener)
+        collector.reset()
         t0 = time.time()
         try:
             n = fn(spark, path)
-            results[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+            time.sleep(1.0)  # listener thread drains trailing progress events
+            results[name] = {
+                "sec": round(time.time() - t0, 1),
+                "rows": n,
+                **collector.snap(),
+            }
             print(f"  {name}: {results[name]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — probe harness records and moves on
             results[name] = f"ERROR {type(e).__name__}: {str(e)[:300]}"
             print(f"  {name}: {results[name]}", file=sys.stderr)
             restart(hard=True)
-    print(json.dumps({"rows": rows, "users": users, "queries": results}))
+            listener = collector.make()
+            spark.streams.addListener(listener)
+    print(json.dumps({
+        "rows": rows, "users": users, "sliced": sliced, "queries": results,
+    }))
     spark.stop()
     return 0
 
