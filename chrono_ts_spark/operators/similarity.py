@@ -15,8 +15,10 @@ Two tiers:
   and AQE's skew handling covers hot buckets.
 
 Hyperplanes are deterministic (seeded numpy), embedded as literal
-arrays — dims × n_planes doubles, negligible plan size. All math is
-built-in higher-order functions in double precision (no UDFs).
+arrays — dims × n_planes doubles, negligible plan size. Exact-path
+math (brute_force_topk) is built-in higher-order functions in double
+precision; the LSH rerank scores inside the same Arrow pass that
+assigns buckets (r13 — see lsh_bucket_topk).
 """
 
 from __future__ import annotations
@@ -97,6 +99,66 @@ def _bucket_udf(dims: int, n_planes: int, n_tables: int, seed: int):
     return buckets
 
 
+def _bucket_cos_udf(
+    dims: int, n_planes: int, n_tables: int, seed: int, probe_mat: np.ndarray
+):
+    """Fused Arrow pass: per row, BOTH the per-table LSH buckets and
+    the cosine of the row against every probe vector (one BLAS matmul
+    against the (P × dims) probe matrix per batch).
+
+    Scoring here instead of per candidate pair is the r13 scale fix:
+    a corpus vector is scored ONCE regardless of how many tables it
+    collides in, so rerank cost is O(corpus × P), never
+    O(candidates) — the candidate count depends on corpus clustering
+    (measured 11 candidates per corpus vector on the 8-cluster probe
+    corpus) and the per-pair HOF cosine was 117 s of emb_ann_lsh's
+    160 s at 16M vectors (interpreted CodegenFallback; an unrolled
+    codegen expression tree was probed too and is 2x WORSE — 64-term
+    chains exceed HotSpot's 8 KB JIT method limit, see docs/scale.md
+    "The interpreted rerank cosine").
+
+    Zero-norm rows score NULL against every probe (matching
+    vec_cosine's try_divide contract); numpy's pairwise summation can
+    differ from the sequential HOF fold in final ulps, which is inside
+    the rows-only/recall-pinned contract of the LSH path (the oracled
+    md5 twin keeps HOF arithmetic).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack(
+        [_hyperplanes(dims, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    ).astype(np.float64)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    probe64 = np.ascontiguousarray(probe_mat, dtype=np.float64)  # (P, dims)
+    probe_nsq = (probe64**2).sum(axis=1)  # (P,)
+
+    @pandas_udf("buckets array<int>, cos array<double>")
+    def fused(emb: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
+        signs = (mat @ planes.T) > 0
+        b = signs.reshape(len(mat), n_tables, n_planes) @ weights
+        dot = mat @ probe64.T  # (batch, P)
+        nsq = (mat**2).sum(axis=1)
+        denom_sq = nsq[:, None] * probe_nsq[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / np.sqrt(denom_sq)
+        if (denom_sq == 0.0).any():
+            cos = np.where(denom_sq > 0.0, cos, np.nan)
+            cos_lists = [
+                [None if np.isnan(v) else float(v) for v in row] for row in cos
+            ]
+        else:
+            cos_lists = [row.tolist() for row in cos]
+        return pd.DataFrame(
+            {
+                "buckets": [row.astype(np.int32).tolist() for row in b],
+                "cos": cos_lists,
+            }
+        )
+
+    return fused
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,44 +183,62 @@ def lsh_bucket_topk(
     candidate set is unchanged, while deduping after projection keeps
     the only corpus-sized exchange at ~32 B/row instead of two
     dims-wide vectors).
+
+    r13 (16M-vector probe): the rerank cosine moved INTO the bucket
+    Arrow pass (_bucket_cos_udf) — each corpus vector is scored once
+    against the whole probe matrix, and the candidate join just
+    element_at-indexes the precomputed array. Per-pair scoring (HOF
+    vec_cosine) was the measured cliff: interpreted evaluation over
+    the candidate set (11× the corpus here) cost 117 s of the 160 s
+    total at 16M. Scoring is now O(corpus × P) BLAS, independent of
+    collision density, and the corpus-side exchange stays narrow.
+
+    EAGERNESS contract (r13): the probe set is collected at build
+    time to form the score matrix — |queries| must be driver-bounded
+    (the operator's "handful of probes against a huge corpus" shape;
+    P ≤ ~10k keeps the matrix ≤ 5 MB and the per-row cos array ≤
+    80 KB). An empty probe set raises ValueError.
     """
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(corpus.sparkSession)
+
+    probe_rows = queries.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("lsh_bucket_topk: queries produced no probe rows")
+    probe_mat = np.vstack(
+        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    )
+    idx_entries: list[Column] = []
+    for i, r in enumerate(probe_rows):
+        idx_entries.extend([F.lit(r[0]), F.lit(i)])
+    qidx_map = F.create_map(*idx_entries)
+
+    fused = _bucket_cos_udf(dims, n_planes, n_tables, seed, probe_mat)
     bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        vec_double(F.col(vec_col)).alias("__cv"),
-        F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
+        fused(F.col(vec_col)).alias("__bc"),
+    ).select(
+        "neighbor_id",
+        F.col("__bc.cos").alias("__cos"),
+        F.posexplode("__bc.buckets").alias("table_id", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        vec_double(F.col(vec_col)).alias("__qv"),
         F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
-    )
+    ).withColumn("__qidx", qidx_map[F.col("query_id")])
 
-    # Score BEFORE the cross-table dedup (r12, found at the 8M-vector
-    # probe): the broadcast join + filter + cosine are all map-side, so
-    # the dedup shuffle is this plan's ONLY corpus-sized exchange —
-    # and with the vectors projected away it carries (query_id,
-    # neighbor_id, cosine) ≈ 32 B/row instead of two dims-wide double
-    # arrays (~1 KB/row at 64 dims). Dedup saves almost no compute
-    # anyway (tables use independent hyperplanes, so cross-table
-    # collisions are mostly DISTINCT pairs), while the wide shuffle
-    # was a measured cliff — same corpora, solo fresh-JVM A/B:
-    # wide 66.8 s at 4M vectors → 197.6 s at 8M (2.96x/doubling,
-    # spill-bound); narrow 53.4 s → 82.6 s (1.55x/doubling, linear
-    # again), output bit-identical at sf0.01. Duplicate pairs score
-    # identical cosines, so dropDuplicates after scoring returns the
-    # exact same candidate set.
     scored = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            F.element_at(F.col("__cos"), F.col("__qidx") + F.lit(1)).alias(
+                "cosine"
+            ),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -76,18 +76,21 @@ _MODULES = [
 # rotation (docs/coverage.md "Round-13 window", backlog recomputed from
 # CORRECTNESS_r01-r12 at round start + changed-since-witness recomputed
 # from the r12 post-seal commits, per VERDICT r12 items 1 and 3):
-# (1) the 2 CHANGED-SINCE-WITNESS front-loads — emb_semdedup
+# (1) the 3 CHANGED-SINCE-WITNESS front-loads — emb_semdedup
 # (vectors.py k-cap removal, commit 65297f0) and emb_recall_eval
 # (consumes the lsh_bucket_topk narrow-shuffle fix, commit 2014ee3)
-# both changed AFTER their r11 driver rows; (2) the 13 remaining
-# r5-cohort greens (8 rounds stale), registration order; (3) the first
-# 35 of the r6 cohort, registration order.  doc_rrf_fusion and
-# sql_correlated_above_avg displace to the r14 ladder to make room for
-# the front-loads.
+# both changed AFTER their r11 driver rows, and emb_ann_lsh's plan
+# changed AGAIN in r13 (fused Arrow bucket+cosine scoring — the 16M
+# probe's interpreted-rerank fix) after its r12 row; (2) the 13
+# remaining r5-cohort greens (8 rounds stale), registration order;
+# (3) the first 34 of the r6 cohort, registration order.
+# doc_rrf_fusion, sql_correlated_above_avg and doc_rrf_bm25 displace
+# to the r14 ladder to make room for the front-loads.
 _WINDOW_50 = [
-    # -- (1) changed-since-witness front-loads (r12 post-seal commits) --
+    # -- (1) changed-since-witness front-loads (r12 post-seal + r13 ANN fix) --
     "emb_semdedup",
     "emb_recall_eval",
+    "emb_ann_lsh",
     # -- (2) the 13 remaining r5-cohort staleness re-witnesses --
     "sf_math_funcs",
     "sf_conditional_funcs",
@@ -137,7 +140,6 @@ _WINDOW_50 = [
     "doc_top_terms",
     "doc_bm25",
     "doc_unigram_logprob",
-    "doc_rrf_bm25",
 ]
 
 

@@ -6,16 +6,25 @@ The two r12 findings this script reproduces, each a one-variant-per-
 invocation solo fresh-JVM run over the shared corpora at
 /tmp/chrono_scale_v2_emb_<vecs>:
 
-1. ``lsh``  — lsh_bucket_topk shuffle-width A/B (commit 2014ee3).
-   ``narrow`` is the shipped plan (score map-side, THEN dedup: the only
-   corpus-sized exchange carries (query_id, neighbor_id, cosine) ≈
-   32 B/row). ``wide`` is the pre-r12 plan reconstructed inline below
-   (dedup BEFORE scoring: the exchange carries both 64-dim double
-   vectors, ~1 KB/row). r12 readings, same corpora, solo fresh-JVM:
-   wide 66.8 s @ 4M → 197.6 s @ 8M (2.96×/doubling, spill-bound);
-   narrow 53.4 s @ 4M → 82.6 s @ 8M (1.55×/doubling). Output
-   bit-identical at sf0.01 (duplicate pairs score identical cosines,
-   so dedup-after-scoring returns the exact same candidate set).
+1. ``lsh``  — lsh_bucket_topk plan generations:
+   ``narrow`` is the SHIPPED plan (r13: fused Arrow bucket+cosine —
+   each corpus vector scored once against the probe matrix, candidate
+   join element_at-indexes the precomputed array).
+   ``hof_narrow`` is the r12 plan reconstructed inline (score per
+   candidate pair with HOF vec_cosine map-side, then narrow dedup) —
+   its per-pair interpreted cosine was the r13 16M cliff: 117 s of
+   160 s total.
+   ``wide`` is the pre-r12 plan reconstructed inline (dedup BEFORE
+   scoring: the exchange carries both 64-dim double vectors,
+   ~1 KB/row).
+   Readings, same corpora, solo fresh-JVM:
+   wide       66.8 s @ 4M → 197.6 s @ 8M (r12; 2.96×/doubling, spill)
+   hof_narrow 53.4 s @ 4M →  82.6 s @ 8M → 160.4-177.4 s @ 16M
+   fused      17.8 s @ 4M →  25.1 s @ 8M →   47.6-48.5 s @ 16M
+   Output membership/ranking identical across all three (cosine moves
+   final ulps between HOF fold and numpy pairwise summation — inside
+   the rows-only/recall-pinned contract; emb_recall_eval output is
+   bit-identical at sf0.001/0.01/0.1).
 
 2. ``semdedup`` — emb_semdedup k-cap A/B (commit 65297f0,
    vectors.py:1038). ``uncapped`` is the shipped pipeline via the
@@ -30,7 +39,7 @@ invocation solo fresh-JVM run over the shared corpora at
 Usage (one variant per invocation — fresh-JVM probe discipline;
 CHRONO_DRIVER_MEM=16g for the 16M runs):
 
-    python tools/ann_scale_probe.py lsh <vecs> narrow|wide
+    python tools/ann_scale_probe.py lsh <vecs> narrow|hof_narrow|wide
     python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
 
 Prints one JSON line {mode, variant, vecs, out_rows, sec}. Internal
@@ -100,6 +109,43 @@ def lsh_wide_legacy(corpus, queries, dims, k, n_planes, n_tables):
     )
 
 
+def lsh_hof_narrow_legacy(corpus, queries, dims, k, n_planes, n_tables):
+    """The r12 lsh_bucket_topk plan (replaced r13 by the fused Arrow
+    scoring pass): per-candidate-pair HOF vec_cosine map-side, then
+    the narrow cross-table dedup. Kept as the probe's B-side — its
+    interpreted per-pair cosine is the measured 16M cliff."""
+    from chrono_ts_spark.functions import vec_cosine, vec_double
+    from chrono_ts_spark.operators.similarity import _bucket_udf
+    from chrono_ts_spark.operators.topk import top_k_per_group
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed=7)
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec_double(F.col("embedding")).alias("__cv"),
+        F.posexplode(bucket_fn(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        vec_double(F.col("embedding")).alias("__qv"),
+        F.posexplode(bucket_fn(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return top_k_per_group(
+        scored, group=["query_id"], order=[F.col("cosine").desc(), "neighbor_id"], k=k
+    )
+
+
 def run_lsh(spark, path: str, variant: str):
     from chrono_ts_spark.catalog import load_table
     from chrono_ts_spark.operators.similarity import lsh_bucket_topk
@@ -108,6 +154,8 @@ def run_lsh(spark, path: str, variant: str):
     probes = e.filter(F.col("vec_id") < 10)
     if variant == "narrow":
         return lsh_bucket_topk(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
+    if variant == "hof_narrow":
+        return lsh_hof_narrow_legacy(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
     return lsh_wide_legacy(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
 
 
