@@ -273,6 +273,90 @@ def pca_components(cov: np.ndarray, top: int = 8) -> tuple[np.ndarray, np.ndarra
     return vals, comps
 
 
+def _ceil_root(k: int, d: int) -> int:
+    """Smallest integer b with b**d >= k (integer-exact; d >= 1)."""
+    if d <= 1 or k <= 1:
+        return max(1, k)
+    b = max(1, int(round(k ** (1.0 / d))))
+    while b**d < k:
+        b += 1
+    while b > 1 and (b - 1) ** d >= k:
+        b -= 1
+    return b
+
+
+def _tree_width(k_local: int, depth: int) -> int:
+    """Id-space width of a depth-``depth`` local tree serving
+    ``k_local`` clusters — the multiplier parents use to compose
+    globally unique ids. Pure function of (k_local, depth), so every
+    sibling subtree agrees on it."""
+    if depth <= 1 or k_local <= 1:
+        return max(1, k_local)
+    b = _ceil_root(k_local, depth)
+    return b * _tree_width(-(-k_local // b), depth - 1)
+
+
+def _local_tree_assign(
+    mat: np.ndarray,
+    k_local: int,
+    depth: int,
+    coarse_iters: int,
+    fine_iters: int,
+) -> np.ndarray:
+    """Deterministic local k-means tree over an (n_loc, dims) matrix
+    whose rows are already in ascending-id order; returns int64 local
+    cluster ids in [0, _tree_width(k_local, depth)).
+
+    depth == 1 is EXACTLY the pre-r13 flat refinement (first-k init,
+    ``fine_iters`` Lloyd rounds, first-minimum argmin ties, np.add.at
+    partial sums, empty clusters keep their centroid) — so
+    ``levels=2`` callers of hierarchical_kmeans_assign are bit-for-bit
+    unchanged. Deeper levels run ``coarse_iters`` Lloyd rounds on a
+    _ceil_root branching factor and recurse per subtree; masks
+    preserve row order, so determinism is inherited all the way down.
+    """
+    n_loc = len(mat)
+    if k_local <= 1 or n_loc == 0:
+        return np.zeros(n_loc, dtype=np.int64)
+    if depth <= 1:
+        kl = min(k_local, n_loc)
+        cent = mat[:kl].copy()
+        for _ in range(fine_iters):
+            d = -2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)
+            cl = np.argmin(d, axis=1)
+            sums = np.zeros((kl, mat.shape[1]))
+            np.add.at(sums, cl, mat)
+            cnt = np.bincount(cl, minlength=kl)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
+        # final assignment against the post-update centroids
+        return np.argmin(-2.0 * (mat @ cent.T) + (cent**2).sum(axis=1), axis=1)
+    b = _ceil_root(k_local, depth)
+    k_sub = -(-k_local // b)
+    w_sub = _tree_width(k_sub, depth - 1)
+    kl = min(b, n_loc)
+    cent = mat[:kl].copy()
+    for _ in range(coarse_iters):
+        d = -2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)
+        cl = np.argmin(d, axis=1)
+        sums = np.zeros((kl, mat.shape[1]))
+        np.add.at(sums, cl, mat)
+        cnt = np.bincount(cl, minlength=kl)
+        nz = cnt > 0
+        cent[nz] = sums[nz] / cnt[nz, None]
+    cell = np.argmin(-2.0 * (mat @ cent.T) + (cent**2).sum(axis=1), axis=1)
+    out = np.empty(n_loc, dtype=np.int64)
+    for cidx in range(kl):
+        mask = cell == cidx
+        if not mask.any():
+            continue
+        sub = _local_tree_assign(
+            mat[mask], k_sub, depth - 1, coarse_iters, fine_iters
+        )
+        out[mask] = cidx * w_sub + sub
+    return out
+
+
 def hierarchical_kmeans_assign(
     df: DataFrame,
     dims: int,
@@ -283,52 +367,78 @@ def hierarchical_kmeans_assign(
     coarse_iters: int = 2,
     fine_iters: int = 4,
     coarse_cap: int = 4096,
+    levels: int = 2,
 ) -> DataFrame:
-    """Two-level k-means assignment whose driver traffic is CAPPED
+    """Multi-level k-means assignment whose driver traffic is CAPPED
     regardless of k — the corpus-prescribed-k path (VERDICT r6 item 5).
 
     ``kmeans_fit`` collects a k x dims centroid matrix per Lloyd
     iteration: bounded and correct for parameter-k callers (k ~ 10^3),
     but SemDeDup prescribes k ~ n/512 — at 10^9 vectors that is ~1 GB
     per iteration through the driver. Here the driver only ever sees
-    the COARSE level:
+    the TOP level:
 
-    - coarse: flat kmeans_fit with k1 = min(coarse_cap, ceil(sqrt(k)))
-      — the per-iteration collect is k1 x dims <= coarse_cap x dims
-      (2 MB at 4096 x 64), a fixed ceiling independent of k and n;
-    - fine: per coarse cell, a LOCAL deterministic Lloyd refinement
-      with k2 = ceil(k/k1) sub-clusters runs entirely inside
-      applyInPandas — no centroid ever reaches the driver; the global
-      cluster id is cell*k2 + local.
+    - level 1: flat kmeans_fit with k1 = min(coarse_cap,
+      ceil(sqrt(k))) — the per-iteration collect is k1 x dims
+      <= coarse_cap x dims (2 MB at 4096 x 64), a fixed ceiling
+      independent of k and n. k1 is FIXED at ceil(sqrt(k)) for every
+      ``levels``: level 1 sets the shuffle granularity and the
+      per-cell memory bound, and shrinking it (probed: k1 = k^(1/3)
+      at 16M vectors) makes the cells inherit the corpus's cluster
+      skew — giant straggler cells cost more than the saved flops
+      (333 s vs 206 s end-to-end).
+    - levels 2..L: per level-1 cell, a LOCAL deterministic k-means
+      tree (_local_tree_assign, depth = levels-1) over the remaining
+      ceil(k/k1) clusters runs entirely inside applyInPandas — no
+      centroid ever reaches the driver; the global cluster id is
+      cell * width + local.
+
+    COST MODEL (why ``levels`` exists — r13 16M probe): with k
+    prescribed as n/512, the per-vector work is ~3*sqrt(k) at level 1
+    (fit + assign) plus the local tree. levels=2 runs the local
+    refinement FLAT over k2 = ceil(k/k1) ~ sqrt(k): ~5*sqrt(k) more
+    per vector — measured 25.5 / 73.2 / 207.8 s assignment at
+    4M/8M/16M vectors (2.84x/doubling = 2*sqrt(2), i.e. O(n^1.5) with
+    the refine term dominating). levels=3 splits the local tree into
+    two k^(1/4)-branch levels (~8*k^(1/4) per vector), cutting the
+    dominant refine term ~4x while leaving the level-1 shape — and
+    therefore skew behavior, shuffle width, and driver traffic —
+    untouched. Deeper trees trade a little cluster quality (greedier
+    splits) for flops; identical vectors still argmin identically at
+    every level, so dup families can never split.
 
     Per-cell contract: a cell holds ~n/k1 vectors and must fit a
     worker (n = 10^9, k1 = 4096 -> ~125 MB at 64 dims), the same
     bounded-group contract as the other applyInPandas operators.
 
-    Determinism: coarse inherits kmeans_fit's contract; fine sorts the
-    cell by id (mergesort), inits from the first k2 members, uses the
-    same first-minimum argmin tie rule, and accumulates partial sums
-    with np.add.at over the sorted order — bit-stable under any
-    upstream partitioning. Empty sub-clusters keep their previous
-    centroid (RNG-free), mirroring the flat operator.
+    Determinism: level 1 inherits kmeans_fit's contract; the local
+    tree sorts the cell by id (mergesort), inits every node from the
+    first members of its (order-preserving) subset, uses the same
+    first-minimum argmin tie rule, and accumulates partial sums with
+    np.add.at over the sorted order — bit-stable under any upstream
+    partitioning. Empty sub-clusters keep their previous centroid
+    (RNG-free), mirroring the flat operator. ``levels=2`` reproduces
+    the pre-r13 two-level operator bit-for-bit.
 
     Output: the input columns plus ``cluster`` (global int id).
     """
-    import math
-
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    k1 = min(coarse_cap, max(1, math.isqrt(k - 1) + 1 if k > 1 else 1))
-    k2 = -(-k // k1)  # ceil
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    k1 = min(coarse_cap, _ceil_root(k, 2))
+    k_rem = -(-k // k1)  # ceil
     coarse = kmeans_fit(
         df, dims, k=k1, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     )
     assigned = df.withColumn("__cell", _assign_euclid_udf(coarse)(F.col(vec_col)))
-    if k2 <= 1:
+    if k_rem <= 1:
         return assigned.withColumnRenamed("__cell", "cluster")
+    w_rem = _tree_width(k_rem, levels - 1)
+    depth = levels - 1
 
     in_cols = df.columns
     out_schema = ", ".join(
@@ -342,21 +452,9 @@ def hierarchical_kmeans_assign(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
             dtype=np.float64,
         )
-        kl = min(k2, len(pdf))
-        cent = mat[:kl].copy()
-        cl = np.zeros(len(pdf), dtype=np.int64)
-        for _ in range(fine_iters):
-            d = -2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)
-            cl = np.argmin(d, axis=1)
-            sums = np.zeros((kl, mat.shape[1]))
-            np.add.at(sums, cl, mat)
-            cnt = np.bincount(cl, minlength=kl)
-            nz = cnt > 0
-            cent[nz] = sums[nz] / cnt[nz, None]
-        # final assignment against the post-update centroids
-        cl = np.argmin(-2.0 * (mat @ cent.T) + (cent**2).sum(axis=1), axis=1)
+        cl = _local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
         out = pdf[in_cols].copy()
-        out["cluster"] = (cell * k2 + cl).astype(np.int32)
+        out["cluster"] = (cell * w_rem + cl).astype(np.int32)
         return out
 
     return assigned.groupBy("__cell").applyInPandas(refine, out_schema)

@@ -1052,9 +1052,19 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # since its SQL oracle embeds it and its flat Lloyd fit's driver
     # collect DOES scale with k.
     k = max(2, n // 512)
-    assigned = hierarchical_kmeans_assign(emb, dims=_DIMS, k=k).select(
-        "vec_id", "label", "cluster", "embedding"
-    )
+    # levels=3 (r13 16M probe): with k prescribed as n/512, two-level
+    # assignment is O(n x sqrt(k)) = O(n^1.5) — measured 25.5/73.2/
+    # 207.8 s at 4M/8M/16M (2.84x/doubling, exactly 2*sqrt(2)), the
+    # flat sqrt(k)-cluster local refine dominating. levels=3 splits
+    # that local refine into two k^(1/4)-branch levels (~4x fewer
+    # refine flops) while keeping the level-1 sqrt(k) granularity —
+    # and therefore skew/shuffle behavior — unchanged. Same
+    # determinism contract; dup families still can't split (identical
+    # vectors argmin identically at every level). See
+    # hierarchical_kmeans_assign's cost model.
+    assigned = hierarchical_kmeans_assign(
+        emb, dims=_DIMS, k=k, levels=3
+    ).select("vec_id", "label", "cluster", "embedding")
 
     def prune(pdf):
         import numpy as np

@@ -230,6 +230,83 @@ class TestHierarchicalKmeans:
         assert len(out) == 6
         assert all(r.cluster >= 0 for r in out)
 
+    # -- levels >= 3 (r13: the O(n^1.5) -> O(n^4/3) assignment fix) --
+
+    def test_levels3_identical_vectors_share_cluster(self, spark):
+        # the levels=3 mirror of test_identical_vectors_share_cluster:
+        # identical vectors argmin identically at EVERY level, so a dup
+        # family can never split regardless of tree depth
+        from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+
+        rows = []
+        for vid in range(180):
+            f = vid % 9
+            v = [10.0 if d == f else 0.0 for d in range(16)]
+            rows.append((vid, v, f))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = hierarchical_kmeans_assign(df, dims=16, k=9, levels=3).collect()
+        assert len(out) == 180
+        by_family: dict = {}
+        for r in out:
+            by_family.setdefault(r.label, set()).add(r.cluster)
+        for fam, clusters in by_family.items():
+            assert len(clusters) == 1, (fam, clusters)
+        assert len({c for s in by_family.values() for c in s}) >= 5
+
+    def test_levels3_deterministic_under_repartition(self, spark):
+        from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+
+        df = self._clustered(spark)
+        a = sorted(
+            (r.vec_id, r.cluster)
+            for r in hierarchical_kmeans_assign(
+                df.repartition(7), 16, 9, levels=3
+            ).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster)
+            for r in hierarchical_kmeans_assign(
+                df.coalesce(1), 16, 9, levels=3
+            ).collect()
+        )
+        assert a == b
+
+    def test_levels_param_validation_and_width(self, spark):
+        from chrono_ts_spark.operators.clustering import (
+            _ceil_root,
+            _tree_width,
+            hierarchical_kmeans_assign,
+        )
+
+        # integer-exact roots at the boundaries
+        assert _ceil_root(9, 2) == 3 and _ceil_root(10, 2) == 4
+        assert _ceil_root(8, 3) == 2 and _ceil_root(9, 3) == 3
+        assert _ceil_root(1, 3) == 1
+        # width is a pure function and bounds every emitted id
+        assert _tree_width(31250, 2) >= 31250
+        import pytest as _pytest
+
+        df = self._clustered(spark, n_families=2, per=3)
+        with _pytest.raises(ValueError, match="levels"):
+            hierarchical_kmeans_assign(df, 16, 4, levels=1)
+
+    def test_levels3_ids_within_width(self, spark):
+        from chrono_ts_spark.operators.clustering import (
+            _ceil_root,
+            _tree_width,
+            hierarchical_kmeans_assign,
+        )
+
+        df = self._clustered(spark, n_families=5, per=8)
+        k = 12
+        out = hierarchical_kmeans_assign(df, 16, k, levels=3).collect()
+        k1 = _ceil_root(k, 2)  # level-1 granularity is depth-independent
+        w = _tree_width(-(-k // k1), 2)
+        assert len(out) == 40
+        assert all(0 <= r.cluster < k1 * w for r in out)
+
 
 class TestRepeatedSpans:
     def _write_docs(self, spark, tmp_path, docs):
