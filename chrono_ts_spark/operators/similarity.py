@@ -274,6 +274,46 @@ def _assign_udf(centroids: np.ndarray, n_probe: int = 1):
     return assign
 
 
+def _assign_cos_udf(centroids: np.ndarray, probe_mat: np.ndarray):
+    """Fused Arrow pass for ivf_topk (r13): per row, the nearest-cell
+    id (byte-identical math to ``_assign_udf(centroids, 1)``) AND the
+    cosine against every probe vector (one BLAS matmul per batch) —
+    the same score-once-per-corpus-row design as _bucket_cos_udf.
+    Zero-norm rows score NULL against every probe."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe64 = np.ascontiguousarray(probe_mat, dtype=np.float64)
+    probe_nsq = (probe64**2).sum(axis=1)
+
+    @pandas_udf("cluster int, cos array<double>")
+    def fused(emb: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = unit @ c.T
+        top = np.argsort(-sims, axis=1)[:, :1]
+        dot = mat @ probe64.T
+        nsq = (mat**2).sum(axis=1)
+        denom_sq = nsq[:, None] * probe_nsq[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / np.sqrt(denom_sq)
+        if (denom_sq == 0.0).any():
+            cos = np.where(denom_sq > 0.0, cos, np.nan)
+            cos_lists = [
+                [None if np.isnan(v) else float(v) for v in row] for row in cos
+            ]
+        else:
+            cos_lists = [row.tolist() for row in cos]
+        return pd.DataFrame(
+            {
+                "cluster": [int(row[0]) for row in top],
+                "cos": cos_lists,
+            }
+        )
+
+    return fused
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     dims: int,
@@ -360,31 +400,63 @@ def ivf_topk(
     to ~10^4, i.e. nlist ~ sqrt(n) at n = 10^8). For larger corpora
     where nlist itself becomes corpus-prescribed, the named swap is
     clustering.hierarchical_kmeans_assign as the coarse quantizer
-    (capped driver collect; cells become (coarse, fine) pairs)."""
+    (capped driver collect; cells become (coarse, fine) pairs).
+
+    r13 (the LSH lesson applied here — docs/scale.md "The interpreted
+    rerank cosine"): the pre-r13 plan scored per CANDIDATE PAIR with
+    HOF vec_cosine (interpreted) after a dedup exchange that carried
+    both dims-wide vectors (the exact wide-shuffle shape r12 killed in
+    LSH). Scoring now rides the cell-assignment Arrow pass — each
+    corpus vector scored once against the collected probe matrix
+    (O(corpus x P) BLAS, independent of n_probe and cell sizes); the
+    candidate join element_at-indexes the array and the dedup exchange
+    carries ~32 B/row. Cell assignment math is byte-identical to
+    _assign_udf; the cosine moves final ulps (numpy pairwise sum vs
+    the HOF fold), inside the rows-only/recall-pinned contract —
+    emb_ann_ivf_exact keeps engine-portable arithmetic. EAGERNESS:
+    the probe set is collected to form the matrix (ivf_fit_centroids
+    already collects, so the operator was never lazy); |queries| must
+    be driver-bounded, and an empty probe set raises ValueError.
+    """
     centroids = ivf_fit_centroids(corpus, dims, n_centroids, iters, id_col, vec_col)
 
-    c_assign = _assign_udf(centroids, 1)
+    probe_rows = queries.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError("ivf_topk: queries produced no probe rows")
+    probe_mat = np.vstack(
+        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    )
+    idx_entries: list[Column] = []
+    for i, r in enumerate(probe_rows):
+        idx_entries.extend([F.lit(r[0]), F.lit(i)])
+    qidx_map = F.create_map(*idx_entries)
+
+    c_fused = _assign_cos_udf(centroids, probe_mat)
     q_assign = _assign_udf(centroids, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        vec_double(F.col(vec_col)).alias("__cv"),
-        F.element_at(c_assign(F.col(vec_col)), 1).alias("cluster"),
+        c_fused(F.col(vec_col)).alias("__ac"),
+    ).select(
+        "neighbor_id",
+        F.col("__ac.cos").alias("__cos"),
+        F.col("__ac.cluster").alias("cluster"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        vec_double(F.col(vec_col)).alias("__qv"),
         F.explode(q_assign(F.col(vec_col))).alias("cluster"),
-    )
+    ).withColumn("__qidx", qidx_map[F.col("query_id")])
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            F.element_at(F.col("__cos"), F.col("__qidx") + F.lit(1)).alias(
+                "cosine"
+            ),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return top_k_per_group(
         scored,

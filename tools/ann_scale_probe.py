@@ -41,6 +41,10 @@ CHRONO_DRIVER_MEM=16g for the 16M runs):
 
     python tools/ann_scale_probe.py lsh <vecs> narrow|hof_narrow|wide
     python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
+    python tools/ann_scale_probe.py ivf <vecs> fused|hof
+    # ivf (late r13): fused = shipped (scoring in the cell-assignment
+    # Arrow pass, narrow dedup); hof = pre-r13 reconstruction
+    # (wide dedup BEFORE per-pair HOF cosine — both cliffs at once).
 
 Prints one JSON line {mode, variant, vecs, out_rows, sec}. Internal
 evidence only — correctness always runs on driver fixtures.
@@ -146,6 +150,60 @@ def lsh_hof_narrow_legacy(corpus, queries, dims, k, n_planes, n_tables):
     )
 
 
+def ivf_hof_legacy(corpus, queries, dims, k, n_centroids, n_probe):
+    """The pre-r13 ivf_topk plan (replaced by the fused cell+cosine
+    Arrow pass): dedup BEFORE scoring (the exchange carries both
+    dims-wide double vectors) and per-pair HOF vec_cosine after."""
+    from pyspark.sql import functions as F
+
+    from chrono_ts_spark.functions import vec_cosine, vec_double
+    from chrono_ts_spark.operators.similarity import (
+        _assign_udf,
+        ivf_fit_centroids,
+    )
+    from chrono_ts_spark.operators.topk import top_k_per_group
+
+    centroids = ivf_fit_centroids(corpus, dims, n_centroids, 2, "vec_id", "embedding")
+    c_assign = _assign_udf(centroids, 1)
+    q_assign = _assign_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vec_double(F.col("embedding")).alias("__cv"),
+        F.element_at(c_assign(F.col("embedding")), 1).alias("cluster"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        vec_double(F.col("embedding")).alias("__qv"),
+        F.explode(q_assign(F.col("embedding"))).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            vec_cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored, group=["query_id"], order=[F.col("cosine").desc(), "neighbor_id"], k=k
+    )
+
+
+def run_ivf(spark, path: str, variant: str):
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.similarity import ivf_topk
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, path, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    if variant == "fused":
+        return ivf_topk(e, probes, dims=DIMS, k=5, n_centroids=16, n_probe=2)
+    return ivf_hof_legacy(e, probes, dims=DIMS, k=5, n_centroids=16, n_probe=2)
+
+
 def run_lsh(spark, path: str, variant: str):
     from chrono_ts_spark.catalog import load_table
     from chrono_ts_spark.operators.similarity import lsh_bucket_topk
@@ -202,9 +260,9 @@ def semdedup_capped_legacy(spark, path: str):
 def main() -> int:
     mode = sys.argv[1]
     vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
-    variant = sys.argv[3] if len(sys.argv) > 3 else (
-        "narrow" if mode == "lsh" else "uncapped"
-    )
+    variant = sys.argv[3] if len(sys.argv) > 3 else {
+        "lsh": "narrow", "semdedup": "uncapped", "ivf": "fused"
+    }[mode]
 
     from chrono_ts_spark.queries import load_all
     from chrono_ts_spark.session import get_spark
@@ -215,6 +273,8 @@ def main() -> int:
     t0 = time.time()
     if mode == "lsh":
         df = run_lsh(spark, path, variant)
+    elif mode == "ivf":
+        df = run_ivf(spark, path, variant)
     elif variant == "uncapped":
         df = load_all()["emb_semdedup"].fn(spark, path)
     else:
