@@ -159,6 +159,48 @@ def _bucket_cos_udf(
     return fused
 
 
+def _collect_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    op_name: str,
+):
+    """Collect the probe set ONCE and derive every probe-side artifact
+    from that single snapshot (ADVICE r13): the score matrix, the
+    id→matrix-index literal map, AND the DataFrame the bucket/cell
+    join uses. The pre-r14 operators evaluated ``queries`` twice —
+    once via collect() for the matrix, once lazily in the join plan —
+    so a non-deterministic probe DF (sample/limit) could emit ids
+    absent from the map, silently ranking those candidates last via a
+    NULL cosine. Rebuilding the join side from the collected rows
+    makes both passes see identical probes by construction; duplicate
+    probe ids (which would make create_map lookup ambiguous) raise
+    here with a clear error instead of DUPLICATED_MAP_KEY at runtime.
+    """
+    probe_rows = queries.select(id_col, vec_col).collect()
+    if not probe_rows:
+        raise ValueError(f"{op_name}: queries produced no probe rows")
+    ids = [r[0] for r in probe_rows]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(
+            f"{op_name}: duplicate probe ids {dupes[:5]} — probe ids "
+            "must be unique (they key the score-matrix lookup)"
+        )
+    probe_mat = np.vstack(
+        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    )
+    idx_entries: list[Column] = []
+    for i, r in enumerate(probe_rows):
+        idx_entries.extend([F.lit(r[0]), F.lit(i)])
+    qidx_map = F.create_map(*idx_entries)
+    probe_df = corpus.sparkSession.createDataFrame(
+        probe_rows, queries.select(id_col, vec_col).schema
+    )
+    return probe_rows, qidx_map, probe_mat, probe_df
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,16 +245,9 @@ def lsh_bucket_topk(
 
     ensure_package_on_workers(corpus.sparkSession)
 
-    probe_rows = queries.select(id_col, vec_col).collect()
-    if not probe_rows:
-        raise ValueError("lsh_bucket_topk: queries produced no probe rows")
-    probe_mat = np.vstack(
-        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    probe_rows, qidx_map, probe_mat, probe_df = _collect_probes(
+        corpus, queries, id_col, vec_col, "lsh_bucket_topk"
     )
-    idx_entries: list[Column] = []
-    for i, r in enumerate(probe_rows):
-        idx_entries.extend([F.lit(r[0]), F.lit(i)])
-    qidx_map = F.create_map(*idx_entries)
 
     fused = _bucket_cos_udf(dims, n_planes, n_tables, seed, probe_mat)
     bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed)
@@ -225,7 +260,7 @@ def lsh_bucket_topk(
         F.col("__bc.cos").alias("__cos"),
         F.posexplode("__bc.buckets").alias("table_id", "bucket"),
     )
-    q = queries.select(
+    q = probe_df.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
     ).withColumn("__qidx", qidx_map[F.col("query_id")])
@@ -314,6 +349,72 @@ def _assign_cos_udf(centroids: np.ndarray, probe_mat: np.ndarray):
     return fused
 
 
+def _ivf_partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
+    """One IVF Lloyd round's map side: per ARROW BATCH, assign every
+    vector to its nearest centroid (cosine argmin — byte-identical
+    math to ``_assign_udf(centroids, 1)``) and accumulate a k × dims
+    matrix of 1e-9 fixed-point coordinate sums plus per-cluster
+    counts; emit k*dims tiny rows.
+
+    This is clustering._partial_sums_fn's shape (the kmeans_fit fix,
+    r11: 187 s → 15 s at 500k×64) ported to the cosine quantizer: the
+    shuffle carries O(k × dims × batches) integers instead of the
+    posexploded O(rows × dims) (cluster, pos, val) triples the pre-r14
+    update aggregated — ~1B shuffle rows per round at 8M×64.
+
+    Quantization / ulp contract (r14): each coordinate is rounded
+    HALF-UP at 1e-9 (``floor(|x|·1e9 + 0.5)·sign(x)``) on the BINARY
+    double, where the old path cast to decimal(18,9) — i.e. HALF_UP on
+    the SHORTEST DECIMAL STRING repr (JVM BigDecimal(Double.toString)).
+    The two disagree only for doubles whose shortest repr and binary
+    value round differently at the 9th decimal — no hit observed
+    across the 2×512M-coordinate 8M fit probe (centroid md5s match
+    the legacy path bit-for-bit; tools/ann_scale_probe.py fit). The
+    driver-side merge keeps the summed partials as decimal(38,0) and
+    converts via Fraction — int64→double→/1e9 would round twice once
+    cluster sums pass 2^53 (~8M rows/cluster), which moved 3 of 1024
+    coordinates by 1 ulp in the first cut of this rewrite. Integer
+    partials are addition-order-immune, so centroids stay
+    bit-deterministic under any partitioning — the same determinism
+    the decimal sum bought (docs/determinism.md). Overflow headroom:
+    |coord| ≤ ~1e3 → |q| ≤ 1e12; Arrow batches are ≤ ~10k rows →
+    per-batch cell sums ≤ 1e16 ≪ 2^63.
+    """
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    k = len(c)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = unit @ c.T
+            cl = np.argsort(-sims, axis=1)[:, 0]
+            q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
+                np.int64
+            )
+            sums = np.zeros((k, dims), dtype=np.int64)
+            np.add.at(sums, cl, q)
+            cnt = np.bincount(cl, minlength=k)
+            present = np.nonzero(cnt)[0]
+            n_rows = len(present) * dims
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(present, dims).astype(np.int32),
+                    "pos": np.tile(
+                        np.arange(dims, dtype=np.int32), len(present)
+                    ),
+                    "s": sums[present].reshape(n_rows),
+                    "n": np.repeat(cnt[present], dims),
+                }
+            )
+
+    return fn
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     dims: int,
@@ -323,8 +424,10 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic mini k-means: init = every (n/k)-th vector by id,
-    then `iters` Lloyd rounds computed with DataFrame aggregations
-    (only the k×dims centroid matrix ever reaches the driver)."""
+    then `iters` Lloyd rounds computed with mapInPandas partial sums
+    (only k×dims×batches integer partials ever shuffle, and only the
+    k×dims centroid matrix ever reaches the driver — see
+    _ivf_partial_sums_fn for the r14 rewrite + ulp contract)."""
     n = corpus.count()
     stride = max(1, n // n_centroids)
     init_rows = (
@@ -350,28 +453,34 @@ def ivf_fit_centroids(
     ensure_package_on_workers(corpus.sparkSession)
 
     for _ in range(iters):
-        assign = _assign_udf(centroids, 1)
-        assigned = corpus.select(
-            F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
-            vec_double(F.col(vec_col)).alias("v"),
+        partials = corpus.select(vec_col).mapInPandas(
+            _ivf_partial_sums_fn(centroids, dims, vec_col),
+            schema="cluster int, pos int, s long, n long",
         )
         sums = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            # decimal-exact sum: plain double sums combine in shuffle
-            # order and would make centroids (and thus cell assignment)
-            # vary run-to-run (docs/determinism.md)
+            partials.groupBy("cluster", "pos")
+            # decimal-exact merge of the integer partials: immune to
+            # shuffle combine order, like kmeans_fit (clustering.py).
+            # NO double cast here — int64→double→/1e9 would round
+            # TWICE (sums exceed 2^53 past ~8M rows/cluster), moving
+            # final ulps vs the old decimal(18,9) path; the driver
+            # converts each exact sum via Fraction (one correct
+            # rounding), which re-matched the 8M probe bit-for-bit.
             .agg(
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("m"),
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+                F.sum("n").alias("m"),
             )
             .collect()
         )
+        from fractions import Fraction
+
         new = centroids.copy()
         acc: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
         for r in sums:
-            acc.setdefault(r.cluster, np.zeros(dims))[r.pos] = r.s
+            acc.setdefault(r.cluster, np.zeros(dims))[r.pos] = float(
+                Fraction(int(r.s), 10**9)
+            )
             cnt[r.cluster] = r.m
         for cid, vec in acc.items():
             new[cid] = vec / max(cnt[cid], 1)
@@ -420,16 +529,9 @@ def ivf_topk(
     """
     centroids = ivf_fit_centroids(corpus, dims, n_centroids, iters, id_col, vec_col)
 
-    probe_rows = queries.select(id_col, vec_col).collect()
-    if not probe_rows:
-        raise ValueError("ivf_topk: queries produced no probe rows")
-    probe_mat = np.vstack(
-        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    probe_rows, qidx_map, probe_mat, probe_df = _collect_probes(
+        corpus, queries, id_col, vec_col, "ivf_topk"
     )
-    idx_entries: list[Column] = []
-    for i, r in enumerate(probe_rows):
-        idx_entries.extend([F.lit(r[0]), F.lit(i)])
-    qidx_map = F.create_map(*idx_entries)
 
     c_fused = _assign_cos_udf(centroids, probe_mat)
     q_assign = _assign_udf(centroids, n_probe)
@@ -442,7 +544,7 @@ def ivf_topk(
         F.col("__ac.cos").alias("__cos"),
         F.col("__ac.cluster").alias("cluster"),
     )
-    q = queries.select(
+    q = probe_df.select(
         F.col(id_col).alias("query_id"),
         F.explode(q_assign(F.col(vec_col))).alias("cluster"),
     ).withColumn("__qidx", qidx_map[F.col("query_id")])

@@ -72,74 +72,85 @@ _MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registry entries
-# per round, so ordering is coverage policy, not cosmetics.  Round-13
-# rotation (docs/coverage.md "Round-13 window", backlog recomputed from
-# CORRECTNESS_r01-r12 at round start + changed-since-witness recomputed
-# from the r12 post-seal commits, per VERDICT r12 items 1 and 3):
-# (1) the 3 CHANGED-SINCE-WITNESS front-loads — emb_semdedup
-# (vectors.py k-cap removal, commit 65297f0) and emb_recall_eval
-# (consumes the lsh_bucket_topk narrow-shuffle fix, commit 2014ee3)
-# both changed AFTER their r11 driver rows, and emb_ann_lsh's plan
-# changed AGAIN in r13 (fused Arrow bucket+cosine scoring — the 16M
-# probe's interpreted-rerank fix) after its r12 row; (2) the 13
-# remaining r5-cohort greens (8 rounds stale), registration order;
-# (3) the first 34 of the r6 cohort, registration order.
-# doc_rrf_fusion, sql_correlated_above_avg and doc_rrf_bm25 displace
-# to the r14 ladder to make room for the front-loads.
+# per round, so ordering is coverage policy, not cosmetics.  Round-14
+# rotation (docs/coverage.md "Round-14 window", backlog recomputed from
+# CORRECTNESS_r01-r13 at round start + changed-since-witness recomputed
+# from the r13 post-seal diff, per VERDICT r13 items 1-2 and the
+# standing rule):
+# (1) the 2 CHANGED-SINCE-WITNESS front-loads — emb_ann_ivf's plan
+# changed after its r12 driver row (ivf_topk fused Arrow cell+cosine
+# scoring, commit 1e3eeb5, post-seal) and changes AGAIN this round
+# (ivf_fit_centroids partial-sum Lloyd rewrite, VERDICT r13 item 1 —
+# landed in THIS commit, hence front-loaded in the same commit per the
+# r13 lesson); emb_ann_ivf_exact rides along per the judge's done-
+# criterion (its _fp_* fixed-point plan is untouched by the rewrite —
+# verified: it never calls ivf_fit_centroids — but the judge named its
+# hash row as the gate, so it is witnessed in-window, not assumed).
+# The r13 module diff showed NO other changed-since-witness slots:
+# clustering.py's ac64eba touched only hierarchical_kmeans_assign
+# (emb_semdedup re-witnessed r13; kmeans_fit untouched), similarity.py's
+# 0b13f55 touched only lsh_bucket_topk (emb_ann_lsh/emb_recall_eval
+# re-witnessed r13; md5_sign_buckets/_bucket_udf untouched), text.py's
+# a5c9b77 is validation-only on a non-default env branch.
+# (2) the 6 remaining r6-cohort greens, registration order (they
+# displaced to make room for r13's front-loads and must not slip
+# again — VERDICT r13 item 5);
+# (3) the first 42 of the r7 cohort, registration order.
 _WINDOW_50 = [
-    # -- (1) changed-since-witness front-loads (r12 post-seal + r13 ANN fix) --
-    "emb_semdedup",
-    "emb_recall_eval",
-    "emb_ann_lsh",
-    # -- (2) the 13 remaining r5-cohort staleness re-witnesses --
-    "sf_math_funcs",
-    "sf_conditional_funcs",
-    "sf_json_funcs",
-    "sf_hash_funcs",
-    "doc_token_stats",
-    "doc_repetition_filter",
-    "doc_mixture_sample",
-    "doc_split_assign",
-    "doc_chunk_dedup",
-    "pipeline_curate_corpus",
-    "doc_feature_hash",
-    "io_orc_scan",
-    "io_schema_evolution",
-    # -- (3) first 35 of the r6 cohort, registration order --
-    "ts_ohlc_daily",
-    "ts_m4_downsample",
-    "ts_seasonal_baseline",
-    "ts_value_drift_psi",
-    "ts_sla_availability",
-    "ts_tier_routed_daily",
-    "ts_bucket_percentiles",
-    "ts_mad_outliers",
-    "ts_topk_users",
-    "ts_asof_join_forward",
-    "ts_salted_agg",
-    "ts_series_corr",
-    "ts_burst_detect",
-    "rel_top_revenue_orders",
-    "rel_order_priority_counts",
-    "rel_nation_revenue",
-    "rel_revenue_forecast",
-    "rel_customers_without_orders",
-    "rel_big_spender_customers",
-    "rel_nation_pairs",
-    "rel_nations_cust_and_supp",
-    "rel_pivot_status",
-    "rel_top_orders_per_cust",
-    "rel_cust_running_total",
-    "rel_first_last_order",
-    "rel_large_volume_customers",
-    "rel_below_avg_quantity",
-    "rel_returned_revenue_customers",
-    "rel_nation_trade_volume",
-    "rel_priority_lateness",
-    "sf_agg_predicates",
-    "doc_top_terms",
-    "doc_bm25",
-    "doc_unigram_logprob",
+    # -- (1) changed-since-witness front-loads (r13 post-seal ivf fuse +
+    #        this round's ivf_fit partial-sum rewrite) --
+    "emb_ann_ivf",
+    "emb_ann_ivf_exact",
+    # -- (2) the 6 remaining r6-cohort staleness re-witnesses --
+    "doc_rrf_bm25",
+    "doc_rrf_fusion",
+    "sql_correlated_above_avg",
+    "ts_ema",
+    "ts_holt_linear",
+    "ts_forecast_backtest",
+    # -- (3) first 42 of the r7 cohort, registration order --
+    "ts_rolling_zscore",
+    "ts_lttb_downsample",
+    "ts_asof_join",
+    "rel_pricing_summary",
+    "rel_collect_priorities",
+    "rel_top_supplier_revenue",
+    "rel_promo_revenue",
+    "rel_disjunctive_revenue",
+    "rel_market_share",
+    "rel_only_late_supplier",
+    "rel_idle_rich_customers",
+    "sf_array_funcs",
+    "doc_dedup_stats",
+    "doc_dup_pairs",
+    "doc_fingerprints",
+    "doc_lang_id_confusion",
+    "doc_quality",
+    "doc_simhash_md5",
+    "doc_ngram_jaccard_adjacent",
+    "doc_dedup_keep_first",
+    "pipeline_clean_corpus",
+    "doc_winnow_fingerprints",
+    "doc_tfidf_top_terms",
+    "doc_pii_scrub",
+    "doc_chunk_tokens",
+    "doc_dup_clusters",
+    "doc_hash_sample",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "doc_inverted_index",
+    "doc_index_incremental",
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "rel_cube_sales",
+    "rel_full_outer_balance",
+    "rel_window_values",
+    "sf_map_funcs",
+    "io_csv_scan",
+    "io_json_scan",
+    "io_partitioned_sink",
 ]
 
 

@@ -105,6 +105,21 @@ def assert_single_file_replay(sf_dir: str) -> None:
     Local-path check only: the driver fixtures are local; remote URIs
     (no such fixture exists today) pass through un-checked.
     """
+    glob_env = os.environ.get("SPARK_GRAFT_REPLAY_GLOB", "events.parquet")
+    if glob_env != "events.parquet":
+        # The env var reroutes replay to sliced part files (multi-batch
+        # posture, e.g. after a stream_probe --sliced run in the same
+        # shell) — the single-micro-batch premise is gone even when
+        # events.parquet itself is a single regular file, so the
+        # watermark could drop rows. Surface it HERE as the loud error
+        # this guard exists for, not as an oracle hash mismatch
+        # downstream (ADVICE r13).
+        raise AssertionError(
+            "single-micro-batch replay premise violated: "
+            f"SPARK_GRAFT_REPLAY_GLOB={glob_env!r} is set — the upsert/"
+            "alert oracles require the default single-file replay; "
+            "unset it before running these queries"
+        )
     base = sf_dir.rstrip("/")
     if "://" in base:  # non-local URI — not a driver fixture layout
         return

@@ -469,6 +469,88 @@ class TestIVF:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, recall
 
+    def test_ivf_fit_matches_local_lloyd(self, spark):
+        # The r14 mapInPandas partial-sum Lloyd update must reproduce a
+        # straight local reimplementation of the same contract (cosine
+        # argmin assignment, 1e-9 HALF-UP fixed-point coordinate sums)
+        # bit-for-bit: integer partials are addition-order-immune, so
+        # partitioning must not move a single ulp.
+        import random
+
+        import numpy as np
+
+        from chrono_ts_spark.operators.similarity import ivf_fit_centroids
+
+        rnd = random.Random(11)
+        rows = [
+            (i, [rnd.uniform(-2, 2) for _ in range(8)]) for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(7)
+        got = ivf_fit_centroids(df, dims=8, n_centroids=4, iters=2)
+
+        mat = np.array(
+            [[np.float32(x) for x in v] for _, v in rows], dtype=np.float64
+        )
+        stride = 200 // 4
+        cents = mat[[i for i in range(0, 200, stride)][:4]].copy()
+        for _ in range(2):
+            c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cl = np.argsort(-(unit @ c.T), axis=1)[:, 0]
+            q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
+                np.int64
+            )
+            from fractions import Fraction
+
+            new = cents.copy()
+            for cid in np.unique(cl):
+                sel = q[cl == cid]
+                s = sel.sum(axis=0)
+                new[cid] = (
+                    np.array([float(Fraction(int(v), 10**9)) for v in s])
+                    / len(sel)
+                )
+            cents = new
+        assert np.array_equal(got, cents), (got - cents)
+
+    def test_ivf_fit_deterministic_across_partitionings(self, spark):
+        import random
+
+        from chrono_ts_spark.operators.similarity import ivf_fit_centroids
+
+        rnd = random.Random(5)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = ivf_fit_centroids(df.repartition(1), dims=8, n_centroids=5)
+        b = ivf_fit_centroids(df.repartition(13), dims=8, n_centroids=5)
+        import numpy as np
+
+        assert np.array_equal(a, b)
+
+    def test_duplicate_probe_ids_raise(self, spark):
+        # ADVICE r13: duplicate probe ids used to surface as a runtime
+        # DUPLICATED_MAP_KEY (or worse, silent NULL-cosine ranking when
+        # a non-deterministic probe DF diverged between its two
+        # evaluations). The probe set is now snapshotted once and
+        # duplicates raise with a clear message.
+        from chrono_ts_spark.operators.similarity import lsh_bucket_topk
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        dup_probes = df.filter(F.col("vec_id") < 2).union(
+            df.filter(F.col("vec_id") < 1)
+        )
+        with pytest.raises(ValueError, match="duplicate probe ids"):
+            lsh_bucket_topk(df, dup_probes, dims=2, k=3)
+
 
 # ---------------------------------------------------------------------------
 # Connected components (operators/graph.py) vs pure-Python union-find

@@ -42,6 +42,11 @@ CHRONO_DRIVER_MEM=16g for the 16M runs):
     python tools/ann_scale_probe.py lsh <vecs> narrow|hof_narrow|wide
     python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
     python tools/ann_scale_probe.py ivf <vecs> fused|hof
+    python tools/ann_scale_probe.py fit <vecs> partial|explode
+    # fit (r14): fit-stage-only A/B — partial = shipped mapInPandas
+    # partial-sum Lloyd update; explode = pre-r14 posexplode +
+    # decimal(18,9) reconstruction. Emits an md5 of the centroid
+    # matrix so cross-variant bit-identity is part of the record.
     # ivf (late r13): fused = shipped (scoring in the cell-assignment
     # Arrow pass, narrow dedup); hof = pre-r13 reconstruction
     # (wide dedup BEFORE per-pair HOF cosine — both cliffs at once).
@@ -191,6 +196,77 @@ def ivf_hof_legacy(corpus, queries, dims, k, n_centroids, n_probe):
     )
 
 
+def ivf_fit_explode_legacy(corpus, dims, n_centroids, iters):
+    """The pre-r14 ivf_fit_centroids Lloyd update (reconstructed from
+    the r14 diff): per round, posexplode every assigned vector into
+    (cluster, pos, val) triples — O(n×dims) shuffle rows/iteration
+    (~1B at 8M×64×2) — and sum cast decimal(18,9). Replaced by the
+    mapInPandas partial-sum update (VERDICT r13 item 1)."""
+    import numpy as np
+
+    from chrono_ts_spark.functions import vec_double
+    from chrono_ts_spark.operators.similarity import _assign_udf
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    init_rows = (
+        corpus.filter((F.col("vec_id") % stride == 0))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+    ensure_package_on_workers(corpus.sparkSession)
+    for _ in range(iters):
+        assign = _assign_udf(centroids, 1)
+        assigned = corpus.select(
+            F.element_at(assign(F.col("embedding")), 1).alias("cluster"),
+            vec_double(F.col("embedding")).alias("v"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("m"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        acc: dict[int, object] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, np.zeros(dims))[r.pos] = r.s
+            cnt[r.cluster] = r.m
+        for cid, vec in acc.items():
+            new[cid] = vec / max(cnt[cid], 1)
+        centroids = new
+    return centroids
+
+
+def run_fit(spark, path: str, variant: str):
+    """Fit-stage-only A/B (r14): returns (sec, md5-of-centroids) so
+    cross-variant bit-identity is part of the probe record."""
+    import hashlib
+
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.similarity import ivf_fit_centroids
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, path, "embeddings")
+    t0 = time.time()
+    if variant == "partial":
+        cents = ivf_fit_centroids(e, DIMS, 16, 2)
+    else:
+        cents = ivf_fit_explode_legacy(e, DIMS, 16, 2)
+    sec = round(time.time() - t0, 1)
+    digest = hashlib.md5(cents.tobytes()).hexdigest()[:16]
+    return sec, digest
+
+
 def run_ivf(spark, path: str, variant: str):
     from chrono_ts_spark.catalog import load_table
     from chrono_ts_spark.operators.similarity import ivf_topk
@@ -261,7 +337,8 @@ def main() -> int:
     mode = sys.argv[1]
     vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     variant = sys.argv[3] if len(sys.argv) > 3 else {
-        "lsh": "narrow", "semdedup": "uncapped", "ivf": "fused"
+        "lsh": "narrow", "semdedup": "uncapped", "ivf": "fused",
+        "fit": "partial",
     }[mode]
 
     from chrono_ts_spark.queries import load_all
@@ -269,6 +346,14 @@ def main() -> int:
 
     spark = get_spark("ann-scale-probe")
     path = _corpus(spark, vecs)
+
+    if mode == "fit":
+        sec, digest = run_fit(spark, path, variant)
+        print(json.dumps({
+            "mode": mode, "variant": variant, "vecs": vecs,
+            "centroid_md5": digest, "sec": sec,
+        }))
+        return 0
 
     t0 = time.time()
     if mode == "lsh":
