@@ -4,8 +4,8 @@ Complements the scalar int8 path (queries/vectors.py emb_quantize_int8)
 and the LSH/IVF ANN operators (operators/similarity.py): vectors are
 split into `m_sub` subspaces, each subspace gets its own K-centroid
 codebook (deterministic Lloyd, same discipline as ivf_fit_centroids —
-decimal-exact per-dimension sums so centroids are shuffle-order
-independent), and every vector compresses to m_sub small codes
+int64 fixed-point partial sums merged decimal-exact, so centroids are
+shuffle-order independent), and every vector compresses to m_sub codes
 (64 float32 dims → 8 bytes at m_sub=8/K=16 vs 256 bytes raw).
 
 Search is asymmetric distance computation (ADC): each query
@@ -53,6 +53,66 @@ def _encode_np(mat: np.ndarray, codebook: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _pq_partial_sums_fn(codebook: np.ndarray, dims: int, vec_col: str):
+    """One PQ Lloyd round's map side: per ARROW BATCH, encode every
+    vector (``_encode_np`` — byte-identical math to pq_encode_udf)
+    and, for each subspace, accumulate a k × sub int64 matrix of 1e-9
+    HALF-UP fixed-point coordinate sums plus per-code counts; emit
+    m_sub·k·sub tiny (m, c, pos, s, n) rows with pos in GLOBAL dim
+    coordinates (m·sub + local), matching the legacy explode's keying.
+
+    Same rewrite as similarity._ivf_partial_sums_fn (r14): the shuffle
+    carries O(m_sub × k × sub × batches) = O(k × dims × batches)
+    integers per round instead of the posexploded O(rows × dims)
+    (m, c, pos, val) triples. Quantization/ulp contract and the
+    decimal(38,0)+Fraction driver merge are shared with the IVF
+    rewrite — see _ivf_partial_sums_fn's docstring; the 8M IVF probe
+    hashed bit-identical to the decimal(18,9) path, and
+    tools/ann_scale_probe.py pqfit records the same check here.
+    """
+    cb = codebook.copy()
+    m_sub, k, sub = cb.shape
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _encode_np(mat, cb)
+            q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
+                np.int64
+            )
+            cols_m, cols_c, cols_pos, cols_s, cols_n = [], [], [], [], []
+            for m in range(m_sub):
+                cl = codes[:, m]
+                sums = np.zeros((k, sub), dtype=np.int64)
+                np.add.at(sums, cl, q[:, m * sub : (m + 1) * sub])
+                cnt = np.bincount(cl, minlength=k)
+                present = np.nonzero(cnt)[0]
+                n_rows = len(present) * sub
+                cols_m.append(np.full(n_rows, m, dtype=np.int32))
+                cols_c.append(np.repeat(present, sub).astype(np.int32))
+                cols_pos.append(
+                    np.tile(
+                        np.arange(m * sub, (m + 1) * sub, dtype=np.int32),
+                        len(present),
+                    )
+                )
+                cols_s.append(sums[present].reshape(n_rows))
+                cols_n.append(np.repeat(cnt[present], sub))
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(cols_m),
+                    "c": np.concatenate(cols_c),
+                    "pos": np.concatenate(cols_pos),
+                    "s": np.concatenate(cols_s),
+                    "n": np.concatenate(cols_n),
+                }
+            )
+
+    return fn
+
+
 def pq_fit(
     corpus: DataFrame,
     dims: int,
@@ -65,9 +125,9 @@ def pq_fit(
     """Deterministic PQ codebook (m_sub, k, dims/m_sub).
 
     Init = every (n/k)-th vector by id sliced into subspaces; each
-    Lloyd round is ONE Spark job covering all subspaces (assign codes,
-    posexplode dims, decimal-exact per-(subspace, centroid, dim) sums;
-    only k×dims sums reach the driver)."""
+    Lloyd round is ONE Spark job covering all subspaces — mapInPandas
+    int64 partial sums per (subspace, code, dim), merged decimal-exact
+    (r14, _pq_partial_sums_fn; only k×dims sums reach the driver)."""
     sub = _check_geometry(dims, m_sub)
     n = corpus.count()
     stride = max(1, n // k)
@@ -95,33 +155,31 @@ def pq_fit(
     ensure_package_on_workers(corpus.sparkSession)
 
     for _ in range(iters):
-        enc = pq_encode_udf(codebook)
-        assigned = corpus.select(
-            enc(F.col(vec_col)).alias("codes"),
-            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-                "pos", "val"
-            ),
-        ).select(
-            (F.col("pos") / sub).cast("int").alias("m"),
-            F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias("c"),
-            "pos",
-            "val",
+        partials = corpus.select(vec_col).mapInPandas(
+            _pq_partial_sums_fn(codebook, dims, vec_col),
+            schema="m int, c int, pos int, s long, n long",
         )
         sums = (
-            assigned.groupBy("m", "c", "pos")
+            partials.groupBy("m", "c", "pos")
+            # decimal-exact merge, Fraction conversion on the driver —
+            # the shared r14 discipline (see _pq_partial_sums_fn)
             .agg(
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+                F.sum("n").alias("cnt"),
             )
             .collect()
         )
+        from fractions import Fraction
+
         new = codebook.copy()
         for m in range(m_sub):
             rows = [r for r in sums if r.m == m]
             by_c: dict[int, np.ndarray] = {}
             n_c: dict[int, int] = {}
             for r in rows:
-                by_c.setdefault(r.c, np.zeros(sub))[r.pos - m * sub] = r.s
+                by_c.setdefault(r.c, np.zeros(sub))[r.pos - m * sub] = float(
+                    Fraction(int(r.s), 10**9)
+                )
                 n_c[r.c] = r.cnt
             for cid, vec in by_c.items():
                 new[m, cid] = vec / max(n_c[cid], 1)

@@ -49,6 +49,48 @@ def test_fit_deterministic_and_codes_valid(spark, corpus):
         assert all(0 <= c < 8 for c in r.codes)
 
 
+def test_fit_matches_local_lloyd(spark, corpus):
+    # The r14 mapInPandas partial-sum codebook trainer must reproduce
+    # a straight local reimplementation of the contract (per-subspace
+    # L2 argmin via _encode_np, 1e-9 HALF-UP fixed-point sums, one
+    # correct rounding via Fraction) bit-for-bit, independent of
+    # partitioning.
+    from fractions import Fraction
+
+    df, vecs = corpus
+    got = pq_fit(df.repartition(7), DIMS, m_sub=4, k=8, iters=2)
+
+    mat = np.vstack([vecs[i] for i in sorted(vecs)])
+    sub = DIMS // 4
+    stride = 300 // 8
+    init = mat[[i for i in range(0, 300, stride)][:8]]
+    cb = np.array(
+        [[row[m * sub : (m + 1) * sub] for row in init] for m in range(4)],
+        dtype=np.float64,
+    )
+    q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(np.int64)
+    for _ in range(2):
+        codes = _encode_np(mat, cb)
+        new = cb.copy()
+        for m in range(4):
+            for cid in np.unique(codes[:, m]):
+                sel = q[codes[:, m] == cid, m * sub : (m + 1) * sub]
+                s = sel.sum(axis=0)
+                new[m, cid] = (
+                    np.array([float(Fraction(int(v), 10**9)) for v in s])
+                    / len(sel)
+                )
+        cb = new
+    assert np.array_equal(got, cb), np.abs(got - cb).max()
+
+
+def test_fit_deterministic_across_partitionings(spark, corpus):
+    df, _ = corpus
+    a = pq_fit(df.repartition(1), DIMS, m_sub=4, k=8, iters=2)
+    b = pq_fit(df.repartition(13), DIMS, m_sub=4, k=8, iters=2)
+    assert np.array_equal(a, b)
+
+
 def test_encode_matches_numpy(spark, corpus):
     df, vecs = corpus
     cb = pq_fit(df, DIMS, m_sub=4, k=8, iters=1)

@@ -43,10 +43,12 @@ CHRONO_DRIVER_MEM=16g for the 16M runs):
     python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
     python tools/ann_scale_probe.py ivf <vecs> fused|hof
     python tools/ann_scale_probe.py fit <vecs> partial|explode
-    # fit (r14): fit-stage-only A/B — partial = shipped mapInPandas
-    # partial-sum Lloyd update; explode = pre-r14 posexplode +
-    # decimal(18,9) reconstruction. Emits an md5 of the centroid
-    # matrix so cross-variant bit-identity is part of the record.
+    python tools/ann_scale_probe.py pqfit <vecs> partial|explode
+    # fit/pqfit (r14): trainer-stage-only A/B — partial = shipped
+    # mapInPandas partial-sum Lloyd update (IVF / PQ codebook);
+    # explode = pre-r14 posexplode + decimal(18,9) reconstruction.
+    # Emits an md5 of the centroid matrix / codebook so cross-variant
+    # bit-identity is part of the record.
     # ivf (late r13): fused = shipped (scoring in the cell-assignment
     # Arrow pass, narrow dedup); hof = pre-r13 reconstruction
     # (wide dedup BEFORE per-pair HOF cosine — both cliffs at once).
@@ -246,6 +248,86 @@ def ivf_fit_explode_legacy(corpus, dims, n_centroids, iters):
     return centroids
 
 
+def pq_fit_explode_legacy(corpus, dims, m_sub, k, iters):
+    """The pre-r14 pq_fit Lloyd update (reconstructed from the r14
+    diff): per round, posexplode every vector's dims into
+    (m, c, pos, val) rows — O(n×dims) shuffle rows/iteration — and
+    sum cast decimal(18,9)."""
+    import numpy as np
+
+    from chrono_ts_spark.operators.pq import _check_geometry, pq_encode_udf
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    sub = _check_geometry(dims, m_sub)
+    n = corpus.count()
+    stride = max(1, n // k)
+    init_rows = (
+        corpus.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    codebook = np.array(
+        [[list(r[0])[m * sub : (m + 1) * sub] for r in init_rows] for m in range(m_sub)],
+        dtype=np.float64,
+    )
+    ensure_package_on_workers(corpus.sparkSession)
+    for _ in range(iters):
+        enc = pq_encode_udf(codebook)
+        assigned = corpus.select(
+            enc(F.col("embedding")).alias("codes"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "val"),
+        ).select(
+            (F.col("pos") / sub).cast("int").alias("m"),
+            F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias("c"),
+            "pos",
+            "val",
+        )
+        sums = (
+            assigned.groupBy("m", "c", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        new = codebook.copy()
+        for m in range(m_sub):
+            rows = [r for r in sums if r.m == m]
+            by_c: dict[int, object] = {}
+            n_c: dict[int, int] = {}
+            for r in rows:
+                by_c.setdefault(r.c, np.zeros(sub))[r.pos - m * sub] = r.s
+                n_c[r.c] = r.cnt
+            for cid, vec in by_c.items():
+                new[m, cid] = vec / max(n_c[cid], 1)
+        codebook = new
+    return codebook
+
+
+def run_pqfit(spark, path: str, variant: str):
+    """PQ codebook-trainer A/B (r14): (sec, md5-of-codebook)."""
+    import hashlib
+
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.pq import pq_fit
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, path, "embeddings")
+    t0 = time.time()
+    if variant == "partial":
+        cb = pq_fit(e, DIMS, m_sub=8, k=16, iters=2)
+    else:
+        cb = pq_fit_explode_legacy(e, DIMS, 8, 16, 2)
+    sec = round(time.time() - t0, 1)
+    digest = hashlib.md5(cb.tobytes()).hexdigest()[:16]
+    return sec, digest
+
+
 def run_fit(spark, path: str, variant: str):
     """Fit-stage-only A/B (r14): returns (sec, md5-of-centroids) so
     cross-variant bit-identity is part of the probe record."""
@@ -338,7 +420,7 @@ def main() -> int:
     vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     variant = sys.argv[3] if len(sys.argv) > 3 else {
         "lsh": "narrow", "semdedup": "uncapped", "ivf": "fused",
-        "fit": "partial",
+        "fit": "partial", "pqfit": "partial",
     }[mode]
 
     from chrono_ts_spark.queries import load_all
@@ -347,8 +429,10 @@ def main() -> int:
     spark = get_spark("ann-scale-probe")
     path = _corpus(spark, vecs)
 
-    if mode == "fit":
-        sec, digest = run_fit(spark, path, variant)
+    if mode in ("fit", "pqfit"):
+        sec, digest = (run_fit if mode == "fit" else run_pqfit)(
+            spark, path, variant
+        )
         print(json.dumps({
             "mode": mode, "variant": variant, "vecs": vecs,
             "centroid_md5": digest, "sec": sec,
