@@ -261,6 +261,41 @@ def test_running_extrema_stream_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_running_extrema_native_equals_batch(spark):
+    # The JVM-native update-mode aggregation (zero Python state
+    # round-trips) must agree with the batch aggregate exactly —
+    # min/max/count are commutative monoids, so this is the
+    # production path for monoid recurrences (r14, VERDICT r13 item 4).
+    from chrono_ts_spark.streaming.stateful import run_running_extrema_native
+
+    stream = run_running_extrema_native(spark, SF_SMOKE)
+    batch = load_table(spark, SF_SMOKE, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    cols = ["user_id", "n_events", "min_value", "max_value"]
+    assert as_sorted_rows(stream, cols) == as_sorted_rows(batch, cols)
+
+
+@pytest.mark.slow
+def test_ema_bucketed_equals_per_user(spark):
+    # The bucketed state layout (user_id % n_buckets group key, packed
+    # binary state) must reproduce the per-user plan BIT-EXACTLY: the
+    # global (ts, event_id) sort is a total order, so each user's fold
+    # sequence and arithmetic are identical (r14, VERDICT r13 item 4).
+    from chrono_ts_spark.streaming.stateful import (
+        run_ema_stream,
+        run_ema_stream_bucketed,
+    )
+
+    per_user = run_ema_stream(spark, SF_SMOKE)
+    bucketed = run_ema_stream_bucketed(spark, SF_SMOKE, n_buckets=7)
+    cols = ["user_id", "event_id", "ts_s", "value", "ema"]
+    assert as_sorted_rows(bucketed, cols) == as_sorted_rows(per_user, cols)
+
+
+@pytest.mark.slow
 def test_parquet_streaming_sink(spark, tmp_path):
     """S6: the production file sink — tumbling counts streamed to
     parquet, read back, equal to the memory-sink/batch result."""

@@ -172,8 +172,10 @@ def main() -> int:
     from chrono_ts_spark.streaming.stateful import (
         run_cusum_stream,
         run_ema_stream,
+        run_ema_stream_bucketed,
         run_holt_stream,
         run_kalman_stream,
+        run_running_extrema_native,
         run_running_extrema_stream,
         run_sliding_counts_stream,
         run_stream_stream_join,
@@ -201,6 +203,10 @@ def main() -> int:
         ("dedup_counts", lambda s, sf: run_stateful_dedup_stream(s, sf).count()),
         ("sliding", lambda s, sf: run_sliding_counts_stream(s, sf).count()),
         ("running_extrema", lambda s, sf: run_running_extrema_stream(s, sf).count()),
+        # r14 per-batch-overhead A/B (VERDICT r13 item 4): JVM-native
+        # update-mode agg (zero Python state round-trips) vs the
+        # pandas-state twin above; bucketed-state EMA vs per-user below
+        ("extrema_native", lambda s, sf: run_running_extrema_native(s, sf).count()),
         # the serving tier + the pipeline on top of it
         ("upsert_merge", lambda s, sf: reg["stream_upsert_counts"].fn(s, sf).count()),
         ("alert_burst", lambda s, sf: reg["stream_alert_burst"].fn(s, sf).count()),
@@ -212,6 +218,7 @@ def main() -> int:
         ("sessions_parquet", sink(run_sessionized_stream)),
         ("enrich_parquet", sink(run_stream_static_enrich)),
         ("ema_parquet", sink(run_ema_stream)),
+        ("ema_bucketed_parquet", sink(run_ema_stream_bucketed)),
         ("holt_parquet", sink(run_holt_stream)),
         ("kalman_parquet", sink(run_kalman_stream)),
         # one row per input event (found by this harness's smoke run)
