@@ -301,6 +301,9 @@ _TPCH_PROBE = [
 
 def main_tpch() -> None:
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # optional comma-list of names (r14): solo re-probes of single
+    # queries at a new multiplier shouldn't pay for the full list
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else _TPCH_PROBE
 
     from chrono_ts_spark.queries import load_all
     from chrono_ts_spark.session import get_spark
@@ -311,7 +314,7 @@ def main_tpch() -> None:
     if not Path(f"{path}/lineitem.parquet").exists():
         build_tpch(spark, path, mult)
     timings = {}
-    for i, n in enumerate(_TPCH_PROBE):
+    for i, n in enumerate(names):
         # same restart-every-15 GCLocker guard as main() (r9 rule)
         if i and i % 15 == 0:
             spark.stop()
