@@ -105,10 +105,13 @@ def run_ema_stream(
     return _run_to_memory(ema, spark, output_mode="append")
 
 
-_EMA_BUCKET_STATE = T.StructType(
+# shared packed-bucket state shape: sorted int64 user ids + their
+# float64 state rows, each as one binary buffer (EMA: 1 col; Holt/
+# Kalman: 2). Field names are cosmetic — access is positional.
+_PACKED_BUCKET_STATE = T.StructType(
     [
         T.StructField("ids", T.BinaryType()),
-        T.StructField("emas", T.BinaryType()),
+        T.StructField("states", T.BinaryType()),
     ]
 )
 
@@ -202,7 +205,7 @@ def run_ema_stream_bucketed(
         .applyInPandasWithState(
             ema_bucketed_update_fn(alpha),
             outputStructType=_EMA_OUT,
-            stateStructType=_EMA_BUCKET_STATE,
+            stateStructType=_PACKED_BUCKET_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -212,6 +215,166 @@ def run_ema_stream_bucketed(
 
         return run_to_parquet(ema, spark, sink_dir, output_mode="append")
     return _run_to_memory(ema, spark, output_mode="append")
+
+
+def bucketed_fold_update_fn(n_state: int, fold, out_names: list):
+    """Generic bucketed-state update builder (r14): the
+    ema_bucketed_update_fn layout — group key = user_id % n_buckets,
+    state = the bucket's per-user float64 state rows packed as sorted
+    numpy buffers — parameterized by a per-event ``fold(state_tuple |
+    None, value) -> (new_state_tuple, out_values_tuple)`` closure.
+
+    Bit-exactness argument is inherited: the global (ts, event_id)
+    sort is a total order, so each user's subsequence folds in the
+    per-user plan's exact order with the same arithmetic. The fold
+    callback costs one extra Python call per event vs the inlined EMA
+    specialization (~0.1–0.2 s/batch at 1M-row batches) — EMA keeps
+    its inlined form; Holt/Kalman take this builder.
+
+    Self-contained closure (stdlib + pandas + numpy only).
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            ids_b, st_b = state.get
+            ids0 = np.frombuffer(ids_b, dtype=np.int64)
+            sts0 = np.frombuffer(st_b, dtype=np.float64).reshape(
+                len(ids0), n_state
+            )
+            cur = {
+                i: tuple(row)
+                for i, row in zip(ids0.tolist(), sts0.tolist())
+            }
+        else:
+            cur = {}
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        extras: list[list] = [[] for _ in out_names]
+        get = cur.get
+        for uid, val in zip(
+            batch["user_id"].tolist(), batch["value"].tolist()
+        ):
+            st, outs = fold(get(uid), val)
+            cur[uid] = st
+            for lst, v in zip(extras, outs):
+                lst.append(v)
+        res = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts_s": batch["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": batch["value"].to_numpy(),
+                **{n: lst for n, lst in zip(out_names, extras)},
+            }
+        )
+        ids = np.fromiter(cur.keys(), dtype=np.int64, count=len(cur))
+        sts = np.array(list(cur.values()), dtype=np.float64).reshape(
+            len(cur), n_state
+        )
+        order = np.argsort(ids, kind="stable")
+        state.update((ids[order].tobytes(), sts[order].tobytes()))
+        yield res
+
+    return update
+
+
+def _run_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    update_fn,
+    out_schema: T.StructType,
+    sink_dir: str | None,
+    n_buckets: int,
+) -> DataFrame:
+    ev = replay_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    res = (
+        ev.withColumn(
+            "__bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+        )
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=_PACKED_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    if sink_dir is not None:
+        from .replay import run_to_parquet
+
+        return run_to_parquet(res, spark, sink_dir, output_mode="append")
+    return _run_to_memory(res, spark, output_mode="append")
+
+
+def run_holt_stream_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    sink_dir: str | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Bucketed-state Holt linear — same rows as run_holt_stream,
+    bit-exact (pinned in pytest), ~n_buckets× fewer state groups."""
+    a, b1, g, g1 = float(alpha), 1.0 - float(alpha), float(beta), 1.0 - float(beta)
+
+    def fold(st, x):
+        if st is None:
+            lvl, trd = x, 0.0
+        else:
+            lvl, trd = st
+            nl = a * x + b1 * (lvl + trd)
+            trd = g * (nl - lvl) + g1 * trd
+            lvl = nl
+        return (lvl, trd), (lvl, trd)
+
+    return _run_bucketed(
+        spark,
+        sf_dir,
+        bucketed_fold_update_fn(2, fold, ["level", "trend"]),
+        _HOLT_OUT,
+        sink_dir,
+        n_buckets,
+    )
+
+
+def run_kalman_stream_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    q: float = 1.0,
+    r_noise: float = 4.0,
+    sink_dir: str | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Bucketed-state scalar Kalman — same rows as run_kalman_stream,
+    bit-exact (pinned in pytest), ~n_buckets× fewer state groups."""
+    qf, rf = float(q), float(r_noise)
+
+    def fold(st, z):
+        if st is None:
+            x, p = z, rf
+        else:
+            x, p = st
+            pp = p + qf
+            k = pp / (pp + rf)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        return (x, p), (x, p)
+
+    return _run_bucketed(
+        spark,
+        sf_dir,
+        bucketed_fold_update_fn(2, fold, ["kalman", "err_var"]),
+        _KALMAN_OUT,
+        sink_dir,
+        n_buckets,
+    )
 
 
 def run_running_extrema_native(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -296,6 +296,28 @@ def test_ema_bucketed_equals_per_user(spark):
 
 
 @pytest.mark.slow
+def test_holt_kalman_bucketed_equal_per_user(spark):
+    # The generic bucketed-fold builder must reproduce the per-user
+    # plans bit-exactly for both 2-field recurrences (r14).
+    from chrono_ts_spark.streaming.stateful import (
+        run_holt_stream,
+        run_holt_stream_bucketed,
+        run_kalman_stream,
+        run_kalman_stream_bucketed,
+    )
+
+    h_cols = ["user_id", "event_id", "ts_s", "value", "level", "trend"]
+    assert as_sorted_rows(
+        run_holt_stream_bucketed(spark, SF_SMOKE, n_buckets=7), h_cols
+    ) == as_sorted_rows(run_holt_stream(spark, SF_SMOKE), h_cols)
+
+    k_cols = ["user_id", "event_id", "ts_s", "value", "kalman", "err_var"]
+    assert as_sorted_rows(
+        run_kalman_stream_bucketed(spark, SF_SMOKE, n_buckets=7), k_cols
+    ) == as_sorted_rows(run_kalman_stream(spark, SF_SMOKE), k_cols)
+
+
+@pytest.mark.slow
 def test_parquet_streaming_sink(spark, tmp_path):
     """S6: the production file sink — tumbling counts streamed to
     parquet, read back, equal to the memory-sink/batch result."""
