@@ -44,6 +44,9 @@ CHRONO_DRIVER_MEM=16g for the 16M runs):
     python tools/ann_scale_probe.py ivf <vecs> fused|hof
     python tools/ann_scale_probe.py fit <vecs> partial|explode
     python tools/ann_scale_probe.py pqfit <vecs> partial|explode
+    python tools/ann_scale_probe.py pq <vecs> rerank|adc
+    # pq (r14): end-to-end fit+encode+ADC (rerank = +exact top-50
+    # rerank, the registry emb_pq_topk shape).
     # fit/pqfit (r14): trainer-stage-only A/B — partial = shipped
     # mapInPandas partial-sum Lloyd update (IVF / PQ codebook);
     # explode = pre-r14 posexplode + decimal(18,9) reconstruction.
@@ -362,6 +365,22 @@ def run_ivf(spark, path: str, variant: str):
     return ivf_hof_legacy(e, probes, dims=DIMS, k=5, n_centroids=16, n_probe=2)
 
 
+def run_pq(spark, path: str, variant: str):
+    """PQ end-to-end (r14): fit + encode + ADC scan (+ exact rerank
+    for the 'rerank' variant) — the compressed-domain ANN pipeline at
+    probe scale. Matches the registry emb_pq_topk geometry."""
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.pq import pq_adc_topk, pq_fit
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    e = load_table(spark, path, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    codebook = pq_fit(e, DIMS, m_sub=8, k=16, iters=2)
+    rerank = 50 if variant == "rerank" else 0
+    return pq_adc_topk(e, probes, codebook, k=5, rerank=rerank)
+
+
 def run_lsh(spark, path: str, variant: str):
     from chrono_ts_spark.catalog import load_table
     from chrono_ts_spark.operators.similarity import lsh_bucket_topk
@@ -420,7 +439,7 @@ def main() -> int:
     vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     variant = sys.argv[3] if len(sys.argv) > 3 else {
         "lsh": "narrow", "semdedup": "uncapped", "ivf": "fused",
-        "fit": "partial", "pqfit": "partial",
+        "fit": "partial", "pqfit": "partial", "pq": "rerank",
     }[mode]
 
     from chrono_ts_spark.queries import load_all
@@ -444,6 +463,8 @@ def main() -> int:
         df = run_lsh(spark, path, variant)
     elif mode == "ivf":
         df = run_ivf(spark, path, variant)
+    elif mode == "pq":
+        df = run_pq(spark, path, variant)
     elif variant == "uncapped":
         df = load_all()["emb_semdedup"].fn(spark, path)
     else:
