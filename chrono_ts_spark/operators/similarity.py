@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from ..functions import vec_cosine, vec_double
@@ -167,16 +168,26 @@ def _collect_probes(
     op_name: str,
 ):
     """Collect the probe set ONCE and derive every probe-side artifact
-    from that single snapshot (ADVICE r13): the score matrix, the
-    id→matrix-index literal map, AND the DataFrame the bucket/cell
-    join uses. The pre-r14 operators evaluated ``queries`` twice —
-    once via collect() for the matrix, once lazily in the join plan —
-    so a non-deterministic probe DF (sample/limit) could emit ids
-    absent from the map, silently ranking those candidates last via a
-    NULL cosine. Rebuilding the join side from the collected rows
-    makes both passes see identical probes by construction; duplicate
-    probe ids (which would make create_map lookup ambiguous) raise
-    here with a clear error instead of DUPLICATED_MAP_KEY at runtime.
+    from that single snapshot (ADVICE r13): the score matrix AND the
+    probe-side join rows. The pre-r14 operators evaluated ``queries``
+    twice — once via collect() for the matrix, once lazily in the
+    join plan — so a non-deterministic probe DF (sample/limit) could
+    emit ids absent from the map, silently ranking those candidates
+    last via a NULL cosine. Duplicate probe ids (which would merge
+    distinct probes' candidate sets) raise here with a clear error.
+
+    r14 bench_ab find: the first fix rebuilt the probe DataFrame from
+    the collected rows and kept the bucket pandas UDF on it — but
+    createDataFrame spreads even 10 rows across defaultParallelism
+    partitions, so the probe-side UDF cold-started one Python worker
+    per mostly-empty partition (+2.7 s cold, +0.45 s in-bench), and
+    coalesce(1) broke the broadcast (+4 s). The callers now compute
+    probe buckets/cells DRIVER-SIDE with the same numpy ops and ship
+    a literal int table — no probe-side UDF, no Python workers, and
+    the qidx rides in the rows (the create_map lookup is gone too).
+
+    Returns (probe_rows, probe_mat, id_field) — id_field preserves
+    the probe id column's Spark type for the literal schema.
     """
     probe_rows = queries.select(id_col, vec_col).collect()
     if not probe_rows:
@@ -191,14 +202,8 @@ def _collect_probes(
     probe_mat = np.vstack(
         [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
     )
-    idx_entries: list[Column] = []
-    for i, r in enumerate(probe_rows):
-        idx_entries.extend([F.lit(r[0]), F.lit(i)])
-    qidx_map = F.create_map(*idx_entries)
-    probe_df = corpus.sparkSession.createDataFrame(
-        probe_rows, queries.select(id_col, vec_col).schema
-    )
-    return probe_rows, qidx_map, probe_mat, probe_df
+    id_field = queries.select(id_col).schema.fields[0]
+    return probe_rows, probe_mat, id_field
 
 
 def lsh_bucket_topk(
@@ -245,12 +250,11 @@ def lsh_bucket_topk(
 
     ensure_package_on_workers(corpus.sparkSession)
 
-    probe_rows, qidx_map, probe_mat, probe_df = _collect_probes(
+    probe_rows, probe_mat, id_field = _collect_probes(
         corpus, queries, id_col, vec_col, "lsh_bucket_topk"
     )
 
     fused = _bucket_cos_udf(dims, n_planes, n_tables, seed, probe_mat)
-    bucket_fn = _bucket_udf(dims, n_planes, n_tables, seed)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -260,10 +264,33 @@ def lsh_bucket_topk(
         F.col("__bc.cos").alias("__cos"),
         F.posexplode("__bc.buckets").alias("table_id", "bucket"),
     )
-    q = probe_df.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(bucket_fn(F.col(vec_col))).alias("table_id", "bucket"),
-    ).withColumn("__qidx", qidx_map[F.col("query_id")])
+    # Probe buckets computed DRIVER-SIDE with the exact _bucket_udf
+    # math (same planes/weights arrays; float32@float64 promotes to
+    # float64 before BLAS, so signs match the corpus-side fused pass
+    # bit-for-bit) and shipped as a literal int table — see
+    # _collect_probes for why no probe-side UDF (r14 bench_ab find).
+    planes = np.vstack(
+        [_hyperplanes(dims, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    ).astype(np.float64)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    signs = (probe_mat @ planes.T) > 0
+    pb = signs.reshape(len(probe_rows), n_tables, n_planes) @ weights
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField("table_id", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("__qidx", T.IntegerType()),
+        ]
+    )
+    q = corpus.sparkSession.createDataFrame(
+        [
+            (r[0], t, int(pb[i, t]), i)
+            for i, r in enumerate(probe_rows)
+            for t in range(n_tables)
+        ],
+        q_schema,
+    )
 
     scored = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
@@ -529,12 +556,11 @@ def ivf_topk(
     """
     centroids = ivf_fit_centroids(corpus, dims, n_centroids, iters, id_col, vec_col)
 
-    probe_rows, qidx_map, probe_mat, probe_df = _collect_probes(
+    probe_rows, probe_mat, id_field = _collect_probes(
         corpus, queries, id_col, vec_col, "ivf_topk"
     )
 
     c_fused = _assign_cos_udf(centroids, probe_mat)
-    q_assign = _assign_udf(centroids, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -544,10 +570,30 @@ def ivf_topk(
         F.col("__ac.cos").alias("__cos"),
         F.col("__ac.cluster").alias("cluster"),
     )
-    q = probe_df.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(q_assign(F.col(vec_col))).alias("cluster"),
-    ).withColumn("__qidx", qidx_map[F.col("query_id")])
+    # Probe cell routing computed DRIVER-SIDE with the exact
+    # _assign_udf math (same normalization/argsort ops on the same
+    # float64 values) and shipped as a literal int table — see
+    # _collect_probes for why no probe-side UDF (r14 bench_ab find).
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    unit = probe_mat / np.maximum(
+        np.linalg.norm(probe_mat, axis=1, keepdims=True), 1e-12
+    )
+    top = np.argsort(-(unit @ cn.T), axis=1)[:, :n_probe]
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("__qidx", T.IntegerType()),
+        ]
+    )
+    q = corpus.sparkSession.createDataFrame(
+        [
+            (r[0], int(top[i, j]), i)
+            for i, r in enumerate(probe_rows)
+            for j in range(top.shape[1])
+        ],
+        q_schema,
+    )
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))

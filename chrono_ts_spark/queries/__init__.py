@@ -77,7 +77,7 @@ _MODULES = [
 # CORRECTNESS_r01-r13 at round start + changed-since-witness recomputed
 # from the r13 post-seal diff, per VERDICT r13 items 1-2 and the
 # standing rule):
-# (1) the 5 CHANGED-SINCE-WITNESS front-loads — emb_ann_ivf's plan
+# (1) the 7 CHANGED-SINCE-WITNESS front-loads — emb_ann_ivf's plan
 # changed after its r12 driver row (ivf_topk fused Arrow cell+cosine
 # scoring, commit 1e3eeb5, post-seal) and changes AGAIN this round
 # (ivf_fit_centroids partial-sum Lloyd rewrite, VERDICT r13 item 1 —
@@ -101,9 +101,13 @@ _MODULES = [
 # same precedent (its _fp_* plan never calls pq_fit); and
 # rel_market_basket (r12 witness, plan restructured mid-r14 after the
 # 800x probe caught the thrice-run shared subtree — same-commit
-# front-load). io_json_scan, io_partitioned_sink and io_csv_scan
-# displace to the r15 ladder to make room.
-# (3) the first 39 of the r7 cohort, registration order.
+# front-load); and emb_ann_lsh + emb_recall_eval (r13 witnesses, but
+# late-r14 moved the LSH/IVF probe-side bucketing driver-side after
+# bench_ab caught the createDataFrame empty-partition Python-worker
+# storm — same-commit front-load). io_json_scan, io_partitioned_sink,
+# io_csv_scan, rel_window_values and sf_map_funcs displace to the
+# r15 ladder to make room.
+# (3) the first 37 of the r7 cohort, registration order.
 _WINDOW_50 = [
     # -- (1) changed-since-witness front-loads (r13 post-seal ivf fuse +
     #        this round's ivf_fit partial-sum rewrite) --
@@ -112,6 +116,8 @@ _WINDOW_50 = [
     "emb_pq_topk",
     "emb_pq_exact",
     "rel_market_basket",
+    "emb_ann_lsh",
+    "emb_recall_eval",
     # -- (2) the 6 remaining r6-cohort staleness re-witnesses --
     "doc_rrf_bm25",
     "doc_rrf_fusion",
@@ -119,7 +125,7 @@ _WINDOW_50 = [
     "ts_ema",
     "ts_holt_linear",
     "ts_forecast_backtest",
-    # -- (3) first 39 of the r7 cohort, registration order --
+    # -- (3) first 37 of the r7 cohort, registration order --
     "ts_rolling_zscore",
     "ts_lttb_downsample",
     "ts_asof_join",
@@ -157,8 +163,6 @@ _WINDOW_50 = [
     "emb_quantize_int8",
     "rel_cube_sales",
     "rel_full_outer_balance",
-    "rel_window_values",
-    "sf_map_funcs",
 ]
 
 
