@@ -174,6 +174,8 @@ def main() -> int:
         run_ema_stream,
         run_ema_stream_bucketed,
         run_holt_stream,
+        run_holt_stream_bucketed,
+        run_kalman_stream_bucketed,
         run_kalman_stream,
         run_running_extrema_native,
         run_running_extrema_stream,
@@ -219,6 +221,8 @@ def main() -> int:
         ("enrich_parquet", sink(run_stream_static_enrich)),
         ("ema_parquet", sink(run_ema_stream)),
         ("ema_bucketed_parquet", sink(run_ema_stream_bucketed)),
+        ("holt_bucketed_parquet", sink(run_holt_stream_bucketed)),
+        ("kalman_bucketed_parquet", sink(run_kalman_stream_bucketed)),
         ("holt_parquet", sink(run_holt_stream)),
         ("kalman_parquet", sink(run_kalman_stream)),
         # one row per input event (found by this harness's smoke run)
