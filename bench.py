@@ -70,6 +70,31 @@ def main() -> None:
         registry["ts_topk_users"].fn(spark, sf_dir).count()
     except Exception as e:  # pragma: no cover - defensive
         print(f"  warm-up failed: {e}", file=sys.stderr)
+    # r15 measurement fix (same rationale as the JVM warm-up above,
+    # documented in OPTIMIZATION_r15.md): one trivial pandas-UDF action
+    # so the Python worker pool (fork + numpy/pandas import, ~3-6 s on
+    # local[32]) isn't billed to the alphabetically-first Python-UDF
+    # query (doc_minhash_near_dups read 6.6 s in-bench vs 2.4 s solo
+    # from exactly this). Workers are session infrastructure, not query
+    # work; every query still computes from the parquet inputs.
+    try:
+        import pandas as _pd
+        from pyspark.sql.functions import col as _col, pandas_udf as _pudf
+
+        @_pudf("long")
+        def _warm(s: _pd.Series) -> _pd.Series:
+            return s
+
+        cpus = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, cpus, 1, cpus)
+            .select(_warm(_col("id")))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"  python warm-up failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
