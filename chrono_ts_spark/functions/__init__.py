@@ -55,6 +55,72 @@ def dsum_sq(col: Column | str, prec: int = 18, scale: int = 6) -> Column:
     return F.sum(d * d).cast("double")
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point (int64) twins of dsum/davg — r15 optimization round.
+#
+# Profiling Q1 at sf0.1 (OPTIMIZATION_r15.md): the decimal SUM
+# aggregate, not the double→decimal cast, was ~0.4 s of the 0.94 s
+# query — Spark's hash aggregate updates a decimal accumulator through
+# BigDecimal changePrecision on every row, where a long accumulator is
+# a codegen add. These helpers sum exact 10^-s fixed-point longs and
+# convert once per GROUP, producing BIT-IDENTICAL doubles to
+# dsum/davg when the value domain satisfies the contract below.
+#
+# Equivalence argument (why the results cannot differ on a conforming
+# domain):
+# 1. Per row, cast(x AS decimal(p,s)) rounds HALF_UP on the shortest
+#    decimal repr (JVM BigDecimal.valueOf); round(x·10^s, 0) rounds
+#    the binary product. When x is EXACTLY the double nearest m/10^s
+#    (the conforming domain), both produce exactly m: the binary
+#    product x·10^s lies within |m|·2^-51 ≪ 0.5 of the integer m, so
+#    every rounding mode recovers m, and the shortest repr of x is
+#    m/10^s itself.
+# 2. Both sums are then exact integers (decimal arithmetic is exact;
+#    int64 is exact below the per-call overflow budget, and Spark's
+#    ANSI mode — this repo's default — throws loudly on long-sum
+#    overflow, same contract as a decimal overflow).
+# 3. The final conversion divides the exact sum as DECIMAL (scale ≥ 6
+#    under Spark's division typing, ≥ the s used here) and casts to
+#    double — one correct rounding of the same exact rational the
+#    decimal path rounds. int64→double→/10^s would round TWICE (wrong
+#    past 2^53 — the similarity.py pq/ivf trainer lesson).
+#
+# CONTRACT (callers must check both, and verify vs the oracle):
+# - every non-null value is exactly representable at scale s
+#   (x == double(round(x·10^s))/10^s — the fixture money/value columns
+#   are generated at 2 decimals, verified in tests);
+# - Σ|x|·10^s stays below 2^62 (document the budget at the call site).
+# Columns that can't prove the contract stay on dsum/davg.
+# ---------------------------------------------------------------------------
+
+
+def fx(col: Column | str, s: int = 2) -> Column:
+    """double → exact fixed-point long at scale 10^-s (nulls preserved)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**s), 0).cast("long")
+
+
+def fx_double(sum_col: Column, s: int) -> Column:
+    """Exact long sum of 10^-s units → double via one decimal division
+    (single correct rounding; see note 3 above)."""
+    return (
+        sum_col.cast("decimal(38,0)") / F.lit(10**s).cast(f"decimal({s + 1},0)")
+    ).cast("double")
+
+
+def fsum(col: Column | str, s: int = 2) -> Column:
+    """Fixed-point twin of ``dsum(col, p, s)`` — bit-identical on a
+    conforming domain (module comment), ~2x faster per aggregated row."""
+    return fx_double(F.sum(fx(col, s)), s)
+
+
+def favg(col: Column | str, s: int = 2) -> Column:
+    """Fixed-point twin of ``davg(col, p, s)``: identical numerator
+    double, identical count, identical final IEEE divide."""
+    c = F.col(col) if isinstance(col, str) else col
+    return fx_double(F.sum(fx(c, s)), s) / F.count(c).cast("double")
+
+
 # Mirrors of the above for the DuckDB oracle SQL text -----------------------
 
 

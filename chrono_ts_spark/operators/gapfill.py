@@ -31,6 +31,7 @@ def gapfill(
     start: str,
     end: str,
     agg: str = "avg",
+    fixed_point_scale: int | None = None,
 ) -> DataFrame:
     """Return (keys…, bucket_ts, value, value_locf, value_interp).
 
@@ -39,8 +40,15 @@ def gapfill(
     linearly interpolates between surrounding non-null buckets (null
     before the first / after the last observation). ``start``/``end``
     are inclusive bucket-start timestamps, e.g. '2024-01-01 00:00:00'.
+
+    ``fixed_point_scale`` (r15, opt-in): compute avg/sum with the int64
+    fixed-point twins (functions.fsum/favg) at this decimal scale —
+    bit-identical to the decimal forms ONLY when every value is exactly
+    representable at that scale (contract + equivalence argument in
+    functions/__init__.py); ~2x cheaper per aggregated row. Default
+    None keeps the decimal path for arbitrary value domains.
     """
-    from ..functions import davg, dsum
+    from ..functions import davg, dsum, favg, fsum
 
     from datetime import datetime, timezone
 
@@ -57,7 +65,13 @@ def gapfill(
     b = F.col("bucket_ts")
     # avg/sum use the decimal-exact forms so results are aggregation-order
     # independent (oracle hash-comparable); min/max/count are exact anyway.
-    aggfn = {"avg": davg, "sum": dsum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    if fixed_point_scale is not None and agg in ("avg", "sum"):
+        s = fixed_point_scale
+        aggfn = {"avg": lambda c: favg(c, s), "sum": lambda c: fsum(c, s)}[agg]
+    else:
+        aggfn = {
+            "avg": davg, "sum": dsum, "min": F.min, "max": F.max, "count": F.count,
+        }[agg]
 
     actual = (
         df.filter(

@@ -12,7 +12,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import davg, dec, dsum, md5_u32, sql_davg, sql_dsum, sql_md5_u32
+from ..functions import (
+    davg,
+    dec,
+    dsum,
+    favg,
+    fsum,
+    fx,
+    fx_double,
+    md5_u32,
+    sql_davg,
+    sql_dsum,
+    sql_md5_u32,
+)
 from ..operators.topk import top_k_per_group
 from . import query
 
@@ -24,6 +36,16 @@ def _rev():
     return dec(F.col("l_extendedprice"), 12, 2) * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(4,2)")
+
+
+def _rev_fx():
+    """int64 fixed-point twin of ``_rev()`` in 1e-4 units — bit-identical
+    on the 2-decimal money domain (functions/__init__.py equivalence
+    argument; the (1 - l_discount) double is itself exactly the nearest
+    double to a 2-decimal value, so fx recovers 100 - disc_cents
+    exactly). Finish a SUM over it with ``fx_double(sum, 4)``. Budget:
+    ≤ 1.05e9/row → ~4.4e9 rows per aggregation group before 2^62."""
+    return fx("l_extendedprice", 2) * (F.lit(100) - fx("l_discount", 2))
 
 
 _SQL_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
@@ -53,19 +75,36 @@ GROUP BY l_returnflag, l_linestatus
     tags=("relational", "A1", "bench"),
 )
 def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: grouped pricing summary with decimal-exact money math."""
+    """TPC-H Q1: grouped pricing summary with exact money math.
+
+    r15: decimal sums → int64 fixed-point twins (functions.fsum/favg —
+    bit-identical on the 2-decimal money domain, equivalence argument
+    and contract in functions/__init__.py; verified value-exact vs the
+    unchanged decimal oracle at sf0.001/0.01/0.1). The decimal hash
+    aggregate was ~0.4 s of this query's 0.94 s at sf0.1 (per-row
+    BigDecimal changePrecision vs a codegen long add). Overflow budget:
+    charge units are 1e-6 · price·(1±0.1) ≤ 1.05e11/row; 6e5 rows at
+    sf0.1 → 6.3e16, and 2^62 allows ~4.4e7 rows per GROUP at 100 TB
+    scale factors only if prices stay ≤ 1e6 — ANSI mode throws loudly
+    if a bigger corpus ever crosses it (same contract as a decimal
+    overflow, see `dec`).
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    one_p_tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    price_c = fx("l_extendedprice", 2)  # cents
+    disc_c = fx("l_discount", 2)  # 0..10 (hundredths)
+    tax_c = fx("l_tax", 2)  # 0..8 (hundredths)
+    rev_u4 = price_c * (F.lit(100) - disc_c)  # 1e-4 units
+    charge_u6 = rev_u4 * (F.lit(100) + tax_c)  # 1e-6 units
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", 12, 2).alias("sum_qty"),
-        dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
-        F.sum(_rev()).cast("double").alias("sum_disc_price"),
-        F.sum(_rev() * one_p_tax).cast("double").alias("sum_charge"),
-        davg("l_quantity", 12, 2).alias("avg_qty"),
-        davg("l_extendedprice", 12, 2).alias("avg_price"),
-        davg("l_discount", 4, 2).alias("avg_disc"),
+        fsum("l_quantity", 2).alias("sum_qty"),
+        fsum("l_extendedprice", 2).alias("sum_base_price"),
+        fx_double(F.sum(rev_u4), 4).alias("sum_disc_price"),
+        fx_double(F.sum(charge_u6), 6).alias("sum_charge"),
+        favg("l_quantity", 2).alias("avg_qty"),
+        favg("l_extendedprice", 2).alias("avg_price"),
+        favg("l_discount", 2).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -118,7 +157,9 @@ def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        # r15: fixed-point revenue sum (bit-identical twin of the
+        # decimal _rev() sum — see _rev_fx; oracle unchanged)
+        .agg(fx_double(F.sum(_rev_fx()), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -198,7 +239,8 @@ def rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        # r15: fixed-point revenue sum (bit-identical, see _rev_fx)
+        .agg(fx_double(F.sum(_rev_fx()), 4).alias("revenue"))
     )
 
 
@@ -230,9 +272,10 @@ def rel_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     )
+    # r15: fixed-point twin of SUM(dec(price)·dec(disc)) in 1e-4 units
+    # (bit-identical on the 2-decimal domain; ≤ 1.05e8/row budget)
     return f.agg(
-        F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2))
-        .cast("double")
+        fx_double(F.sum(fx("l_extendedprice", 2) * fx("l_discount", 2)), 4)
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )

@@ -20,6 +20,8 @@ from ..functions import (
     davg,
     dec,
     dsum,
+    favg,
+    fsum,
     hll_estimate,
     hll_reg,
     hll_rho,
@@ -80,12 +82,16 @@ def ts_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ts") < F.lit(T1).cast("timestamp"))
         )
         .groupBy(time_bucket("ts", 300).alias("__b"), F.col("event_type"))
+        # r15: fixed-point twins of dsum/davg at scale 6 (bit-identical
+        # on the conforming events.value domain — functions/__init__.py;
+        # budget: |value| ≤ ~1e3 → 1e9/row, ~4.6e9 rows per bucket group
+        # before 2^62; ANSI throws loudly past it)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            fsum("value", 6).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            davg("value").alias("avg_value"),
+            favg("value", 6).alias("avg_value"),
         )
         .select(
             ts_str(F.col("__b")).alias("bucket_ts"),
@@ -181,7 +187,8 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("high_v"),
             F.min("value").alias("low_v"),
             F.max_by("value", F.struct("ts", "event_id")).alias("close_v"),
-            dsum("value").alias("volume"),
+            # r15: fixed-point dsum twin (bit-identical, see ts_bucket_agg)
+            fsum("value", 6).alias("volume"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
@@ -1079,6 +1086,9 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=_GF_START,
         end=_GF_END,
         agg="avg",
+        # r15: fixed-point avg (bit-identical on events.value — exactly
+        # 2-decimal, ⊂ scale 6; see functions/__init__.py contract)
+        fixed_point_scale=6,
     )
     return gf.select(
         "user_id",
