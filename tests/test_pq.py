@@ -139,3 +139,31 @@ def test_bad_geometry_rejected(spark, corpus):
     df, _ = corpus
     with pytest.raises(ValueError):
         pq_fit(df, DIMS, m_sub=5)
+
+
+def test_adc_batch_cap_invariant(spark, corpus):
+    """r15: the per-batch partial top-cap selection in the ADC scorer
+    must be invisible in the result — tiny Arrow batches (many partial
+    caps, every boundary-tie path exercised) and one big batch must
+    produce identical rows, for both the plain and rerank paths."""
+    df, vecs = corpus
+    codebook = pq_fit(df, DIMS, m_sub=4, k=8, iters=1)
+    probes = df.filter(F.col("vec_id") < 3)
+
+    def run():
+        out = pq_adc_topk(df, probes, codebook, k=5)
+        plain = sorted(tuple(r) for r in out.collect())
+        out_r = pq_adc_topk(df, probes, codebook, k=5, rerank=20)
+        rr = sorted(tuple(r) for r in out_r.collect())
+        return plain, rr
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "37")
+        small_plain, small_rr = run()
+    finally:
+        spark.conf.set(key, old)
+    big_plain, big_rr = run()
+    assert small_plain == big_plain
+    assert small_rr == big_rr

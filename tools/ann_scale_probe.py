@@ -74,11 +74,34 @@ from pyspark.sql import functions as F  # noqa: E402
 DIMS = 64
 
 
+def _preflight(vecs: int) -> None:
+    """Probe-disk hygiene (r15, VERDICT r14 item 4: the SemDeDup 64M
+    frontier died twice on shared-volume spill). Before building a
+    corpus, require free space for corpus + spill (~3× the ~300 B/vec
+    parquet footprint) and name the rebuildable /tmp/chrono_* corpora
+    to delete — they are all regenerated on demand by _corpus."""
+    import shutil
+
+    need = vecs * 300 * 3
+    free = shutil.disk_usage("/tmp").free
+    if free < need:
+        rebuildable = sorted(
+            str(p) for p in Path("/tmp").glob("chrono_scale_*")
+        )
+        raise SystemExit(
+            f"preflight: {free / 1e9:.1f} GB free on /tmp but ~"
+            f"{need / 1e9:.1f} GB needed for a {vecs}-vector probe "
+            f"(corpus + spill). Rebuildable corpora to delete: "
+            f"{rebuildable or 'none'}"
+        )
+
+
 def _corpus(spark, vecs: int):
     from tools.scale_probe import build_embeddings
 
     path = f"/tmp/chrono_scale_v2_emb_{vecs}"
     if not Path(f"{path}/embeddings.parquet").exists():
+        _preflight(vecs)
         t0 = time.time()
         build_embeddings(spark, path, vecs, DIMS)
         print(f"  built {path} in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -365,10 +388,66 @@ def run_ivf(spark, path: str, variant: str):
     return ivf_hof_legacy(e, probes, dims=DIMS, k=5, n_centroids=16, n_probe=2)
 
 
+def pq_adc_uncapped_legacy(corpus, queries, codebook, k, rerank):
+    """The pre-r15 pq_adc_topk ADC scan (reconstructed): one
+    corpus-length scored frame per probe per batch — O(corpus × P)
+    rows into the top-k shuffle. Kept ONLY as the probe's A-side; the
+    shipped operator caps each batch's output at P·max(k, rerank)
+    rows under the same (adc_dist, neighbor_id) total order."""
+    import numpy as np
+    import pandas as pd
+
+    from chrono_ts_spark.operators.pq import pq_encode
+    from chrono_ts_spark.operators.topk import top_k_per_group
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    m_sub = codebook.shape[0]
+    q_rows = queries.select("vec_id", "embedding").collect()
+    tables = {}
+    for r in q_rows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        sub = codebook.shape[2]
+        tab = np.empty((m_sub, codebook.shape[1]))
+        for m in range(m_sub):
+            seg = qv[m * sub : (m + 1) * sub]
+            tab[m] = ((codebook[m] - seg) ** 2).sum(axis=1)
+        tables[r[0]] = tab
+    codes_df = pq_encode(corpus, codebook)
+    arange = np.arange(m_sub)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qid, tab in tables.items():
+                d = tab[arange[None, :], codes].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(pdf), qid, dtype=np.int64),
+                        "neighbor_id": pdf["vec_id"].to_numpy(),
+                        "adc_dist": d,
+                    }
+                )
+
+    scored = codes_df.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return top_k_per_group(
+        scored,
+        group=["query_id"],
+        order=[F.col("adc_dist").asc(), F.col("neighbor_id")],
+        k=(rerank or k),
+    )
+
+
 def run_pq(spark, path: str, variant: str):
     """PQ end-to-end (r14): fit + encode + ADC scan (+ exact rerank
     for the 'rerank' variant) — the compressed-domain ANN pipeline at
-    probe scale. Matches the registry emb_pq_topk geometry."""
+    probe scale. Matches the registry emb_pq_topk geometry.
+    'adc_uncapped' (r15) reconstructs the pre-r15 uncapped ADC output
+    as the batch-cap A/B's A-side (top-R stage only, no rerank join)."""
     from chrono_ts_spark.catalog import load_table
     from chrono_ts_spark.operators.pq import pq_adc_topk, pq_fit
     from chrono_ts_spark.session import ensure_package_on_workers
@@ -377,6 +456,14 @@ def run_pq(spark, path: str, variant: str):
     e = load_table(spark, path, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     codebook = pq_fit(e, DIMS, m_sub=8, k=16, iters=2)
+    if variant == "adc_uncapped":
+        return pq_adc_uncapped_legacy(e, probes, codebook, k=5, rerank=50)
+    if variant == "adc_capped":
+        # the shipped capped scorer, truncated at the same top-R stage
+        # as adc_uncapped so the A/B isolates the scan+top-k leg
+        from chrono_ts_spark.operators.pq import pq_adc_topk as _adc
+
+        return _adc(e, probes, codebook, k=50, rerank=0)
     rerank = 50 if variant == "rerank" else 0
     return pq_adc_topk(e, probes, codebook, k=5, rerank=rerank)
 
