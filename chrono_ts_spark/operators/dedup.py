@@ -499,12 +499,14 @@ def exact_jaccard_pairs(
     solo minhash, and the same multiple at any scale). Checkpointing
     computes the candidate set once and hands every consumer the same
     materialized RDD. Trade-offs, both deliberate: this function is
-    now EAGER (the candidate job runs at build time — the same
-    contract minhash_lsh_candidates(max_shingle_df=) already has), and
-    the checkpointed blocks are not fault-tolerant (an executor loss
-    re-fails the query instead of recomputing lineage — acceptable
-    for a batch dedup pass; candidates are O(collisions) rows of
-    ~40 B, MEMORY_AND_DISK so large sets spill, never OOM).
+    now EAGER — callers' plan construction executes the candidate job
+    (under AQE even ``eager=False`` materializes the subplan's stages
+    at ``toRdd``, so laziness buys nothing; oracled @query callers
+    must declare ``out_schema`` to keep the schema lint job-free) —
+    and the checkpointed blocks are not fault-tolerant (an executor
+    loss re-fails the query instead of recomputing lineage —
+    acceptable for a batch dedup pass; candidates are O(collisions)
+    rows of ~40 B, MEMORY_AND_DISK so large sets spill, never OOM).
 
     NOT a persist(): Spark's CacheManager keys persisted plans on
     logical-plan equality, so a lazy persist here would be silently

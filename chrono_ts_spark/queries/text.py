@@ -443,7 +443,15 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
-@query("doc_minhash_md5", oracle=_MINHASH_MD5_ORACLE, tags=("text", "X6", "minhash"))
+@query(
+    "doc_minhash_md5",
+    oracle=_MINHASH_MD5_ORACLE,
+    tags=("text", "X6", "minhash"),
+    # r15: exact_jaccard_pairs is now construction-eager (candidate
+    # localCheckpoint), so the schema lint must read the declaration
+    # instead of building the plan (tests/test_entry_contract.py).
+    out_schema="id_a bigint, id_b bigint, est_jaccard double, jaccard double",
+)
 def doc_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracled MinHash-LSH near-dup candidates (X6 twin): the
     operator's portable mode (md5 base hash, raw slice band keys) with
