@@ -1062,33 +1062,76 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # determinism contract; dup families still can't split (identical
     # vectors argmin identically at every level). See
     # hierarchical_kmeans_assign's cost model.
-    assigned = hierarchical_kmeans_assign(
-        emb, dims=_DIMS, k=k, levels=3
-    ).select("vec_id", "label", "cluster", "embedding")
+    # r15 (optimization round): refine + prune FUSED into the one
+    # per-cell applyInPandas. The two-stage pipeline shuffled the
+    # full embedding column TWICE — groupBy(__cell) for the local-tree
+    # refinement, then groupBy(cluster) for the pairwise prune — but
+    # every final cluster is a subset of its level-1 cell (cluster =
+    # cell·w + local), so pruning per local cluster inside the cell
+    # group computes the identical result with ONE corpus shuffle and
+    # one Python round-trip fewer (guide §2.4/§8: the second grouped
+    # exchange moved dims-wide vectors only to re-group rows the first
+    # already co-located). Bit-identity: the cell frame is sorted by
+    # vec_id once (mergesort), so each local cluster's member subset
+    # is in the same sorted order the old prune produced, the float64
+    # matrix is built from the same float32 values, and the drop rule
+    # is unchanged — pinned against the two-stage reconstruction in
+    # tests/test_r15_semdedup_fused.py and A/B'd at 8M in
+    # tools/ann_scale_probe.py (variant 'two_stage').
+    from ..operators.clustering import (
+        _assign_euclid_udf,
+        _ceil_root,
+        _local_tree_assign,
+        _tree_width,
+        kmeans_fit,
+    )
 
-    def prune(pdf):
+    levels = 3
+    coarse_iters, fine_iters, coarse_cap = 2, 4, 4096
+    k1 = min(coarse_cap, _ceil_root(k, 2))
+    k_rem = -(-k // k1)
+    coarse = kmeans_fit(emb, _DIMS, k=k1, iters=coarse_iters)
+    assigned = emb.withColumn(
+        "__cell", _assign_euclid_udf(coarse)(F.col("embedding"))
+    ).select("vec_id", "label", "__cell", "embedding")
+    w_rem = _tree_width(k_rem, levels - 1)
+    depth = levels - 1
+
+    def refine_prune(pdf):
         import numpy as np
         import pandas as pd
 
+        cell = int(pdf["__cell"].iloc[0])
         pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
         mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+            dtype=np.float64,
         )
-        norms = np.sqrt((mat**2).sum(axis=1))
-        norms[norms == 0.0] = 1.0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        c = len(pdf)
-        # drop j if any i < j (lower vec_id after the sort) has sim >= tau
-        iu = np.triu_indices(c, k=1)
-        drop = np.zeros(c, dtype=bool)
-        hits = sims[iu] >= 0.95
-        np.logical_or.at(drop, iu[1][hits], True)
-        keep = pdf.loc[~drop, ["vec_id", "label", "cluster"]]
-        return keep
+        if k_rem <= 1:
+            cl = np.zeros(len(pdf), dtype=np.int64)
+        else:
+            cl = _local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
+        cluster = cell * w_rem + cl
+        keep_mask = np.ones(len(pdf), dtype=bool)
+        for cid in np.unique(cluster):
+            sel = np.nonzero(cluster == cid)[0]  # ascending -> sorted by id
+            sub = mat[sel]
+            norms = np.sqrt((sub**2).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            unit = sub / norms[:, None]
+            sims = unit @ unit.T
+            c = len(sel)
+            iu = np.triu_indices(c, k=1)
+            drop = np.zeros(c, dtype=bool)
+            hits = sims[iu] >= 0.95
+            np.logical_or.at(drop, iu[1][hits], True)
+            keep_mask[sel[drop]] = False
+        out = pdf.loc[keep_mask, ["vec_id", "label"]].copy()
+        out["cluster"] = cluster[keep_mask].astype(np.int32)
+        return out
 
-    return assigned.groupBy("cluster").applyInPandas(
-        prune, schema="vec_id long, label int, cluster int"
+    return assigned.groupBy("__cell").applyInPandas(
+        refine_prune, schema="vec_id long, label int, cluster int"
     )
 
 

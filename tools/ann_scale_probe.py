@@ -481,6 +481,46 @@ def run_lsh(spark, path: str, variant: str):
     return lsh_wide_legacy(e, probes, dims=DIMS, k=5, n_planes=6, n_tables=8)
 
 
+def semdedup_two_stage_r14(spark, path: str):
+    """The r14 emb_semdedup pipeline (uncapped k, levels=3, refine and
+    prune as SEPARATE grouped shuffles) — the A-side of the r15 fusion
+    A/B. The shipped query now prunes inside the refine cell pass; see
+    queries/vectors.py emb_semdedup."""
+    import numpy as np
+
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.clustering import hierarchical_kmeans_assign
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, path, "embeddings")
+    n = emb.count()
+    k = max(2, n // 512)
+    assigned = hierarchical_kmeans_assign(
+        emb, dims=DIMS, k=k, levels=3
+    ).select("vec_id", "label", "cluster", "embedding")
+
+    def prune(pdf):
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((mat**2).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        c = len(pdf)
+        iu = np.triu_indices(c, k=1)
+        drop = np.zeros(c, dtype=bool)
+        hits = sims[iu] >= 0.95
+        np.logical_or.at(drop, iu[1][hits], True)
+        return pdf.loc[~drop, ["vec_id", "label", "cluster"]]
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id long, label int, cluster int"
+    )
+
+
 def semdedup_capped_legacy(spark, path: str):
     """The pre-r12 emb_semdedup: identical pipeline to the registry
     query (vectors.py:1038 prune closure mirrored verbatim) except
@@ -554,6 +594,8 @@ def main() -> int:
         df = run_pq(spark, path, variant)
     elif variant == "uncapped":
         df = load_all()["emb_semdedup"].fn(spark, path)
+    elif variant == "two_stage":
+        df = semdedup_two_stage_r14(spark, path)
     else:
         df = semdedup_capped_legacy(spark, path)
     out_rows = df.count()
