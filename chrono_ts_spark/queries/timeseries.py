@@ -764,7 +764,13 @@ WHERE rnk <= 3
 def ts_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 3 users by total value within each event_type."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("event_type", "user_id").agg(dsum("value").alias("sum_value"))
+    # r15: fixed-point dsum twin (bit-identical on the conforming
+    # events.value scale-6 domain, see ts_bucket_agg; identical sums ⇒
+    # identical top-k ordering). Budget: ≤ ~1e9/row, ~4.6e9 rows per
+    # (event_type, user_id) group before 2^62; ANSI throws past it.
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        fsum("value", 6).alias("sum_value")
+    )
     return top_k_per_group(
         per_user,
         group=["event_type"],
@@ -815,7 +821,9 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
-        dsum("value").alias("sum_value"),
+        # r15: fixed-point dsum twin (bit-identical, see ts_bucket_agg;
+        # same scale-6 events.value domain and per-group budget)
+        fsum("value", 6).alias("sum_value"),
     )
 
 
