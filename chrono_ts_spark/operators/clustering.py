@@ -105,6 +105,28 @@ def kmeans_fit(
     return centroids
 
 
+def guard_int64_partials(q: np.ndarray) -> np.ndarray:
+    """Fail loudly if a batch's fixed-point partial sums could wrap int64.
+
+    The int64 per-batch accumulators (here, similarity._ivf_partial_sums_fn,
+    pq._pq_partial_sums_fn) rely on the session's Arrow batch size and
+    |coord| <= ~1e3 for overflow headroom (ADVICE r14): a caller raising
+    spark.sql.execution.arrow.maxRecordsPerBatch or feeding
+    large-magnitude embeddings would wrap silently and corrupt centroids
+    with no error. Worst case one cell receives every row of the batch,
+    so rows x max|q| bounds any cell sum; keep it under 2^62.
+    """
+    qmax = int(np.abs(q).max(initial=0))
+    if qmax and len(q) > (1 << 62) // qmax:
+        raise OverflowError(
+            "fixed-point partial sums could exceed int64: Arrow batch of "
+            f"{len(q)} rows with max |fixed-point coord| {qmax}; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch or rescale the "
+            "embeddings"
+        )
+    return q
+
+
 def _partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
     """One Lloyd round's map side: per ARROW BATCH, assign every vector
     (BLAS argmin) and accumulate a k x dims matrix of 1e-9 fixed-point
@@ -133,7 +155,7 @@ def _partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
             if mat.size == 0:
                 continue
             cl = np.argmin(-2.0 * (mat @ c.T) + c_sq, axis=1)
-            q = np.round(mat * 1e9).astype(np.int64)
+            q = guard_int64_partials(np.round(mat * 1e9).astype(np.int64))
             sums = np.zeros((k, dims), dtype=np.int64)
             np.add.at(sums, cl, q)
             cnt = np.bincount(cl, minlength=k)

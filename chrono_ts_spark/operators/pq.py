@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .clustering import guard_int64_partials
 from .topk import top_k_per_group
 
 
@@ -79,8 +80,10 @@ def _pq_partial_sums_fn(codebook: np.ndarray, dims: int, vec_col: str):
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             codes = _encode_np(mat, cb)
-            q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
-                np.int64
+            q = guard_int64_partials(
+                (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
+                    np.int64
+                )
             )
             cols_m, cols_c, cols_pos, cols_s, cols_n = [], [], [], [], []
             for m in range(m_sub):

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from ..functions import vec_cosine, vec_double
+from .clustering import guard_int64_partials
 from .topk import top_k_per_group
 
 
@@ -254,6 +255,18 @@ def lsh_bucket_topk(
     """
     from ..session import ensure_package_on_workers
 
+    # Bucket ids live in IntegerType on both sides; the corpus pass
+    # wraps via astype(np.int32) while the driver-side probe table
+    # would overflow createDataFrame first — so the two sides would
+    # disagree before anything errors usefully. 31 bits is the shared
+    # exact range (ADVICE r14).
+    if n_planes > 31:
+        raise ValueError(
+            f"lsh_bucket_topk: n_planes={n_planes} exceeds the 31-bit "
+            "IntegerType bucket range shared by the corpus and probe "
+            "sides; use more tables instead of wider buckets"
+        )
+
     ensure_package_on_workers(corpus.sparkSession)
 
     probe_rows, probe_mat, id_field = _collect_probes(
@@ -426,8 +439,10 @@ def _ivf_partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
             )
             sims = unit @ c.T
             cl = np.argsort(-sims, axis=1)[:, 0]
-            q = (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
-                np.int64
+            q = guard_int64_partials(
+                (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
+                    np.int64
+                )
             )
             sums = np.zeros((k, dims), dtype=np.int64)
             np.add.at(sums, cl, q)

@@ -2509,6 +2509,17 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached table instead of re-running the pipeline. 800x re-probe:
     444.8/382.0 s -> 180.3 s, with 400x at 113.3 s under the same
     plan — 1.59x/doubling, back under the pair-volume-linear line.
+
+    Sentinel precondition (ADVICE r14): the (NULL, NULL) order marker
+    assumes p_brand is NON-NULL (TPC-H schema: p_brand NOT NULL). A
+    NULL brand would collide its singleton row with the marker
+    (inflating n_total) and be dropped by collect_set — do NOT reuse
+    this encoding on nullable item domains; tag the marker with a
+    separate column instead. The <=326-row persist below is
+    deliberately never unpersisted: the query fn returns a lazy plan,
+    so there is no post-materialization hook, and the driver/bench
+    harness uses short-lived sessions — the accepted cost is one tiny
+    cached table per invocation within a long-lived test session.
     """
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
