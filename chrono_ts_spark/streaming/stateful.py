@@ -970,3 +970,47 @@ def run_cusum_stream(
 
         return run_to_parquet(out, spark, sink_dir, output_mode="append")
     return _run_to_memory(out, spark, output_mode="append")
+
+
+def run_cusum_stream_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    mu: float = 150.0,
+    sigma: float = 85.0,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+    sink_dir: str | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Bucketed-state CUSUM — same rows as run_cusum_stream, bit-exact
+    (pinned in pytest), ~n_buckets x fewer state-store groups per batch
+    (r15, VERDICT r14 item 5: the last heavy per-user pandas-state
+    stream without a bucketed twin rides the r14 generic builder).
+
+    Fold mapping: the per-user fn seeds (0.0, 0.0) for unseen keys, so
+    ``st is None`` maps to that seed; the alarm reset happens AFTER the
+    emitted row, so the output tuple is captured before zeroing —
+    identical IEEE op sequence per event, and the builder's global
+    (ts, event_id) sort preserves each user's subsequence order."""
+    muf, slack = float(mu), float(k_sigma) * float(sigma)
+    h = float(h_sigma) * float(sigma)
+
+    def fold(st, x):
+        sp, sm = st if st is not None else (0.0, 0.0)
+        x = float(x)
+        sp = max(0.0, sp + ((x - muf) - slack))
+        sm = max(0.0, sm + ((muf - x) - slack))
+        alarm = 1 if (sp > h or sm > h) else 0
+        outs = (sp, sm, alarm)
+        if alarm:
+            sp = sm = 0.0
+        return (sp, sm), outs
+
+    return _run_bucketed(
+        spark,
+        sf_dir,
+        bucketed_fold_update_fn(2, fold, ["s_plus", "s_minus", "alarm"]),
+        _CUSUM_OUT,
+        sink_dir,
+        n_buckets,
+    )

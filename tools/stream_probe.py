@@ -171,6 +171,7 @@ def main() -> int:
     )
     from chrono_ts_spark.streaming.stateful import (
         run_cusum_stream,
+        run_cusum_stream_bucketed,
         run_ema_stream,
         run_ema_stream_bucketed,
         run_holt_stream,
@@ -227,6 +228,7 @@ def main() -> int:
         ("kalman_parquet", sink(run_kalman_stream)),
         # one row per input event (found by this harness's smoke run)
         ("cusum_parquet", sink(run_cusum_stream)),
+        ("cusum_bucketed_parquet", sink(run_cusum_stream_bucketed)),
     ]
 
     def restart(hard: bool = False):
