@@ -72,9 +72,12 @@ GROUP BY lang
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts aggregated per language."""
-    # r15: parallelize the HOF token pipeline when the scan is narrow
-    # (single-row-group fixture plans one task; no-op on real splits)
-    d = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    # r16: widen_if_narrow REMOVED (added r15). The driver's ground
+    # truth read 0.57x round-over-round with negative 8->32-core
+    # scaling: the per-row work here (whitespace token count) is too
+    # cheap to amortize a full-text RoundRobin shuffle. Narrow scans
+    # feed the map-side partial aggregate directly again.
+    d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "lang",
         "source",
@@ -149,8 +152,10 @@ GROUP BY source
 )
 def doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate accounting per source via normalized content md5."""
-    # r15: widen_if_narrow — see doc_token_stats
-    d = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    # r16: widen_if_narrow REMOVED (added r15) — driver read 0.56x;
+    # an md5 groupBy is too cheap to amortize the added text shuffle
+    # (see doc_token_stats above).
+    d = load_table(spark, sf_dir, "documents")
     h = content_md5(F.col("text")).alias("__h")
     return d.select("source", h).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
