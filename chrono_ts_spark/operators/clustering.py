@@ -33,8 +33,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _assign_euclid_udf(centroids: np.ndarray):
-    """embedding -> nearest centroid id by squared L2 (ties: lowest id)."""
+def assign_euclid_udf(centroids: np.ndarray):
+    """embedding -> nearest centroid id by squared L2 (ties: lowest id).
+
+    Public seam (r16, VERDICT r15 item 8): together with ceil_root /
+    tree_width / local_tree_assign this is the assignment contract the
+    fused SemDeDup pass (queries/vectors.py emb_semdedup) builds on —
+    renamed from underscore-private so cross-module consumers depend on
+    a declared interface; the fused/two-stage bit-identity pin
+    (tests/test_r15_semdedup_fused.py) is the contract test."""
     c = centroids.astype(np.float64)
     c_sq = (c**2).sum(axis=1)
 
@@ -105,8 +112,9 @@ def kmeans_fit(
     return centroids
 
 
-def guard_int64_partials(q: np.ndarray) -> np.ndarray:
-    """Fail loudly if a batch's fixed-point partial sums could wrap int64.
+def guard_int64_partials(qf: np.ndarray) -> np.ndarray:
+    """Bound a float fixed-point batch and cast it to int64, failing
+    loudly if either the cast or the partial sums could wrap.
 
     The int64 per-batch accumulators (here, similarity._ivf_partial_sums_fn,
     pq._pq_partial_sums_fn) rely on the session's Arrow batch size and
@@ -115,16 +123,24 @@ def guard_int64_partials(q: np.ndarray) -> np.ndarray:
     large-magnitude embeddings would wrap silently and corrupt centroids
     with no error. Worst case one cell receives every row of the batch,
     so rows x max|q| bounds any cell sum; keep it under 2^62.
+
+    Takes the FLOAT array (rounded 1e9 fixed-point values, pre-cast) and
+    returns it cast to int64 (ADVICE r15): checking after
+    ``astype(np.int64)`` misses per-element wrap — |coord|*1e9 >= 2^63
+    (coords beyond ~9.2e9) wraps in the cast itself, and np.abs of a
+    wrapped INT64_MIN stays negative, so a post-cast ``.max(initial=0)``
+    can look small while the data is already corrupt. One float64 bound
+    before the cast catches both element wrap and accumulation wrap.
     """
-    qmax = int(np.abs(q).max(initial=0))
-    if qmax and len(q) > (1 << 62) // qmax:
+    m = float(np.abs(qf).max(initial=0.0))
+    if m and (m >= float(1 << 62) or len(qf) > float(1 << 62) / m):
         raise OverflowError(
             "fixed-point partial sums could exceed int64: Arrow batch of "
-            f"{len(q)} rows with max |fixed-point coord| {qmax}; lower "
+            f"{len(qf)} rows with max |fixed-point coord| {m:.3g}; lower "
             "spark.sql.execution.arrow.maxRecordsPerBatch or rescale the "
             "embeddings"
         )
-    return q
+    return qf.astype(np.int64)
 
 
 def _partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
@@ -155,7 +171,7 @@ def _partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
             if mat.size == 0:
                 continue
             cl = np.argmin(-2.0 * (mat @ c.T) + c_sq, axis=1)
-            q = guard_int64_partials(np.round(mat * 1e9).astype(np.int64))
+            q = guard_int64_partials(np.round(mat * 1e9))
             sums = np.zeros((k, dims), dtype=np.int64)
             np.add.at(sums, cl, q)
             cnt = np.bincount(cl, minlength=k)
@@ -181,7 +197,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Final assignment pass: (id cols..., cluster, sqdist)."""
-    assign = _assign_euclid_udf(centroids)
+    assign = assign_euclid_udf(centroids)
     sqd = _sqdist_udf(centroids)
     out = df.withColumn("cluster", assign(F.col(vec_col)))
     return out.withColumn("sqdist", sqd(F.col(vec_col), F.col("cluster")))
@@ -295,7 +311,7 @@ def pca_components(cov: np.ndarray, top: int = 8) -> tuple[np.ndarray, np.ndarra
     return vals, comps
 
 
-def _ceil_root(k: int, d: int) -> int:
+def ceil_root(k: int, d: int) -> int:
     """Smallest integer b with b**d >= k (integer-exact; d >= 1)."""
     if d <= 1 or k <= 1:
         return max(1, k)
@@ -307,18 +323,18 @@ def _ceil_root(k: int, d: int) -> int:
     return b
 
 
-def _tree_width(k_local: int, depth: int) -> int:
+def tree_width(k_local: int, depth: int) -> int:
     """Id-space width of a depth-``depth`` local tree serving
     ``k_local`` clusters — the multiplier parents use to compose
     globally unique ids. Pure function of (k_local, depth), so every
     sibling subtree agrees on it."""
     if depth <= 1 or k_local <= 1:
         return max(1, k_local)
-    b = _ceil_root(k_local, depth)
-    return b * _tree_width(-(-k_local // b), depth - 1)
+    b = ceil_root(k_local, depth)
+    return b * tree_width(-(-k_local // b), depth - 1)
 
 
-def _local_tree_assign(
+def local_tree_assign(
     mat: np.ndarray,
     k_local: int,
     depth: int,
@@ -327,14 +343,14 @@ def _local_tree_assign(
 ) -> np.ndarray:
     """Deterministic local k-means tree over an (n_loc, dims) matrix
     whose rows are already in ascending-id order; returns int64 local
-    cluster ids in [0, _tree_width(k_local, depth)).
+    cluster ids in [0, tree_width(k_local, depth)).
 
     depth == 1 is EXACTLY the pre-r13 flat refinement (first-k init,
     ``fine_iters`` Lloyd rounds, first-minimum argmin ties, np.add.at
     partial sums, empty clusters keep their centroid) — so
     ``levels=2`` callers of hierarchical_kmeans_assign are bit-for-bit
     unchanged. Deeper levels run ``coarse_iters`` Lloyd rounds on a
-    _ceil_root branching factor and recurse per subtree; masks
+    ceil_root branching factor and recurse per subtree; masks
     preserve row order, so determinism is inherited all the way down.
     """
     n_loc = len(mat)
@@ -353,9 +369,9 @@ def _local_tree_assign(
             cent[nz] = sums[nz] / cnt[nz, None]
         # final assignment against the post-update centroids
         return np.argmin(-2.0 * (mat @ cent.T) + (cent**2).sum(axis=1), axis=1)
-    b = _ceil_root(k_local, depth)
+    b = ceil_root(k_local, depth)
     k_sub = -(-k_local // b)
-    w_sub = _tree_width(k_sub, depth - 1)
+    w_sub = tree_width(k_sub, depth - 1)
     kl = min(b, n_loc)
     cent = mat[:kl].copy()
     for _ in range(coarse_iters):
@@ -372,7 +388,7 @@ def _local_tree_assign(
         mask = cell == cidx
         if not mask.any():
             continue
-        sub = _local_tree_assign(
+        sub = local_tree_assign(
             mat[mask], k_sub, depth - 1, coarse_iters, fine_iters
         )
         out[mask] = cidx * w_sub + sub
@@ -410,7 +426,7 @@ def hierarchical_kmeans_assign(
       skew — giant straggler cells cost more than the saved flops
       (333 s vs 206 s end-to-end).
     - levels 2..L: per level-1 cell, a LOCAL deterministic k-means
-      tree (_local_tree_assign, depth = levels-1) over the remaining
+      tree (local_tree_assign, depth = levels-1) over the remaining
       ceil(k/k1) clusters runs entirely inside applyInPandas — no
       centroid ever reaches the driver; the global cluster id is
       cell * width + local.
@@ -451,15 +467,15 @@ def hierarchical_kmeans_assign(
         raise ValueError(f"k must be >= 1, got {k}")
     if levels < 2:
         raise ValueError(f"levels must be >= 2, got {levels}")
-    k1 = min(coarse_cap, _ceil_root(k, 2))
+    k1 = min(coarse_cap, ceil_root(k, 2))
     k_rem = -(-k // k1)  # ceil
     coarse = kmeans_fit(
         df, dims, k=k1, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = df.withColumn("__cell", _assign_euclid_udf(coarse)(F.col(vec_col)))
+    assigned = df.withColumn("__cell", assign_euclid_udf(coarse)(F.col(vec_col)))
     if k_rem <= 1:
         return assigned.withColumnRenamed("__cell", "cluster")
-    w_rem = _tree_width(k_rem, levels - 1)
+    w_rem = tree_width(k_rem, levels - 1)
     depth = levels - 1
 
     in_cols = df.columns
@@ -474,7 +490,7 @@ def hierarchical_kmeans_assign(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
             dtype=np.float64,
         )
-        cl = _local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
+        cl = local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
         out = pdf[in_cols].copy()
         out["cluster"] = (cell * w_rem + cl).astype(np.int32)
         return out

@@ -61,6 +61,28 @@ def widen(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+# Analyzed-plan nodes that cannot introduce an exchange: under these,
+# probing df.rdd builds the RDD DAG without running any stage. Anything
+# else (Join/Aggregate/Window/Repartition/...) makes the probe unsafe
+# under AQE — see widen_if_narrow below.
+_SCAN_ONLY_NODES = ("Project", "Filter", "Relation", "SubqueryAlias")
+
+
+def _is_scan_only(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is a pure scan pipeline
+    (projections/filters over a relation). String-walks the ANALYZED
+    plan — analysis runs no optimizer and launches no jobs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and not any(node.startswith(p) for p in _SCAN_ONLY_NODES):
+            return False
+    return True
+
+
 def widen_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """``widen()`` only when the scan's parallelism is below the
     session's — a no-op on well-split inputs (r15 optimization round).
@@ -74,9 +96,29 @@ def widen_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the scan already parallelizes (the scale-adaptive form guide §2
     asks for, vs widen()'s unconditional repartition which minhash
     keeps because shingling is heavy enough to amortize it anywhere).
-    Reading ``df.rdd.getNumPartitions()`` forces physical planning of
-    this subtree (no job, ~10 ms) — cheap next to the work it saves.
+
+    Apply it ONLY where the per-row work is heavy enough to amortize a
+    full-payload shuffle: the r15 driver bench measured 0.56-0.57x on
+    doc_token_stats/doc_dedup_stats (whitespace token count / md5
+    groupBy — too cheap) vs 1.2-1.4x on the HOF-scoring paths; the
+    cheap call sites were removed in r16.
+
+    SCAN-ONLY PRECONDITION, enforced (ADVICE r15 / VERDICT r15 item 7):
+    the parallelism probe reads ``df.rdd.getNumPartitions()``, which
+    forces physical planning — and under AQE, ``toRdd`` MATERIALIZES
+    the stages of any exchange in the subtree (the exact_jaccard_pairs
+    eagerness finding), so calling it on a derived (shuffled) input
+    would silently execute jobs at plan-construction time. The guard
+    below therefore walks the analyzed plan first and returns the
+    input unchanged for anything but projections/filters over a
+    relation — such inputs have a shuffle upstream anyway, i.e. they
+    are already wide. Pinned by a zero-jobs-at-construction test
+    (tests/test_r16_widen_guard.py). For a scan-only plan the probe
+    plans physically but launches no job (~10 ms) — cheap next to the
+    work it saves.
     """
+    if not _is_scan_only(df):
+        return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
@@ -514,6 +556,18 @@ def exact_jaccard_pairs(
     query (e.g. bench best-of-2 timing a cache read on run 2).
     localCheckpoint materializes a fresh RDD per invocation — every
     run recomputes from the parquet inputs.
+
+    Accepted cost (ADVICE r15): each invocation's checkpointed blocks
+    live for the SESSION lifetime — there is no post-materialization
+    hook on a returned lazy plan from which to release them, so
+    long-lived sessions (pytest, bench best-of-2 building the plan
+    twice) accumulate one MEMORY_AND_DISK block set per invocation,
+    each O(collisions) rows of ~40 B (same acceptance as
+    rel_market_basket's ≤326-row persist). The blocks become eligible
+    for ContextCleaner release once the returned plan (which references
+    the checkpointed RDD) is itself garbage-collected, so batch callers
+    looping many corpora in one session should drop plan references
+    between iterations or recycle the session.
 
     The id set is derived with one explode instead of a two-branch
     union so the plan references the checkpoint 3×, not 4×.

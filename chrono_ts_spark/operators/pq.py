@@ -81,9 +81,7 @@ def _pq_partial_sums_fn(codebook: np.ndarray, dims: int, vec_col: str):
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             codes = _encode_np(mat, cb)
             q = guard_int64_partials(
-                (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
-                    np.int64
-                )
+                np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)
             )
             cols_m, cols_c, cols_pos, cols_s, cols_n = [], [], [], [], []
             for m in range(m_sub):

@@ -440,9 +440,7 @@ def _ivf_partial_sums_fn(centroids: np.ndarray, dims: int, vec_col: str):
             sims = unit @ c.T
             cl = np.argsort(-sims, axis=1)[:, 0]
             q = guard_int64_partials(
-                (np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)).astype(
-                    np.int64
-                )
+                np.floor(np.abs(mat) * 1e9 + 0.5) * np.sign(mat)
             )
             sums = np.zeros((k, dims), dtype=np.int64)
             np.add.at(sums, cl, q)

@@ -1079,22 +1079,22 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_r15_semdedup_fused.py and A/B'd at 8M in
     # tools/ann_scale_probe.py (variant 'two_stage').
     from ..operators.clustering import (
-        _assign_euclid_udf,
-        _ceil_root,
-        _local_tree_assign,
-        _tree_width,
+        assign_euclid_udf,
+        ceil_root,
+        local_tree_assign,
+        tree_width,
         kmeans_fit,
     )
 
     levels = 3
     coarse_iters, fine_iters, coarse_cap = 2, 4, 4096
-    k1 = min(coarse_cap, _ceil_root(k, 2))
+    k1 = min(coarse_cap, ceil_root(k, 2))
     k_rem = -(-k // k1)
     coarse = kmeans_fit(emb, _DIMS, k=k1, iters=coarse_iters)
     assigned = emb.withColumn(
-        "__cell", _assign_euclid_udf(coarse)(F.col("embedding"))
+        "__cell", assign_euclid_udf(coarse)(F.col("embedding"))
     ).select("vec_id", "label", "__cell", "embedding")
-    w_rem = _tree_width(k_rem, levels - 1)
+    w_rem = tree_width(k_rem, levels - 1)
     depth = levels - 1
 
     def refine_prune(pdf):
@@ -1110,7 +1110,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k_rem <= 1:
             cl = np.zeros(len(pdf), dtype=np.int64)
         else:
-            cl = _local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
+            cl = local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
         cluster = cell * w_rem + cl
         keep_mask = np.ones(len(pdf), dtype=bool)
         for cid in np.unique(cluster):

@@ -22,6 +22,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics, matching DuckDB's naive timestamps.
     "spark.sql.session.timeZone": "UTC",
+    # Pinned, not assumed (ADVICE r15): the fixed-point int64 aggregates
+    # (functions.fsum/favg and the per-site *_u4/_u6 sums) rely on ANSI
+    # mode turning a long-sum overflow into a loud error instead of a
+    # silent wraparound. Spark 4 defaults to true, but a cluster whose
+    # spark-defaults disable ANSI would otherwise return plausible wrong
+    # totals once a group's unit sum crosses 2^63 (rel_pricing_summary's
+    # sum_charge budget: ~4.4e7 rows/group — a HARD scale ceiling for
+    # the fixed-point path; past it, revert that site to dsum/davg).
+    "spark.sql.ansi.enabled": "true",
     # Arrow for any pandas interchange (UDF paths, toPandas in tests).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Runtime re-planning: partition coalescing, skew-join splitting.

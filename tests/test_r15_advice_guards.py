@@ -19,33 +19,50 @@ from chrono_ts_spark.operators.clustering import guard_int64_partials
 
 
 class TestGuardInt64Partials:
+    # r16 (ADVICE r15): the guard now takes the FLOAT rounded array and
+    # performs the int64 cast itself — checking after astype(np.int64)
+    # missed per-element wrap (|coord|*1e9 >= 2^63 wraps in the cast;
+    # np.abs of wrapped INT64_MIN stays negative and .max(initial=0)
+    # ignores it). Tests pass floats and assert the returned dtype.
+
     def test_normal_batch_passes_through(self):
-        q = np.round(np.random.default_rng(0).normal(size=(2000, 64)) * 1e9).astype(
-            np.int64
-        )
-        out = guard_int64_partials(q)
-        assert out is q  # identity, no copy
+        qf = np.round(np.random.default_rng(0).normal(size=(2000, 64)) * 1e9)
+        out = guard_int64_partials(qf)
+        assert out.dtype == np.int64
+        assert np.array_equal(out, qf.astype(np.int64))
 
     def test_empty_and_zero_batches_pass(self):
-        assert guard_int64_partials(np.zeros((0, 64), dtype=np.int64)).shape == (0, 64)
-        assert guard_int64_partials(np.zeros((10, 64), dtype=np.int64)).shape == (10, 64)
+        assert guard_int64_partials(np.zeros((0, 64))).shape == (0, 64)
+        out = guard_int64_partials(np.zeros((10, 64)))
+        assert out.shape == (10, 64) and out.dtype == np.int64
 
     def test_wrap_risk_raises(self):
         # A batch whose worst-case single-cell sum exceeds 2^62:
         # rows * max|q| = 1000 * 2^60 >> 2^62.
-        q = np.full((1000, 4), 1 << 60, dtype=np.int64)
+        qf = np.full((1000, 4), float(1 << 60))
         with pytest.raises(OverflowError, match="fixed-point partial sums"):
-            guard_int64_partials(q)
+            guard_int64_partials(qf)
 
     def test_boundary_is_conservative(self):
-        # rows=2, max=2^61: worst case 2^62 exactly -> len(q) > 2^62//qmax
-        # is False only when rows*qmax <= 2^62; 2 > 2 is False, passes.
-        q = np.full((2, 1), 1 << 61, dtype=np.int64)
-        guard_int64_partials(q)
-        # One more row crosses the line and raises.
-        q3 = np.full((3, 1), 1 << 61, dtype=np.int64)
+        # rows=2, max=2^61: worst case 2^62 exactly -> passes; one more
+        # row crosses the line and raises.
+        guard_int64_partials(np.full((2, 1), float(1 << 61)))
         with pytest.raises(OverflowError):
-            guard_int64_partials(q3)
+            guard_int64_partials(np.full((3, 1), float(1 << 61)))
+
+    def test_element_wrap_raises(self):
+        # The exact ADVICE r15 case: a single coord past 2^63 wraps in
+        # astype(np.int64) itself; the pre-cast float bound must catch
+        # it even when the batch is tiny (accumulation bound alone
+        # would pass: 1 row * anything <= 2^62 iff qmax <= 2^62).
+        qf = np.array([[9.3e18]])  # > 2^63 ~ 9.22e18
+        with pytest.raises(OverflowError, match="fixed-point partial sums"):
+            guard_int64_partials(qf)
+        # ...and just under the element bound but over the accumulation
+        # budget with enough rows still raises.
+        qf2 = np.full((3, 1), 2.0e18)  # 3 * 2e18 > 2^62 ~ 4.6e18
+        with pytest.raises(OverflowError):
+            guard_int64_partials(qf2)
 
 
 class TestLshPlaneWidthGuard:

@@ -97,9 +97,12 @@ def test_fx_double_past_2pow53(spark):
 
     want = float(decimal.Decimal(9007199254740993) / decimal.Decimal(10**6))
     assert got.hex() == want.hex()
-    # and the naive double path really would differ — guard the guard
+    # and the naive double path really would differ for THIS constant —
+    # guard the guard (r16: asserted for real; the r15 form had a
+    # vacuous `or True`). float(2^53+1) == 2^53, so the twice-rounded
+    # path lands one ulp below the correctly-rounded exact rational.
     naive = float(9007199254740993) / 1e6
-    assert naive.hex() != want.hex() or True  # documented risk, not asserted
+    assert naive.hex() != want.hex()
 
 
 def test_gapfill_fixed_point_matches_decimal(spark):

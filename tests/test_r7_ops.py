@@ -200,7 +200,7 @@ class TestHierarchicalKmeans:
 
     def test_k2_one_degenerates_to_flat_coarse(self, spark):
         from chrono_ts_spark.operators.clustering import (
-            _assign_euclid_udf,
+            assign_euclid_udf,
             hierarchical_kmeans_assign,
             kmeans_fit,
         )
@@ -215,7 +215,7 @@ class TestHierarchicalKmeans:
         flat = sorted(
             (r.vec_id, r.cluster)
             for r in df.withColumn(
-                "cluster", _assign_euclid_udf(cent)(F.col("embedding"))
+                "cluster", assign_euclid_udf(cent)(F.col("embedding"))
             ).collect()
         )
         assert out == flat
@@ -275,17 +275,17 @@ class TestHierarchicalKmeans:
 
     def test_levels_param_validation_and_width(self, spark):
         from chrono_ts_spark.operators.clustering import (
-            _ceil_root,
-            _tree_width,
+            ceil_root,
+            tree_width,
             hierarchical_kmeans_assign,
         )
 
         # integer-exact roots at the boundaries
-        assert _ceil_root(9, 2) == 3 and _ceil_root(10, 2) == 4
-        assert _ceil_root(8, 3) == 2 and _ceil_root(9, 3) == 3
-        assert _ceil_root(1, 3) == 1
+        assert ceil_root(9, 2) == 3 and ceil_root(10, 2) == 4
+        assert ceil_root(8, 3) == 2 and ceil_root(9, 3) == 3
+        assert ceil_root(1, 3) == 1
         # width is a pure function and bounds every emitted id
-        assert _tree_width(31250, 2) >= 31250
+        assert tree_width(31250, 2) >= 31250
         import pytest as _pytest
 
         df = self._clustered(spark, n_families=2, per=3)
@@ -294,16 +294,16 @@ class TestHierarchicalKmeans:
 
     def test_levels3_ids_within_width(self, spark):
         from chrono_ts_spark.operators.clustering import (
-            _ceil_root,
-            _tree_width,
+            ceil_root,
+            tree_width,
             hierarchical_kmeans_assign,
         )
 
         df = self._clustered(spark, n_families=5, per=8)
         k = 12
         out = hierarchical_kmeans_assign(df, 16, k, levels=3).collect()
-        k1 = _ceil_root(k, 2)  # level-1 granularity is depth-independent
-        w = _tree_width(-(-k // k1), 2)
+        k1 = ceil_root(k, 2)  # level-1 granularity is depth-independent
+        w = tree_width(-(-k // k1), 2)
         assert len(out) == 40
         assert all(0 <= r.cluster < k1 * w for r in out)
 
