@@ -2531,7 +2531,27 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = baskets.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("p_brand")).alias("bs")
     )
-    marked = bl.select(
+    # r16 (VERDICT r15 item 2, guide §2.3 aggregate-before-you-explode):
+    # the r14 single-explode form emitted 1 + k + C(k,2) marker/
+    # singleton/pair rows PER BASKET into the pair aggregate — already
+    # map-side partial-aggregated (the "map-side pair aggregation"
+    # lever named since r11 was in the plan all along: partial_count
+    # before the Exchange), so the remaining basket-linear term was the
+    # Generate volume itself (r11 probes: wall tracked exploded-pair
+    # count exactly). But identical brand SETS emit identical row
+    # multisets, and the distinct-basket domain is combinatorially
+    # CAPPED (TPC-H baskets hold <= 7 of 25 brands -> <= ~726k distinct
+    # sorted sets) while baskets grow with the corpus: grouping baskets
+    # by `bs` first (tiny rows, map-side partial count, one extra
+    # near-constant-size exchange) and weighting the explode by the
+    # multiplicity turns the explode + pair-aggregate volume from
+    # O(baskets x k^2) into O(distinct_sets x k^2) ~ O(1) at scale.
+    # 1600x A/B + plan diff in OPTIMIZATION_r16.md; counts are
+    # identical by construction (sum of weights per emitted row =
+    # number of baskets emitting it), oracle unchanged, hash-green at
+    # sf0.001/0.01/0.1.
+    wsets = bl.groupBy("bs").agg(F.count(F.lit(1)).alias("w"))
+    marked = wsets.select(
         F.explode(
             F.expr(
                 "concat("
@@ -2543,11 +2563,12 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "    transform(slice(bs, i + 2, size(bs)), "
                 "              y -> struct(x AS brand_a, y AS brand_b)))))"
             )
-        ).alias("p")
-    ).select("p.brand_a", "p.brand_b")
+        ).alias("p"),
+        "w",
+    ).select("p.brand_a", "p.brand_b", "w")
     counts = (
         marked.groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
         .persist()  # <= 326 rows; shared by the three consumers below
     )
     n_total = counts.filter(
