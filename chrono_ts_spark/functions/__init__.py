@@ -121,6 +121,32 @@ def favg(col: Column | str, s: int = 2) -> Column:
     return fx_double(F.sum(fx(c, s)), s) / F.count(c).cast("double")
 
 
+def eval_once(col: Column) -> Column:
+    """Nondeterminism barrier: value-identical wrapper that stops the
+    optimizer duplicating an expensive expression below a filter on its
+    output (guide §4.4 — the same mechanism as ``asNondeterministic``
+    for UDFs, applied to a built-in expression pipeline).
+
+    ``select(expensive.alias(c), ...).filter(c >= t)`` with ``c`` also
+    consumed downstream makes Catalyst push the predicate below the
+    Project by substituting the FULL defining expression: ``expensive``
+    is then evaluated twice per surviving row, once in the pushed
+    Filter and again in the Project (r16, measured on
+    pipeline_clean_corpus: two copies of the quality HOF pipeline in
+    the plan). A one-element ``shuffle(array(x))`` is nondeterministic
+    to the optimizer but the identity on values — including NULL
+    (``array(NULL)`` shuffles to ``[NULL]``) — so the filter stays
+    above the Project and the expression runs exactly once.
+
+    Only worth it when the wrapped expression is expensive AND its
+    value is consumed downstream of the filter; a filter-only column
+    is already evaluated once. Nondeterminism also blocks pushing
+    OTHER filters past this projection — apply per-column, not
+    blanket (guide §4.4 trade-off note).
+    """
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 # Mirrors of the above for the DuckDB oracle SQL text -----------------------
 
 

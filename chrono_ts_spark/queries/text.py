@@ -23,6 +23,7 @@ from ..operators.dedup import (
     widen,
     widen_if_narrow,
 )
+from ..functions import eval_once
 from ..operators.graph import connected_components
 from ..operators.textfns import (
     LANG_STOPWORDS,
@@ -862,13 +863,29 @@ GROUP BY lang
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate → dedup(keep-first) → per-language accounting."""
-    # r15: widen_if_narrow — see doc_token_stats (scoring leg 1.4 -> 0.7 s)
-    d = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    # r16: two changes, both driven by the committed plan dumps
+    # (plans/r16/pipeline_clean_corpus_{before,after}.txt):
+    # 1. widen_if_narrow REMOVED (added r15): the driver read this
+    #    query 0.82x with it, and the before-plan shows why the solo
+    #    "scoring-leg" win was illusory — Catalyst pushed the quality
+    #    filter BELOW the widen Exchange, so the expensive copy of the
+    #    scoring still ran single-task on the narrow scan and the
+    #    shuffle only parallelized the duplicate. 4-arm interleaved
+    #    probe (widen x barrier, median of 7): widen is a net loss in
+    #    both barrier arms at sf0.1; on cluster scans it is a no-op by
+    #    construction, so nothing is lost at scale.
+    # 2. eval_once barrier on quality (guide §4.4): quality is both
+    #    filtered on AND aggregated downstream, so predicate pushdown
+    #    substituted the full HOF pipeline into a second Filter
+    #    evaluation. The barrier keeps the filter above the Project:
+    #    one evaluation per row. Values identical (1-element shuffle
+    #    is the identity) — oracle hash-green at sf0.001/0.01/0.1.
+    d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         "lang",
         token_count(F.col("text")).cast("double").alias("n_tok"),
-        quality_score(F.col("text")).alias("quality"),
+        eval_once(quality_score(F.col("text"))).alias("quality"),
         content_md5(F.col("text")).alias("ch"),
     ).filter(F.col("quality") >= 0.5)
     kept = top_k_per_group(scored, group=["ch"], order=[F.col("doc_id")], k=1)
