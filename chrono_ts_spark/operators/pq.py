@@ -306,7 +306,18 @@ def pq_adc_topk(
         order=[F.col("adc_dist").asc(), F.col("neighbor_id")],
         k=rerank,
     )
-    # exact re-rank: join raw vectors back for candidates only
+    # exact re-rank: join raw vectors back for candidates only.
+    # r16 (guide §3.1/§8): the candidate side is contractually tiny
+    # (≤ P·max(k, rerank) rows — probes are few by the operator's
+    # contract), but its size ESTIMATE descends from the whole opaque
+    # ADC pipeline, so the static plan chose a SortMergeJoin whose
+    # build-side Exchange hash-partitioned the FULL corpus of raw
+    # vectors (~0.5 KB/row) just to attach 64-dim arrays to a few
+    # hundred rows — the §8 "second payload shuffle" trap; relying on
+    # AQE to notice at runtime is fragile exactly when the corpus
+    # shuffle is most expensive. Explicit broadcast: the corpus side
+    # is scanned, never shuffled. Rows identical (md5-compared at 32M;
+    # batch-invariance pins in tests/test_pq.py unaffected).
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__nv"),
@@ -329,7 +340,7 @@ def pq_adc_topk(
             )
 
     exact_scored = (
-        candidates.join(vecs, "neighbor_id")
+        F.broadcast(candidates).join(vecs, "neighbor_id")
         .select("query_id", "neighbor_id", "__nv")
         .mapInPandas(exact, "query_id long, neighbor_id long, l2_sq double")
     )

@@ -2540,8 +2540,11 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Generate volume itself (r11 probes: wall tracked exploded-pair
     # count exactly). But identical brand SETS emit identical row
     # multisets, and the distinct-basket domain is combinatorially
-    # CAPPED (TPC-H baskets hold <= 7 of 25 brands -> <= ~726k distinct
-    # sorted sets) while baskets grow with the corpus: grouping baskets
+    # CAPPED (subsets of 25 brands -> <= 2^25 ~ 33.6M sorted sets, any
+    # corpus size; measured 3.17M distinct sets for 235.6M baskets at
+    # 1600x — basket k grows past 7 at scale, so the earlier <=726k
+    # estimate was low, but the bound stays corpus-independent) while
+    # baskets grow with the corpus: grouping baskets
     # by `bs` first (tiny rows, map-side partial count, one extra
     # near-constant-size exchange) and weighting the explode by the
     # multiplicity turns the explode + pair-aggregate volume from

@@ -41,6 +41,12 @@ CHRONO_DRIVER_MEM=16g for the 16M runs):
 
     python tools/ann_scale_probe.py lsh <vecs> narrow|hof_narrow|wide
     python tools/ann_scale_probe.py semdedup <vecs> uncapped|capped
+    # r16 (VERDICT r15 item 5): 'two_stage' = r14 reconstruction;
+    # 'coarse' = PROBE-ONLY FAISS-style nlist≈sqrt(n) granularity
+    # (output-changing — never the registry query), also reports peak
+    # per-cell group size; 'cellstats' = assignment-only pass printing
+    # the SHIPPED pipeline's per-cell size distribution (the §5 spill
+    # unit the r15 fusion widened to one level-1 cell).
     python tools/ann_scale_probe.py ivf <vecs> fused|hof
     python tools/ann_scale_probe.py fit <vecs> partial|explode
     python tools/ann_scale_probe.py pqfit <vecs> partial|explode
@@ -561,6 +567,122 @@ def semdedup_capped_legacy(spark, path: str):
     )
 
 
+def semdedup_coarse_probe(spark, path: str):
+    """PROBE-ONLY (r16, VERDICT r15 item 5): the FAISS-style nlist≈√n
+    granularity — k = ceil(sqrt(n)) final clusters, cluster size grows
+    as √n. OUTPUT-CHANGING (coarser granularity drops more near-dups),
+    so it can never replace the registry emb_semdedup; it exists to
+    price the named escape from the k=n/512 assignment asymptote
+    (docs/scale.md "SemDeDup levels=3 at 32M"): assignment cost falls
+    (fewer, coarser cells), per-cell pairwise cost rises (≈√n members
+    per final cluster). Same fused refine+prune shape as the registry
+    query so the A/B isolates granularity alone."""
+    import math
+
+    import numpy as np
+
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.clustering import (
+        assign_euclid_udf,
+        ceil_root,
+        kmeans_fit,
+        local_tree_assign,
+        tree_width,
+    )
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, path, "embeddings")
+    n = emb.count()
+    k = max(2, math.isqrt(n))
+    levels = 3
+    coarse_iters, fine_iters, coarse_cap = 2, 4, 4096
+    k1 = min(coarse_cap, ceil_root(k, 2))
+    k_rem = -(-k // k1)
+    coarse = kmeans_fit(emb, DIMS, k=k1, iters=coarse_iters)
+    assigned = emb.withColumn(
+        "__cell", assign_euclid_udf(coarse)(F.col("embedding"))
+    ).select("vec_id", "label", "__cell", "embedding")
+    w_rem = tree_width(k_rem, levels - 1)
+    depth = levels - 1
+
+    def refine_prune(pdf):
+        import pandas as pd  # noqa: F401
+
+        cell = int(pdf["__cell"].iloc[0])
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+            dtype=np.float64,
+        )
+        if k_rem <= 1:
+            cl = np.zeros(len(pdf), dtype=np.int64)
+        else:
+            cl = local_tree_assign(mat, k_rem, depth, coarse_iters, fine_iters)
+        cluster = cell * w_rem + cl
+        keep_mask = np.ones(len(pdf), dtype=bool)
+        for cid in np.unique(cluster):
+            sel = np.nonzero(cluster == cid)[0]
+            sub = mat[sel]
+            norms = np.sqrt((sub**2).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            unit = sub / norms[:, None]
+            sims = unit @ unit.T
+            c = len(sel)
+            iu = np.triu_indices(c, k=1)
+            drop = np.zeros(c, dtype=bool)
+            hits = sims[iu] >= 0.95
+            np.logical_or.at(drop, iu[1][hits], True)
+            keep_mask[sel[drop]] = False
+        out = pdf.loc[keep_mask, ["vec_id", "label"]].copy()
+        out["cluster"] = cluster[keep_mask].astype(np.int64)
+        # probe-only extra: this cell's group size, so the driver can
+        # take max() without a second assignment pass (VERDICT r15
+        # item 5: record peak per-cell group size — the §5 spill unit)
+        out["cell_rows"] = len(pdf)
+        return out
+
+    return assigned.groupBy("__cell").applyInPandas(
+        refine_prune, schema="vec_id long, label int, cluster long, cell_rows long"
+    )
+
+
+def semdedup_cell_stats(spark, path: str):
+    """One assignment-only pass reporting the SHIPPED emb_semdedup
+    per-cell group-size distribution (max/p99/mean) — the §5 spill
+    unit the r15 fusion widened from one final cluster to one level-1
+    cell. Stats job, not a timed arm."""
+    from chrono_ts_spark.catalog import load_table
+    from chrono_ts_spark.operators.clustering import (
+        assign_euclid_udf,
+        ceil_root,
+        kmeans_fit,
+    )
+    from chrono_ts_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = load_table(spark, path, "embeddings")
+    n = emb.count()
+    k = max(2, n // 512)
+    k1 = min(4096, ceil_root(k, 2))
+    coarse = kmeans_fit(emb, DIMS, k=k1, iters=2)
+    cells = (
+        emb.withColumn("__cell", assign_euclid_udf(coarse)(F.col("embedding")))
+        .groupBy("__cell")
+        .count()
+    )
+    row = cells.agg(
+        F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).collect()[0]
+    return {
+        "n": n, "k1": k1, "max_cell": row["max"], "p99_cell": row["p99"],
+        "mean_cell": round(row["mean"], 1), "n_cells": row["n_cells"],
+    }
+
+
 def main() -> int:
     mode = sys.argv[1]
     vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
@@ -592,6 +714,24 @@ def main() -> int:
         df = run_ivf(spark, path, variant)
     elif mode == "pq":
         df = run_pq(spark, path, variant)
+    elif variant == "cellstats":
+        stats = semdedup_cell_stats(spark, path)
+        stats.update({"mode": mode, "variant": variant, "vecs": vecs})
+        print(json.dumps(stats))
+        return 0
+    elif variant == "coarse":
+        df = semdedup_coarse_probe(spark, path)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("out_rows"),
+            F.max("cell_rows").alias("max_cell"),
+        ).collect()[0]
+        sec = round(time.time() - t0, 1)
+        print(json.dumps({
+            "mode": mode, "variant": variant, "vecs": vecs,
+            "out_rows": agg["out_rows"], "max_cell": agg["max_cell"],
+            "sec": sec,
+        }))
+        return 0
     elif variant == "uncapped":
         df = load_all()["emb_semdedup"].fn(spark, path)
     elif variant == "two_stage":
